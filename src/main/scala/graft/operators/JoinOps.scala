@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import RelationalCore.{dsum, dsumSql}
+
+/** Join operator family. The reference's only join is the map-side
+  * replicated join of every example against the broadcast weight matrix
+  * (A3, reference `driver.java:118-142` DistributedCache +
+  * `rbmmapper.java:50-63`) — q08 is that pattern as a Catalyst
+  * BroadcastHashJoin. q17–q21 cover the families the reference lacks
+  * (SURVEY §2.A "absent" list): shuffle equi-joins, outer joins,
+  * semi/anti, theta/band joins, multiway star joins.
+  *
+  * Scale posture: dimension tables (region/nation/supplier/customer at
+  * TPC-H ratios) are broadcast — no shuffle of the fact table for q08,
+  * q20, q21's dim legs. lineitem⋈orders (two fact tables) is a shuffle
+  * sort-merge join on the natural key; at 100 TB both sides would be
+  * bucketed by orderkey to make it shuffle-free, and AQE handles skew.
+  */
+object JoinOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3: broadcast replicated join, dim side explicitly hinted.
+    "q08_broadcast_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Fact-to-fact shuffle equi-join (sort-merge at scale).
+    "q17_inner_equi_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Full outer join with null-producing rows on BOTH sides: nations of
+    // regions 0-1 vs suppliers (whose nations span all regions).
+    "q18_outer_joins" -> ((s, d) => {
+      val n = Tables.nation(s, d).filter(col("n_regionkey") < 2)
+      val sup = Tables.supplier(s, d)
+      n.join(sup, col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+        .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("n_name"),
+          asc_nulls_first("s_suppkey"), asc_nulls_first("s_name"))
+    }),
+
+    // Semi + anti join (EXISTS / NOT EXISTS) against a filtered subquery.
+    "q19_semi_anti_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"))
+      val c = Tables.customer(s, d)
+      val semi = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big").as("tag"))
+      val anti = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big").as("tag"))
+      semi.unionAll(anti).orderBy(col("c_custkey"), col("tag"))
+    }),
+
+    // Theta/band join: price-band dimension built from spark.range,
+    // joined on an interval predicate → BroadcastNestedLoopJoin with the
+    // 5-row side broadcast (the only sane physical plan for non-equi).
+    "q20_theta_range_join" -> ((s, d) => {
+      val bands = s.range(5).select(col("id").as("band_id"),
+        (lit(900.0) + col("id") * 20.0).as("lo"),
+        (lit(900.0) + (col("id") + 1) * 20.0).as("hi"))
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+
+    // TPC-H Q5-shaped star join: fact → orders ⋈ dims, dims broadcast.
+    "q21_multiway_star_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("n_name"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q08_broadcast_join" ->
+      s"""SELECT s_name, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS rev
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q17_inner_equi_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_outer_joins" ->
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+        |FROM (SELECT * FROM nation WHERE n_regionkey < 2) n
+        |FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |ORDER BY n_nationkey NULLS FIRST, n_name NULLS FIRST,
+        |  s_suppkey NULLS FIRST, s_name NULLS FIRST""".stripMargin,
+
+    "q19_semi_anti_join" ->
+      """SELECT c_custkey, 'has_big' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey, tag""".stripMargin,
+
+    "q20_theta_range_join" ->
+      s"""SELECT band_id, COUNT(*) AS cnt, ${dsumSql("p_retailprice")} AS sum_price
+         |FROM part
+         |JOIN (SELECT i AS band_id, 900.0 + i * 20.0 AS lo, 900.0 + (i + 1) * 20.0 AS hi
+         |      FROM range(5) t(i)) b
+         |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q21_multiway_star_join" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryModule, Tables}
+
+/** Window-function family (absent from the reference — SURVEY §2.A
+  * notes its only sort is the incidental A12 framework sort,
+  * `propreducer.java:13-24`). Ranking, analytic frames, top-k per
+  * group, and batch sessionization (q30's streaming twin lives in
+  * `graft.streaming`).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker key
+  * (row_number over a non-unique sort is engine-dependent), and
+  * running sums go through DECIMAL so frame accumulation is exact.
+  * Scale: windows partition by customer/user keys — high-cardinality,
+  * skew-free shuffles; no global window is ever used.
+  */
+object WindowOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_window_ranking" -> ((s, d) => {
+      // row_number needs the unique o_orderkey tiebreak; rank/dense_rank
+      // are deterministic under ties so they rank on price alone.
+      val wUnique = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wTies = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(wUnique).cast("int").as("rn"),
+          rank().over(wTies).cast("int").as("rk"),
+          dense_rank().over(wTies).cast("int").as("drk"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q23_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_val"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          count(lit(1)).over(frame).as("run_cnt"),
+          sum(col("value").cast(DecimalType(20, 4))).over(frame)
+            .cast("double").as("run_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q24_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("int").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Batch sessionization: 30-min-gap sessions via lag + cumulative sum
+    // of session-break flags (SURVEY q30; streaming twin uses
+    // session_window in graft.streaming.StreamingOps). `ts` is an epoch
+    // nanosecond long (Tables.events), so the gap test is pure integer
+    // arithmetic — exact on both engines.
+    "q30_session_window_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + lit(gapNs), 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(frame))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          RelationalCore.dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("sess"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q22_window_ranking" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS INT) AS rk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS INT) AS drk
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23_window_analytic" ->
+      """SELECT event_id, user_id,
+        |  LAG(value, 1) OVER w AS prev_val,
+        |  LEAD(event_id, 1) OVER w AS next_event,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q24_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q30_session_window_batch" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+         |           OR ts > LAG(ts, 1) OVER w + INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, event_id, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM flagged)
+         |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+         |  ${RelationalCore.dsumSql("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+  )
+}

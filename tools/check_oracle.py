@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against views over
+the same fixture parquet tables, sorts columns by name on both sides,
+and compares exactly (NaN==NaN). This is tooling for the build loop
+only — the library itself has no Python dependency.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    a, b = norm(spark_df), norm(duck_df)
+    if len(a) != len(b):
+        problems.append(f"row count differs: spark={len(a)} duck={len(b)}")
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype) != str(bv.dtype):
+            problems.append(f"dtype[{c}]: spark={av.dtype} duck={bv.dtype}")
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = ((av.isna() & bv.isna()) | (av == bv))
+            else:
+                ok = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
+            nbad = int((~ok).sum())
+            if nbad:
+                idx = (~ok).idxmax()
+                problems.append(
+                    f"values[{c}]: {nbad}/{len(a)} mismatch; first at row {idx}: "
+                    f"spark={av[idx]!r} duck={bv[idx]!r}")
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"compare[{c}] failed: {e}")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = ["NO SPARK OUTPUT"]
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"DUCKDB ERROR: {e}"]
+            continue
+        results[name] = compare(name, spark_df, duck_df)
+    # queries without oracle → rows-only check
+    for path in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(path.rstrip("/"))
+        if name in oracle or (only and name not in only):
+            continue
+        files = glob.glob(f"{path}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        results[name] = [] if n > 0 else ["NO-ORACLE query returned 0 rows"]
+    npass = sum(1 for v in results.values() if not v)
+    for name, probs in results.items():
+        status = "PASS" if not probs else "FAIL"
+        print(f"{status} {name}")
+        for p in probs:
+            print(f"     {p}")
+    print(f"\n{npass}/{len(results)} pass")
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.JoinOps,
     operators.WindowOps,
     operators.SetAggOps,
+    rbm.RbmQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -18,6 +18,10 @@ object SparkEntry {
     operators.WindowOps,
     operators.SetAggOps,
     rbm.RbmQueries,
+    llm.TextAnalysis,
+    llm.Dedup,
+    llm.Similarity,
+    llm.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,237 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import TextAnalysis.{md5Int, md5IntSql, tokens, tokensSql}
+
+/** Deduplication suite for a training-data pipeline: exact dedup,
+  * MinHash+LSH candidate generation, SimHash, and n-gram Jaccard —
+  * each expressed as a declarative Catalyst plan and each with a full
+  * DuckDB oracle (the minhash/simhash SQL twins are code-generated
+  * from the same constants, so both engines compute the identical
+  * pipeline).
+  *
+  * Hashes derive from md5 (bit-identical across engines). In
+  * production you'd swap `xxhash64` in for md5 (same plan shape, ~10×
+  * cheaper); md5 is used here because the oracle requires a hash both
+  * engines implement identically.
+  *
+  * Scale notes (100 TB): every stage is shuffle-bounded by the
+  * *shingle/band* cardinality, never by doc-pair cardinality — LSH
+  * banding turns the quadratic all-pairs problem into an equi-join on
+  * (band_id, band_signature), which Spark executes as a plain shuffled
+  * hash join; skewed buckets (giant near-dup clusters) are exactly the
+  * AQE skew-join case.
+  */
+object Dedup extends QueryModule {
+
+  private val K = 32     // minhash functions
+  private val Bands = 8  // bands × rows-per-band = K
+  private val R = 4
+
+  /** 2-word shingles of the token array (requires ≥ 2 tokens). */
+  private def shingleArr(ts: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(ts) - 1),
+      i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: md5 content hash → cluster size per doc (hash
+    // groupBy; the all-distinct fixture yields size-1 clusters, which
+    // the oracle equally asserts).
+    "q35_exact_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("fp"))).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH: shingle → K minhashes → band signatures → bucket
+    // equi-join → per-doc candidate-neighbor count.
+    "q31_minhash_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5Int(concat(lit("0:"), col("shingle")))).as("m0"),
+        (1 until K).map(k =>
+          min(md5Int(concat(lit(s"$k:"), col("shingle")))).as(s"m$k")): _*)
+      val bandCols = (0 until Bands).map { b =>
+        md5(concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*))
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_id", "bsig")))
+      val a = bands.as("a"); val b = bands.as("b")
+      val pairs = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val partners = pairs.select(col("da").as("doc_id"), col("db").as("p"))
+        .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("p")))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("p")).as("n"))
+      docs.select(col("doc_id")).join(partners, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).cast("int").as("n_candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash: 63-bit signature by per-bit majority vote over token
+    // hashes (multiset semantics — repeated tokens vote repeatedly).
+    "q36_simhash_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tokn"))
+        .select(col("doc_id"), md5Int(col("tokn")).as("tok_int"))
+        .select(col("doc_id"), col("tok_int"),
+          explode(sequence(lit(0), lit(62))).as("k"))
+        .select(col("doc_id"), col("k"),
+          (expr("shiftright(tok_int, k)") bitwiseAND lit(1L)).as("bit"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(sum(col("bit") * 2 - 1).as("vote"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("vote") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L)).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pairwise n-gram Jaccard among the first 50 docs (candidate-pair
+    // scoring stage; inner-join semantics keep only pairs sharing ≥1
+    // shingle — at scale this runs on LSH candidates, never all pairs).
+    "q37_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .select(col("da"), col("db"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Embedding near-dup: top-20 most-similar pairs by cosine, left
+    // side restricted to vec_id<100. orderBy+limit compiles to
+    // TakeOrderedAndProject — distributed top-k, no global sort.
+    "q38_embedding_cosine_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      val a = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          round(aggregate(zip_with(col("ea"), col("eb"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("ia"), col("ib"))
+        .limit(20)
+    })
+  )
+
+  // ---- generated DuckDB twins -------------------------------------
+
+  private val shingleSql =
+    s"""SELECT doc_id,
+       |    unnest(list_slice(ts, 1, len(ts)-1)) || ' ' ||
+       |    unnest(list_slice(ts, 2, len(ts))) AS shingle
+       |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents%FILT%)
+       |  WHERE len(ts) >= 2""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q35_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS INT) AS cluster_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_minhash_dedup" -> {
+      val mins = (0 until K).map(k =>
+        s"MIN(${md5IntSql(s"'$k:' || shingle")}) AS m$k").mkString(",\n    ")
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |  ${shingleSql.replace("%FILT%", "")})),
+         |sig AS (SELECT doc_id,
+         |    $mins
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |partners AS (
+         |  SELECT da AS doc_id, db AS p FROM pairs
+         |  UNION SELECT db AS doc_id, da AS p FROM pairs),
+         |cnt AS (SELECT doc_id, COUNT(DISTINCT p) AS n FROM partners GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS INT) AS n_candidates
+         |FROM documents d LEFT JOIN cnt USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q36_simhash_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS tokn FROM documents),
+         |ti AS (SELECT doc_id, ${md5IntSql("tokn")} AS tok_int FROM tok),
+         |b AS (SELECT doc_id, k, ((tok_int >> k) & 1) AS bit
+         |      FROM ti CROSS JOIN (SELECT CAST(i AS INT) AS k FROM range(63) r(i)) ks),
+         |v AS (SELECT doc_id, k, SUM(bit * 2 - 1) AS vote FROM b GROUP BY doc_id, k)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q37_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |  ${shingleSql.replace("%FILT%", " WHERE doc_id < 50")})),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT da, db, inter,
+         |  ROUND(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN (SELECT doc_id AS da, sz AS sa FROM sizes) USING (da)
+         |JOIN (SELECT doc_id AS db, sz AS sb FROM sizes) USING (db)
+         |ORDER BY da, db""".stripMargin,
+
+    "q38_embedding_cosine_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(a.embedding) AS ua,
+        |                        unnest(b.embedding) AS ub) z)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM n a, n b
+        |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id)
+        |SELECT ia, ib, cosine FROM p
+        |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin
+  )
+}

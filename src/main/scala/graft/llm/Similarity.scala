@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the embedding column.
+  *
+  * q32 is the exact baseline: brute-force cosine top-k as a cross join
+  * + per-query window top-k. q43 is the scale path: random-hyperplane
+  * LSH buckets turn the O(Q×N) cross join into an equi-join on bucket
+  * id — at 100 TB the candidate set per query is ~N/2^planes and the
+  * join is an ordinary shuffled hash join on a dense integer key.
+  */
+object Similarity extends QueryModule {
+
+  /** Exact double-precision cosine between two float-array columns. */
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    round(aggregate(zip_with(ea, eb, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / (na * nb), 6)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-3 per query (queries = vec_id<10).
+    "q32_knn_similarity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"), col("nrm").as("nq"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("nrm").as("nc"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      q.crossJoin(c).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN: 4 seeded random hyperplanes → 16 buckets;
+    // candidates are bucket-mates only. Deterministic (seeded planes)
+    // but not SQL-expressible → rows-only gate; recall vs q32 is
+    // asserted in SimilaritySpec.
+    "q43_ann_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val nPlanes = 4
+      val dims = 64
+      val rnd = new java.util.Random(7L)
+      val planes = Array.fill(nPlanes, dims)(rnd.nextGaussian())
+      val bp = s.sparkContext.broadcast(planes)
+      val e = withNorm(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .as[(Long, Array[Float], Double)]
+        .map { case (id, emb, nrm) =>
+          var bucket = 0
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            var i = 0
+            while (i < dims) { dot += emb(i) * bp.value(p)(i); i += 1 }
+            if (dot > 0) bucket |= 1 << p
+            p += 1
+          }
+          (id, emb, nrm, bucket)
+        }
+        .toDF("vec_id", "embedding", "nrm", "bucket")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("bucket"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        col("nrm").as("nc"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q32_knn_similarity" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(a.embedding) AS ua,
+        |                        unnest(b.embedding) AS ub) z)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM n a, n b
+        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT qid, cid, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, cid) AS INT) AS rank
+        |  FROM p)
+        |SELECT qid, cid, cosine, rank FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    // q43 intentionally absent (LSH planes not SQL-expressible).
+  )
+}

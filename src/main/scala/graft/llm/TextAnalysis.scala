@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * per-language corpus stats, heuristic language ID, quality scoring,
+  * token counting, and document fingerprinting — all pure narrow
+  * projections + one aggregation, no UDFs (everything stays inside
+  * whole-stage codegen), so they scale linearly with document count.
+  *
+  * Cross-engine conventions: tokenization is `split on \s+, drop
+  * empties` on both engines; 60-bit integer hashes derive from md5 hex
+  * prefixes (md5 is identical everywhere; a production pipeline would
+  * use xxhash64, noted per-site).
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Whitespace tokens, empties dropped (Spark side). */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+  /** DuckDB twin of [[tokens]]. */
+  val tokensSql = """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+
+  /** First 15 md5 hex chars as a 60-bit non-negative long (Spark). */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** DuckDB twin of [[md5Int]]. */
+  def md5IntSql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language corpus statistics (SURVEY §2.B q33).
+    "q33_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tot_tokens"),
+          round(sum(col("n_tok").cast("long")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // Heuristic n-gram/marker-word language ID. The fixture vocabulary
+    // is synthetic, so the marker sets are illustrative; the operator
+    // shape (token-set membership votes → argmax) is the real content.
+    "q39_lang_id" -> ((s, d) => {
+      val ts = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(array_contains(ts, "the"), "en")
+            .when(array_contains(ts, "data"), "de")
+            .when(array_contains(ts, "table"), "es")
+            .otherwise("unk").as("guess"))
+        .withColumn("is_match", col("guess") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality score: length component + stopword-ratio component +
+    // punctuation count, combined into [0,1].
+    "q40_quality_score" -> ((s, d) => {
+      val ts = tokens(col("text"))
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt",
+          size(filter(ts, t => t.isin(Stopwords: _*))))
+        .withColumn("punct_cnt",
+          length(col("text")) -
+            length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
+        .select(col("doc_id"), col("n_tok"), col("stop_cnt"), col("punct_cnt"),
+          round(least(col("n_chars") / lit(500.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stop_cnt").cast("double") / col("n_tok")) * 0.5,
+            6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish alpha-run count via
+    // regexp, both codegen'd builtins.
+    "q41_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: md5 over whitespace-normalized text, plus
+    // its 60-bit integer form (join-key friendly). A polynomial rolling
+    // hash variant ships as a custom codegen Expression in
+    // graft.functions (no cross-engine oracle exists for it).
+    "q42_doc_fingerprint" -> ((s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm).as("fp"),
+          md5Int(norm).as("fp_int"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q33_text_stats" ->
+      s"""WITH t AS (SELECT lang, n_chars, source,
+         |  len($tokensSql) AS n_tok FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tot_tokens,
+         |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q39_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN list_contains(ts, 'the') THEN 'en'
+         |       WHEN list_contains(ts, 'data') THEN 'de'
+         |       WHEN list_contains(ts, 'table') THEN 'es'
+         |       ELSE 'unk' END AS guess,
+         |  (CASE WHEN list_contains(ts, 'the') THEN 'en'
+         |        WHEN list_contains(ts, 'data') THEN 'de'
+         |        WHEN list_contains(ts, 'table') THEN 'es'
+         |        ELSE 'unk' END = lang) AS is_match
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q40_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text, $tokensSql AS ts FROM documents),
+         |c AS (SELECT doc_id, n_chars,
+         |  CAST(len(ts) AS INT) AS n_tok,
+         |  CAST(len(list_filter(ts,
+         |    t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS stop_cnt,
+         |  CAST(length(text) -
+         |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS punct_cnt
+         |FROM t)
+         |SELECT doc_id, n_tok, stop_cnt, punct_cnt,
+         |  ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5 +
+         |    (1.0 - CAST(stop_cnt AS DOUBLE) / n_tok) * 0.5, 6) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q41_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokensSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
+         |  CAST(length(text) AS INT) AS text_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS fp, ${md5IntSql("norm")} AS fp_int
+         |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Behavioral tests for the dedup/similarity/multimodal ops on crafted
+  * inputs (the fixture corpus is all-distinct, so dup detection needs
+  * synthetic dups to prove itself).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  /** Writes a synthetic documents table with known duplicate structure
+    * and returns its sfDir.
+    */
+  private lazy val synthDir: String = {
+    val dir = Files.createTempDirectory("llmtest").toString
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val near = "the quick brown fox jumps over the lazy cat near the old river bank today"
+    val texts = Seq(
+      0L -> base,                   // exact dup of 1
+      1L -> base,
+      2L -> near,                   // near dup of 0/1 (1 token changed)
+      3L -> "completely different words about spark query engines and columnar formats",
+      4L -> "yet another unrelated document mentioning joins shuffles and partitions only")
+    val rows = texts.map { case (id, t) =>
+      Row(id, t, "en", s"src$id", t.length.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q35 exact dedup finds the identical pair and only it") {
+    val out = Dedup.queries("q35_exact_dedup")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(0L) == 2 && out(1L) == 2)
+    assert(Seq(2L, 3L, 4L).forall(out(_) == 1))
+  }
+
+  test("q31 minhash LSH flags exact and near dups as candidates, " +
+    "not the unrelated docs") {
+    val out = Dedup.queries("q31_minhash_dedup")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) >= 1 && out(1L) >= 1, s"exact dups must collide: $out")
+    assert(out(2L) >= 1, s"near dup (14/15 shingles shared) must collide: $out")
+    assert(out(3L) == 0 && out(4L) == 0, s"unrelated docs must not: $out")
+  }
+
+  test("q37 ngram jaccard: exact pair scores 1.0, near pair high, " +
+    "unrelated pairs share nothing") {
+    val rows = Dedup.queries("q37_ngram_jaccard")(spark, synthDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    assert(rows((0L, 2L)) > 0.6 && rows((0L, 2L)) < 1.0)
+    assert(!rows.keySet.exists { case (a, b) => b == 3L || b == 4L && a == 3L })
+  }
+
+  test("q36 simhash: identical docs get identical signatures; near dup " +
+    "is within small hamming distance") {
+    val sig = Dedup.queries("q36_simhash_dedup")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    val hamming = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    assert(hamming <= 16, s"near-dup hamming was $hamming")
+    val hammingFar = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(hammingFar > hamming, "unrelated doc should be farther")
+  }
+
+  test("q43 LSH ANN output is structurally valid and deterministic") {
+    val q = Similarity.queries("q43_ann_lsh")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.nonEmpty)
+    assert(a.sameElements(b), "seeded LSH must be run-to-run deterministic")
+    val byQ = a.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    }
+  }
+
+  test("q45 multimodal stub features partition the byte count exactly") {
+    val rows = Multimodal.queries("q45_multimodal_features")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getInt(2) + r.getInt(3) + r.getInt(4) + r.getInt(5) == r.getInt(1)))
+  }
+}

@@ -22,6 +22,8 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Multimodal,
+    ml.Classifier,
+    streaming.StreamQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,47 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** q34 — the reference's end goal ("digit recognition", reference
+  * `README.md:2`) realized with MLlib: the reference only ever
+  * pre-trains the DBN and names back-propagation fine-tuning without
+  * implementing it (SURVEY §7.1 S6); a supervised classifier over the
+  * embedding features closes that gap.
+  *
+  * Multinomial logistic regression over the 64-d embeddings, fixed
+  * hyper-parameters. Output is the per-(label, prediction) confusion
+  * count table — stable in aggregate, but LBFGS convergence is
+  * float-summation-order sensitive, so no SQL oracle (SURVEY §2.B
+  * marks q34 no-oracle); ClassifierSpec asserts the accuracy floor.
+  */
+object Classifier extends QueryModule {
+
+  def trainPredict(s: SparkSession, d: String): DataFrame = {
+    val data = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("double").as("label"),
+        array_to_vector(transform(col("embedding"), x => x.cast("double")))
+          .as("features"))
+    val lr = new LogisticRegression()
+      .setMaxIter(200)
+      .setRegParam(0.001)
+      .setElasticNetParam(0.0)
+      .setFamily("multinomial")
+    lr.fit(data).transform(data)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_digit_classifier" -> ((s, d) => {
+      trainPredict(s, d)
+        .groupBy(col("label").cast("int").as("label"),
+          col("prediction").cast("int").as("prediction"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"), col("prediction"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map.empty // ML training: no-oracle
+}

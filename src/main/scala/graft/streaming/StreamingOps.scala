@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.C). The reference is pure
+  * batch — its only notion of time is the epoch counter
+  * (`driver.java:90`) — so this module is the engine's answer to the
+  * north star's streaming obligations: windowed aggregation,
+  * watermarked late-data handling, session windows, stateful dedup,
+  * and arbitrary per-key state (the streaming analogue of the
+  * reference's driver-resident model state, A13).
+  *
+  * Every builder takes an unbounded `events`-shaped DataFrame
+  * (`event_id long, ts timestamp, user_id long, event_type string,
+  * value double`) and returns the transformed streaming DataFrame;
+  * sinks/output modes are the caller's choice. StreamingSpec drives
+  * them through MemoryStream → memory sink.
+  *
+  * Scale notes: all state is keyed by (window, type) or user_id —
+  * partitioned state in the state store, nothing global; watermarks
+  * bound state size; dedup state expires with the watermark.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts+sums per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Sliding-window counts (width/slide). */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Watermarked tumbling counts: events later than `lateness` behind
+    * the max seen ts are dropped; append-mode emits finalized windows
+    * only.
+    */
+  def watermarkedCounts(events: DataFrame, width: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with a fixed inactivity gap — the
+    * streaming twin of batch q30 (same 30-minute gap semantics).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful exactly-once-per-id dedup, state bounded by watermark. */
+  def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserEvent(event_id: Long, user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary per-key state: running (count, sum) per user via
+    * flatMapGroupsWithState — the streaming analogue of the
+    * reference's driver-held weight state updated per job (A13,
+    * `driver.java:172-213`). Update-mode output: one refreshed row per
+    * user per batch.
+    */
+  def runningPerUser(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

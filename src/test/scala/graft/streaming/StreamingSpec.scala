@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** MemoryStream-driven tests of the §2.C streaming surface with
+  * manufactured event times (SURVEY §5 item 6).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var sinkSeq = 0
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  type Ev = (Long, Timestamp, Long, String, Double)
+
+  private def toEventsDf(ms: MemoryStream[Ev]): DataFrame =
+    ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def startQuery(df: DataFrame, mode: String): (StreamingQuery, String) = {
+    sinkSeq += 1
+    val name = s"sink_$sinkSeq"
+    (df.writeStream.outputMode(mode).format("memory").queryName(name).start(), name)
+  }
+
+  test("tumbling window counts aggregate by 10-minute windows") {
+    val ms = MemoryStream[Ev]
+    val (q, sink) = startQuery(StreamingOps.tumblingCounts(toEventsDf(ms)), "complete")
+    ms.addData(
+      (1L, ts("00:01"), 1L, "click", 1.0),
+      (2L, ts("00:04"), 1L, "click", 2.0),
+      (3L, ts("00:12"), 2L, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(sink).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", 2L, 3.0),
+      ("2024-01-01 00:10:00.0", 1L, 3.0)))
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    val ms = MemoryStream[Ev]
+    val (q, sink) = startQuery(StreamingOps.watermarkedCounts(toEventsDf(ms)), "append")
+    // batch 1: two on-time events in [00:00,00:10), plus one at 01:00
+    // that advances the watermark to 00:50
+    ms.addData(
+      (1L, ts("00:01"), 1L, "click", 1.0),
+      (2L, ts("00:07"), 1L, "click", 1.0),
+      (3L, ts("01:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late event for the closed [00:00,00:10) window (must
+    // be dropped) and a fresh one to trigger emission
+    ms.addData(
+      (4L, ts("00:06"), 1L, "click", 1.0),
+      (5L, ts("01:05"), 1L, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val w0 = spark.table(sink).collect()
+      .filter(_.getTimestamp(0).toString == "2024-01-01 00:00:00.0")
+    assert(w0.length == 1 && w0.head.getLong(2) == 2,
+      s"late event must not count: ${w0.mkString(",")}")
+  }
+
+  test("session windows merge within the gap and split across it") {
+    val ms = MemoryStream[Ev]
+    val (q, sink) = startQuery(StreamingOps.sessionCounts(toEventsDf(ms)), "append")
+    ms.addData(
+      (1L, ts("00:00"), 7L, "click", 1.0),
+      (2L, ts("00:10"), 7L, "click", 2.0), // same session (gap < 30m)
+      (3L, ts("01:00"), 7L, "click", 4.0)) // new session
+    q.processAllAvailable()
+    ms.addData((4L, ts("03:00"), 7L, "click", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table(sink).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L, 3.0)),
+      s"merged session missing: ${sessions.mkString(";")}")
+    assert(sessions.contains(
+      ("2024-01-01 01:00:00.0", "2024-01-01 01:30:00.0", 1L, 4.0)),
+      s"split session missing: ${sessions.mkString(";")}")
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    val ms = MemoryStream[Ev]
+    val (q, sink) = startQuery(StreamingOps.dedupByEventId(toEventsDf(ms)), "append")
+    ms.addData((1L, ts("00:01"), 1L, "click", 1.0), (2L, ts("00:02"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((2L, ts("00:03"), 1L, "click", 1.0), (3L, ts("00:04"), 1L, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table(sink).collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+  }
+
+  test("flatMapGroupsWithState carries running per-user state across batches") {
+    import StreamingOps.{UserEvent, UserRunning}
+    val ms = MemoryStream[UserEvent]
+    val (q, sink) = startQuery(
+      StreamingOps.runningPerUser(ms.toDS()).toDF(), "update")
+    ms.addData(UserEvent(1L, 42L, 10.0), UserEvent(2L, 42L, 5.0))
+    q.processAllAvailable()
+    ms.addData(UserEvent(3L, 42L, 1.0), UserEvent(4L, 43L, 2.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(sink).as[UserRunning].collect()
+    assert(rows.contains(UserRunning(42L, 3L, 16.0)),
+      s"state not carried: ${rows.mkString(";")}")
+    assert(rows.contains(UserRunning(43L, 1L, 2.0)))
+  }
+}

@@ -24,6 +24,7 @@ object SparkEntry {
     llm.Multimodal,
     ml.Classifier,
     streaming.StreamQueries,
+    functions.FnQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

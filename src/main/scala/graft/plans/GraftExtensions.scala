@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.{RollingHash, Sigmoid}
+
+/** Optimizer rule: recognize the composed sigmoid pattern
+  * `1.0 / (1.0 + exp(-x))` anywhere in a plan and collapse it into the
+  * single native [[Sigmoid]] expression — one codegen call instead of
+  * four expression nodes. Demonstrates the `Rule[LogicalPlan]`
+  * extension point (SURVEY §4.2 item 3); semantics are bit-identical
+  * so it is safe under the DuckDB oracle gate.
+  */
+object RewriteSigmoid extends Rule[LogicalPlan] {
+  private object One {
+    def unapply(e: Expression): Boolean = e match {
+      case Literal(1.0, DoubleType) => true
+      case _ => false
+    }
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(One(), Add(One(), Exp(UnaryMinus(x, _)), _), _) => Sigmoid(x)
+    }
+}
+
+/** `SparkSessionExtensions` installer: SQL-function registration for
+  * the native expressions plus the sigmoid rewrite rule. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or per-session
+  * `withExtensions`); sessions without the config can inject the rule
+  * at runtime via `spark.experimental.extraOptimizations`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteSigmoid)
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),
+      new ExpressionInfo(classOf[Sigmoid].getName, "graft_sigmoid"),
+      (children: Seq[Expression]) => Sigmoid(children.head)))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)))
+  }
+}

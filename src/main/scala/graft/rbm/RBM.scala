@@ -46,7 +46,7 @@ object RBM {
     * (globalSeed, exampleId). One draw per hidden unit, in unit order —
     * the reference's sampling loop shape (`rbmmapper.java:166-182`).
     */
-  private[rbm] final class ExampleRng(seed: Long, id: Long) {
+  private[graft] final class ExampleRng(seed: Long, id: Long) {
     private var state: Long = seed ^ (id * 0x9E3779B97F4A7C15L)
     def nextDouble(): Double = {
       state += 0x9E3779B97F4A7C15L
@@ -61,64 +61,71 @@ object RBM {
   /** CD-1 gradient contribution of one example: posprods − negprods
     * (reference positive phase `rbmmapper.java:144-183`, negative phase
     * `rbmmapper.java:185-220`, assembly `propmapper.java:242-256`).
-    * Accumulates into `acc` in place (treeAggregate seqOp).
+    * Accumulates into the flat row-major `acc[i*h + j]` in place —
+    * shared by the treeAggregate path ([[cd1Epoch]]) and the typed
+    * [[CD1GradientAggregator]], so both are one source of truth.
     */
-  private[rbm] def accumulateGradient(
-      acc: DenseMatrix[Double],
+  private[graft] def accumulateGradient(
+      acc: Array[Double],
       x: Array[Double],
-      w: DenseMatrix[Double],
-      rng: ExampleRng): DenseMatrix[Double] = {
-    val d = w.rows
-    val h = w.cols
-    val v = DenseVector(x)
+      w: Array[Double], // row-major [d*h]
+      d: Int,
+      h: Int,
+      rng: ExampleRng): Array[Double] = {
     // positive phase: poshidprobs = σ(xᵀW) (biases fixed 0)
-    val poshidprobs = DenseVector.zeros[Double](h)
+    val poshidprobs = new Array[Double](h)
     var j = 0
     while (j < h) {
       var s = 0.0
       var i = 0
-      while (i < d) { s += x(i) * w(i, j); i += 1 }
+      while (i < d) { s += x(i) * w(i * h + j); i += 1 }
       poshidprobs(j) = sigmoid(s)
       j += 1
     }
     // Bernoulli sample hidden states, one draw per unit in order
-    val states = DenseVector.zeros[Double](h)
+    val states = new Array[Double](h)
     j = 0
     while (j < h) {
       states(j) = if (poshidprobs(j) > rng.nextDouble()) 1.0 else 0.0
       j += 1
     }
     // negative phase: negdata = σ(states·Wᵀ); neghidprobs = σ(negdata·W)
-    val negdata = DenseVector.zeros[Double](d)
+    val negdata = new Array[Double](d)
     var i = 0
     while (i < d) {
       var s = 0.0
       j = 0
-      while (j < h) { s += states(j) * w(i, j); j += 1 }
+      while (j < h) { s += states(j) * w(i * h + j); j += 1 }
       negdata(i) = sigmoid(s)
       i += 1
     }
-    val neghidprobs = DenseVector.zeros[Double](h)
+    val neghidprobs = new Array[Double](h)
     j = 0
     while (j < h) {
       var s = 0.0
       i = 0
-      while (i < d) { s += negdata(i) * w(i, j); i += 1 }
+      while (i < d) { s += negdata(i) * w(i * h + j); i += 1 }
       neghidprobs(j) = sigmoid(s)
       j += 1
     }
-    // grad += v·poshidprobsᵀ − negdata·neghidprobsᵀ
+    // grad += x·poshidprobsᵀ − negdata·neghidprobsᵀ
     i = 0
     while (i < d) {
       j = 0
       while (j < h) {
-        acc(i, j) += v(i) * poshidprobs(j) - negdata(i) * neghidprobs(j)
+        acc(i * h + j) += x(i) * poshidprobs(j) - negdata(i) * neghidprobs(j)
         j += 1
       }
       i += 1
     }
     acc
   }
+
+  /** Row-major flattening helpers for the broadcast/API boundary. */
+  private[rbm] def toFlat(w: DenseMatrix[Double]): Array[Double] =
+    Array.tabulate(w.rows * w.cols)(k => w(k / w.cols, k % w.cols))
+  private[rbm] def fromFlat(a: Array[Double], d: Int, h: Int): DenseMatrix[Double] =
+    DenseMatrix.tabulate(d, h)((i, j) => a(i * h + j))
 
   /** Gaussian 0.1·N(0,1) weight init, deterministic (reference
     * `driver.java:76-83`).
@@ -142,20 +149,22 @@ object RBM {
       w: DenseMatrix[Double],
       cfg: Config): DenseMatrix[Double] = {
     import spark.implicits._
-    val bw = spark.sparkContext.broadcast(w)
+    val d = cfg.numdims
+    val h = cfg.numhid
+    val bw = spark.sparkContext.broadcast(toFlat(w))
     val seed = cfg.seed
     val rows = data.select(col("id").cast("long"), col("x")).as[(Long, Array[Double])]
     val numCase = rows.count()
-    val zero = DenseMatrix.zeros[Double](cfg.numdims, cfg.numhid)
-    val grad = rows.rdd.treeAggregate(zero)(
+    val gradFlat = rows.rdd.treeAggregate(new Array[Double](d * h))(
       seqOp = { case (acc, (id, x)) =>
-        require(x.length == cfg.numdims,
-          s"arity ${x.length} != numdims ${cfg.numdims}") // rbmmapper.java:108-114
-        accumulateGradient(acc, x, bw.value, new ExampleRng(seed, id))
+        require(x.length == d,
+          s"arity ${x.length} != numdims $d") // rbmmapper.java:108-114
+        accumulateGradient(acc, x, bw.value, d, h, new ExampleRng(seed, id))
       },
-      combOp = (a, b) => { a += b; a },
+      combOp = (a, b) => { var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a },
       depth = 2)
     bw.destroy()
+    val grad = fromFlat(gradFlat, d, h)
     val scale = cfg.epsilon / numCase.toDouble
     // W += ε/numCase · Σgrad − ε·weightcost·W (weightcost = 0 here)
     w + (grad *:* scale) - (w *:* (cfg.epsilon * cfg.weightcost))

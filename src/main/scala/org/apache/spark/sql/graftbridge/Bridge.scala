@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal Column ↔ Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * extension libraries that define native Catalyst expressions expose
+  * them through a shim in the sql namespace — the standard pattern for
+  * Spark-extension projects.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

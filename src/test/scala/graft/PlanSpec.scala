@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards (the "is this the plan you'd want
+  * at 100 TB" checks): column pruning and predicate pushdown reach the
+  * parquet scan, dimension joins broadcast, narrow pipelines stay
+  * shuffle-free, and hot paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Executed-plan string: carries `*(n)` codegen-stage markers and
+    * full Exchange partitioning arguments.
+    */
+  private def execPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString()
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q01 scan is pruned to exactly the projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q02 filter is pushed into the parquet scan") {
+    val p = plan("q02_filter_predicate")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_quantity") || pushed.contains("Or"), pushed)
+  }
+
+  test("q08/q20/q21 broadcast their dimension sides") {
+    assert(plan("q08_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plan("q20_theta_range_join").contains("BroadcastNestedLoopJoin"))
+    val q21 = plan("q21_multiway_star_join")
+    assert(countOccurrences(q21, "BroadcastHashJoin") >= 3,
+      "star dims must broadcast:\n" + q21)
+  }
+
+  test("q16 forward prop is a single narrow stage — zero shuffles") {
+    val p = execPlan("q16_forward_prop")
+    // the only exchange allowed is the final orderBy's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q05 aggregation does map-side partial aggregation") {
+    val p = plan("q05_groupby_sum")
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      "expected partial+final HashAggregate:\n" + p)
+  }
+
+  test("q38 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q38_embedding_cosine_dedup")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scans and filters stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q03_normalize_scale")(spark, sf001)
+    df.collect() // finalize THIS plan (count() would plan a different one)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*(1)"), s"no codegen stage markers:\n$p")
+  }
+}

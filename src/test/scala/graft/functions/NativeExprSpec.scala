@@ -1,0 +1,92 @@
+package graft.functions
+
+import java.math.BigInteger
+import graft.SparkSpec
+import graft.rbm.{CD1GradientAggregator, RBM}
+import org.apache.spark.sql.functions._
+import graft.functions.exprs._
+
+/** Pins the custom Catalyst layer: native expressions against
+  * independent implementations, the optimizer rewrite rule, and the
+  * fused CD-1 Aggregator against the treeAggregate path.
+  */
+class NativeExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("graft_sigmoid equals the composed builtin form bit-for-bit") {
+    val df = Seq(-5.0, -0.5, 0.0, 0.5, 5.0, 50.0, -50.0).toDF("x")
+    val rows = df.select(
+      graft_sigmoid(col("x")).as("native"),
+      (lit(1.0) / (lit(1.0) + exp(-col("x")))).as("composed")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("rolling hash matches an independent BigInteger implementation") {
+    val mod = BigInteger.valueOf(2).pow(61).subtract(BigInteger.ONE)
+    def reference(s: String): Long = {
+      var h = BigInteger.ZERO
+      for (b <- s.getBytes("UTF-8"))
+        h = h.multiply(BigInteger.valueOf(257))
+          .add(BigInteger.valueOf(b & 0xff)).mod(mod)
+      h.longValueExact()
+    }
+    val inputs = Seq("", "a", "hello world", "the quick brown fox", "ü¢∆")
+    val got = inputs.toDF("s")
+      .select(graft_rolling_hash(col("s"))).as[Long].collect()
+    inputs.zip(got).foreach { case (s, g) =>
+      assert(g == reference(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("RewriteSigmoid collapses 1/(1+exp(-x)) into the native expression") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteSigmoid)
+    try {
+      // must read a real source: local literal relations constant-fold
+      // before the pattern can survive into the optimized plan
+      val df = graft.Tables.lineitem(spark, sf001)
+        .select((lit(1.0) / (lit(1.0) + exp(-col("l_quantity")))).as("s"))
+      val optimized = df.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("graft_sigmoid"),
+        s"rewrite did not fire:\n$optimized")
+      // and semantics are unchanged
+      val v = df.limit(1).as[Double].head()
+      assert(v > 0.5 && v <= 1.0) // sigmoid of quantity ≥ 1
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("SQL names registered by GraftExtensions resolve and evaluate") {
+    new graft.plans.GraftExtensions()
+    // runtime registration mirror of the injectFunction entries
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sigmoid", es => Sigmoid(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", es => RollingHash(es.head), "scala_udf")
+    val r = spark.sql(
+      "SELECT graft_sigmoid(CAST(0.0 AS DOUBLE)) AS s, graft_rolling_hash('ab') AS h")
+      .head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getLong(1) == 257L * 'a'.toLong + 'b'.toLong)
+  }
+
+  test("fused CD1 Aggregator produces the same gradient as a scalar sweep") {
+    val d = 4; val h = 3; val seed = 11L
+    val cfg = RBM.Config(d, h, seed = seed)
+    val w = RBM.initWeights(cfg)
+    val wFlat = Array.tabulate(d * h)(k => w(k / h, k % h))
+    val examples = (0L until 16L).map { id =>
+      id -> Array.tabulate(d)(i => ((id * 13 + i * 7) % 100) / 100.0)
+    }
+    // engine: through the Dataset aggregation API (partial+final agg)
+    val agg = new CD1GradientAggregator(wFlat, d, h, seed)
+    val got = spark.createDataset(examples).repartition(3)
+      .select(agg.toColumn).head()
+    // independent: plain sequential fold
+    val want = examples.foldLeft(new Array[Double](d * h)) { case (acc, (id, x)) =>
+      RBM.accumulateGradient(acc, x, wFlat, d, h, new RBM.ExampleRng(seed, id))
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, e), k) =>
+      assert(math.abs(g - e) < 1e-12, s"grad[$k]: $g vs $e")
+    }
+  }
+}

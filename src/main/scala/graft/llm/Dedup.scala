@@ -125,22 +125,14 @@ object Dedup extends QueryModule {
     }),
 
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
-    // side restricted to vec_id<100. orderBy+limit compiles to
-    // TakeOrderedAndProject — distributed top-k, no global sort.
+    // side restricted to vec_id<100, via the broadcast typed kernel.
+    // orderBy+limit compiles to TakeOrderedAndProject — distributed
+    // top-k, no global sort.
     "q38_embedding_cosine_dedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
-      val a = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("ia") < col("ib"))
-        .select(col("ia"), col("ib"),
-          round(aggregate(zip_with(col("ea"), col("eb"),
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6)
-            .as("cosine"))
+      CosineKernel.pairCosines(s, Tables.embeddings(s, d),
+          col("vec_id") < 100, antisymmetric = true)
+        .select(col("qid").as("ia"), col("cid").as("ib"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("ia"), col("ib"))
         .limit(20)
     })

@@ -25,18 +25,17 @@ object Similarity extends QueryModule {
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-3 per query (queries = vec_id<10).
+    // Brute-force cosine top-3 per query (queries = vec_id<10), via the
+    // broadcast typed kernel (bit-identical to the declarative
+    // crossJoin+zip_with form it replaced, minus its per-pair array
+    // materialization).
     "q32_knn_similarity" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = withNorm(Tables.embeddings(s, d))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("eq"), col("nrm").as("nq"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("nrm").as("nc"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("cid"))
-      q.crossJoin(c).filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+      CosineKernel.pairCosines(s, Tables.embeddings(s, d),
+          col("vec_id") < 10, antisymmetric = false)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"))
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .orderBy(col("qid"), col("rank"))

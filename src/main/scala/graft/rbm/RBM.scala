@@ -154,16 +154,21 @@ object RBM {
     val bw = spark.sparkContext.broadcast(toFlat(w))
     val seed = cfg.seed
     val rows = data.select(col("id").cast("long"), col("x")).as[(Long, Array[Double])]
-    val numCase = rows.count()
-    val gradFlat = rows.rdd.treeAggregate(new Array[Double](d * h))(
+    // Buffer slot d*h carries the example count, fusing numCase into
+    // the same single pass (the reference needed a separate driver-side
+    // count; a naive port would call rows.count() first — one full
+    // extra scan of the data per epoch).
+    val gradFlat = rows.rdd.treeAggregate(new Array[Double](d * h + 1))(
       seqOp = { case (acc, (id, x)) =>
         require(x.length == d,
           s"arity ${x.length} != numdims $d") // rbmmapper.java:108-114
+        acc(d * h) += 1.0
         accumulateGradient(acc, x, bw.value, d, h, new ExampleRng(seed, id))
       },
       combOp = (a, b) => { var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a },
       depth = 2)
     bw.destroy()
+    val numCase = gradFlat(d * h).toLong
     val grad = fromFlat(gradFlat, d, h)
     val scale = cfg.epsilon / numCase.toDouble
     // W += ε/numCase · Σgrad − ε·weightcost·W (weightcost = 0 here)

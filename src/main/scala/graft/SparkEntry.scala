@@ -17,6 +17,7 @@ object SparkEntry {
     operators.JoinOps,
     operators.WindowOps,
     operators.SetAggOps,
+    operators.AdvancedOps,
     rbm.RbmQueries,
     llm.TextAnalysis,
     llm.Dedup,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import RelationalCore.{dsum, dsumSql}
+
+/** Second wave of relational coverage: pivot, exact percentiles,
+  * string-distance functions, skew-salted joins, as-of joins, and the
+  * end-to-end DBN pre-train loop as a registered query.
+  */
+object AdvancedOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PIVOT: wide-format aggregation with explicit pivot values (never
+    // let Spark scan for distinct values at scale — pass them).
+    "q49_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact percentiles (linear interpolation — same semantics as
+    // DuckDB quantile_cont), grouped.
+    "q50_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // String-distance + shaping functions.
+    "q51_string_distance" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#13")).as("lev"),
+          reverse(col("p_brand")).as("revb"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("xlat"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Skew-salted join: the big side gets a deterministic salt in
+    // [0,8), the small side is replicated once per salt, and the join
+    // key becomes (key, salt) — splitting any hot key across 8
+    // reducers. The oracle is the UNSALTED join: salting must be
+    // invisible in the result, which is exactly what the hash-compare
+    // proves.
+    "q52_salted_join" -> ((s, d) => {
+      val salts = 8
+      val big = Tables.lineitem(s, d).withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          lit(salts)).cast("int"))
+      val small = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      big.join(small,
+        big("l_orderkey") === small("o_orderkey") && big("salt") === small("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // End-to-end greedy DBN pre-train (64→16→8, 1 epoch per layer) —
+    // the reference's whole program (driver.java:64-287) as one query.
+    // Deterministic (seeded) but RNG-dependent → rows-only gate; the
+    // layer-wise semantics are pinned by RbmGoldenSpec.
+    "q54_dbn_pretrain" -> ((s, d) => {
+      val data = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("x"))
+      val stack = graft.rbm.DBN.pretrain(s, data, Seq(64, 16, 8), epochs = 1)
+      graft.rbm.RBM.weightsToDf(s, stack.last)
+        .withColumn("layer", lit(1))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // As-of join: for each purchase event, the most recent preceding
+    // click of the same user — implemented the scalable way (single
+    // partitioned sort + IGNORE NULLS running last, not a range join).
+    "q55_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("prev_click",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prev_click"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q49_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_string_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev,
+        |  reverse(p_brand) AS revb,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS xlat
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q52_salted_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q55_asof_join" ->
+      """SELECT event_id, user_id, prev_click FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}

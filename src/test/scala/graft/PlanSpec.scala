@@ -66,6 +66,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q52 salted join actually joins on (key, salt)") {
+    val p = execPlan("q52_salted_join")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).get
+    assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
+  }
+
+  test("q55 as-of join is one partitioned sort, not a range join") {
+    val p = execPlan("q55_asof_join")
+    assert(!p.contains("NestedLoop"), "as-of must not be a nested-loop range join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("scans and filters stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q03_normalize_scale")(spark, sf001)
     df.collect() // finalize THIS plan (count() would plan a different one)

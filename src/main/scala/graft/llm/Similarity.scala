@@ -69,6 +69,9 @@ object Similarity extends QueryModule {
           (id, emb, nrm, bucket)
         }
         .toDF("vec_id", "embedding", "nrm", "bucket")
+        // both join legs derive from this typed map; materialize it
+        // once instead of recomputing the bucketing pass per leg
+        .localCheckpoint()
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("eq"),
           col("nrm").as("nq"), col("bucket"))

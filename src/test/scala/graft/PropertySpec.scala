@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.RollingHash
+
+/** Property-based laws the reference's semantics imply (SURVEY §5.3).
+  * Pure-JVM properties sample ScalaCheck generators deterministically
+  * (the scalatest-scalacheck bridge artifact isn't on the offline
+  * classpath, so sampling is driven directly); distributed laws
+  * (gradient-sum partition invariance) live in RbmGoldenSpec where a
+  * SparkSession is already warm.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic forAll: 200 samples per generator from fixed seeds. */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 200).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed(i.toLong + 7919)))
+    }
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+
+  test("sigmoid is bounded in (0,1), monotone, and symmetric (A5)") {
+    // strict openness holds up to |x| ≈ 36.7; beyond that double
+    // arithmetic saturates to exactly 1.0 (asserted separately)
+    forAll(Gen.choose(-30.0, 30.0), Gen.choose(-30.0, 30.0)) { (a: Double, b: Double) =>
+      assert(sigmoid(a) > 0.0 && sigmoid(a) < 1.0)
+      if (a < b) assert(sigmoid(a) <= sigmoid(b))
+      assert(math.abs(sigmoid(a) + sigmoid(-a) - 1.0) < 1e-12)
+    }
+    assert(sigmoid(50.0) == 1.0 && sigmoid(-50.0) > 0.0)
+  }
+
+  test("quantize round trip |x − dequant(quant(x))| ≤ 1/255 (A11 ∘ A4)") {
+    forAll(Gen.choose(0.0, 1.0)) { (x: Double) =>
+      val q = math.floor(x * 255.0).toInt
+      assert(q >= 0 && q <= 255)
+      assert(math.abs(x - q / 255.0) <= 1.0 / 255.0 + 1e-15)
+    }
+  }
+
+  test("rolling hash is prefix-composable: H(a++b) = H(a)*257^|b| + H(b) mod M") {
+    val M = BigInt(2).pow(61) - 1
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>
+      val ha = RollingHash.hashBytes(a.getBytes("UTF-8"), 257L)
+      val hb = RollingHash.hashBytes(b.getBytes("UTF-8"), 257L)
+      val hab = RollingHash.hashBytes((a + b).getBytes("UTF-8"), 257L)
+      val expected = ((BigInt(ha) * BigInt(257).modPow(b.getBytes("UTF-8").length, M)
+        + BigInt(hb)) % M).toLong
+      assert(hab == expected, s"a='$a' b='$b'")
+    }
+  }
+
+  test("per-example RNG streams are decorrelated across ids and stable per id") {
+    forAll(Gen.choose(0L, 1000000L)) { (id: Long) =>
+      val r1 = new rbm.RBM.ExampleRng(42L, id)
+      val r2 = new rbm.RBM.ExampleRng(42L, id)
+      val r3 = new rbm.RBM.ExampleRng(42L, id + 1)
+      val s1 = Seq.fill(8)(r1.nextDouble())
+      val s2 = Seq.fill(8)(r2.nextDouble())
+      val s3 = Seq.fill(8)(r3.nextDouble())
+      assert(s1 == s2)
+      assert(s1 != s3)
+      assert(s1.forall(v => v >= 0.0 && v < 1.0))
+    }
+  }
+
+  test("matvec via relational explode-join-sum equals direct dot (q11 law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(-0.1f, 0.2f, -0.3f, 0.4f)))
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val w = df.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "wval")))
+    val x = df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xval")))
+    val rel = x.join(w, "pos").groupBy("vec_id")
+      .agg(sum(col("xval").cast("double") * col("wval").cast("double")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = vecs.map { case (id, v) =>
+      id -> v.zip(vecs.head._2).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }.toMap
+    direct.foreach { case (id, d) => assert(math.abs(rel(id) - d) < 1e-12) }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+/** Round-trip + fidelity tests for the reference text formats. */
+class PixelTextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("layer-0 lines parse and normalize by /255") {
+    val dir = Files.createTempDirectory("px0")
+    Files.writeString(dir.resolve("part-0"), "0 128 255\n51 102 204\n")
+    val got = PixelText.read(spark, dir.toString, 3)
+      .orderBy("id").select("x").as[Array[Double]].collect()
+    assert(got(0).sameElements(Array(0.0, 128 / 255.0, 1.0)))
+    assert(got(1).sameElements(Array(0.2, 0.4, 0.8)))
+  }
+
+  test("layer-k tab-prefixed lines drop the offset key (format detector)") {
+    val dir = Files.createTempDirectory("pxk")
+    Files.writeString(dir.resolve("part-0"), "1234\t255 0\n5678\t0 255\n")
+    val got = PixelText.read(spark, dir.toString, 2)
+      .orderBy("id").select("x").as[Array[Double]].collect()
+    assert(got(0).sameElements(Array(1.0, 0.0)))
+    assert(got(1).sameElements(Array(0.0, 1.0)))
+  }
+
+  test("arity mismatch fails the job like the reference's parser") {
+    val dir = Files.createTempDirectory("pxbad")
+    Files.writeString(dir.resolve("part-0"), "1 2 3\n")
+    val ex = intercept[Exception] {
+      PixelText.read(spark, dir.toString, 4).collect()
+    }
+    assert(ex.getMessage.contains("arity") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("arity"))
+  }
+
+  test("write → read round-trips through the 0-255 quantized channel") {
+    val dir = Files.createTempDirectory("pxrt").toString + "/out"
+    val data = Seq((0L, Array(0.0, 0.5, 1.0)), (1L, Array(0.25, 0.75, 0.1)))
+    PixelText.write(spark.createDataset(data).toDF("id", "x"), dir)
+    val back = PixelText.read(spark, dir, 3)
+      .select("x").as[Array[Double]].collect()
+    // quantize loses ≤ 1/255 per value (SURVEY §5.3 round-trip bound)
+    for (row <- back; v <- row) assert(v >= 0 && v <= 1)
+    val all = back.flatten.sorted
+    val orig = data.flatMap(_._2).sorted
+    all.zip(orig).foreach { case (b, o) => assert(math.abs(b - o) <= 1.0 / 255) }
+  }
+}

@@ -81,6 +81,34 @@ object AdvancedOps extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Multiple DISTINCT aggregates in one grouped aggregation — plans
+    // through Catalyst's Expand (one pass, no self-joins).
+    "q56_multi_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("n_pairs"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // SQL entry point + correlated scalar subquery: the engine's
+    // parser surface is spark.sql itself (SURVEY §7.0 — no parser of
+    // our own); Catalyst decorrelates the subquery into an aggregate
+    // + left outer join, not a per-row loop.
+    "q57_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+          |  (SELECT MAX(l_quantity) FROM lineitem_v
+          |   WHERE l_orderkey = o_orderkey) AS max_qty
+          |FROM orders_v
+          |WHERE o_totalprice > 450000.0
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -125,6 +153,22 @@ object AdvancedOps extends QueryModule {
       s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q56_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_pairs,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  (SELECT MAX(l_quantity) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders
+        |WHERE o_totalprice > 450000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

@@ -35,12 +35,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q21_multiway_star_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Cross-module name collisions fail fast (within-module duplicates
+    * are unreachable by construction — each module's registry is
+    * already a Map).
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(",")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracle).toMap
+  lazy val oracleSql: Map[String, String] = {
+    val all = modules.flatMap(_.oracle)
+    val dups = all.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate oracle names across modules: ${dups.mkString(",")}")
+    val o = all.toMap
+    val orphans = o.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracle entries without queries: ${orphans.mkString(",")}")
+    o
+  }
 }

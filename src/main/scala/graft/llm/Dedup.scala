@@ -65,17 +65,17 @@ object Dedup extends QueryModule {
       }
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band_id", "bsig")))
+      // joining with a.doc != b.doc yields both pair directions
+      // directly, so one countDistinct replaces the
+      // distinct-pairs → union-swap → re-aggregate detour (3 fewer
+      // shuffles; flagged by PlanBudgetSpec).
       val a = bands.as("a"); val b = bands.as("b")
-      val pairs = a.join(b,
+      val partners = a.join(b,
         col("a.band_id") === col("b.band_id") &&
           col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val partners = pairs.select(col("da").as("doc_id"), col("db").as("p"))
-        .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("p")))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("p")).as("n"))
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(countDistinct(col("b.doc_id")).as("n"))
       docs.select(col("doc_id")).join(partners, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n"), lit(0L)).cast("int").as("n_candidates"))
         .orderBy(col("doc_id"))
@@ -116,8 +116,10 @@ object Dedup extends QueryModule {
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("sz", "sa")), "da")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("sz", "sb")), "db")
         .select(col("da"), col("db"), col("inter"),
           round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))

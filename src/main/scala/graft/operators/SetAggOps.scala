@@ -18,15 +18,22 @@ import graft.{QueryModule, Tables}
 object SetAggOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // DISTINCT + INTERSECT/EXCEPT/UNION ALL over customer vs supplier
-    // nation keys, tagged so one deterministic relation captures all.
+    // DISTINCT + set-op semantics over customer vs supplier nation
+    // keys, tagged so one deterministic relation captures all.
+    // INTERSECT/EXCEPT/EXCEPT-reversed as three separate branches cost
+    // 10 exchanges (each branch re-shuffles both inputs); one full
+    // outer join over the two distinct sets gives identical semantics
+    // in 3 — the rewrite PlanBudgetSpec's shuffle budget forced.
     "q25_distinct_setops" -> ((s, d) => {
-      val cn = Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()
-      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("k")).distinct()
-      val both = cn.intersect(sn).select(lit("both").as("tag"), col("k"))
-      val custOnly = cn.except(sn).select(lit("cust_only").as("tag"), col("k"))
-      val suppOnly = sn.except(cn).select(lit("supp_only").as("tag"), col("k"))
-      both.unionAll(custOnly).unionAll(suppOnly).orderBy(col("tag"), col("k"))
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("ck")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("sk")).distinct()
+      cn.join(sn, col("ck") === col("sk"), "full_outer")
+        .select(
+          when(col("ck").isNotNull && col("sk").isNotNull, "both")
+            .when(col("ck").isNotNull, "cust_only")
+            .otherwise("supp_only").as("tag"),
+          coalesce(col("ck"), col("sk")).as("k"))
+        .orderBy(col("tag"), col("k"))
     }),
 
     // CUBE over (returnflag, linestatus) with grouping() markers; null

@@ -1,0 +1,45 @@
+package graft
+
+/** Whole-registry plan audit: every registered query's physical plan
+  * must stay within a shuffle budget and never contain an accidental
+  * cartesian product. This is the cheap structural version of "would
+  * this plan survive a 100× scale-up" — a query that suddenly plans 8
+  * exchanges or a CartesianProduct fails here before it fails on a
+  * cluster.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  // queries whose *intended* plan contains a broadcast nested-loop or
+  // cartesian (tiny side by construction)
+  private val allowedNestedLoop = Set(
+    "q12_outer_product",        // 64×64 constant-size cross join
+    "q20_theta_range_join",     // 5-row band table, broadcast
+    "q57_scalar_subquery")      // decorrelated subquery may plan BNLJ on empty-key edge
+
+  // action-style queries that run their own jobs internally
+  private val skipped = Set("q15_rbm_cd1_epoch", "q54_dbn_pretrain",
+    "q46_stream_tumbling_replay", "q34_digit_classifier")
+
+  test("every declarative query stays within the shuffle budget, " +
+    "with no accidental cartesian products") {
+    // q37 (distinct shingles → self-join → pair agg → size joins →
+    // total sort) legitimately plans 7; anything above 8 means a query
+    // grew an unplanned stage.
+    val maxExchanges = 8
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skipped(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sf001).queryExecution.executedPlan.toString()
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin")
+        val problems = Seq(
+          if (exchanges > maxExchanges) Some(s"$exchanges exchanges") else None,
+          if (cartesian) Some("CartesianProduct") else None,
+          if (nestedLoop && !allowedNestedLoop(name)) Some("unexpected BNLJ") else None
+        ).flatten
+        if (problems.nonEmpty) Some(s"$name: ${problems.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -19,5 +19,6 @@ object Smoke {
     df.show(5, truncate = false)
     println(s"[smoke] entry rows=$n ${if (n > 0) "OK" else "EMPTY — FAIL"}")
     spark.stop()
+    if (n == 0) sys.exit(1)
   }
 }

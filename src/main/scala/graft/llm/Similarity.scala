@@ -49,7 +49,7 @@ object Similarity extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val nPlanes = 4
-      val dims = 64
+      val dims = 64 // plane dimensionality; vectors are length-checked per row
       val rnd = new java.util.Random(7L)
       val planes = Array.fill(nPlanes, dims)(rnd.nextGaussian())
       val bp = s.sparkContext.broadcast(planes)
@@ -57,12 +57,14 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("embedding"), col("nrm"))
         .as[(Long, Array[Float], Double)]
         .map { case (id, emb, nrm) =>
+          require(emb.length == dims,
+            s"embedding dim ${emb.length} != plane dim $dims")
           var bucket = 0
           var p = 0
           while (p < nPlanes) {
             var dot = 0.0
             var i = 0
-            while (i < dims) { dot += emb(i) * bp.value(p)(i); i += 1 }
+            while (i < emb.length) { dot += emb(i) * bp.value(p)(i); i += 1 }
             if (dot > 0) bucket |= 1 << p
             p += 1
           }

@@ -25,12 +25,18 @@ object SetAggOps extends QueryModule {
     // outer join over the two distinct sets gives identical semantics
     // in 3 — the rewrite PlanBudgetSpec's shuffle budget forced.
     "q25_distinct_setops" -> ((s, d) => {
-      val cn = Tables.customer(s, d).select(col("c_nationkey").as("ck")).distinct()
-      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("sk")).distinct()
-      cn.join(sn, col("ck") === col("sk"), "full_outer")
+      // null-safe join (<=>) + presence markers, not ck.isNotNull: SQL
+      // INTERSECT/EXCEPT treat NULL keys as equal (IS NOT DISTINCT
+      // FROM), so a NULL key in both sets must tag 'both', which a
+      // plain equi-join + null checks would mis-tag.
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("ck"))
+        .distinct().withColumn("in_c", lit(1))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("sk"))
+        .distinct().withColumn("in_s", lit(1))
+      cn.join(sn, col("ck") <=> col("sk"), "full_outer")
         .select(
-          when(col("ck").isNotNull && col("sk").isNotNull, "both")
-            .when(col("ck").isNotNull, "cust_only")
+          when(col("in_c").isNotNull && col("in_s").isNotNull, "both")
+            .when(col("in_c").isNotNull, "cust_only")
             .otherwise("supp_only").as("tag"),
           coalesce(col("ck"), col("sk")).as("k"))
         .orderBy(col("tag"), col("k"))

@@ -36,11 +36,15 @@ object RewriteSigmoid extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSigmoid)
+    // cast the child exactly like the Column API surface does — a raw
+    // int/long argument would otherwise ClassCastException at eval
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),
       new ExpressionInfo(classOf[Sigmoid].getName, "graft_sigmoid"),
-      (children: Seq[Expression]) => Sigmoid(children.head)))
+      (children: Seq[Expression]) =>
+        Sigmoid(Cast(children.head, org.apache.spark.sql.types.DoubleType))))
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) =>
+        RollingHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
   }
 }

@@ -37,18 +37,23 @@ object DeepLearningPipeline {
       for (_ <- 0 until maxEpoch) w = RBM.cd1Epoch(spark, input, w, cfg)
       weights += w
       val next = DBN.propagate(spark, input, w)
-      // materialize layer k+1 in the reference's text form
-      // (driver.java:229 chained output→input dirs)
+      // materialize layer k+1 in the reference's text form as a side
+      // artifact (driver.java:229 chained output→input dirs), but keep
+      // computing on `next` directly: re-reading the file would
+      // re-assign ids and add a full text parse per layer for data we
+      // already hold (write's floor(v*255) is an identity on
+      // propagate's already-quantized output, so file and `next` agree)
       PixelText.write(next, s"$outputDir/layer${layer + 1}")
       input.unpersist()
-      input = PixelText.read(spark, s"$outputDir/layer${layer + 1}", layerSizes(layer + 1))
+      input = next
     }
+    val stack = weights.result()
     // final weight dump, full precision (vs DecimalFormat("#.###"))
-    weights.result().zipWithIndex.foreach { case (w, i) =>
+    stack.zipWithIndex.foreach { case (w, i) =>
       RBM.weightsToDf(spark, w).coalesce(1)
         .write.mode("overwrite").parquet(s"$outputDir/weights_$i")
     }
-    weights.result()
+    stack
   }
 
   def main(args: Array[String]): Unit = {

@@ -169,6 +169,8 @@ object RBM {
       depth = 2)
     bw.destroy()
     val numCase = gradFlat(d * h).toLong
+    require(numCase > 0,
+      "cd1Epoch on empty input (scale = ε/0 would silently produce NaN weights)")
     val grad = fromFlat(gradFlat, d, h)
     val scale = cfg.epsilon / numCase.toDouble
     // W += ε/numCase · Σgrad − ε·weightcost·W (weightcost = 0 here)

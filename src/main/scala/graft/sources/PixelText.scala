@@ -24,10 +24,23 @@ object PixelText {
   /** Read a pixel text directory/file into (`id` long, `x`
     * array&lt;double&gt;), auto-detecting the tab-prefixed layer-k form
     * per line — the reference's format detector branch.
+    *
+    * Id stability: layer-k lines carry their own key (the offset the
+    * prop job emitted) and that key IS the id — stable under any file
+    * split. Raw layer-0 lines have no key, so ids fall back to
+    * `monotonically_increasing_id()`, which is stable only for a fixed
+    * file layout (the same property the reference's byte-offset keys
+    * had); pipelines needing layout-independent determinism at layer 0
+    * should ingest from a keyed source (e.g. the parquet fixtures'
+    * `vec_id`).
     */
   def read(spark: SparkSession, path: String, numdims: Int): DataFrame = {
     val lines = spark.read.text(path)
-      .select(monotonically_increasing_id().as("row_id"), col("value"))
+      .select(
+        when(col("value").contains("\t"),
+          substring_index(col("value"), "\t", 1).cast("long"))
+          .otherwise(monotonically_increasing_id()).as("row_id"),
+        col("value"))
     val payload = when(col("value").contains("\t"),
       substring_index(col("value"), "\t", -1)).otherwise(col("value"))
     val toks = filter(split(trim(payload), "\\s+"), t => t =!= "")

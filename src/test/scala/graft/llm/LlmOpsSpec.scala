@@ -58,7 +58,10 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(rows((0L, 1L)) == 1.0)
     assert(rows((0L, 2L)) > 0.6 && rows((0L, 2L)) < 1.0)
-    assert(!rows.keySet.exists { case (a, b) => b == 3L || b == 4L && a == 3L })
+    // join guarantees a < b, so excluding the unrelated docs means no
+    // pair may have b ∈ {3, 4} (parenthesization matters: && binds
+    // tighter than ||)
+    assert(!rows.keySet.exists { case (_, b) => b == 3L || b == 4L })
   }
 
   test("q36 simhash: identical docs get identical signatures; near dup " +

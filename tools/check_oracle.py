@@ -65,8 +65,21 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    # The manifest closes the crashed-query hole: a query that threw in
+    # Verify writes no output dir and would otherwise vanish from this
+    # report entirely (RegistrySpec keeps the manifest in sync).
+    manifest_path = os.path.join(os.path.dirname(__file__), "query_manifest.txt")
+    if os.path.exists(manifest_path):
+        expected = {l.strip() for l in open(manifest_path) if l.strip()}
+        for name in sorted(expected):
+            if only and name not in only:
+                continue
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                results[name] = ["MISSING OUTPUT (query crashed in Verify?)"]
     for name in sorted(oracle):
         if only and name not in only:
+            continue
+        if name in results:  # already flagged missing
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:

@@ -109,6 +109,21 @@ object AdvancedOps extends QueryModule {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // UNPIVOT/melt: wide metrics → long (metric, value) pairs — the
+    // inverse of q49's pivot, as a native Unpivot plan node (no
+    // explode-of-structs workaround needed on Spark 3.4+).
+    "q58_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("value"))
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -169,6 +184,14 @@ object AdvancedOps extends QueryModule {
         |FROM orders
         |WHERE o_totalprice > 450000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q58_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |           l_extendedprice, l_discount FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME metric VALUE value) t
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.C). The reference is pure
   * batch — its only notion of time is the epoch counter
@@ -73,6 +74,47 @@ object StreamingOps {
 
   case class UserEvent(event_id: Long, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  case class ModelUpdate(user_id: Long, n: Long, w: Double)
+
+  /** Online per-key model update via the transformWithState API
+    * (Spark 4's successor to *GroupsWithState, RocksDB-backed state):
+    * each event applies one SGD-flavored step `w += ε·(value − w)` to
+    * a persistent per-key weight — the streaming analogue of the
+    * reference's per-job weight update loop (A13, `driver.java:204`),
+    * with the model sharded across keys instead of driver-resident.
+    */
+  class OnlineModelProcessor(epsilon: Double)
+      extends StatefulProcessor[Long, UserEvent, ModelUpdate] {
+    @transient private var wState: ValueState[Double] = _
+    @transient private var nState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      wState = getHandle.getValueState[Double]("w", Encoders.scalaDouble, TTLConfig.NONE)
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[ModelUpdate] = {
+      var w = if (wState.exists()) wState.get() else 0.0
+      var n = if (nState.exists()) nState.get() else 0L
+      rows.foreach { e => w += epsilon * (e.value - w); n += 1 }
+      wState.update(w)
+      nState.update(n)
+      Iterator.single(ModelUpdate(key, n, w))
+    }
+  }
+
+  /** Wire [[OnlineModelProcessor]] over a stream of user events.
+    * Requires the RocksDB state store provider (set by the caller /
+    * test via `spark.sql.streaming.stateStore.providerClass`).
+    */
+  def onlineModel(events: Dataset[UserEvent], epsilon: Double = 0.1): Dataset[ModelUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new OnlineModelProcessor(epsilon),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Arbitrary per-key state: running (count, sum) per user via
     * flatMapGroupsWithState — the streaming analogue of the

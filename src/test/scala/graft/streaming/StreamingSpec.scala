@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
   }
 
+  test("transformWithState applies the online model step across batches " +
+    "(RocksDB state store)") {
+    import StreamingOps.{ModelUpdate, UserEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[UserEvent]
+      val (q, sink) = startQuery(
+        StreamingOps.onlineModel(ms.toDS(), epsilon = 0.5).toDF(), "update")
+      ms.addData(UserEvent(1L, 9L, 10.0)) // w: 0 + 0.5*(10-0) = 5
+      q.processAllAvailable()
+      ms.addData(UserEvent(2L, 9L, 10.0)) // w: 5 + 0.5*(10-5) = 7.5
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table(sink).as[ModelUpdate].collect()
+      assert(rows.contains(ModelUpdate(9L, 1L, 5.0)), rows.mkString(";"))
+      assert(rows.contains(ModelUpdate(9L, 2L, 7.5)), rows.mkString(";"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState carries running per-user state across batches") {
     import StreamingOps.{UserEvent, UserRunning}
     val ms = MemoryStream[UserEvent]

@@ -124,6 +124,37 @@ object AdvancedOps extends QueryModule {
           col("value"))
     }),
 
+    // Date/interval arithmetic suite. Outputs are strings/ints so both
+    // engines compare exactly (Spark dayofweek is 1=Sunday, DuckDB
+    // dayofweek is 0=Sunday — reconciled in the oracle).
+    "q59_date_arithmetic" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          date_format(col("o_orderdate").cast("date") + lit(30), "yyyy-MM-dd").as("plus30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // NULL-semantics suite: three-valued logic, null-safe equality,
+    // coalesce/nullif, and explicit null ordering.
+    "q60_null_semantics" -> ((s, d) => {
+      val nullable = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_n"))
+      nullable.select(col("o_orderkey"), col("price_n"),
+          col("price_n").isNull.as("is_null"),
+          (col("price_n") > 100000.0).as("gt_3vl"), // NULL for null rows
+          (col("price_n") <=> lit(null)).as("nullsafe_eq_null"),
+          coalesce(col("price_n"), lit(-1.0)).as("coalesced"),
+          nullif(col("o_orderkey") % 2, lit(0)).as("odd_or_null"))
+        .orderBy(asc_nulls_first("price_n"), col("o_orderkey"))
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -192,6 +223,30 @@ object AdvancedOps extends QueryModule {
         |  ON l_quantity, l_extendedprice, l_discount
         |  INTO NAME metric VALUE value) t
         |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    "q59_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q60_null_semantics" ->
+      """WITH nullable AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_n
+        |  FROM orders)
+        |SELECT o_orderkey, price_n,
+        |  (price_n IS NULL) AS is_null,
+        |  (price_n > 100000.0) AS gt_3vl,
+        |  (price_n IS NOT DISTINCT FROM NULL) AS nullsafe_eq_null,
+        |  COALESCE(price_n, -1.0) AS coalesced,
+        |  NULLIF(o_orderkey % 2, 0) AS odd_or_null
+        |FROM nullable
+        |ORDER BY price_n NULLS FIRST, o_orderkey""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

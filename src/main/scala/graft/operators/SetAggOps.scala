@@ -39,7 +39,7 @@ object SetAggOps extends QueryModule {
             .when(col("in_c").isNotNull, "cust_only")
             .otherwise("supp_only").as("tag"),
           coalesce(col("ck"), col("sk")).as("k"))
-        .orderBy(col("tag"), col("k"))
+        .orderBy(col("tag"), asc_nulls_first("k"))
     }),
 
     // CUBE over (returnflag, linestatus) with grouping() markers; null
@@ -115,7 +115,7 @@ object SetAggOps extends QueryModule {
         |SELECT 'cust_only' AS tag, k FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)
         |UNION ALL
         |SELECT 'supp_only' AS tag, k FROM (SELECT k FROM sn EXCEPT SELECT k FROM cn)
-        |ORDER BY tag, k""".stripMargin,
+        |ORDER BY tag, k NULLS FIRST""".stripMargin,
 
     "q26_rollup_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

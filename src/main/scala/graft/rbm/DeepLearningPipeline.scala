@@ -36,7 +36,11 @@ object DeepLearningPipeline {
       input.persist()
       for (_ <- 0 until maxEpoch) w = RBM.cd1Epoch(spark, input, w, cfg)
       weights += w
-      val next = DBN.propagate(spark, input, w)
+      // persist BEFORE the write so the text materialization populates
+      // the cache; without it, unpersisting the old input would force
+      // the next layer's first action to recompute every prior
+      // propagate back to the source (O(L²) passes for L layers)
+      val next = DBN.propagate(spark, input, w).persist()
       // materialize layer k+1 in the reference's text form as a side
       // artifact (driver.java:229 chained output→input dirs), but keep
       // computing on `next` directly: re-reading the file would
@@ -47,6 +51,7 @@ object DeepLearningPipeline {
       input.unpersist()
       input = next
     }
+    input.unpersist()
     val stack = weights.result()
     // final weight dump, full precision (vs DecimalFormat("#.###"))
     stack.zipWithIndex.foreach { case (w, i) =>

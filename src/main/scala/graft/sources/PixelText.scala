@@ -32,14 +32,17 @@ object PixelText {
     * file layout (the same property the reference's byte-offset keys
     * had); pipelines needing layout-independent determinism at layer 0
     * should ingest from a keyed source (e.g. the parquet fixtures'
-    * `vec_id`).
+    * `vec_id`). Fallback ids live in a disjoint namespace (offset by
+    * 2^40) so a directory mixing keyed and un-keyed files cannot
+    * produce duplicate ids against small file keys.
     */
   def read(spark: SparkSession, path: String, numdims: Int): DataFrame = {
+    val fallbackBase = 1L << 40
     val lines = spark.read.text(path)
       .select(
         when(col("value").contains("\t"),
           substring_index(col("value"), "\t", 1).cast("long"))
-          .otherwise(monotonically_increasing_id()).as("row_id"),
+          .otherwise(monotonically_increasing_id() + fallbackBase).as("row_id"),
         col("value"))
     val payload = when(col("value").contains("\t"),
       substring_index(col("value"), "\t", -1)).otherwise(col("value"))

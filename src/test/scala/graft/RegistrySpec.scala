@@ -8,8 +8,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
   test("query manifest matches the registry exactly") {
-    val manifest = scala.io.Source.fromFile("tools/query_manifest.txt")
-      .getLines().map(_.trim).filter(_.nonEmpty).toSet
+    val manifest = scala.util.Using.resource(
+      scala.io.Source.fromFile("tools/query_manifest.txt"))(
+      _.getLines().map(_.trim).filter(_.nonEmpty).toSet)
     val registry = SparkEntry.queries.keySet
     assert(manifest == registry,
       s"manifest drift: missing=${registry -- manifest} stale=${manifest -- registry}")

@@ -72,6 +72,30 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: clicks ⋈ purchases per user within a
+    * bounded event-time interval. Both sides carry watermarks and the
+    * join condition bounds purchase time to [click, click + window], so
+    * each side's buffered state expires once the other side's watermark
+    * passes — the state-bounding requirement for stream-stream joins.
+    */
+  def clickToPurchaseJoin(events: DataFrame, window: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", lateness)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   case class UserEvent(event_id: Long, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -99,6 +99,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
   }
 
+  test("stream-stream join matches purchases to preceding clicks within the window") {
+    val ms = MemoryStream[Ev]
+    val (q, sink) = startQuery(
+      StreamingOps.clickToPurchaseJoin(toEventsDf(ms)), "append")
+    ms.addData(
+      (1L, ts("00:05"), 7L, "click", 0.0),
+      (2L, ts("00:20"), 7L, "purchase", 99.0),  // within 1h of click 1
+      (3L, ts("02:30"), 7L, "purchase", 11.0),  // no click within 1h
+      (4L, ts("00:10"), 8L, "click", 0.0))      // other user, no purchase
+    q.processAllAvailable()
+    ms.addData((5L, ts("05:00"), 9L, "click", 0.0)) // advance watermarks
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet == Set((7L, 1L, 2L, 99.0)), rows.mkString(";"))
+  }
+
+  test("parquet streaming sink appends files that read back consistently") {
+    val dir = java.nio.file.Files.createTempDirectory("psink")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(toEventsDf(ms).withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").start(s"$dir/out")
+    ms.addData(
+      (1L, ts("00:01"), 1L, "click", 1.0),
+      (2L, ts("00:04"), 1L, "click", 2.0),
+      (3L, ts("01:00"), 2L, "view", 3.0)) // advances watermark past 00:10
+    q.processAllAvailable()
+    ms.addData((4L, ts("02:00"), 2L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+    assert(back.contains(("2024-01-01 00:00:00.0", 2L, 3.0)),
+      s"finalized window missing from parquet sink: ${back.mkString(";")}")
+  }
+
   test("transformWithState applies the online model step across batches " +
     "(RocksDB state store)") {
     import StreamingOps.{ModelUpdate, UserEvent}

@@ -155,6 +155,27 @@ object AdvancedOps extends QueryModule {
         .orderBy(asc_nulls_first("price_n"), col("o_orderkey"))
     }),
 
+    // Array-function suite: construction, sort, slice, set ops,
+    // position/membership. Results are string-joined because DuckDB's
+    // list_intersect/list_distinct return arbitrary element order —
+    // both engines sort before comparison.
+    "q61_array_functions" -> ((s, d) => {
+      def asStr(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      val a = array(col("l_linenumber"), col("l_quantity").cast("int"), lit(7))
+      val b = array(lit(7), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty"),
+          asStr(sort_array(a)).as("sorted_str"),
+          asStr(slice(sort_array(a), 1, 2)).as("slice_str"),
+          asStr(sort_array(array_intersect(a, b))).as("inter_str"),
+          asStr(sort_array(array_union(a, b))).as("union_str"),
+          array_position(a, 7).cast("int").as("pos7"),
+          array_contains(a, col("l_linenumber")).as("has_ln"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"))
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -247,6 +268,21 @@ object AdvancedOps extends QueryModule {
         |  NULLIF(o_orderkey % 2, 0) AS odd_or_null
         |FROM nullable
         |ORDER BY price_n NULLS FIRST, o_orderkey""".stripMargin,
+
+    "q61_array_functions" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty,
+        |    [l_linenumber, CAST(l_quantity AS INT), 7] AS a,
+        |    [7, l_linenumber] AS b
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, qty,
+        |  array_to_string(list_sort(a), ',') AS sorted_str,
+        |  array_to_string(list_slice(list_sort(a), 1, 2), ',') AS slice_str,
+        |  array_to_string(list_sort(list_intersect(a, b)), ',') AS inter_str,
+        |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_str,
+        |  CAST(list_position(a, 7) AS INT) AS pos7,
+        |  list_contains(a, l_linenumber) AS has_ln
+        |FROM t ORDER BY l_orderkey, l_linenumber, qty""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

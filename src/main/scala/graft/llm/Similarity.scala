@@ -44,36 +44,24 @@ object Similarity extends QueryModule {
     // LSH-bucketed ANN: 4 seeded random hyperplanes → 16 buckets;
     // candidates are bucket-mates only. Deterministic (seeded planes)
     // but not SQL-expressible → rows-only gate; recall vs q32 is
-    // asserted in SimilaritySpec.
+    // asserted in SimilaritySpec. The bucketing is pure expressions
+    // (planes inlined as array literals), so the whole query stays one
+    // lazy codegen'd plan — no typed map, no eager materialization.
     "q43_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      import s.implicits._
       val nPlanes = 4
-      val dims = 64 // plane dimensionality; vectors are length-checked per row
+      val dims = 64
       val rnd = new java.util.Random(7L)
       val planes = Array.fill(nPlanes, dims)(rnd.nextGaussian())
-      val bp = s.sparkContext.broadcast(planes)
+      val bucketCol = (0 until nPlanes).map { p =>
+        val plane = array(planes(p).map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(col("embedding"), plane, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
       val e = withNorm(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-        .as[(Long, Array[Float], Double)]
-        .map { case (id, emb, nrm) =>
-          require(emb.length == dims,
-            s"embedding dim ${emb.length} != plane dim $dims")
-          var bucket = 0
-          var p = 0
-          while (p < nPlanes) {
-            var dot = 0.0
-            var i = 0
-            while (i < emb.length) { dot += emb(i) * bp.value(p)(i); i += 1 }
-            if (dot > 0) bucket |= 1 << p
-            p += 1
-          }
-          (id, emb, nrm, bucket)
-        }
-        .toDF("vec_id", "embedding", "nrm", "bucket")
-        // both join legs derive from this typed map; materialize it
-        // once instead of recomputing the bucketing pass per leg
-        .localCheckpoint()
+        .withColumn("bucket", bucketCol)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("eq"),
           col("nrm").as("nq"), col("bucket"))

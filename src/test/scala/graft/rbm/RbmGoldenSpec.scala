@@ -88,6 +88,50 @@ class RbmGoldenSpec extends SparkSpec {
       assert(math.abs(got(i, j) - once(i, j)) < 1e-12)
   }
 
+  test("CD-1 actually learns: reconstruction error drops over epochs " +
+    "on structured data") {
+    import spark.implicits._
+    val dd = 8; val hh = 4
+    val protoA = Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val protoB = Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)
+    val data = (0L until 64L).map { id =>
+      val proto = if (id % 2 == 0) protoA else protoB
+      id -> proto.zipWithIndex.map { case (v, i) =>
+        math.min(1.0, math.max(0.0, v + (((id * 31 + i * 7) % 11) - 5) / 50.0))
+      }
+    }
+    val df = spark.createDataset(data).toDF("id", "x").cache()
+    val cfg = RBM.Config(dd, hh, epsilon = 0.5, seed = 3L)
+
+    def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def reconError(w: breeze.linalg.DenseMatrix[Double]): Double = {
+      data.map { case (_, x) =>
+        val hid = Array.tabulate(hh)(j =>
+          sigmoid((0 until dd).map(i => x(i) * w(i, j)).sum))
+        val rec = Array.tabulate(dd)(i =>
+          sigmoid((0 until hh).map(j => hid(j) * w(i, j)).sum))
+        (0 until dd).map(i => math.pow(x(i) - rec(i), 2)).sum
+      }.sum / data.size
+    }
+
+    var w = RBM.initWeights(cfg)
+    val e0 = reconError(w)
+    val curve = (1 to 40).map { _ =>
+      w = RBM.cd1Epoch(spark, df, w, cfg)
+      reconError(w)
+    }
+    df.unpersist()
+    info(s"reconstruction error: $e0 -> ${curve.grouped(10).map(_.last).mkString(" -> ")}")
+    // bias-free CD-1 (the reference's semantics) converges slowly and
+    // has an error floor ≈ the sigmoid's inability to emit values near
+    // 0/1 without visible biases — require steady improvement, not a
+    // specific constant
+    assert(curve.last < e0 * 0.9,
+      s"CD-1 did not reduce reconstruction error: $e0 -> ${curve.last}")
+    assert(curve.last <= curve.head,
+      s"error increased over training: ${curve.head} -> ${curve.last}")
+  }
+
   test("DBN layer-wise pretrain runs and propagate quantizes to the " +
     "0-255/255 channel (A11 ∘ A4 round trip)") {
     import spark.implicits._

@@ -75,8 +75,76 @@ object Similarity extends QueryModule {
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // IVF ANN (data-adaptive cells, nprobe=2) — deterministic but not
+    // SQL-expressible → rows-only gate + SimilaritySpec recall check.
+    "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d))
   )
+
+  /** IVF-style ANN: coarse-quantize vectors into k cells (centroids
+    * from a deterministic bounded sample + driver-side Lloyd
+    * iterations — the sample stays driver-sized no matter the table
+    * size), then search only the query's `nprobe` nearest cells. The
+    * scale shape: centroid assignment is one broadcast map pass, the
+    * search an equi-join on cell id — same join skeleton as the LSH
+    * variant with data-adaptive cells instead of random planes.
+    */
+  private def ivfQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 8
+    val nprobe = 2
+    val sample = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 37 === 0).orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(sample.length >= k, s"sample too small for $k cells")
+    var centroids = sample.take(k)
+    for (_ <- 0 until 3) { // Lloyd iterations on the driver-side sample
+      val assign = sample.map { v =>
+        centroids.indices.minBy(c => l2(v, centroids(c)))
+      }
+      centroids = centroids.indices.map { c =>
+        val members = sample.zip(assign).collect { case (v, a) if a == c => v }
+        if (members.isEmpty) centroids(c)
+        else members.transpose.map(xs => xs.sum / xs.length).toArray
+      }.toArray
+    }
+    val bc = s.sparkContext.broadcast(centroids)
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+    val cands = e.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, emb, nrm) =>
+        val v = emb.map(_.toDouble)
+        (id, emb, nrm, cs.indices.minBy(c => l2(v, cs(c))))
+      }
+    }.toDF("cid", "ec", "nc", "cell")
+    val queries = e.filter(_._1 < 10).mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, emb, nrm) =>
+        val v = emb.map(_.toDouble)
+        cs.indices.sortBy(c => l2(v, cs(c))).take(nprobe)
+          .map(cell => (id, emb, nrm, cell))
+      }
+    }.toDF("qid", "eq", "nq", "cell")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    queries.join(cands, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
 
   def oracle: Map[String, String] = Map(
     "q32_knn_similarity" ->

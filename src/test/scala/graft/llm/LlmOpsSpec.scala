@@ -88,6 +88,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q62 IVF ANN is deterministic, structurally valid, and overlaps " +
+    "the brute-force top-3 meaningfully") {
+    val ivf = Similarity.queries("q62_ann_ivf")
+    val a = ivf(spark, sf001).collect()
+    val b = ivf(spark, sf001).collect()
+    assert(a.nonEmpty && a.sameElements(b), "IVF must be deterministic")
+    val ivfPairs = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.queries("q32_knn_similarity")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfPairs.intersect(brute).size.toDouble / brute.size
+    info(s"IVF recall@3 vs brute force = $recall")
+    assert(recall > 0.2,
+      s"nprobe=2 over 8 cells should recover some true neighbors: $recall")
+  }
+
   test("q45 multimodal stub features partition the byte count exactly") {
     val rows = Multimodal.queries("q45_multimodal_features")(spark, sf001).collect()
     assert(rows.nonEmpty)

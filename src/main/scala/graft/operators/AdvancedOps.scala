@@ -176,6 +176,19 @@ object AdvancedOps extends QueryModule {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"))
     }),
 
+    // Regexp suite: group extraction, replacement with backreferences
+    // (Spark uses $1 where DuckDB uses \1 — reconciled in the oracle),
+    // and full-match tests.
+    "q63_regexp_suite" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d)-(\\w+)", 1).as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "^(\\d)-(\\w+)", 2).as("prio_word"),
+          regexp_replace(col("o_orderpriority"), "^(\\d)-", "P$1_").as("relabeled"),
+          col("o_orderpriority").rlike("^[12]-").as("is_high"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -283,6 +296,14 @@ object AdvancedOps extends QueryModule {
         |  CAST(list_position(a, 7) AS INT) AS pos7,
         |  list_contains(a, l_linenumber) AS has_ln
         |FROM t ORDER BY l_orderkey, l_linenumber, qty""".stripMargin,
+
+    "q63_regexp_suite" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^(\d)-(\w+)', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '^(\d)-(\w+)', 2) AS prio_word,
+        |  regexp_replace(o_orderpriority, '^(\d)-', 'P\1_') AS relabeled,
+        |  regexp_matches(o_orderpriority, '^[12]-') AS is_high
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

@@ -29,6 +29,7 @@ class FormatRoundTripSpec extends SparkSpec {
 
   test("csv round trip preserves data and explicit schema")(roundTrip("csv"))
   test("json round trip preserves data and explicit schema")(roundTrip("json"))
+  test("orc round trip preserves data and explicit schema")(roundTrip("orc"))
 
   test("json source handles nested props the events table carries") {
     // events.props is a JSON string column; write it as real JSON and

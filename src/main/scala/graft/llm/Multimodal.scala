@@ -49,7 +49,8 @@ object Multimodal extends QueryModule {
     // Partition-batched feature extraction over the binary column via
     // mapPartitions — the iterator is the batch; a real decoder would
     // amortize codec init across it exactly like this. Deterministic
-    // but not SQL-expressible → rows-only gate + MultimodalSpec.
+    // but not SQL-expressible → rows-only gate + LlmOpsSpec's
+    // byte-partition invariant test.
     "q45_multimodal_features" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)

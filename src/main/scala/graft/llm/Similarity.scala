@@ -41,35 +41,60 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH-bucketed ANN: 4 seeded random hyperplanes → 16 buckets;
-    // candidates are bucket-mates only. Deterministic (seeded planes)
-    // but not SQL-expressible → rows-only gate; recall vs q32 is
-    // asserted in SimilaritySpec. The bucketing is pure expressions
-    // (planes inlined as array literals), so the whole query stays one
-    // lazy codegen'd plan — no typed map, no eager materialization.
+    // LSH-bucketed ANN with OR-amplification: L=8 hash tables of b=6
+    // seeded random hyperplanes each. A pair is a candidate if it
+    // collides in ANY table — for near neighbors (cosine ~0.9) the
+    // per-table collision prob is ~(1−θ/π)^6 ≈ 0.4, so the miss prob
+    // across 8 tables is (1−0.4)^8 ≈ 2%, while random pairs collide at
+    // (1/2)^6 per table → expected candidate set ≈ L·N/64 = N/8 per
+    // query. Deterministic (seeded planes) but not SQL-expressible →
+    // rows-only gate; recall vs q32 is asserted in LlmOpsSpec. The
+    // bucketing is pure expressions (planes inlined as array literals)
+    // exploded over the table index, so the whole query stays one lazy
+    // codegen'd plan — no typed map, no eager materialization; the
+    // candidate join is an ordinary shuffled equi-join on
+    // (table, bucket), and distinct (qid,cid) dedups cross-table
+    // collisions before the cosine kernel runs.
     "q43_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nPlanes = 4
+      val nTables = 8
+      val nPlanes = 6
       val dims = 64
       val rnd = new java.util.Random(7L)
-      val planes = Array.fill(nPlanes, dims)(rnd.nextGaussian())
-      val bucketCol = (0 until nPlanes).map { p =>
-        val plane = array(planes(p).map(lit(_)): _*)
+      val planes = Array.fill(nTables, nPlanes, dims)(rnd.nextGaussian())
+      def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
+        val plane = array(planes(t)(p).map(lit(_)): _*)
         val dot = aggregate(
           zip_with(col("embedding"), plane, (x, y) => x.cast("double") * y),
           lit(0.0), (acc, x) => acc + x)
         when(dot > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
+      // one row per (vector, table): tbl tags which table the bucket
+      // belongs to so buckets from different tables never join
+      val buckets = array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)
       val e = withNorm(Tables.embeddings(s, d))
-        .withColumn("bucket", bucketCol)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(buckets).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      val c = e.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+      // candidate pairs (deduped across tables), then fetch embeddings
+      // once per side for the exact re-rank
+      val pairs = q.join(c, Seq("tbl", "bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val vq = withNorm(Tables.embeddings(s, d))
         .select(col("vec_id").as("qid"), col("embedding").as("eq"),
-          col("nrm").as("nq"), col("bucket"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
-        col("nrm").as("nc"), col("bucket"))
+          col("nrm").as("nq"))
+      val vc = withNorm(Tables.embeddings(s, d))
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+          col("nrm").as("nc"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("cid"))
-      q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      pairs.join(vq, "qid").join(vc, "cid")
         .select(col("qid"), col("cid"),
           cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
         .withColumn("rank", row_number().over(w).cast("int"))
@@ -78,7 +103,7 @@ object Similarity extends QueryModule {
     }),
 
     // IVF ANN (data-adaptive cells, nprobe=2) — deterministic but not
-    // SQL-expressible → rows-only gate + SimilaritySpec recall check.
+    // SQL-expressible → rows-only gate + LlmOpsSpec recall check.
     "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d))
   )
 

@@ -32,9 +32,14 @@ object PixelText {
     * file layout (the same property the reference's byte-offset keys
     * had); pipelines needing layout-independent determinism at layer 0
     * should ingest from a keyed source (e.g. the parquet fixtures'
-    * `vec_id`). Fallback ids live in a disjoint namespace (offset by
-    * 2^40) so a directory mixing keyed and un-keyed files cannot
-    * produce duplicate ids against small file keys.
+    * `vec_id`). Fallback ids are offset by 2^40 to separate them from
+    * keyed ids, but the separation is bounded, not absolute:
+    * monotonically_increasing_id packs partitionId into bits 33+, so a
+    * scan with >= 128 partitions already exceeds the offset, and keyed
+    * byte offsets beyond ~1 TB of layer-k text collide back into the
+    * fallback range. Directories mixing keyed and un-keyed files at
+    * that scale must ingest layer 0 from a keyed source instead of
+    * relying on this fallback.
     */
   def read(spark: SparkSession, path: String, numdims: Int): DataFrame = {
     val fallbackBase = 1L << 40

@@ -26,28 +26,53 @@ object StreamQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stream_tumbling_replay" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session conf is mutated for the replay only; both knobs are
+      // restored in the finally so running a registry query leaves the
+      // session as it found it.
+      val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // The file stream source requires a directory; the fixture is a
       // single parquet file → stage a hardlink/copy into a temp dir
       // (replay semantics unchanged: one file, one batch).
       val stage = java.nio.file.Files.createTempDirectory("q46_events")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
       val dst = stage.resolve("events.parquet")
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
-      val stream = s.readStream.schema(eventsSchema)
-        .parquet(stage.toString)
-        // ns → µs must be integer division: double arithmetic cannot
-        // represent epoch-ns exactly (2^53 << 1.7e18).
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = StreamingOps.tumblingCounts(stream, "1 hour")
-        .select(col("w_start").cast("long").as("hour_sec"),
-          col("event_type"), col("n"))
-      val sink = s"q46_replay_${runId.incrementAndGet()}"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy(col("hour_sec"), col("event_type"))
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // One replayed batch over a few thousand groups: state-store
+        // instances scale with shuffle partitions (one store + its
+        // checkpoint dir per partition), so the session's CPU-count
+        // setting buys nothing here and multiplies store open/commit
+        // cost. 8 partitions keeps the stateful stage wide enough for
+        // the fixture while an unbounded deployment would size it to
+        // the key cardinality, not the core count.
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = java.nio.file.Paths.get(s"$d/events.parquet")
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+        val stream = s.readStream.schema(eventsSchema)
+          .parquet(stage.toString)
+          // ns → µs must be integer division: double arithmetic cannot
+          // represent epoch-ns exactly (2^53 << 1.7e18).
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = StreamingOps.tumblingCounts(stream, "1 hour")
+          .select(col("w_start").cast("long").as("hour_sec"),
+            col("event_type"), col("n"))
+        val sink = s"q46_replay_${runId.incrementAndGet()}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+        // The memory sink holds the result rows driver-side — the
+        // staging dir and conf overrides are no longer referenced.
+        s.table(sink).orderBy(col("hour_sec"), col("event_type"))
+      } finally {
+        prevNanos match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        java.nio.file.Files.deleteIfExists(dst)
+        java.nio.file.Files.deleteIfExists(stage)
+      }
     })
   )
 

@@ -75,7 +75,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(hammingFar > hamming, "unrelated doc should be farther")
   }
 
-  test("q43 LSH ANN output is structurally valid and deterministic") {
+  test("q43 LSH ANN is structurally valid, deterministic, and overlaps " +
+    "the brute-force top-3 meaningfully") {
     val q = Similarity.queries("q43_ann_lsh")
     val a = q(spark, sf001).collect()
     val b = q(spark, sf001).collect()
@@ -86,6 +87,17 @@ class LlmOpsSpec extends SparkSpec {
       assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
       assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
     }
+    // Recall gate vs the exact brute-force baseline — same contract as
+    // q62's: single-bucket candidates (4 planes) must still recover a
+    // meaningful share of the true top-3 neighborhood.
+    val lshPairs = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.queries("q32_knn_similarity")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lshPairs.intersect(brute).size.toDouble / brute.size
+    info(s"LSH recall@3 vs brute force = $recall")
+    assert(recall > 0.35,
+      s"8-table OR-amplified LSH should recover a meaningful share " +
+        s"of true neighbors: $recall")
   }
 
   test("q62 IVF ANN is deterministic, structurally valid, and overlaps " +

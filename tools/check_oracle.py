@@ -41,7 +41,12 @@ def compare(name, spark_df, duck_df):
             problems.append(f"dtype[{c}]: spark={av.dtype} duck={bv.dtype}")
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                ok = ((av.isna() & bv.isna()) | (av == bv))
+                # Tiny absolute tolerance: both engines round(x, 6)
+                # independently, and an ulp difference near a rounding
+                # boundary can flip the 6th decimal — exact == would
+                # flag that as a spurious FAIL.
+                ok = ((av.isna() & bv.isna()) |
+                      ((av - bv).abs() <= 1e-9))
             else:
                 ok = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
             nbad = int((~ok).sum())

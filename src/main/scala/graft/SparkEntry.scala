@@ -18,6 +18,7 @@ object SparkEntry {
     operators.WindowOps,
     operators.SetAggOps,
     operators.AdvancedOps,
+    operators.ExtendedOps,
     rbm.RbmQueries,
     llm.TextAnalysis,
     llm.Dedup,

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Round-2 widening of the operator inventory: explicit grouping sets,
+  * conditional/filtered aggregation, statistical aggregates, argmin/
+  * argmax, value-range window frames, distribution window functions,
+  * IGNORE NULLS navigation, lateral/correlated generators, and ordered
+  * string aggregation — operator families a reference user would reach
+  * for that q01–q63 did not yet pin down (SURVEY §2.A gap list).
+  *
+  * Scale notes: every window here partitions by a real key (priority /
+  * returnflag) — no global single-partition ORDER BY windows; grouping
+  * sets expand rows pre-shuffle exactly like q26's cube (bounded by
+  * set count × input); the lateral generator is Spark's `explode`,
+  * i.e. a narrow flatMap, not a join; all aggregates are partial-agg
+  * friendly (HashAggregateExec partial+final) except the ordered
+  * string_agg, whose collect_list is bounded by group size (25
+  * nations / 5 regions).
+  */
+object ExtendedOps extends QueryModule {
+
+  /** Fixed-width sortable encoding of (price, key): lexicographic order
+    * on the string equals numeric order on the pair, so min_by/max_by
+    * become tie-proof and engine-agnostic (both sides compute the same
+    * argmin even if two rows share a price).
+    */
+  private def priceKey(price: String, key: String) =
+    format_string("%020.4f|%019d", col(price), col(key))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Explicit GROUPING SETS — unlike q26's full cube, an arbitrary
+    // set list ((rf), (ls), ()) with grouping() disambiguation flags.
+    "q53_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"), col("g_rf"), col("g_ls"))
+    }),
+
+    // Conditional aggregation: count_if / FILTER-style conditional
+    // avg / conditional sum / bool_or — the predicate lives inside the
+    // aggregate, so one scan produces every branch (vs one pass per
+    // predicate).
+    "q64_conditional_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 100000.0).as("n_big"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(0.0)), 2).as("sum_f"),
+          // avg over a when(): nulls are skipped, so this IS
+          // avg(...) FILTER (WHERE status = 'O')
+          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+            .as("avg_open"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_huge"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Statistical aggregates: stddev/variance (sample+population),
+    // correlation and covariance — single-pass partial-aggregable
+    // moments, grouped by returnflag.
+    "q65_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_s"),
+          round(stddev_pop(col("l_quantity")), 4).as("sd_p"),
+          round(var_samp(col("l_quantity")), 4).as("var_s"),
+          round(var_pop(col("l_quantity")), 4).as("var_p"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qp_cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qp_cov_p"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // argmin/argmax per group via min_by/max_by over the tie-proof
+    // sortable key — one aggregation, no self-join or window re-scan.
+    "q66_minmax_by" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), priceKey("o_totalprice", "o_orderkey"))
+            .as("key_of_max"),
+          min_by(col("o_orderkey"), priceKey("o_totalprice", "o_orderkey"))
+            .as("key_of_min"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(min(col("o_totalprice")), 2).as("min_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Value-range window frame (RANGE BETWEEN n PRECEDING) — frame
+    // membership by value distance, not row offset, so the result is
+    // deterministic even under peer-row ties. Partitioned by priority:
+    // no global-sort window.
+    "q67_range_frame" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(expr("""sum(o_totalprice) OVER (
+              PARTITION BY o_orderpriority ORDER BY o_totalprice
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""), 2)
+            .as("near_sum"),
+          expr("""count(*) OVER (
+              PARTITION BY o_orderpriority ORDER BY o_totalprice
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""")
+            .as("near_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Distribution window functions: ntile/percent_rank/cume_dist over
+    // a unique (price, key) ordering so bucket assignment is exact.
+    "q68_ntile_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Navigation with IGNORE NULLS: first/last/nth non-null value per
+    // partition — the gap-fill primitive (same machinery as q55's
+    // as-of join, here over an explicit full-partition frame).
+    "q69_ignore_nulls_window" -> ((s, d) => {
+      val big = when(col("o_totalprice") > 300000.0, col("o_totalprice"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(first(big, ignoreNulls = true).over(w), 2).as("first_big"),
+          round(last(big, ignoreNulls = true).over(w), 2).as("last_big"),
+          round(nth_value(big, 2, ignoreNulls = true).over(w), 2).as("second_big"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Correlated generator (LATERAL): one output row per generated
+    // element, rows with an empty generator preserved as NULL — the
+    // outer-explode shape. Narrow flatMap, no shuffle.
+    "q70_lateral_explode" -> ((s, d) => {
+      val k = col("o_orderkey") % 3
+      val seq = when(k === 0, array().cast("array<bigint>"))
+        .otherwise(sequence(lit(1L), k))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), explode_outer(seq).as("n"))
+        .orderBy(col("o_orderkey"), asc_nulls_first("n"))
+    }),
+
+    // Ordered string aggregation (listagg/string_agg): collect, sort
+    // deterministically, join — group sizes bounded (nations per
+    // region), so the collected list is a few elements, not a shuffle
+    // hazard.
+    "q71_string_agg" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q53_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls, g_rf, g_ls""".stripMargin,
+
+    "q64_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |    ELSE 0.0 END), 2) AS sum_f,
+        |  ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+        |    AS avg_open,
+        |  BOOL_OR(o_totalprice > 400000.0) AS any_huge,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q65_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_s,
+        |  ROUND(STDDEV_POP(l_quantity), 4) AS sd_p,
+        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_s,
+        |  ROUND(VAR_POP(l_quantity), 4) AS var_p,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qp_cov_s,
+        |  ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS qp_cov_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q66_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  MAX_BY(o_orderkey, printf('%020.4f|%019d', o_totalprice, o_orderkey))
+        |    AS key_of_max,
+        |  MIN_BY(o_orderkey, printf('%020.4f|%019d', o_totalprice, o_orderkey))
+        |    AS key_of_min,
+        |  ROUND(MAX(o_totalprice), 2) AS max_price,
+        |  ROUND(MIN(o_totalprice), 2) AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q67_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(SUM(o_totalprice) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q68_ntile_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q69_ignore_nulls_window" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(FIRST_VALUE(big IGNORE NULLS) OVER w, 2) AS first_big,
+        |  ROUND(LAST_VALUE(big IGNORE NULLS) OVER w, 2) AS last_big,
+        |  ROUND(NTH_VALUE(big, 2 IGNORE NULLS) OVER w, 2) AS second_big
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q70_lateral_explode" ->
+      """SELECT o_orderkey, u.n
+        |FROM orders LEFT JOIN LATERAL (
+        |  SELECT unnest(generate_series(1, o_orderkey % 3)) AS n) u ON true
+        |ORDER BY o_orderkey, n NULLS FIRST""".stripMargin,
+
+    "q71_string_agg" ->
+      """SELECT r_name,
+        |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+  )
+}

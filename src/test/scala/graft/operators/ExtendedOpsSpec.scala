@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Semantics tests for the round-2 operator widening (ExtendedOps) on
+  * crafted literal frames — the DuckDB oracle proves engine parity;
+  * these pin the intended behavior on inputs the fixtures can't
+  * produce (ties, empty generators, all-null navigation partitions).
+  */
+class ExtendedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q53 grouping sets emit exactly (|rf| + |ls| + 1) groups") {
+    val out = ExtendedOps.queries("q53_grouping_sets")(spark, sf001).collect()
+    val rf = out.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val ls = out.filter(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+    val total = out.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(rf.length == 3 && ls.length == 2 && total.length == 1)
+    assert(out.length == rf.length + ls.length + total.length)
+    // every grouping set partitions the same input: counts agree
+    assert(rf.map(_.getLong(4)).sum == total.head.getLong(4))
+    assert(ls.map(_.getLong(4)).sum == total.head.getLong(4))
+  }
+
+  test("q66's sortable price key breaks ties deterministically") {
+    // two rows share the max price 10.0 — max_by over the raw double
+    // could return either key; the fixed-width key must pick the
+    // larger tiebreak key (and min_by the smaller)
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 5.0)).toDF("k", "p")
+    df.createOrReplaceTempView("tie")
+    val r = spark.sql(
+      """SELECT max_by(k, format_string('%020.4f|%019d', p, k)) AS kmax,
+        |       min_by(k, format_string('%020.4f|%019d', p, k)) AS kmin
+        |FROM tie""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L, "max tie resolves to larger key")
+    assert(r.getLong(1) == 3L, "min is the unique low-price row")
+  }
+
+  test("q70 lateral explode preserves empty-generator rows as NULL") {
+    val out = ExtendedOps.queries("q70_lateral_explode")(spark, sf001)
+      .collect().groupBy(_.getLong(0))
+    // o_orderkey % 3 == 0 → one NULL row; % 3 == k → rows 1..k
+    out.foreach { case (key, rows) =>
+      (key % 3) match {
+        case 0 => assert(rows.length == 1 && rows.head.isNullAt(1))
+        case m => assert(rows.map(_.getLong(1)).sorted.sameElements(1L to m))
+      }
+    }
+  }
+
+  test("q69 ignore-nulls navigation skips nulls and handles " +
+    "all-null partitions") {
+    val out = ExtendedOps.queries("q69_ignore_nulls_window")(spark, sf001)
+      .collect()
+    // per partition: first_big/last_big constant and non-null wherever
+    // any row qualifies; second_big null iff fewer than 2 qualify
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val firsts = rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      assert(firsts.distinct.length == 1, "first_big constant per partition")
+    }
+  }
+
+  test("q65 stats: sample and population variance relate by n/(n-1)") {
+    val out = ExtendedOps.queries("q65_stats_agg")(spark, sf001).collect()
+    out.foreach { r =>
+      val varS = r.getDouble(3)
+      val varP = r.getDouble(4)
+      assert(varS >= varP, "sample variance >= population variance")
+    }
+  }
+}

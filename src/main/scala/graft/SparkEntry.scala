@@ -27,6 +27,8 @@ object SparkEntry {
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,
+    functions.TypeOps,
+    sources.SourceQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

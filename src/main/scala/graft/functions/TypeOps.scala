@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Round-2 type-system widening: map columns, interval arithmetic,
+  * bitwise ops, sequence/zip higher-order functions, structured JSON
+  * parsing (from_json, vs q28's path-extraction get_json_object), and
+  * exact decimal money arithmetic — the remaining scalar type families
+  * a complete engine owes its users (SURVEY §1.2 maps only primitives;
+  * all of these are capabilities the reference never had).
+  *
+  * Everything here is a codegen'd builtin expression over a single
+  * narrow scan — no UDFs, no shuffles except the final aggregations,
+  * all predicates/projections pushdown-eligible.
+  */
+object TypeOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Map construction + access + introspection. Key/value listings
+    // are sorted before serialization: map iteration order is an
+    // implementation detail in every engine, never part of the
+    // contract.
+    "q72_map_functions" -> ((s, d) => {
+      val m = map(lit("pri"), col("o_orderpriority"),
+        lit("st"), col("o_orderstatus"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          element_at(m, "pri").as("pri"),
+          element_at(m, "st").as("st"),
+          element_at(m, "missing").as("absent"),
+          size(m).as("card"),
+          concat_ws(",", array_sort(map_keys(m))).as("keys_sorted"),
+          concat_ws(",", array_sort(map_values(m))).as("vals_sorted"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Interval arithmetic: static intervals, dynamic month offsets
+    // (clamped to month end by both engines), component construction
+    // via make_date. Temporal outputs are serialized to strings — the
+    // engines' native temporal encodings differ at the parquet/pandas
+    // layer (ns vs µs, date vs timestamp), the values don't.
+    "q73_interval_datetime" -> ((s, d) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate") + expr("INTERVAL 3 MONTH"), fmt)
+            .as("plus_3m"),
+          date_format(col("o_orderdate") - expr("INTERVAL 90 DAY"), fmt)
+            .as("minus_90d"),
+          date_format(add_months(col("o_orderdate"),
+            (col("o_orderkey") % 12).cast("int")), "yyyy-MM-dd").as("dyn_m"),
+          date_format(make_date(lit(2020), (col("o_orderkey") % 12 + 1)
+            .cast("int"), lit(15)), "yyyy-MM-dd").as("md"),
+          date_format(col("o_orderdate")
+            + expr("INTERVAL '1 02:03:04' DAY TO SECOND"), fmt)
+            .as("plus_mixed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Bitwise algebra on the order key: and/or/xor, shifts, popcount.
+    "q74_bitwise" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255L)).as("b_and"),
+          (col("o_orderkey").bitwiseOR(7L)).as("b_or"),
+          (col("o_orderkey").bitwiseXOR(255L)).as("b_xor"),
+          shiftleft(col("o_orderkey"), 2).as("b_shl"),
+          shiftright(col("o_orderkey"), 1).as("b_shr"),
+          bit_count(col("o_orderkey")).cast("int").as("b_pop"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Sequence generation + element-wise zip algebra: a dot product of
+    // a sequence with its reverse, slicing, membership, position — the
+    // array algebra q61 didn't cover (generation and binary zips).
+    "q75_sequence_zip" -> ((s, d) => {
+      val k = (col("o_orderkey") % 5) + 1
+      val seq = sequence(lit(1L), k)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          aggregate(zip_with(seq, reverse(seq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot_rev"),
+          size(seq).as("len"),
+          array_position(seq, 2L).as("pos2"),
+          array_contains(seq, 3L).as("has3"),
+          concat_ws("-", slice(seq, 1, 2)).as("head2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Structured JSON: from_json with a declared schema (typed struct
+    // access), json_array_length, and parsing a constructed nested
+    // document — vs q28's stringly get_json_object paths.
+    "q76_from_json" -> ((s, d) => {
+      val kSchema = StructType(Seq(StructField("k", IntegerType)))
+      val nested = concat(lit("""{"u":"""), col("user_id"),
+        lit(""","arr":[1,2,"""), col("user_id") % 10, lit("]}"))
+      val nestedSchema = StructType(Seq(
+        StructField("u", LongType),
+        StructField("arr", ArrayType(LongType))))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), kSchema).getField("k").as("k"),
+          from_json(nested, nestedSchema).getField("u").as("u"),
+          element_at(from_json(nested, nestedSchema).getField("arr"), 3)
+            .as("arr3"),
+          json_array_length(concat(lit("[1,2,"), col("user_id") % 10,
+            lit("]"))).as("alen"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Exact money arithmetic in DECIMAL(18,2): every sum/product runs
+    // in decimal (no float drift, order-independent), the exact
+    // scale-4 sum is rounded to cents with an explicit round() — both
+    // engines round decimals half-up, whereas DuckDB's downscale CAST
+    // truncates — and only the final compared value is projected to
+    // double (the engines' decimal wire encodings differ; one exact
+    // Decimal→double conversion doesn't).
+    "q78_decimal_money" -> ((s, d) => {
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(price), 2).cast("double").as("gross"),
+          round(sum(price * (lit(1).cast(DecimalType(18, 2)) - disc)), 2)
+            .cast("double").as("net"),
+          round(sum(price * disc), 2).cast("double")
+            .as("discount_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q72_map_functions" ->
+      """SELECT o_orderkey,
+        |  map(['pri','st'], [o_orderpriority, o_orderstatus])['pri'][1] AS pri,
+        |  map(['pri','st'], [o_orderpriority, o_orderstatus])['st'][1] AS st,
+        |  map(['pri','st'], [o_orderpriority, o_orderstatus])['missing'][1]
+        |    AS absent,
+        |  CAST(cardinality(map(['pri','st'],
+        |    [o_orderpriority, o_orderstatus])) AS INT) AS card,
+        |  array_to_string(list_sort(map_keys(map(['pri','st'],
+        |    [o_orderpriority, o_orderstatus]))), ',') AS keys_sorted,
+        |  array_to_string(list_sort(map_values(map(['pri','st'],
+        |    [o_orderpriority, o_orderstatus]))), ',') AS vals_sorted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q73_interval_datetime" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S')
+        |    AS plus_3m,
+        |  strftime(o_orderdate - INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S')
+        |    AS minus_90d,
+        |  strftime(o_orderdate + to_months(CAST(o_orderkey % 12 AS INT)),
+        |    '%Y-%m-%d') AS dyn_m,
+        |  strftime(make_date(2020, CAST(o_orderkey % 12 + 1 AS INT), 15),
+        |    '%Y-%m-%d') AS md,
+        |  strftime(o_orderdate + INTERVAL 1 DAY + INTERVAL 2 HOUR
+        |    + INTERVAL 3 MINUTE + INTERVAL 4 SECOND, '%Y-%m-%d %H:%M:%S')
+        |    AS plus_mixed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q74_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and,
+        |  o_orderkey | 7 AS b_or,
+        |  xor(o_orderkey, 255) AS b_xor,
+        |  o_orderkey << 2 AS b_shl,
+        |  o_orderkey >> 1 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q75_sequence_zip" ->
+      """WITH s AS (SELECT o_orderkey,
+        |    generate_series(1, o_orderkey % 5 + 1) AS seq FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(list_zip(seq, list_reverse(seq)),
+        |    t -> t[1] * t[2])) AS BIGINT) AS dot_rev,
+        |  CAST(len(seq) AS INT) AS len,
+        |  CAST(list_position(seq, 2) AS BIGINT) AS pos2,
+        |  list_contains(seq, 3) AS has3,
+        |  array_to_string(seq[1:2], '-') AS head2
+        |FROM s ORDER BY o_orderkey""".stripMargin,
+
+    "q76_from_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract('{"u":' || user_id || ',"arr":[1,2,'
+        |    || (user_id % 10) || ']}', '$.u') AS BIGINT) AS u,
+        |  CAST(json_extract('{"u":' || user_id || ',"arr":[1,2,'
+        |    || (user_id % 10) || ']}', '$.arr[2]') AS BIGINT) AS arr3,
+        |  CAST(json_array_length('[1,2,' || (user_id % 10) || ']') AS INT)
+        |    AS alen
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q78_decimal_money" ->
+      """SELECT l_returnflag,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS gross,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |    AS DOUBLE) AS net,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS discount_total,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -25,62 +25,91 @@ object StreamQueries extends QueryModule {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_stream_tumbling_replay" -> ((s, d) => {
-      // Session conf is mutated for the replay only; both knobs are
-      // restored in the finally so running a registry query leaves the
-      // session as it found it.
-      val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      // The file stream source requires a directory; the fixture is a
-      // single parquet file → stage a hardlink/copy into a temp dir
-      // (replay semantics unchanged: one file, one batch).
-      val stage = java.nio.file.Files.createTempDirectory("q46_events")
-      val dst = stage.resolve("events.parquet")
-      try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // One replayed batch over a few thousand groups: state-store
-        // instances scale with shuffle partitions (one store + its
-        // checkpoint dir per partition), so the session's CPU-count
-        // setting buys nothing here and multiplies store open/commit
-        // cost. 8 partitions keeps the stateful stage wide enough for
-        // the fixture while an unbounded deployment would size it to
-        // the key cardinality, not the core count.
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val src = java.nio.file.Paths.get(s"$d/events.parquet")
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
-        val stream = s.readStream.schema(eventsSchema)
-          .parquet(stage.toString)
-          // ns → µs must be integer division: double arithmetic cannot
-          // represent epoch-ns exactly (2^53 << 1.7e18).
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = StreamingOps.tumblingCounts(stream, "1 hour")
+    "q46_stream_tumbling_replay" -> ((s, d) =>
+      replay(s, d) { stream =>
+        StreamingOps.tumblingCounts(stream, "1 hour")
           .select(col("w_start").cast("long").as("hour_sec"),
             col("event_type"), col("n"))
-        val sink = s"q46_replay_${runId.incrementAndGet()}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable() finally q.stop()
-        // The memory sink holds the result rows driver-side — the
-        // staging dir and conf overrides are no longer referenced.
-        s.table(sink).orderBy(col("hour_sec"), col("event_type"))
-      } finally {
-        prevNanos match {
-          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-          case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        }
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        java.nio.file.Files.deleteIfExists(dst)
-        java.nio.file.Files.deleteIfExists(stage)
-      }
-    })
+      }),
+
+    // Sliding windows (2h width, 1h slide): every event lands in two
+    // overlapping windows, so the batch twin is an explicit 2-way
+    // window-start expansion — a second streaming/batch-consistency
+    // proof with genuinely overlapping state.
+    "q79_stream_sliding_replay" -> ((s, d) =>
+      replay(s, d) { stream =>
+        StreamingOps.slidingCounts(stream, "2 hours", "1 hour")
+          .select(col("w_start").cast("long").as("hour_sec"),
+            col("event_type"), col("n"))
+      })
   )
+
+  /** Shared replay harness: stage the events fixture into a temp dir
+    * (the file stream source requires a directory; one hardlinked file
+    * = one deterministic batch), run `build` over a file-source stream
+    * of it into a complete-mode memory sink, and return the sink table
+    * ordered by (hour_sec, event_type). Conf overrides and staging
+    * files are restored/removed before returning — the memory sink
+    * holds the result rows driver-side, so nothing references them.
+    *
+    * Shuffle partitions are pinned to 8 for the stateful stage:
+    * state-store instances (and their checkpoint dirs + open/commit
+    * cost) scale with shuffle partitions, and a few thousand groups in
+    * one replayed batch gain nothing from the session's CPU-count
+    * setting. An unbounded deployment would size this to key
+    * cardinality, not core count.
+    *
+    * ns → µs inside is integer division (`ts div 1000`): double
+    * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
+    */
+  private def replay(s: SparkSession, d: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val stage = java.nio.file.Files.createTempDirectory("replay_events")
+    val dst = stage.resolve("events.parquet")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      val stream = s.readStream.schema(eventsSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = s"replay_${runId.incrementAndGet()}"
+      val q = build(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("hour_sec"), col("event_type"))
+    } finally {
+      prevNanos match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
 
   def oracle: Map[String, String] = Map(
     "q46_stream_tumbling_replay" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_sec,
         |  event_type, COUNT(*) AS n
         |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    // Each event belongs to the 2h windows starting at its hour and
+    // the hour before — the batch twin expands both starts per event.
+    "q79_stream_sliding_replay" ->
+      """SELECT ws AS hour_sec, event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT unnest([
+        |      (epoch_ns(ts) // 3600000000000) * 3600,
+        |      (epoch_ns(ts) // 3600000000000) * 3600 - 3600]) AS ws,
+        |    event_type
+        |  FROM events)
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin
   )
 }

@@ -24,6 +24,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Multimodal,
+    llm.TextPipeline,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

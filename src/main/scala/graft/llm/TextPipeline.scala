@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Training-data text-pipeline operators beyond TextAnalysis's
+  * stats/lang-id/quality scoring: TF-IDF term weighting, PII
+  * scrubbing, and vocabulary construction — the canonical
+  * corpus-preparation passes between raw documents and tokenization.
+  *
+  * Scale notes: tokenization is a narrow explode; term/document
+  * frequencies are partial-agg-friendly groupBys keyed by term (the
+  * vocabulary is orders of magnitude smaller than the corpus, so the
+  * df side of the TF-IDF join broadcasts); the per-doc top-k runs on
+  * doc-partitioned windows. Nothing here collects the corpus to the
+  * driver.
+  */
+object TextPipeline extends QueryModule {
+
+  /** Lowercased alpha tokens of `text` — empty strings dropped, so the
+    * tokenization is split-safe on leading/trailing separators.
+    */
+  private def tokens =
+    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF with idf = ln(N/df), top-5 terms per document by weight
+    // (term as tiebreak): tf and df are two aggregations over one
+    // tokenized explode; N crosses in as a broadcast scalar; the
+    // vocabulary-sized df relation broadcasts into the scoring join.
+    "q80_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+            .as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // PII scrubbing: emails and long digit runs replaced with typed
+    // placeholder tags, with per-doc match counts — one codegen'd
+    // regexp pass, no UDF. The fixture corpus is synthetic, so the PII
+    // is injected deterministically per row and then proven scrubbed.
+    "q81_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\d{3}-\\d{4}"
+      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(dirty, lit(emailRe)).cast("int").as("n_email"),
+          regexp_count(dirty, lit(phoneRe)).cast("int").as("n_phone"),
+          substring(regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"), -40, 40).as("scrub_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary construction: corpus-wide term frequencies, dense
+    // ranks, and cumulative coverage share — the "how many terms cover
+    // 95% of the corpus" table every tokenizer build starts from.
+    "q82_vocab_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(explode(tokens).as("term"))
+      val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val wRank = Window.orderBy(col("freq").desc, col("term"))
+      val total = freq.agg(sum(col("freq")).as("total"))
+      freq.crossJoin(broadcast(total))
+        .select(col("term"), col("freq"),
+          round(col("freq").cast("double") / col("total"), 6).as("share"))
+        .withColumn("rank", row_number().over(wRank).cast("int"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q80_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q81_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS INT) AS n_phone,
+        |  CASE WHEN len(s) <= 40 THEN s ELSE substr(s, len(s) - 39, 40) END
+        |    AS scrub_tail
+        |FROM (SELECT doc_id, t,
+        |        regexp_replace(regexp_replace(t,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |          '\d{3}-\d{4}', '<PHONE>', 'g') AS s
+        |      FROM dirty)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q82_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+        |total AS (SELECT SUM(freq) AS total FROM freq)
+        |SELECT term, freq,
+        |  ROUND(CAST(freq AS DOUBLE) / total, 6) AS share,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+        |FROM freq CROSS JOIN total
+        |QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+  )
+}

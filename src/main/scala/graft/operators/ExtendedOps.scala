@@ -175,6 +175,49 @@ object ExtendedOps extends QueryModule {
           .as("nations"),
           count(lit(1)).as("n_nations"))
         .orderBy(col("r_name"))
+    }),
+
+    // IN / NOT IN subqueries through the SQL entry (the parser path,
+    // like q57): Catalyst rewrites both into semi/anti joins — same
+    // physical shape as q19, different front door. The subquery is
+    // provably null-free (a key column), so NOT IN's three-valued
+    // trap never fires.
+    "q83_in_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  COUNT(*) AS n_all,
+          |  COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM g_customer
+          |    WHERE c_acctbal > 9000) THEN 1 END) AS n_rich,
+          |  COUNT(CASE WHEN o_custkey NOT IN (SELECT c_custkey
+          |    FROM g_customer WHERE c_acctbal > 9000) THEN 1 END) AS n_rest
+          |FROM g_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Transcendental/math scalar suite: trig, logs, exponentials,
+    // roots, sign/trunc/greatest/least — all codegen'd builtins; every
+    // float output rounds to 6 places for cross-engine bit agreement.
+    "q84_math_suite" -> ((s, d) => {
+      val x = col("o_totalprice") / 100000.0
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(sin(x), 6).as("sin_x"),
+          round(cos(x), 6).as("cos_x"),
+          round(atan2(x, lit(2.0)), 6).as("atan2_x"),
+          round(log(x), 6).as("ln_x"),
+          round(log10(x), 6).as("log10_x"),
+          round(log2(x), 6).as("log2_x"),
+          round(exp(-x), 6).as("exp_negx"),
+          round(pow(x, 1.5), 6).as("pow_15"),
+          round(cbrt(x), 6).as("cbrt_x"),
+          signum(col("o_totalprice") - 250000.0).cast("int").as("sgn"),
+          greatest(col("o_totalprice"), lit(250000.0)).as("gt"),
+          least(col("o_totalprice"), lit(250000.0)).as("lt"),
+          floor(x * 10).cast("long").as("fl"),
+          ceil(x * 10).cast("long").as("ce"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -264,6 +307,36 @@ object ExtendedOps extends QueryModule {
         |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
         |  COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q83_in_subquery" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+        |    WHERE c_acctbal > 9000) THEN 1 END) AS n_rich,
+        |  COUNT(CASE WHEN o_custkey NOT IN (SELECT c_custkey
+        |    FROM customer WHERE c_acctbal > 9000) THEN 1 END) AS n_rest
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q84_math_suite" ->
+      """SELECT o_orderkey,
+        |  ROUND(sin(x), 6) AS sin_x,
+        |  ROUND(cos(x), 6) AS cos_x,
+        |  ROUND(atan2(x, 2.0), 6) AS atan2_x,
+        |  ROUND(ln(x), 6) AS ln_x,
+        |  ROUND(log10(x), 6) AS log10_x,
+        |  ROUND(log2(x), 6) AS log2_x,
+        |  ROUND(exp(-x), 6) AS exp_negx,
+        |  ROUND(pow(x, 1.5), 6) AS pow_15,
+        |  ROUND(cbrt(x), 6) AS cbrt_x,
+        |  CAST(sign(o_totalprice - 250000.0) AS INT) AS sgn,
+        |  greatest(o_totalprice, 250000.0) AS gt,
+        |  least(o_totalprice, 250000.0) AS lt,
+        |  CAST(floor(x * 10) AS BIGINT) AS fl,
+        |  CAST(ceil(x * 10) AS BIGINT) AS ce
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |        o_totalprice / 100000.0 AS x FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,40 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Invariants for the corpus-preparation pipeline ops. */
+class TextPipelineSpec extends SparkSpec {
+
+  test("q80 tfidf: ubiquitous terms weigh zero, ranks are 1..k per doc") {
+    val rows = TextPipeline.queries("q80_tfidf")(spark, sf001).collect()
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    rows.filter(_.getLong(3) == nDocs)
+      .foreach(r => assert(r.getDouble(4) == 0.0,
+        s"df == N must zero the weight: $r"))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("q81 pii scrub finds the injected PII and leaves none behind") {
+    val rows = TextPipeline.queries("q81_pii_scrub")(spark, sf001).collect()
+    assert(rows.forall(_.getInt(1) >= 1), "every doc got an email injected")
+    assert(rows.forall(_.getInt(2) >= 1), "every doc got a phone injected")
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    rows.foreach { r =>
+      val tail = r.getString(3)
+      assert(emailRe.findFirstIn(tail).isEmpty, s"residual email in: $tail")
+      assert(tail.contains("<PHONE>"), s"expected scrub tag in: $tail")
+    }
+  }
+
+  test("q82 vocab: ranks sequential, frequencies non-increasing, " +
+    "shares are a sub-distribution") {
+    val rows = TextPipeline.queries("q82_vocab_topk")(spark, sf001).collect()
+    assert(rows.map(_.getInt(3)).sameElements(1 to rows.length))
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-9)
+  }
+}

@@ -140,6 +140,53 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class GradientEvent(key: Long, grad: Array[Double])
+  case class VecState(n: Long, sum: Array[Double])
+  case class WeightRow(key: Long, n: Long, mean: Array[Double])
+
+  /** Per-key VECTOR state: the reference's driver-side mean-of-
+    * gradients update (A10, `driver.java:197-205`) as a streaming
+    * operator — each key holds one weight row, arriving gradient
+    * vectors accumulate element-wise, and every batch emits the
+    * refreshed running mean. This is the parameter-server sharding of
+    * the reference's driver-resident `double[]`: state is partitioned
+    * across the cluster by weight-row key instead of living on one
+    * driver, so model size scales with executor count.
+    */
+  class GradientMeanProcessor
+      extends StatefulProcessor[Long, GradientEvent, WeightRow] {
+    @transient private var state: ValueState[VecState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[VecState]("vec",
+        Encoders.product[VecState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[GradientEvent],
+        timers: TimerValues): Iterator[WeightRow] = {
+      var cur = if (state.exists()) state.get() else VecState(0L, Array.empty)
+      rows.foreach { e =>
+        val sum = if (cur.sum.isEmpty) e.grad.clone()
+          else { val s = cur.sum.clone()
+            var i = 0
+            while (i < s.length) { s(i) += e.grad(i); i += 1 }
+            s }
+        cur = VecState(cur.n + 1, sum)
+      }
+      state.update(cur)
+      Iterator.single(WeightRow(key, cur.n, cur.sum.map(_ / cur.n)))
+    }
+  }
+
+  /** Wire [[GradientMeanProcessor]] over a stream of gradient events.
+    * Requires the RocksDB state store provider (set by the caller).
+    */
+  def gradientMeans(events: Dataset[GradientEvent]): Dataset[WeightRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new GradientMeanProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary per-key state: running (count, sum) per user via
     * flatMapGroupsWithState — the streaming analogue of the
     * reference's driver-held weight state updated per job (A13,

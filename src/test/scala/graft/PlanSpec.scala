@@ -86,4 +86,49 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("*(1)"), s"no codegen stage markers:\n$p")
   }
+
+  test("a key filter on a partitioned table prunes partitions at plan " +
+    "time — the 100 TB layout contract") {
+    // At scale the fixture tables would be laid out hive-partitioned;
+    // prove the engine's scans then skip non-matching partition dirs
+    // entirely (PartitionFilters, zero data files touched), not just
+    // push row-group filters.
+    val dir = java.nio.file.Files.createTempDirectory("pruned").toString
+    try {
+      Tables.lineitem(spark, sf001)
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val pruned = spark.read.parquet(dir)
+        .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .count()
+      pruned.collect()
+      // AQE wraps the final plan in adaptive/query-stage nodes — walk
+      // through them to the actual file scan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Some(f)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case s: QueryStageExec => findScan(s.plan)
+        case other => other.children.view.flatMap(findScan).headOption
+      }
+      val scan = findScan(pruned.queryExecution.executedPlan).get
+      assert(scan.partitionFilters.exists(_.toString.contains("l_returnflag")),
+        s"no partition filter on the scan: ${scan.partitionFilters}")
+      val read = scan.metadata.get("Location").toString
+      assert(scan.relation.partitionSchema.fieldNames.contains("l_returnflag"),
+        read)
+      // the scan must touch exactly the one matching partition
+      assert(scan.inputRDDs().head.partitions.nonEmpty)
+      val selected = scan.metrics.get("numFiles").map(_.value)
+      val all = new java.io.File(dir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+      assert(all == 3, s"expected 3 partition dirs, got $all")
+      assert(selected.exists(_ >= 1) &&
+        selected.exists(_ <= all.toLong - 2),
+        s"scan did not prune: numFiles=$selected of $all partitions")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

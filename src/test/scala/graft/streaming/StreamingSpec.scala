@@ -161,6 +161,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState holds per-key VECTOR state: gradient rows " +
+    "accumulate element-wise across batches (RocksDB state store)") {
+    import StreamingOps.{GradientEvent, WeightRow}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[GradientEvent]
+      val (q, sink) = startQuery(
+        StreamingOps.gradientMeans(ms.toDS()).toDF(), "update")
+      ms.addData(GradientEvent(7L, Array(2.0, 4.0, 6.0)))
+      q.processAllAvailable()
+      ms.addData(GradientEvent(7L, Array(4.0, 0.0, 6.0)),
+        GradientEvent(8L, Array(1.0, 1.0, 1.0)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table(sink).as[WeightRow].collect()
+        .map(w => (w.key, w.n) -> w.mean.toSeq).toMap
+      // batch 1: mean = the single gradient; batch 2: element-wise
+      // mean of both gradients — state carried the first vector
+      assert(rows((7L, 1L)) == Seq(2.0, 4.0, 6.0), rows.toString)
+      assert(rows((7L, 2L)) == Seq(3.0, 2.0, 6.0), rows.toString)
+      assert(rows((8L, 1L)) == Seq(1.0, 1.0, 1.0), rows.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState carries running per-user state across batches") {
     import StreamingOps.{UserEvent, UserRunning}
     val ms = MemoryStream[UserEvent]

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.functions.exprs.graft_vec_dot
 
 /** Similarity search over the embedding column.
   *
@@ -14,15 +15,17 @@ import graft.{QueryModule, Tables}
   */
 object Similarity extends QueryModule {
 
-  /** Exact double-precision cosine between two float-array columns. */
+  /** Exact double-precision cosine between two float-array columns,
+    * via the fused codegen dot kernel (bit-identical to the
+    * zip_with+aggregate form it replaced — same ascending-index
+    * double accumulation — minus the per-pair array allocation).
+    */
   private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    round(aggregate(zip_with(ea, eb, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x) / (na * nb), 6)
+    round(graft_vec_dot(ea, eb) / (na * nb), 6)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      sqrt(graft_vec_dot(col("embedding"), col("embedding"))).as("nrm"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id<10), via the
@@ -64,9 +67,9 @@ object Similarity extends QueryModule {
       val planes = Array.fill(nTables, nPlanes, dims)(rnd.nextGaussian())
       def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
         val plane = array(planes(t)(p).map(lit(_)): _*)
-        val dot = aggregate(
-          zip_with(col("embedding"), plane, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x)
+        // fused codegen dot: 48 plane projections per row allocate no
+        // intermediate arrays (the zip_with form did)
+        val dot = graft_vec_dot(col("embedding"), plane)
         when(dot > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       // one row per (vector, table): tbl tags which table the bucket

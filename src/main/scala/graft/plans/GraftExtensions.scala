@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{RollingHash, Sigmoid}
+import graft.functions.{RollingHash, Sigmoid, VecDot}
 
 /** Optimizer rule: recognize the composed sigmoid pattern
   * `1.0 / (1.0 + exp(-x))` anywhere in a plan and collapse it into the
@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) =>
         RollingHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
   }
 }

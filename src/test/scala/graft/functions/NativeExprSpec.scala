@@ -22,6 +22,29 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_vec_dot equals the zip_with+aggregate form bit-for-bit, " +
+    "for float and double arrays, and is null-safe") {
+    val df = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5, -1.5, 2.0)),
+      (Array(0.1f, 0.2f, 0.3f), Array(1e10, -1e-10, 7.0)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0, 2.0, 3.0))
+    ).toDF("f", "d")
+    val rows = df.select(
+      graft_vec_dot(col("f"), col("d")).as("native"),
+      aggregate(zip_with(col("f"), col("d"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("composed"),
+      graft_vec_dot(col("f"), col("f")).as("self")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "float·double parity")
+      assert(r.getDouble(2) >= 0.0, "self dot is a squared norm")
+    }
+    val withNull = df.select(
+      graft_vec_dot(lit(null).cast("array<double>"), col("d")).as("n"))
+      .collect()
+    assert(withNull.forall(_.isNullAt(0)), "null array must yield null")
+  }
+
   test("rolling hash matches an independent BigInteger implementation") {
     val mod = BigInteger.valueOf(2).pow(61).subtract(BigInteger.ONE)
     def reference(s: String): Long = {

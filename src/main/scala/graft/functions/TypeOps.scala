@@ -131,6 +131,91 @@ object TypeOps extends QueryModule {
             .as("discount_total"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // try_-family error-safe evaluation: division by zero, bad casts,
+    // out-of-bounds element access all yield NULL instead of failing
+    // the job — the semantics a 100 TB pipeline needs when one dirty
+    // row must not kill a 10-hour run.
+    "q85_try_arithmetic" -> ((s, d) => {
+      val k = col("o_orderkey")
+      Tables.orders(s, d)
+        .select(k.as("o_orderkey"),
+          round(try_divide(col("o_totalprice"), (k % 3).cast("double")), 4)
+            .as("div3"),
+          expr("try_cast(CASE WHEN o_orderkey % 2 = 0 THEN 'x' " +
+            "ELSE CAST(o_orderkey AS STRING) END AS INT)").as("cast_i"),
+          try_element_at(sequence(lit(1L), k % 4 + 1), lit(9)).as("oob"),
+          try_element_at(sequence(lit(1L), k % 4 + 1), lit(1)).as("first"))
+        .orderBy(k)
+    }),
+
+    // String suite beyond q27/q51: split_part (in- and out-of-range),
+    // trim families with custom chars, repeat/chr/ascii, left/right,
+    // and 1-based substring search.
+    "q86_string_suite2" -> ((s, d) => {
+      val pri = col("o_orderpriority")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          split_part(pri, lit("-"), lit(2)).as("word"),
+          split_part(pri, lit("-"), lit(9)).as("oob_part"),
+          trim(pri, "15URGENT").as("trimmed"),
+          ltrim(pri, "12345").as("no_digits"),
+          repeat(col("o_orderstatus"), 3).as("st3"),
+          chr(col("o_orderkey") % 26 + 65).as("letter"),
+          ascii(col("o_orderstatus")).cast("int").as("st_code"),
+          expr("left(o_orderpriority, 3)").as("l3"),
+          expr("right(o_orderpriority, 4)").as("r4"),
+          instr(pri, "URGENT").cast("int").as("pos_urgent"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Histogram / bucketing: fixed-width value buckets with counts and
+    // per-bucket sums — one partial-aggregable pass, the profiling
+    // primitive for any numeric column at scale.
+    "q87_histogram" -> ((s, d) => {
+      val bucket = least(floor(col("o_totalprice") / 60000.0), lit(9.0))
+        .cast("int")
+      Tables.orders(s, d)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("bucket_sum"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Schema-aligning union (BY NAME): two projections with different
+    // column order/width union on names, missing columns null-filled —
+    // the schema-evolution append every long-lived dataset needs.
+    "q88_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          lit("closed").as("src"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(lit("open").as("src"), col("o_orderkey").as("k"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price")), 2).as("sum_price"),
+          count(col("price")).as("n_priced"))
+        .orderBy(col("src"))
+    }),
+
+    // regexp_extract_all: every match materialized as an array (q63
+    // covered single-match extract/replace) — counts and a joined
+    // rendering keep the compared output scalar.
+    "q89_regexp_extract_all" -> ((s, d) => {
+      val str = concat(col("o_orderpriority"), lit("#"),
+        col("o_orderkey") % 100, lit("#"), col("o_custkey") % 10)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          size(regexp_extract_all(str, lit("\\d+"), lit(0))).as("n_runs"),
+          concat_ws("|", regexp_extract_all(str, lit("\\d+"), lit(0)))
+            .as("runs"),
+          size(regexp_extract_all(str, lit("[A-Z]+"), lit(0))).as("n_words"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -208,6 +293,61 @@ object TypeOps extends QueryModule {
         |    CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS discount_total,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q85_try_arithmetic" ->
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0), 4)
+        |    AS div3,
+        |  TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'x'
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS INT) AS cast_i,
+        |  generate_series(1, o_orderkey % 4 + 1)[9] AS oob,
+        |  generate_series(1, o_orderkey % 4 + 1)[1] AS first
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q86_string_suite2" ->
+      """SELECT o_orderkey,
+        |  split_part(o_orderpriority, '-', 2) AS word,
+        |  split_part(o_orderpriority, '-', 9) AS oob_part,
+        |  trim(o_orderpriority, '15URGENT') AS trimmed,
+        |  ltrim(o_orderpriority, '12345') AS no_digits,
+        |  repeat(o_orderstatus, 3) AS st3,
+        |  chr(CAST(o_orderkey % 26 + 65 AS INT)) AS letter,
+        |  CAST(ascii(o_orderstatus) AS INT) AS st_code,
+        |  left(o_orderpriority, 3) AS l3,
+        |  right(o_orderpriority, 4) AS r4,
+        |  CAST(instr(o_orderpriority, 'URGENT') AS INT) AS pos_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q87_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT)
+        |    AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS bucket_sum,
+        |  ROUND(MIN(o_totalprice), 2) AS lo,
+        |  ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q88_union_by_name" ->
+      """SELECT src, COUNT(*) AS n, ROUND(SUM(price), 2) AS sum_price,
+        |  COUNT(price) AS n_priced
+        |FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, 'closed' AS src
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL BY NAME
+        |  SELECT 'open' AS src, o_orderkey AS k
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q89_regexp_extract_all" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    o_orderpriority || '#' || (o_orderkey % 100) || '#'
+        |      || (o_custkey % 10) AS str
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(len(regexp_extract_all(str, '\d+')) AS INT) AS n_runs,
+        |  array_to_string(regexp_extract_all(str, '\d+'), '|') AS runs,
+        |  CAST(len(regexp_extract_all(str, '[A-Z]+')) AS INT) AS n_words
+        |FROM t ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -178,22 +178,36 @@ object ExtendedOps extends QueryModule {
     }),
 
     // IN / NOT IN subqueries through the SQL entry (the parser path,
-    // like q57): Catalyst rewrites both into semi/anti joins — same
-    // physical shape as q19, different front door. The subquery is
-    // provably null-free (a key column), so NOT IN's three-valued
-    // trap never fires.
+    // like q57). Both predicates live at WHERE level so Catalyst
+    // decorrelates them into hash-based semi / null-aware anti joins —
+    // the CASE-level form of the same predicates plans a
+    // BroadcastNestedLoopJoin (caught by PlanBudgetSpec), which is
+    // exactly the shape that dies at 100 TB. The subquery key is
+    // provably null-free, so NOT IN's three-valued trap never fires.
     "q83_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("g_orders")
       Tables.customer(s, d).createOrReplaceTempView("g_customer")
       s.sql(
-        """SELECT o_orderstatus,
-          |  COUNT(*) AS n_all,
-          |  COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM g_customer
-          |    WHERE c_acctbal > 9000) THEN 1 END) AS n_rich,
-          |  COUNT(CASE WHEN o_custkey NOT IN (SELECT c_custkey
-          |    FROM g_customer WHERE c_acctbal > 9000) THEN 1 END) AS n_rest
-          |FROM g_orders GROUP BY o_orderstatus
-          |ORDER BY o_orderstatus""".stripMargin)
+        """WITH rich AS (
+          |  SELECT o_orderstatus, COUNT(*) AS n_rich FROM g_orders
+          |  WHERE o_custkey IN (SELECT c_custkey FROM g_customer
+          |    WHERE c_acctbal > 9000)
+          |  GROUP BY o_orderstatus),
+          |rest AS (
+          |  SELECT o_orderstatus, COUNT(*) AS n_rest FROM g_orders
+          |  WHERE o_custkey NOT IN (SELECT c_custkey FROM g_customer
+          |    WHERE c_acctbal > 9000)
+          |  GROUP BY o_orderstatus),
+          |everything AS (
+          |  SELECT o_orderstatus, COUNT(*) AS n_all FROM g_orders
+          |  GROUP BY o_orderstatus)
+          |SELECT e.o_orderstatus, e.n_all,
+          |  COALESCE(rich.n_rich, 0) AS n_rich,
+          |  COALESCE(rest.n_rest, 0) AS n_rest
+          |FROM everything e
+          |LEFT JOIN rich ON e.o_orderstatus = rich.o_orderstatus
+          |LEFT JOIN rest ON e.o_orderstatus = rest.o_orderstatus
+          |ORDER BY e.o_orderstatus""".stripMargin)
     }),
 
     // Transcendental/math scalar suite: trig, logs, exponentials,
@@ -310,14 +324,26 @@ object ExtendedOps extends QueryModule {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q83_in_subquery" ->
-      """SELECT o_orderstatus,
-        |  COUNT(*) AS n_all,
-        |  COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
-        |    WHERE c_acctbal > 9000) THEN 1 END) AS n_rich,
-        |  COUNT(CASE WHEN o_custkey NOT IN (SELECT c_custkey
-        |    FROM customer WHERE c_acctbal > 9000) THEN 1 END) AS n_rest
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+      """WITH rich AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_rich FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |    WHERE c_acctbal > 9000)
+        |  GROUP BY o_orderstatus),
+        |rest AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_rest FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |    WHERE c_acctbal > 9000)
+        |  GROUP BY o_orderstatus),
+        |everything AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_all FROM orders
+        |  GROUP BY o_orderstatus)
+        |SELECT e.o_orderstatus, e.n_all,
+        |  COALESCE(rich.n_rich, 0) AS n_rich,
+        |  COALESCE(rest.n_rest, 0) AS n_rest
+        |FROM everything e
+        |LEFT JOIN rich ON e.o_orderstatus = rich.o_orderstatus
+        |LEFT JOIN rest ON e.o_orderstatus = rest.o_orderstatus
+        |ORDER BY e.o_orderstatus""".stripMargin,
 
     "q84_math_suite" ->
       """SELECT o_orderkey,

@@ -14,7 +14,9 @@ class PlanBudgetSpec extends SparkSpec {
   private val allowedNestedLoop = Set(
     "q12_outer_product",        // 64×64 constant-size cross join
     "q20_theta_range_join",     // 5-row band table, broadcast
-    "q57_scalar_subquery")      // decorrelated subquery may plan BNLJ on empty-key edge
+    "q57_scalar_subquery",      // decorrelated subquery may plan BNLJ on empty-key edge
+    "q80_tfidf",                // 1-row corpus-count scalar broadcast (N)
+    "q82_vocab_topk")           // 1-row token-total scalar broadcast
 
   // action-style queries that run their own jobs internally
   private val skipped = Set("q15_rbm_cd1_epoch", "q54_dbn_pretrain",

@@ -27,19 +27,24 @@ object TextPipeline extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF with idf = ln(N/df), top-5 terms per document by weight
-    // (term as tiebreak): tf and df are two aggregations over one
-    // tokenized explode; N crosses in as a broadcast scalar; the
-    // vocabulary-sized df relation broadcasts into the scoring join.
+    // (term as tiebreak). df is a term-partitioned window COUNT over
+    // the tf relation, NOT a second aggregation branch: the two-branch
+    // form re-tokenizes and re-shuffles the whole corpus (Catalyst
+    // does not reuse the exchange across the self-referencing
+    // branches), while the window derives df in the same single pass —
+    // one explode, then shuffles only by (doc,term) → term → doc.
+    // N crosses in as a 1-row broadcast scalar.
     "q80_tfidf" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val wTerm = Window.partitionBy(col("term"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 6)
             .as("tfidf"))

@@ -87,6 +87,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"no codegen stage markers:\n$p")
   }
 
+  test("q80 tokenizes the corpus exactly once — df comes from a window, " +
+    "not a second aggregation branch") {
+    val p = execPlan("q80_tfidf")
+    // executedPlan.toString prints the adaptive final + initial plans;
+    // count explodes in the first (final) section only
+    val firstSection = p.split("== Initial Plan ==").head
+    assert(countOccurrences(firstSection, "Generate explode") == 1,
+      s"corpus must be tokenized once:\n$firstSection")
+  }
+
   test("a key filter on a partitioned table prunes partitions at plan " +
     "time — the 100 TB layout contract") {
     // At scale the fixture tables would be laid out hive-partitioned;

@@ -232,6 +232,42 @@ object ExtendedOps extends QueryModule {
           floor(x * 10).cast("long").as("fl"),
           ceil(x * 10).cast("long").as("ce"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Approximate percentiles (t-digest class sketch) next to the
+    // exact values, with the q29 pattern for the sketch column: each
+    // engine computes ITS OWN approximation and the compared output is
+    // the exact value plus a both-sides-true error-bound predicate —
+    // the sketch answers the "p99 of 100 TB without a global sort"
+    // question, the bound proves it stayed honest.
+    "q90_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_exact"),
+          (abs(expr("percentile_approx(l_extendedprice, 0.5, 1000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+            expr("percentile(l_extendedprice, 0.5)") * 0.05).as("p50_ok"),
+          (abs(expr("percentile_approx(l_extendedprice, 0.9, 1000)") -
+            expr("percentile(l_extendedprice, 0.9)")) <=
+            expr("percentile(l_extendedprice, 0.9)") * 0.05).as("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Deterministic hash-based train/test split — the sampling every
+    // training pipeline actually ships (stable under reruns, joins,
+    // and repartitioning, unlike RNG sampling): a multiplicative hash
+    // of the key modulo 100 against the split ratio.
+    "q91_train_test_split" -> ((s, d) => {
+      val h = (col("doc_id") * 48271L) % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(h < 80, "train").otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("split"), col("lang"))
     })
   )
 
@@ -363,6 +399,24 @@ object ExtendedOps extends QueryModule {
         |  CAST(ceil(x * 10) AS BIGINT) AS ce
         |FROM (SELECT o_orderkey, o_totalprice,
         |        o_totalprice / 100000.0 AS x FROM orders)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q90_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+        |  (ABS(approx_quantile(l_extendedprice, 0.5)
+        |     - quantile_cont(l_extendedprice, 0.5))
+        |   <= quantile_cont(l_extendedprice, 0.5) * 0.05) AS p50_ok,
+        |  (ABS(approx_quantile(l_extendedprice, 0.9)
+        |     - quantile_cont(l_extendedprice, 0.9))
+        |   <= quantile_cont(l_extendedprice, 0.9) * 0.05) AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q91_train_test_split" ->
+      """SELECT CASE WHEN (doc_id * 48271) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   )
 }

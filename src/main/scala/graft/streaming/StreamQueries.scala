@@ -30,7 +30,7 @@ object StreamQueries extends QueryModule {
         StreamingOps.tumblingCounts(stream, "1 hour")
           .select(col("w_start").cast("long").as("hour_sec"),
             col("event_type"), col("n"))
-      }),
+      }.orderBy(col("hour_sec"), col("event_type"))),
 
     // Sliding windows (2h width, 1h slide): every event lands in two
     // overlapping windows, so the batch twin is an explicit 2-way
@@ -41,16 +41,33 @@ object StreamQueries extends QueryModule {
         StreamingOps.slidingCounts(stream, "2 hours", "1 hour")
           .select(col("w_start").cast("long").as("hour_sec"),
             col("event_type"), col("n"))
-      })
+      }.orderBy(col("hour_sec"), col("event_type"))),
+
+    // Stateful dedup under replay: the fixture staged TWICE into the
+    // source dir, so every event arrives duplicated in one batch;
+    // dropDuplicatesWithinWatermark must collapse each event_id back
+    // to one row (append mode — dedup emits rows, no aggregation
+    // state). The per-type counts over the deduped sink then equal the
+    // plain batch counts, proving exactly-once delivery semantics over
+    // an at-least-once source.
+    "q92_stream_dedup_replay" -> ((s, d) =>
+      replay(s, d, copies = 2, mode = "append") { stream =>
+        StreamingOps.dedupByEventId(stream, "10 minutes")
+      }.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("event_id")).as("n_ids"))
+        .orderBy(col("event_type")))
   )
 
   /** Shared replay harness: stage the events fixture into a temp dir
-    * (the file stream source requires a directory; one hardlinked file
-    * = one deterministic batch), run `build` over a file-source stream
-    * of it into a complete-mode memory sink, and return the sink table
-    * ordered by (hour_sec, event_type). Conf overrides and staging
-    * files are restored/removed before returning — the memory sink
-    * holds the result rows driver-side, so nothing references them.
+    * (the file stream source requires a directory) `copies` times
+    * (>1 = an at-least-once source: every event duplicated), run
+    * `build` over a file-source stream of it — one deterministic
+    * batch — into a memory sink, and return the (unordered) sink
+    * table; callers apply their own transforms/ordering. Conf
+    * overrides and staging files are restored/removed before
+    * returning — the memory sink holds the result rows driver-side,
+    * so nothing references them.
     *
     * Shuffle partitions are pinned to 8 for the stateful stage:
     * state-store instances (and their checkpoint dirs + open/commit
@@ -62,33 +79,36 @@ object StreamQueries extends QueryModule {
     * ns → µs inside is integer division (`ts div 1000`): double
     * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
     */
-  private def replay(s: SparkSession, d: String)(
+  private def replay(s: SparkSession, d: String, copies: Int = 1,
+      mode: String = "complete")(
       build: DataFrame => DataFrame): DataFrame = {
     val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val stage = java.nio.file.Files.createTempDirectory("replay_events")
-    val dst = stage.resolve("events.parquet")
+    val dsts = (1 to copies).map(i => stage.resolve(s"events_$i.parquet"))
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      dsts.foreach { dst =>
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      }
       val stream = s.readStream.schema(eventsSchema)
         .parquet(stage.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"replay_${runId.incrementAndGet()}"
-      val q = build(stream).writeStream.outputMode("complete")
+      val q = build(stream).writeStream.outputMode(mode)
         .format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy(col("hour_sec"), col("event_type"))
+      s.table(sink)
     } finally {
       prevNanos match {
         case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      java.nio.file.Files.deleteIfExists(dst)
+      dsts.foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(stage)
     }
   }
@@ -99,6 +119,12 @@ object StreamQueries extends QueryModule {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    // q92: duplicated replay + dedup ≡ plain distinct counts.
+    "q92_stream_dedup_replay" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Each event belongs to the 2h windows starting at its hour and
     // the hour before — the batch twin expands both starts per event.

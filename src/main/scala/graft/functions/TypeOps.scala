@@ -203,6 +203,42 @@ object TypeOps extends QueryModule {
         .orderBy(col("src"))
     }),
 
+    // VARIANT (Spark 4's semi-structured type): parse once into the
+    // typed binary encoding, then variant_get typed path extraction —
+    // vs q76's per-path from_json re-parse. The DuckDB twin extracts
+    // the same paths from the JSON text (same values, different
+    // storage); at scale variant parses each document once and shreds
+    // columnar, which is the point.
+    "q95_variant" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("g_events")
+      s.sql(
+        """SELECT event_id,
+          |  variant_get(parse_json(props), '$.k', 'int') AS k,
+          |  variant_get(parse_json(concat('{"u":', user_id,
+          |    ',"arr":[1,2,', user_id % 10, ']}')), '$.arr[2]', 'bigint')
+          |    AS arr3,
+          |  variant_get(parse_json(concat('{"u":', user_id,
+          |    ',"arr":[1,2,', user_id % 10, ']}')), '$.u', 'bigint') AS u
+          |FROM g_events ORDER BY event_id""".stripMargin)
+    }),
+
+    // Higher-order predicates over arrays: exists / forall /
+    // filter-count / reduce — the per-row quantifiers (q61/q75 covered
+    // element algebra; these are the boolean forms).
+    "q96_hof_predicates" -> ((s, d) => {
+      val arr = array(col("l_quantity"), col("l_discount") * 100.0,
+        col("l_tax") * 100.0)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"),
+          exists(arr, x => x > 24.0).as("any_big"),
+          forall(arr, x => x >= 0.0).as("all_nonneg"),
+          size(filter(arr, x => x > 5.0)).as("n_over5"),
+          round(aggregate(arr, lit(0.0), (a, x) => a + x), 4).as("arr_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+    }),
+
     // regexp_extract_all: every match materialized as an array (q63
     // covered single-match extract/replace) — counts and a joined
     // rendering keep the compared output scalar.
@@ -338,6 +374,28 @@ object TypeOps extends QueryModule {
         |  SELECT 'open' AS src, o_orderkey AS k
         |  FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q95_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract('{"u":' || user_id || ',"arr":[1,2,'
+        |    || (user_id % 10) || ']}', '$.arr[2]') AS BIGINT) AS arr3,
+        |  CAST(json_extract('{"u":' || user_id || ',"arr":[1,2,'
+        |    || (user_id % 10) || ']}', '$.u') AS BIGINT) AS u
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q96_hof_predicates" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_discount, l_tax,
+        |    [l_quantity, l_discount * 100.0, l_tax * 100.0] AS arr
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+        |  len(list_filter(arr, x -> x > 24.0)) > 0 AS any_big,
+        |  len(list_filter(arr, x -> x >= 0.0)) = len(arr) AS all_nonneg,
+        |  CAST(len(list_filter(arr, x -> x > 5.0)) AS INT) AS n_over5,
+        |  ROUND(list_sum(arr), 4) AS arr_sum
+        |FROM t
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""".stripMargin,
 
     "q89_regexp_extract_all" ->
       """WITH t AS (SELECT o_orderkey,

@@ -255,6 +255,33 @@ object ExtendedOps extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Generator source: spark.range IS a table — the id sequence
+    // becomes rows with zero I/O, partitioned like any scan (the
+    // dimension-generation / backfill primitive).
+    "q93_range_source" -> ((s, _) => {
+      s.range(0L, 1000L)
+        .select(col("id"), (col("id") % 7).as("g"), (col("id") * col("id")).as("sq"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .orderBy(col("g"))
+    }),
+
+    // Case-insensitive collation (Spark 4 COLLATE): grouping under
+    // UTF8_LCASE merges case variants — proven by deliberately
+    // case-mangling the brand column. The output key is lower()ed so
+    // both engines render the merged group identically.
+    "q94_collation" -> ((s, d) => {
+      val mangled = when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+        .otherwise(lower(col("p_brand")))
+      Tables.part(s, d)
+        .select(col("p_partkey"), mangled.as("mixed"))
+        .groupBy(collate(col("mixed"), "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n"), min(lower(col("mixed"))).as("brand"))
+        .select(col("brand"), col("n"))
+        .orderBy(col("brand"))
+    }),
+
     // Deterministic hash-based train/test split — the sampling every
     // training pipeline actually ships (stable under reruns, joins,
     // and repartitioning, unlike RNG sampling): a multiplicative hash
@@ -400,6 +427,19 @@ object ExtendedOps extends QueryModule {
         |FROM (SELECT o_orderkey, o_totalprice,
         |        o_totalprice / 100000.0 AS x FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q93_range_source" ->
+      """SELECT r % 7 AS g, COUNT(*) AS n, CAST(SUM(r * r) AS BIGINT) AS sum_sq,
+        |  MIN(r) AS lo, MAX(r) AS hi
+        |FROM range(1000) t(r) GROUP BY 1 ORDER BY g""".stripMargin,
+
+    "q94_collation" ->
+      """WITH m AS (SELECT p_partkey,
+        |    CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |      ELSE lower(p_brand) END AS mixed
+        |  FROM part)
+        |SELECT min(lower(mixed)) AS brand, COUNT(*) AS n
+        |FROM m GROUP BY mixed COLLATE NOCASE ORDER BY brand""".stripMargin,
 
     "q90_approx_percentile" ->
       """SELECT l_returnflag,

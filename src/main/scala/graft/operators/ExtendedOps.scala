@@ -282,6 +282,25 @@ object ExtendedOps extends QueryModule {
         .orderBy(col("brand"))
     }),
 
+    // Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    // multiplicity-aware difference and intersection — q25 covered the
+    // distinct forms; these keep duplicate counts, which is what
+    // "remove this batch from the corpus once" actually means.
+    "q97_bag_setops" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+      val b = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      val exceptAll = a.exceptAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n_except"))
+      val intersectAll = a.intersectAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n_intersect"))
+      exceptAll.join(intersectAll, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("k"))
+    }),
+
     // Deterministic hash-based train/test split — the sampling every
     // training pipeline actually ships (stable under reruns, joins,
     // and repartitioning, unlike RNG sampling): a multiplicative hash
@@ -452,6 +471,19 @@ object ExtendedOps extends QueryModule {
         |     - quantile_cont(l_extendedprice, 0.9))
         |   <= quantile_cont(l_extendedprice, 0.9) * 0.05) AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q97_bag_setops" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |ea AS (SELECT k, COUNT(*) AS n_except
+        |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+        |ia AS (SELECT k, COUNT(*) AS n_intersect
+        |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT COALESCE(ea.k, ia.k) AS k,
+        |  COALESCE(n_except, 0) AS n_except,
+        |  COALESCE(n_intersect, 0) AS n_intersect
+        |FROM ea FULL OUTER JOIN ia ON ea.k = ia.k
+        |ORDER BY k""".stripMargin,
 
     "q91_train_test_split" ->
       """SELECT CASE WHEN (doc_id * 48271) % 100 < 80

@@ -61,6 +61,30 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("q91 hash split lands near the 80/20 target and is exhaustive") {
+    val out = ExtendedOps.queries("q91_train_test_split")(spark, sf001)
+      .collect()
+    val bySplit = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == graft.Tables.documents(spark, sf001).count(),
+      "every document lands in exactly one split")
+    val trainShare = bySplit("train").toDouble / total
+    assert(trainShare > 0.7 && trainShare < 0.9,
+      s"multiplicative hash should approximate 80/20: $trainShare")
+  }
+
+  test("q97 bag set-ops conserve multiplicity: except + intersect = |a|") {
+    val out = ExtendedOps.queries("q97_bag_setops")(spark, sf001).collect()
+    val perKey = graft.Tables.lineitem(spark, sf001)
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perKey(r.getLong(0)),
+        s"multiplicities must partition |a| for key ${r.getLong(0)}")
+    }
+  }
+
   test("q65 stats: sample and population variance relate by n/(n-1)") {
     val out = ExtendedOps.queries("q65_stats_agg")(spark, sf001).collect()
     out.foreach { r =>

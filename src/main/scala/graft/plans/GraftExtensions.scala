@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.{RollingHash, Sigmoid, VecDot}
 
 /** Optimizer rule: recognize the composed sigmoid pattern
@@ -27,6 +27,51 @@ object RewriteSigmoid extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: recognize the declarative dot-product pattern
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
+  * (with optional to-double casts inside the multiply) and collapse it
+  * into the fused [[VecDot]] kernel — one primitive loop instead of a
+  * materialized zipped array per row. Fires only when both element
+  * types are non-nullable float/double arrays: with a nullable
+  * element, the composed form null-propagates (null × y → null → the
+  * whole sum goes null) while the fused loop would not, so those are
+  * left untouched.
+  */
+object RewriteVecDot extends Rule[LogicalPlan] {
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, DoubleType, _, _) => stripCast(c)
+    case other => other
+  }
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case nv: NamedLambdaVariable => nv.exprId == v.exprId
+      case _ => false
+    }
+
+  private def denseVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(mul: Multiply,
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(add: Add,
+            Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+        if isVar(stripCast(mul.left), x) && isVar(stripCast(mul.right), y) &&
+          ((isVar(add.left, acc) && isVar(add.right, el)) ||
+            (isVar(add.left, el) && isVar(add.right, acc))) &&
+          isVar(fin, fv) && denseVec(l) && denseVec(r) =>
+        VecDot(l, r)
+    }
+}
+
 /** `SparkSessionExtensions` installer: SQL-function registration for
   * the native expressions plus the sigmoid rewrite rule. Activate with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or per-session
@@ -36,6 +81,7 @@ object RewriteSigmoid extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSigmoid)
+    e.injectOptimizerRule(_ => RewriteVecDot)
     // cast the child exactly like the Column API surface does — a raw
     // int/long argument would otherwise ClassCastException at eval
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),

@@ -78,6 +78,46 @@ class NativeExprSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("RewriteVecDot fuses aggregate(zip_with(*)) into graft_vec_dot, " +
+    "and leaves nullable-element arrays alone") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteVecDot)
+    try {
+      // provably non-nullable elements (coalesce against a literal):
+      // the rule requires containsNull=false, because with a nullable
+      // element the composed form null-propagates and fusing would
+      // change semantics
+      val price = coalesce(col("o_totalprice"), lit(0.0))
+      val src = graft.Tables.orders(spark, sf001).limit(50)
+        .select(col("o_orderkey"),
+          array(price, price * 2).as("a"),
+          array(lit(0.5), lit(-1.5)).as("b"))
+      val composed = src.select(col("o_orderkey"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("dot"))
+      val optimized = composed.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("graft_vec_dot"),
+        s"rewrite did not fire:\n$optimized")
+      // semantics unchanged vs the unrewritten plan
+      spark.experimental.extraOptimizations = Nil
+      val expected = composed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations = Seq(graft.plans.RewriteVecDot)
+      composed.collect().foreach(r =>
+        assert(r.getDouble(1) == expected(r.getLong(0))))
+      // nullable elements (CASE WHEN injects a nullable slot): the
+      // composed form null-propagates, so the rule must NOT fire
+      val nullable = graft.Tables.orders(spark, sf001).limit(50)
+        .select(aggregate(zip_with(
+          array(when(col("o_orderkey") % 2 === 0, col("o_totalprice")),
+            lit(1.0)),
+          array(lit(0.5), lit(-1.5)),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("dot"))
+      assert(!nullable.queryExecution.optimizedPlan.toString()
+        .contains("graft_vec_dot"), "must not fuse nullable elements")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("SQL names registered by GraftExtensions resolve and evaluate") {
     new graft.plans.GraftExtensions()
     // runtime registration mirror of the injectFunction entries

@@ -26,7 +26,10 @@ object Bench {
     // 3-decimal wire precision keeps the JSON line compact: the harness
     // retains only a bounded tail of stdout, and full-precision doubles
     // over 60+ queries overflow it, truncating the line mid-JSON.
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would render "1,234"
+    // and corrupt the JSON line.
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -75,43 +77,61 @@ object RollingHash {
 }
 
 /** Dense-vector dot product over array columns (float or double
-  * elements), accumulated in double in ascending index order — the
-  * same arithmetic as `aggregate(zip_with(a, b, cast*cast), 0.0, +)`,
-  * so swapping one for the other never changes a result bit. What
-  * changes is the execution: the composed form materializes a zipped
-  * array per row per call, this expression is a fused primitive loop
-  * over the two `ArrayData` buffers inside whole-stage codegen — the
-  * ANN hot path (q43 evaluates 48 plane dots per row) allocates
-  * nothing.
+  * elements), accumulated in double in ascending index order. What
+  * changes versus the composed `aggregate(zip_with(a, b, cast*cast),
+  * 0.0, +)` form is the execution: the composed form materializes a
+  * zipped array per row per call, this expression is a fused
+  * primitive loop over the two `ArrayData` buffers inside whole-stage
+  * codegen — the ANN hot path (q43 evaluates 48 plane dots per row)
+  * allocates nothing.
   *
-  * Nulls: null array → null result (standard null-safe semantics);
-  * mismatched lengths fail the task — a schema violation, not data.
+  * Null semantics deliberately MATCH the composed form everywhere, so
+  * swapping one for the other (by hand or via [[RewriteVecDot]])
+  * never changes a result: null array → null; any null ELEMENT →
+  * null (zip_with's `null × y` poisons the composed sum the same
+  * way); mismatched lengths → null (zip_with pads the short side with
+  * nulls, which poisons the composed sum too). Non-float/double array
+  * inputs are rejected at analysis time.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   private def elemGetter(e: Expression): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => "getFloat"
-      case DoubleType => "getDouble"
-      case t => throw new IllegalArgumentException(
-        s"graft_vec_dot expects array<float|double>, got $t")
+      case _ => "getDouble"
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override def eval(input: InternalRow): Any = {
     import org.apache.spark.sql.catalyst.util.ArrayData
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    require(a.numElements() == b.numElements(),
-      s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var s = 0.0
     var i = 0
-    val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -128,15 +148,19 @@ case class VecDot(left: Expression, right: Expression)
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
-         |  throw new IllegalArgumentException("vector length mismatch: "
-         |    + $n + " vs " + $b.numElements());
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc += (double) $a.${elemGetter(left)}($i)
+         |      * (double) $b.${elemGetter(right)}($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.${elemGetter(left)}($i)
-         |    * (double) $b.${elemGetter(right)}($i);
-         |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

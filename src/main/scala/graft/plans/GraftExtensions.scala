@@ -31,11 +31,11 @@ object RewriteSigmoid extends Rule[LogicalPlan] {
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
   * (with optional to-double casts inside the multiply) and collapse it
   * into the fused [[VecDot]] kernel — one primitive loop instead of a
-  * materialized zipped array per row. Fires only when both element
-  * types are non-nullable float/double arrays: with a nullable
-  * element, the composed form null-propagates (null × y → null → the
-  * whole sum goes null) while the fused loop would not, so those are
-  * left untouched.
+  * materialized zipped array per row. Safe unconditionally on
+  * float/double arrays because VecDot reproduces the composed form's
+  * null semantics exactly: null array, null element, and mismatched
+  * lengths (zip_with null-pads the short side) all poison the
+  * composed sum to null, and VecDot returns null in the same cases.
   */
 object RewriteVecDot extends Rule[LogicalPlan] {
 
@@ -51,7 +51,7 @@ object RewriteVecDot extends Rule[LogicalPlan] {
     }
 
   private def denseVec(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType | DoubleType, containsNull) => !containsNull
+    case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
 

@@ -24,8 +24,11 @@ object SourceQueries extends QueryModule {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      // Files.walk holds directory handles open until closed
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -166,7 +166,12 @@ object StreamingOps {
       var cur = if (state.exists()) state.get() else VecState(0L, Array.empty)
       rows.foreach { e =>
         val sum = if (cur.sum.isEmpty) e.grad.clone()
-          else { val s = cur.sum.clone()
+          else {
+            // a dimension change mid-stream is a schema violation —
+            // fail loudly, never truncate or pad a gradient
+            require(e.grad.length == cur.sum.length,
+              s"gradient dim ${e.grad.length} != state dim ${cur.sum.length} for key $key")
+            val s = cur.sum.clone()
             var i = 0
             while (i < s.length) { s(i) += e.grad(i); i += 1 }
             s }

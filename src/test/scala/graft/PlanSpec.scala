@@ -128,15 +128,23 @@ class PlanSpec extends SparkSpec {
       val read = scan.metadata.get("Location").toString
       assert(scan.relation.partitionSchema.fieldNames.contains("l_returnflag"),
         read)
-      // the scan must touch exactly the one matching partition
+      // the scan must touch only files under the matching partition
+      // dir — compare against that dir's own part-file count, not the
+      // partition count (a partition may legitimately hold several
+      // part files)
       assert(scan.inputRDDs().head.partitions.nonEmpty)
       val selected = scan.metrics.get("numFiles").map(_.value)
-      val all = new java.io.File(dir).listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
-      assert(all == 3, s"expected 3 partition dirs, got $all")
-      assert(selected.exists(_ >= 1) &&
-        selected.exists(_ <= all.toLong - 2),
-        s"scan did not prune: numFiles=$selected of $all partitions")
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+      assert(dirs.length == 3, s"expected 3 partition dirs, got ${dirs.length}")
+      def partFiles(d: java.io.File): Int =
+        d.listFiles().count(_.getName.endsWith(".parquet"))
+      val matching = dirs.find(_.getName == "l_returnflag=R").get
+      val totalFiles = dirs.map(partFiles).sum
+      assert(selected.contains(partFiles(matching).toLong) &&
+        partFiles(matching) < totalFiles,
+        s"scan did not prune: numFiles=$selected, matching dir has " +
+          s"${partFiles(matching)} of $totalFiles total files")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

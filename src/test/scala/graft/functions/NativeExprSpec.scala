@@ -40,9 +40,22 @@ class NativeExprSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0, "self dot is a squared norm")
     }
     val withNull = df.select(
-      graft_vec_dot(lit(null).cast("array<double>"), col("d")).as("n"))
+      graft_vec_dot(lit(null).cast("array<double>"), col("d")).as("n"),
+      graft_vec_dot(array(lit(1.0)), col("d")).as("mismatch"),
+      graft_vec_dot(array(lit(1.0), lit(null).cast("double"), lit(3.0)),
+        col("d").cast("array<double>")).as("null_elem"))
       .collect()
     assert(withNull.forall(_.isNullAt(0)), "null array must yield null")
+    assert(withNull.forall(_.isNullAt(1)),
+      "length mismatch must yield null (zip_with null-pad parity)")
+    assert(withNull.forall(_.isNullAt(2)),
+      "null element must poison the sum (zip_with parity)")
+    // non-float/double arrays are an analysis error, not a runtime one
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft_vec_dot(array(lit(1), lit(2)), array(lit(3), lit(4))))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_vec_dot"))
   }
 
   test("rolling hash matches an independent BigInteger implementation") {
@@ -78,44 +91,53 @@ class NativeExprSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
-  test("RewriteVecDot fuses aggregate(zip_with(*)) into graft_vec_dot, " +
-    "and leaves nullable-element arrays alone") {
-    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteVecDot)
-    try {
-      // provably non-nullable elements (coalesce against a literal):
-      // the rule requires containsNull=false, because with a nullable
-      // element the composed form null-propagates and fusing would
-      // change semantics
-      val price = coalesce(col("o_totalprice"), lit(0.0))
-      val src = graft.Tables.orders(spark, sf001).limit(50)
-        .select(col("o_orderkey"),
-          array(price, price * 2).as("a"),
-          array(lit(0.5), lit(-1.5)).as("b"))
-      val composed = src.select(col("o_orderkey"),
+  test("RewriteVecDot fuses aggregate(zip_with(*)) into graft_vec_dot " +
+    "with identical results, including nullable-element arrays") {
+    def composedOf(dfArrays: org.apache.spark.sql.DataFrame) =
+      dfArrays.select(col("o_orderkey"),
         aggregate(zip_with(col("a"), col("b"),
           (x, y) => x.cast("double") * y.cast("double")),
           lit(0.0), (acc, v) => acc + v).as("dot"))
-      val optimized = composed.queryExecution.optimizedPlan.toString()
-      assert(optimized.contains("graft_vec_dot"),
-        s"rewrite did not fire:\n$optimized")
-      // semantics unchanged vs the unrewritten plan
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val price = coalesce(col("o_totalprice"), lit(0.0))
+    val dense = graft.Tables.orders(spark, sf001).limit(50)
+      .select(col("o_orderkey"),
+        array(price, price * 2).as("a"),
+        array(lit(0.5), lit(-1.5)).as("b"))
+    // nullable elements (CASE WHEN injects a nullable slot): the
+    // fused kernel must null-propagate exactly like the composed form
+    val sparse = graft.Tables.orders(spark, sf001).limit(50)
+      .select(col("o_orderkey"),
+        array(when(col("o_orderkey") % 2 === 0, col("o_totalprice")),
+          lit(1.0)).as("a"),
+        array(lit(0.5), lit(-1.5)).as("b"))
+    // mismatched lengths: zip_with null-pads → composed sum is null
+    val mismatched = graft.Tables.orders(spark, sf001).limit(50)
+      .select(col("o_orderkey"),
+        array(price, price * 2).as("a"),
+        array(lit(0.5)).as("b"))
+
+    for (src <- Seq(dense, sparse, mismatched)) {
       spark.experimental.extraOptimizations = Nil
-      val expected = composed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = results(composedOf(src))
       spark.experimental.extraOptimizations = Seq(graft.plans.RewriteVecDot)
-      composed.collect().foreach(r =>
-        assert(r.getDouble(1) == expected(r.getLong(0))))
-      // nullable elements (CASE WHEN injects a nullable slot): the
-      // composed form null-propagates, so the rule must NOT fire
-      val nullable = graft.Tables.orders(spark, sf001).limit(50)
-        .select(aggregate(zip_with(
-          array(when(col("o_orderkey") % 2 === 0, col("o_totalprice")),
-            lit(1.0)),
-          array(lit(0.5), lit(-1.5)),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v).as("dot"))
-      assert(!nullable.queryExecution.optimizedPlan.toString()
-        .contains("graft_vec_dot"), "must not fuse nullable elements")
-    } finally spark.experimental.extraOptimizations = Nil
+      try {
+        val fused = composedOf(src)
+        assert(fused.queryExecution.optimizedPlan.toString()
+          .contains("graft_vec_dot"),
+          s"rewrite did not fire:\n${fused.queryExecution.optimizedPlan}")
+        assert(results(fused) == expected, "fused results must be identical")
+      } finally spark.experimental.extraOptimizations = Nil
+    }
+    // sanity on the shapes: sparse has nulls for odd keys, mismatched
+    // is all-null — the parity above must not be vacuous
+    val sparseExpected = results(composedOf(sparse))
+    assert(sparseExpected.values.exists(_.isEmpty) &&
+      sparseExpected.values.exists(_.nonEmpty))
+    assert(results(composedOf(mismatched)).values.forall(_.isEmpty))
   }
 
   test("SQL names registered by GraftExtensions resolve and evaluate") {

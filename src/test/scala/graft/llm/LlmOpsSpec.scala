@@ -88,8 +88,8 @@ class LlmOpsSpec extends SparkSpec {
       assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
     }
     // Recall gate vs the exact brute-force baseline — same contract as
-    // q62's: single-bucket candidates (4 planes) must still recover a
-    // meaningful share of the true top-3 neighborhood.
+    // q62's: the 8-table × 6-plane OR-amplified candidate set must
+    // recover a meaningful share of the true top-3 neighborhood.
     val lshPairs = a.map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Similarity.queries("q32_knn_similarity")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

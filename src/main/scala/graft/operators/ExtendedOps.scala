@@ -282,6 +282,61 @@ object ExtendedOps extends QueryModule {
         .orderBy(col("brand"))
     }),
 
+    // Keep-latest dedup: one surviving row per key by recency — the
+    // "current version of every record" pass every CDC/ingest pipeline
+    // runs. row_number over (key, recency desc) with a unique
+    // tiebreak, keep rank 1; shuffles once by key.
+    "q98_keep_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        // µs precision on the wire: DuckDB's parquet reader surfaces
+        // the ns timestamp at µs, Spark reads the raw ns long
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Discrete percentiles (WITHIN GROUP ordered-set syntax): the
+    // returned value is an actual data element, vs q50's interpolated
+    // continuous form.
+    "q99_percentile_disc" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders_pd")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+          |    AS p25,
+          |  ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+          |    AS p50,
+          |  ROUND(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+          |    AS p90
+          |FROM g_orders_pd GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q1 pricing summary, faithful shape (q05 exercised the
+    // groupBy-sum skeleton; this is the full aggregate battery on a
+    // date-bounded scan — the canonical single-pass partial-agg
+    // benchmark query).
+    "q100_tpch_q1" -> ((s, d) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(disc), 2).as("sum_disc_price"),
+          round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
     // multiplicity-aware difference and intersection — q25 covered the
     // distinct forms; these keep duplicate counts, which is what
@@ -471,6 +526,39 @@ object ExtendedOps extends QueryModule {
         |     - quantile_cont(l_extendedprice, 0.9))
         |   <= quantile_cont(l_extendedprice, 0.9) * 0.05) AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q98_keep_latest" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q99_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+        |    AS p25,
+        |  ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+        |    AS p50,
+        |  ROUND(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+        |    AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q100_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
+        |    AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+        |    AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q97_bag_setops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),

@@ -27,9 +27,11 @@ object Bench {
     // retains only a bounded tail of stdout, and full-precision doubles
     // over 60+ queries overflow it, truncating the line mid-JSON.
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
-    // and corrupt the JSON line.
+    // and corrupt the JSON line. 2-decimal wire precision: at 100
+    // queries the line must stay well under the harness's ~3.5KB
+    // stdout-tail window or it arrives truncated mid-JSON.
     def f(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -23,13 +23,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal wire precision keeps the JSON line compact: the harness
-    // retains only a bounded tail of stdout, and full-precision doubles
-    // over 60+ queries overflow it, truncating the line mid-JSON.
-    // Locale.ROOT: a comma-decimal default locale would render "1,234"
-    // and corrupt the JSON line. 2-decimal wire precision: at 100
-    // queries the line must stay well under the harness's ~3.5KB
-    // stdout-tail window or it arrives truncated mid-JSON.
+    // 2-decimal wire precision: the harness retains only a ~3.5KB tail
+    // of stdout, and at 100 queries the line must stay well under that
+    // or it arrives truncated mid-JSON. Locale.ROOT: a comma-decimal
+    // default locale would render "1,234" and corrupt the line.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -110,28 +109,29 @@ case class VecDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  private def elemGetter(e: Expression): String =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => "getFloat"
-      case _ => "getDouble"
-    }
+  @transient private lazy val aFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val bFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val aNullable =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  @transient private lazy val bNullable =
+    right.dataType.asInstanceOf[ArrayType].containsNull
 
-  override def eval(input: InternalRow): Any = {
+  private def elemGetter(float: Boolean): String =
+    if (float) "getFloat" else "getDouble"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
     import org.apache.spark.sql.catalyst.util.ArrayData
-    val l = left.eval(input)
-    if (l == null) return null
-    val r = right.eval(input)
-    if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if ((aNullable && a.isNullAt(i)) || (bNullable && b.isNullAt(i)))
+        return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -145,6 +145,19 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // per-element null tests are emitted ONLY for sides whose
+      // element type is actually nullable — a provably-dense side
+      // (literal plane arrays, coalesced columns) keeps the tight
+      // branch-free loop the kernel exists for
+      val nullChecks = Seq(
+        if (aNullable) Some(s"$a.isNullAt($i)") else None,
+        if (bNullable) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"""if (${nullChecks.mkString(" || ")}) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }""".stripMargin
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -152,12 +165,9 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |      ${ev.isNull} = true;
-         |      break;
-         |    }
-         |    $acc += (double) $a.${elemGetter(left)}($i)
-         |      * (double) $b.${elemGetter(right)}($i);
+         |    $nullGuard
+         |    $acc += (double) $a.${elemGetter(aFloat)}($i)
+         |      * (double) $b.${elemGetter(bFloat)}($i);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

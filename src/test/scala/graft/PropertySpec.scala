@@ -45,6 +45,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vec_dot law: equals an independent fold for random vectors, " +
+    "null elements poison, mismatched lengths null out") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.exprs.graft_vec_dot
+    val gen = for {
+      n <- Gen.choose(0, 16)
+      a <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+      b <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+      nullAt <- Gen.option(Gen.choose(0, math.max(n - 1, 0)))
+    } yield (a.toArray, b.toArray, nullAt.filter(_ => n > 0))
+    val samples = (0 until 120).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val rows = samples.map { case (a, b, nullAt) =>
+      val aSeq = a.map(Double.box).toSeq
+      org.apache.spark.sql.Row(
+        nullAt.fold(aSeq)(i => aSeq.updated(i, null)),
+        b.map(Double.box).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, true)),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = df.select(graft_vec_dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    samples.zip(got).foreach { case ((a, b, nullAt), g) =>
+      val want =
+        if (nullAt.isDefined) None
+        else Some(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y })
+      assert(g == want, s"n=${a.length} nullAt=$nullAt")
+    }
+    // mismatched lengths → null, matching zip_with null-pad semantics
+    val mm = df.select(graft_vec_dot(
+      concat(col("a"), array(lit(1.0))), col("b"))).collect()
+    assert(mm.forall(_.isNullAt(0)))
+  }
+
   test("rolling hash is prefix-composable: H(a++b) = H(a)*257^|b| + H(b) mod M") {
     val M = BigInt(2).pow(61) - 1
     forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>

@@ -57,6 +57,28 @@ object StreamQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("event_id")).as("n_ids"))
         .orderBy(col("event_type")))
+    ,
+
+    // Stateful SESSION windows under replay, append mode — the only
+    // output mode session aggregations support, which means a session
+    // row is emitted exactly once, when the watermark finalizes it
+    // (the replay harness's sentinel batch advances the watermark past
+    // every real session). Proven equal to the batch
+    // lag/cumulative-sum sessionization (q30's construction) computed
+    // at the same µs precision the stream sees. The decimal-summed
+    // value keeps the per-session total order-independent.
+    "q101_stream_session_replay" -> ((s, d) =>
+      replay(s, d, mode = "append", sentinel = true) { stream =>
+        stream.withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+              .cast("double").as("sum_value"))
+          .select(unix_micros(col("session_window.start")).as("s_start_us"),
+            unix_micros(col("session_window.end")).as("s_end_us"),
+            col("user_id"), col("n_events"), col("sum_value"))
+      }.filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("s_start_us")))
   )
 
   /** Shared replay harness: stage the events fixture into a temp dir
@@ -80,7 +102,7 @@ object StreamQueries extends QueryModule {
     * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
     */
   private def replay(s: SparkSession, d: String, copies: Int = 1,
-      mode: String = "complete")(
+      mode: String = "complete", sentinel: Boolean = false)(
       build: DataFrame => DataFrame): DataFrame = {
     val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -94,9 +116,35 @@ object StreamQueries extends QueryModule {
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       }
-      val stream = s.readStream.schema(eventsSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (sentinel) {
+        // Append-mode state (session windows) only EMITS once the
+        // watermark passes it, and a finite replay's watermark stops at
+        // max(ts) − lateness — the tail sessions would stay unemitted
+        // forever. A single far-future sentinel event in a LATER batch
+        // (maxFilesPerTrigger=1 + later mtime orders it second) pushes
+        // the watermark past every real session; Spark's no-data batch
+        // then evicts and emits them. The sentinel's own session stays
+        // un-finalized, so callers filter its user_id (-1).
+        val farNs = 4000000000000000000L // ~year 2096 in epoch-ns
+        import scala.jdk.CollectionConverters._
+        val row = org.apache.spark.sql.Row(-1L, farNs, -1L, "sentinel", 0.0, "{}")
+        val tmpOut = stage.resolve("sentinel_build")
+        s.createDataFrame(Seq(row).asJava, eventsSchema)
+          .coalesce(1).write.parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val sentinelDst = stage.resolve("events_zz_sentinel.parquet")
+        java.nio.file.Files.move(part, sentinelDst)
+        deleteTree(tmpOut)
+        java.nio.file.Files.setLastModifiedTime(sentinelDst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 60000))
+      }
+      val reader = s.readStream.schema(eventsSchema)
+      val stream =
+        (if (sentinel) reader.option("maxFilesPerTrigger", "1") else reader)
+          .parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"replay_${runId.incrementAndGet()}"
       val q = build(stream).writeStream.outputMode(mode)
         .format("memory").queryName(sink).start()
@@ -108,10 +156,18 @@ object StreamQueries extends QueryModule {
         case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      dsts.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      deleteTree(stage)
     }
   }
+
+  /** Remove a staging tree (files first, then dirs). */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   def oracle: Map[String, String] = Map(
     "q46_stream_tumbling_replay" ->
@@ -119,6 +175,30 @@ object StreamQueries extends QueryModule {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    // q101: the batch sessionization twin runs on epoch-µs longs —
+    // the same precision the stream sees after its ns→µs conversion —
+    // so gap-boundary comparisons agree exactly. Session end = last
+    // event + gap, matching session_window's end.
+    "q101_stream_session_replay" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |f AS (
+        |  SELECT user_id, tu, value,
+        |    CASE WHEN LAG(tu) OVER w IS NULL
+        |           OR tu > LAG(tu) OVER w + 1800000000 THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s2 AS (
+        |  SELECT user_id, tu, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT MIN(tu) AS s_start_us, MAX(tu) + 1800000000 AS s_end_us,
+        |  user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM s2 GROUP BY user_id, sess
+        |ORDER BY user_id, s_start_us""".stripMargin,
 
     // q92: duplicated replay + dedup ≡ plain distinct counts.
     "q92_stream_dedup_replay" ->

@@ -72,8 +72,7 @@ object StreamQueries extends QueryModule {
         stream.withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)))
-              .cast("double").as("sum_value"))
+            dsum(col("value")).as("sum_value"))
           .select(unix_micros(col("session_window.start")).as("s_start_us"),
             unix_micros(col("session_window.end")).as("s_end_us"),
             col("user_id"), col("n_events"), col("sum_value"))
@@ -131,8 +130,11 @@ object StreamQueries extends QueryModule {
         val tmpOut = stage.resolve("sentinel_build")
         s.createDataFrame(Seq(row).asJava, eventsSchema)
           .coalesce(1).write.parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
+        val listing = java.nio.file.Files.list(tmpOut)
+        val part =
+          try listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
         val sentinelDst = stage.resolve("events_zz_sentinel.parquet")
         java.nio.file.Files.move(part, sentinelDst)
         deleteTree(tmpOut)
@@ -181,7 +183,7 @@ object StreamQueries extends QueryModule {
     // so gap-boundary comparisons agree exactly. Session end = last
     // event + gap, matching session_window's end.
     "q101_stream_session_replay" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tu, value FROM events),
         |f AS (
         |  SELECT user_id, tu, value,
@@ -196,7 +198,7 @@ object StreamQueries extends QueryModule {
         |  FROM f)
         |SELECT MIN(tu) AS s_start_us, MAX(tu) + 1800000000 AS s_end_us,
         |  user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |  ${dsumSql("value")} AS sum_value
         |FROM s2 GROUP BY user_id, sess
         |ORDER BY user_id, s_start_us""".stripMargin,
 

@@ -84,6 +84,19 @@ class PropertySpec extends SparkSpec {
     val mm = df.select(graft_vec_dot(
       concat(col("a"), array(lit(1.0))), col("b"))).collect()
     assert(mm.forall(_.isNullAt(0)))
+    // dense float×double path: Seq.toDF marks primitive-array elements
+    // non-nullable, so this drives the branch-free codegen loop (the
+    // nullable cases above drive the guarded one) with a float getter
+    import spark.implicits._
+    val denseSamples = samples.filter(_._1.nonEmpty).take(50)
+      .map { case (a, b, _) => (a.map(_.toFloat), b) }
+    val denseGot = denseSamples.toDF("f", "d")
+      .select(graft_vec_dot(col("f"), col("d"))).collect().map(_.getDouble(0))
+    denseSamples.zip(denseGot).foreach { case ((f, b), g) =>
+      val want = f.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y }
+      assert(g == want, "dense float path must match the fold")
+    }
   }
 
   test("rolling hash is prefix-composable: H(a++b) = H(a)*257^|b| + H(b) mod M") {

@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SetAggOps,
     operators.AdvancedOps,
     operators.ExtendedOps,
+    operators.SurfaceOps,
     rbm.RbmQueries,
     llm.TextAnalysis,
     llm.Dedup,

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** API-surface coverage: the entry points a reference user would
+  * expect beyond the core relational set — struct-exploding
+  * generators, the typed Dataset API, delimited-string maps, and XML
+  * parsing. Each is a thin deterministic query whose oracle re-derives
+  * the same rows relationally.
+  */
+object SurfaceOps extends QueryModule {
+
+  // public: generated encoder/projection code must reach these types
+  case class Li(flag: String, qty: Double, price: Double)
+  case class LiStats(n: Long, sumQty: Double, sumPrice: Double)
+
+  /** Typed three-way statistics in one partial-aggregable pass — the
+    * Dataset-API analogue of count+sum+avg (same HashAggregate plan
+    * the untyped agg produces).
+    */
+  object LiStatsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Li, LiStats, LiStats] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: LiStats = LiStats(0L, 0.0, 0.0)
+    override def reduce(b: LiStats, a: Li): LiStats =
+      LiStats(b.n + 1, b.sumQty + a.qty, b.sumPrice + a.price)
+    override def merge(x: LiStats, y: LiStats): LiStats =
+      LiStats(x.n + y.n, x.sumQty + y.sumQty, x.sumPrice + y.sumPrice)
+    override def finish(r: LiStats): LiStats = r
+    override def bufferEncoder: Encoder[LiStats] = Encoders.product[LiStats]
+    override def outputEncoder: Encoder[LiStats] = Encoders.product[LiStats]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Struct-exploding generators: inline() turns an array of structs
+    // into columns-per-field rows (one narrow Generate, like explode);
+    // stack() is its literal-table cousin. Both shapes the reference's
+    // A8 flatMap could never express.
+    "q102_inline_stack" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          inline(array(
+            struct(lit("total").as("kind"), col("o_totalprice").as("v")),
+            // ×2 keeps the value at 2 decimals — a /2 would land on
+            // exact .xx5 halves where the engines' double-rounding
+            // conventions differ (shortest-decimal vs binary value)
+            struct(lit("double").as("kind"), (col("o_totalprice") * 2).as("v")))))
+        .select(col("o_orderkey"), col("kind"), round(col("v"), 2).as("v"))
+        .orderBy(col("o_orderkey"), col("kind"))
+    }),
+
+    // The typed Dataset API end-to-end: case-class encoder, typed
+    // filter/map, groupByKey + typed aggregators — same Catalyst plan
+    // underneath (encoders compile to expressions), proven by the
+    // relational oracle.
+    "q103_typed_dataset" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
+        .as[Li]
+        .filter((li: Li) => li.qty > 10.0)
+        .groupByKey((li: Li) => li.flag)
+        .agg(LiStatsAgg.toColumn.name("stats"))
+        .toDF("flag", "stats")
+        .select(col("flag"), col("stats.n").as("n"),
+          round(col("stats.sumQty"), 2).as("sum_qty"),
+          round(col("stats.sumPrice") / col("stats.n"), 2).as("avg_price"))
+        .orderBy(col("flag"))
+    }),
+
+    // Delimited-string maps (str_to_map): the poor man's properties
+    // column every log pipeline carries, parsed without a UDF.
+    "q104_str_to_map" -> ((s, d) => {
+      val kv = concat(lit("pri:"), col("o_orderpriority"),
+        lit(",st:"), col("o_orderstatus"),
+        lit(",k:"), col("o_orderkey") % 100)
+      val m = str_to_map(kv, lit(","), lit(":"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          element_at(m, "pri").as("pri"),
+          element_at(m, "st").as("st"),
+          element_at(m, "k").cast("int").as("k"),
+          size(m).as("n_keys"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // XML parsing (Spark 4 from_xml): typed struct extraction out of a
+    // markup column — the oracle re-extracts the same fields from the
+    // identical document with regexps, so the check is value-level,
+    // not parser-level.
+    "q105_from_xml" -> ((s, d) => {
+      val xml = concat(lit("<order><key>"), col("o_orderkey"),
+        lit("</key><status>"), col("o_orderstatus"),
+        lit("</status><price>"), col("o_totalprice"),
+        lit("</price></order>"))
+      val parsed = from_xml(xml, lit("STRUCT<key: BIGINT, status: STRING, price: DOUBLE>"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          parsed.getField("key").as("xkey"),
+          parsed.getField("status").as("xstatus"),
+          round(parsed.getField("price"), 2).as("xprice"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q102_inline_stack" ->
+      """SELECT o_orderkey, kind, ROUND(v, 2) AS v FROM (
+        |  SELECT o_orderkey, 'total' AS kind, o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'double' AS kind, o_totalprice * 2 AS v FROM orders)
+        |ORDER BY o_orderkey, kind""".stripMargin,
+
+    "q103_typed_dataset" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem WHERE l_quantity > 10.0
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+    "q104_str_to_map" ->
+      """SELECT o_orderkey, o_orderpriority AS pri, o_orderstatus AS st,
+        |  CAST(o_orderkey % 100 AS INT) AS k, 3 AS n_keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q105_from_xml" ->
+      """WITH x AS (SELECT o_orderkey,
+        |    '<order><key>' || o_orderkey || '</key><status>'
+        |      || o_orderstatus || '</status><price>' || o_totalprice
+        |      || '</price></order>' AS doc
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(regexp_extract(doc, '<key>(.*)</key>', 1) AS BIGINT) AS xkey,
+        |  regexp_extract(doc, '<status>(.*)</status>', 1) AS xstatus,
+        |  ROUND(CAST(regexp_extract(doc, '<price>(.*)</price>', 1) AS DOUBLE), 2)
+        |    AS xprice
+        |FROM x ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -87,6 +87,54 @@ object SurfaceOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Timezone conversions: wall-clock ↔ UTC both ways plus a direct
+    // zone-to-zone hop, over dates that straddle DST transitions. Both
+    // sides are written session-timezone-independent: instants render
+    // as epoch µs, wall clocks as naive strings (the DuckDB twin
+    // anchors naive→instant through an explicit UTC conversion rather
+    // than the session zone).
+    "q106_timezones" -> ((s, d) => {
+      val ts = col("o_orderdate")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          unix_micros(to_utc_timestamp(ts, "America/New_York"))
+            .as("ny_wall_as_utc_us"),
+          date_format(from_utc_timestamp(ts, "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("utc_as_ny_wall"),
+          date_format(convert_timezone(lit("America/New_York"),
+            lit("Asia/Tokyo"), ts), "yyyy-MM-dd HH:mm:ss")
+            .as("ny_to_tokyo_wall"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Catalog DDL surface: CREATE TABLE ... USING parquet at an
+    // external location, INSERT INTO from a query, read back through
+    // the catalog name, DROP — the managed-metadata path a SQL user
+    // expects. The result is materialized before the table and its
+    // files are dropped, so the query leaves no catalog or disk state.
+    "q107_catalog_ddl" -> ((s, d) => {
+      val loc = java.nio.file.Files.createTempDirectory("q107_tbl")
+      val tbl = s"graft_q107_${System.nanoTime()}"
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("g_orders_ddl")
+        s.sql(s"""CREATE TABLE $tbl (o_orderstatus STRING, n BIGINT,
+          |  sum_price DOUBLE) USING parquet LOCATION '$loc'""".stripMargin)
+        s.sql(s"""INSERT INTO $tbl
+          |SELECT o_orderstatus, COUNT(*) AS n,
+          |  ROUND(SUM(o_totalprice), 2) AS sum_price
+          |FROM g_orders_ddl GROUP BY o_orderstatus""".stripMargin)
+        val back = s.sql(s"SELECT * FROM $tbl ORDER BY o_orderstatus")
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
     // XML parsing (Spark 4 from_xml): typed struct extraction out of a
     // markup column — the oracle re-extracts the same fields from the
     // identical document with regexps, so the check is value-level,
@@ -125,6 +173,23 @@ object SurfaceOps extends QueryModule {
       """SELECT o_orderkey, o_orderpriority AS pri, o_orderstatus AS st,
         |  CAST(o_orderkey % 100 AS INT) AS k, 3 AS n_keys
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q106_timezones" ->
+      """SELECT o_orderkey,
+        |  epoch_us(timezone('America/New_York', o_orderdate))
+        |    AS ny_wall_as_utc_us,
+        |  strftime(timezone('America/New_York',
+        |    timezone('UTC', o_orderdate)), '%Y-%m-%d %H:%M:%S')
+        |    AS utc_as_ny_wall,
+        |  strftime(timezone('Asia/Tokyo',
+        |    timezone('America/New_York', o_orderdate)), '%Y-%m-%d %H:%M:%S')
+        |    AS ny_to_tokyo_wall
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q107_catalog_ddl" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q105_from_xml" ->
       """WITH x AS (SELECT o_orderkey,

@@ -99,6 +99,13 @@ object StreamQueries extends QueryModule {
     *
     * ns → µs inside is integer division (`ts div 1000`): double
     * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
+    *
+    * Concurrency contract: the session-conf overrides make this
+    * harness single-query-at-a-time per session (a query planned
+    * concurrently in the same session would inherit the temporary
+    * shuffle setting). The driver's Verify/Bench run queries
+    * sequentially; a server deployment would isolate replays in their
+    * own session (`spark.newSession()`).
     */
   private def replay(s: SparkSession, d: String, copies: Int = 1,
       mode: String = "complete", sentinel: Boolean = false)(

@@ -36,17 +36,21 @@ object SurfaceOps extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Struct-exploding generators: inline() turns an array of structs
     // into columns-per-field rows (one narrow Generate, like explode);
-    // stack() is its literal-table cousin. Both shapes the reference's
-    // A8 flatMap could never express.
+    // stack() is its literal-table cousin — both surfaces exercised
+    // and unioned. Multipliers keep values at 2 decimals: a /2 would
+    // land on exact .xx5 halves where the engines' double-rounding
+    // conventions differ (shortest-decimal vs binary value).
     "q102_inline_stack" -> ((s, d) => {
-      Tables.orders(s, d)
+      val inlined = Tables.orders(s, d)
         .select(col("o_orderkey"),
           inline(array(
             struct(lit("total").as("kind"), col("o_totalprice").as("v")),
-            // ×2 keeps the value at 2 decimals — a /2 would land on
-            // exact .xx5 halves where the engines' double-rounding
-            // conventions differ (shortest-decimal vs binary value)
             struct(lit("double").as("kind"), (col("o_totalprice") * 2).as("v")))))
+      val stacked = Tables.orders(s, d)
+        .select(col("o_orderkey"), expr(
+          "stack(2, 'triple', o_totalprice * 3, 'tens', o_totalprice * 10)" +
+            " AS (kind, v)"))
+      inlined.unionByName(stacked)
         .select(col("o_orderkey"), col("kind"), round(col("v"), 2).as("v"))
         .orderBy(col("o_orderkey"), col("kind"))
     }),
@@ -88,11 +92,13 @@ object SurfaceOps extends QueryModule {
     }),
 
     // Timezone conversions: wall-clock ↔ UTC both ways plus a direct
-    // zone-to-zone hop, over dates that straddle DST transitions. Both
-    // sides are written session-timezone-independent: instants render
-    // as epoch µs, wall clocks as naive strings (the DuckDB twin
-    // anchors naive→instant through an explicit UTC conversion rather
-    // than the session zone).
+    // zone-to-zone hop, over dates that straddle DST transitions. The
+    // Spark side assumes the engine's pinned UTC session zone
+    // (build.sbt -Duser.timezone + Verify's session.timeZone config) —
+    // to_utc_timestamp and date_format read/render through it. The
+    // DuckDB twin is made session-independent explicitly: instants as
+    // epoch µs, wall clocks as naive strings, naive→instant through an
+    // explicit timezone('UTC', ...) hop.
     "q106_timezones" -> ((s, d) => {
       val ts = col("o_orderdate")
       Tables.orders(s, d)
@@ -127,11 +133,19 @@ object SurfaceOps extends QueryModule {
         s.createDataFrame(
           java.util.Arrays.asList(back.collect(): _*), back.schema)
       } finally {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        // cleanup is log-and-continue: a throwing finally would mask
+        // the root-cause exception from the try body
+        def quietly(step: => Unit): Unit =
+          try step catch { case e: Exception =>
+            System.err.println(s"[q107] cleanup step failed: ${e.getMessage}") }
+        quietly(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        quietly(s.catalog.dropTempView("g_orders_ddl"))
+        quietly {
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
       }
     }),
 
@@ -159,7 +173,11 @@ object SurfaceOps extends QueryModule {
       """SELECT o_orderkey, kind, ROUND(v, 2) AS v FROM (
         |  SELECT o_orderkey, 'total' AS kind, o_totalprice AS v FROM orders
         |  UNION ALL
-        |  SELECT o_orderkey, 'double' AS kind, o_totalprice * 2 AS v FROM orders)
+        |  SELECT o_orderkey, 'double' AS kind, o_totalprice * 2 AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'triple' AS kind, o_totalprice * 3 AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'tens' AS kind, o_totalprice * 10 AS v FROM orders)
         |ORDER BY o_orderkey, kind""".stripMargin,
 
     "q103_typed_dataset" ->

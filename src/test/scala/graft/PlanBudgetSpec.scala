@@ -20,7 +20,9 @@ class PlanBudgetSpec extends SparkSpec {
 
   // action-style queries that run their own jobs internally
   private val skipped = Set("q15_rbm_cd1_epoch", "q54_dbn_pretrain",
-    "q46_stream_tumbling_replay", "q34_digit_classifier")
+    "q46_stream_tumbling_replay", "q34_digit_classifier",
+    "q107_catalog_ddl") // runs its DDL round-trip eagerly; the audited
+    // plan would be the LocalTableScan of collected rows
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

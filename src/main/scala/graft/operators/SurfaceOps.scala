@@ -149,6 +149,38 @@ object SurfaceOps extends QueryModule {
       }
     }),
 
+    // Data masking (mask()): the character-class redaction primitive
+    // for sharing datasets with PII shapes intact — uppercase/
+    // lowercase/digit classes each mapped to a fixed placeholder,
+    // punctuation preserved (complements q81's pattern-level scrub).
+    "q108_mask" -> ((s, d) => {
+      val raw = concat(col("o_orderpriority"), lit("/"),
+        col("o_orderstatus"), lit("#"), col("o_orderkey") % 1000)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          mask(raw).as("masked_default"),
+          mask(raw, lit("U"), lit("l"), lit("9"), lit("*")).as("masked_custom"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Banker's rounding (bround, HALF_EVEN): demonstrated on
+    // binary-EXACT halves (k + 0.5, k + 0.25) — the only tie values
+    // where both engines provably see the same tie. A data-derived
+    // .xx5 double is not exactly representable, and the engines break
+    // the phantom tie differently (Spark rounds the shortest-decimal
+    // rendering, DuckDB the binary value), so those stay out of the
+    // oracle-checked surface.
+    "q109_bround" -> ((s, d) => {
+      val half = col("o_orderkey") + 0.5
+      val quarter = col("o_orderkey") + 0.25
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          bround(half, 0).as("even_int"),
+          bround(quarter, 1).as("even_tenth"),
+          round(half, 0).as("up_int"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // XML parsing (Spark 4 from_xml): typed struct extraction out of a
     // markup column — the oracle re-extracts the same fields from the
     // identical document with regexps, so the check is value-level,
@@ -208,6 +240,27 @@ object SurfaceOps extends QueryModule {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q108_mask" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    o_orderpriority || '/' || o_orderstatus || '#'
+        |      || (o_orderkey % 1000) AS raw
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked_default,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g'),
+        |    '[^Ul9]', '*', 'g') AS masked_custom
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "q109_bround" ->
+      """SELECT o_orderkey,
+        |  round_even(o_orderkey + 0.5, 0) AS even_int,
+        |  round_even(o_orderkey + 0.25, 1) AS even_tenth,
+        |  ROUND(o_orderkey + 0.5, 0) AS up_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q105_from_xml" ->
       """WITH x AS (SELECT o_orderkey,

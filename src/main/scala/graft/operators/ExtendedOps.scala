@@ -239,19 +239,24 @@ object ExtendedOps extends QueryModule {
     // engine computes ITS OWN approximation and the compared output is
     // the exact value plus a both-sides-true error-bound predicate —
     // the sketch answers the "p99 of 100 TB without a global sort"
-    // question, the bound proves it stayed honest.
+    // question, the bound proves it stayed honest. Exact percentiles
+    // run on the integer-valued quantity column: interpolating a
+    // continuous column can land ulp-close to a rounding boundary
+    // where the engines' (formula-different) interpolations round to
+    // different cents, while integer inputs keep every interpolated
+    // value far from one.
     "q90_approx_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_exact"),
-          (abs(expr("percentile_approx(l_extendedprice, 0.5, 1000)") -
-            expr("percentile(l_extendedprice, 0.5)")) <=
-            expr("percentile(l_extendedprice, 0.5)") * 0.05).as("p50_ok"),
-          (abs(expr("percentile_approx(l_extendedprice, 0.9, 1000)") -
-            expr("percentile(l_extendedprice, 0.9)")) <=
-            expr("percentile(l_extendedprice, 0.9)") * 0.05).as("p90_ok"))
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_exact"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_exact"),
+          (abs(expr("percentile_approx(l_quantity, 0.5, 1000)") -
+            expr("percentile(l_quantity, 0.5)")) <=
+            expr("percentile(l_quantity, 0.5)") * 0.05).as("p50_ok"),
+          (abs(expr("percentile_approx(l_quantity, 0.9, 1000)") -
+            expr("percentile(l_quantity, 0.9)")) <=
+            expr("percentile(l_quantity, 0.9)") * 0.05).as("p90_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -517,14 +522,14 @@ object ExtendedOps extends QueryModule {
 
     "q90_approx_percentile" ->
       """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
-        |  (ABS(approx_quantile(l_extendedprice, 0.5)
-        |     - quantile_cont(l_extendedprice, 0.5))
-        |   <= quantile_cont(l_extendedprice, 0.5) * 0.05) AS p50_ok,
-        |  (ABS(approx_quantile(l_extendedprice, 0.9)
-        |     - quantile_cont(l_extendedprice, 0.9))
-        |   <= quantile_cont(l_extendedprice, 0.9) * 0.05) AS p90_ok
+        |  ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_exact,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_exact,
+        |  (ABS(approx_quantile(l_quantity, 0.5)
+        |     - quantile_cont(l_quantity, 0.5))
+        |   <= quantile_cont(l_quantity, 0.5) * 0.05) AS p50_ok,
+        |  (ABS(approx_quantile(l_quantity, 0.9)
+        |     - quantile_cont(l_quantity, 0.9))
+        |   <= quantile_cont(l_quantity, 0.9) * 0.05) AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q98_keep_latest" ->

@@ -181,6 +181,24 @@ object SurfaceOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Cryptographic hash + binary encodings: sha2-256 and md5 digests,
+    // base64 and hex round-trips — content addressing and wire
+    // encodings every ingest pipeline leans on (q42's fingerprint used
+    // md5; this pins the wider family, with a decode-what-you-encoded
+    // proof column).
+    "q110_hash_encode" -> ((s, d) => {
+      val txt = concat(col("o_orderpriority"), lit("|"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          sha2(txt, 256).as("sha256_hex"),
+          md5(txt).as("md5_hex"),
+          base64(txt.cast("binary")).as("b64"),
+          unbase64(base64(txt.cast("binary"))).cast("string").as("b64_rt"),
+          lower(hex(txt)).as("hex_str"),
+          unhex(lower(hex(txt))).cast("string").as("hex_rt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // XML parsing (Spark 4 from_xml): typed struct extraction out of a
     // markup column — the oracle re-extracts the same fields from the
     // identical document with regexps, so the check is value-level,
@@ -261,6 +279,18 @@ object SurfaceOps extends QueryModule {
         |  round_even(o_orderkey + 0.25, 1) AS even_tenth,
         |  ROUND(o_orderkey + 0.5, 0) AS up_int
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q110_hash_encode" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    o_orderpriority || '|' || o_orderkey AS txt FROM orders)
+        |SELECT o_orderkey,
+        |  sha256(txt) AS sha256_hex,
+        |  md5(txt) AS md5_hex,
+        |  to_base64(txt::BLOB) AS b64,
+        |  CAST(from_base64(to_base64(txt::BLOB)) AS VARCHAR) AS b64_rt,
+        |  lower(hex(txt)) AS hex_str,
+        |  CAST(unhex(lower(hex(txt))) AS VARCHAR) AS hex_rt
+        |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "q105_from_xml" ->
       """WITH x AS (SELECT o_orderkey,

@@ -251,12 +251,17 @@ object ExtendedOps extends QueryModule {
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_exact"),
           round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_exact"),
-          (abs(expr("percentile_approx(l_quantity, 0.5, 1000)") -
-            expr("percentile(l_quantity, 0.5)")) <=
-            expr("percentile(l_quantity, 0.5)") * 0.05).as("p50_ok"),
-          (abs(expr("percentile_approx(l_quantity, 0.9, 1000)") -
-            expr("percentile(l_quantity, 0.9)")) <=
-            expr("percentile(l_quantity, 0.9)") * 0.05).as("p90_ok"))
+          // the sketch bounds stay on the continuous high-cardinality
+          // price column (the boolean 5% slack is ulp-robust; only the
+          // rounded exact columns needed the integer swap) — on the
+          // ~50-value quantity column the sketch would degenerate to
+          // exact counting and the bound could never fail
+          (abs(expr("percentile_approx(l_extendedprice, 0.5, 1000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+            expr("percentile(l_extendedprice, 0.5)") * 0.05).as("p50_ok"),
+          (abs(expr("percentile_approx(l_extendedprice, 0.9, 1000)") -
+            expr("percentile(l_extendedprice, 0.9)")) <=
+            expr("percentile(l_extendedprice, 0.9)") * 0.05).as("p90_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -524,12 +529,12 @@ object ExtendedOps extends QueryModule {
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_exact,
         |  ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_exact,
-        |  (ABS(approx_quantile(l_quantity, 0.5)
-        |     - quantile_cont(l_quantity, 0.5))
-        |   <= quantile_cont(l_quantity, 0.5) * 0.05) AS p50_ok,
-        |  (ABS(approx_quantile(l_quantity, 0.9)
-        |     - quantile_cont(l_quantity, 0.9))
-        |   <= quantile_cont(l_quantity, 0.9) * 0.05) AS p90_ok
+        |  (ABS(approx_quantile(l_extendedprice, 0.5)
+        |     - quantile_cont(l_extendedprice, 0.5))
+        |   <= quantile_cont(l_extendedprice, 0.5) * 0.05) AS p50_ok,
+        |  (ABS(approx_quantile(l_extendedprice, 0.9)
+        |     - quantile_cont(l_extendedprice, 0.9))
+        |   <= quantile_cont(l_extendedprice, 0.9) * 0.05) AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q98_keep_latest" ->

@@ -188,14 +188,17 @@ object SurfaceOps extends QueryModule {
     // proof column).
     "q110_hash_encode" -> ((s, d) => {
       val txt = concat(col("o_orderpriority"), lit("|"), col("o_orderkey"))
+      // decode columns reuse the projected encode columns, so the
+      // round-trip provably decodes the same encoding it pins (and
+      // each encoding is computed once)
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           sha2(txt, 256).as("sha256_hex"),
           md5(txt).as("md5_hex"),
           base64(txt.cast("binary")).as("b64"),
-          unbase64(base64(txt.cast("binary"))).cast("string").as("b64_rt"),
-          lower(hex(txt)).as("hex_str"),
-          unhex(lower(hex(txt))).cast("string").as("hex_rt"))
+          lower(hex(txt)).as("hex_str"))
+        .withColumn("b64_rt", unbase64(col("b64")).cast("string"))
+        .withColumn("hex_rt", unhex(col("hex_str")).cast("string"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -283,14 +286,14 @@ object SurfaceOps extends QueryModule {
     "q110_hash_encode" ->
       """WITH t AS (SELECT o_orderkey,
         |    o_orderpriority || '|' || o_orderkey AS txt FROM orders)
-        |SELECT o_orderkey,
-        |  sha256(txt) AS sha256_hex,
-        |  md5(txt) AS md5_hex,
-        |  to_base64(txt::BLOB) AS b64,
-        |  CAST(from_base64(to_base64(txt::BLOB)) AS VARCHAR) AS b64_rt,
-        |  lower(hex(txt)) AS hex_str,
-        |  CAST(unhex(lower(hex(txt))) AS VARCHAR) AS hex_rt
-        |FROM t ORDER BY o_orderkey""".stripMargin,
+        |SELECT o_orderkey, sha256_hex, md5_hex, b64, hex_str,
+        |  CAST(from_base64(b64) AS VARCHAR) AS b64_rt,
+        |  CAST(unhex(hex_str) AS VARCHAR) AS hex_rt
+        |FROM (SELECT o_orderkey,
+        |    sha256(txt) AS sha256_hex, md5(txt) AS md5_hex,
+        |    to_base64(txt::BLOB) AS b64, lower(hex(txt)) AS hex_str
+        |  FROM t)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q105_from_xml" ->
       """WITH x AS (SELECT o_orderkey,

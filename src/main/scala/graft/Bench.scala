@@ -27,9 +27,13 @@ object Bench {
     // of stdout, and at 100 queries the line must stay well under that
     // or it arrives truncated mid-JSON. Locale.ROOT: a comma-decimal
     // default locale would render "1,234" and corrupt the line.
+    // Keys are shortened to the unique "qNN" prefix for the same reason:
+    // full names at 110+ queries overflow the tail and the driver gets
+    // an unparseable fragment (r1 and r2 both arrived parsed:null).
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -75,16 +75,27 @@ object TextPipeline extends QueryModule {
     // Vocabulary construction: corpus-wide term frequencies, dense
     // ranks, and cumulative coverage share — the "how many terms cover
     // 95% of the corpus" table every tokenizer build starts from.
+    // Top-20 goes through orderBy().limit() → TakeOrderedAndProject
+    // (per-partition heaps + driver merge), NOT a partition-less
+    // row_number window: that plans Exchange SinglePartition over the
+    // ENTIRE term-frequency table — a 10⁸-term single-task funnel at
+    // corpus scale (PlanBudgetSpec now rejects that shape registry-
+    // wide). Rank is recovered afterwards by position in the sorted
+    // collected array — ≤20 rows, no Window node at all.
     "q82_vocab_topk" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(explode(tokens).as("term"))
       val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
-      val wRank = Window.orderBy(col("freq").desc, col("term"))
       val total = freq.agg(sum(col("freq")).as("total"))
-      freq.crossJoin(broadcast(total))
-        .select(col("term"), col("freq"),
-          round(col("freq").cast("double") / col("total"), 6).as("share"))
-        .withColumn("rank", row_number().over(wRank).cast("int"))
-        .filter(col("rank") <= 20)
+      val top = freq.orderBy(col("freq").desc, col("term")).limit(20)
+      top
+        .agg(sort_array(collect_list(struct(
+          (-col("freq")).as("negf"), col("term").as("term")))).as("arr"))
+        .crossJoin(broadcast(total))
+        .select(posexplode(col("arr")), col("total"))
+        .select(col("col.term").as("term"), (-col("col.negf")).as("freq"),
+          round((-col("col.negf")).cast("double") / col("total"), 6)
+            .as("share"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("rank"))
     })
   )

@@ -46,4 +46,26 @@ class PlanBudgetSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("no query plans a partition-less window (Exchange SinglePartition " +
+    "funnel over the full input)") {
+    // A Window with an empty PARTITION BY requires every row in one
+    // partition — the plan Spark emits is Exchange SinglePartition +
+    // single-task sort, which is exactly the shape that dies at 10⁸+
+    // rows. Global top-k belongs in orderBy().limit(k)
+    // (TakeOrderedAndProject) with rank recovered on the k survivors
+    // (see q82_vocab_topk). Checked at the optimized-logical level so
+    // AQE/codegen formatting can't hide it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skipped(name) => None
+      case (name, fn) =>
+        val globals = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(s"$name: ${globals.size} global window(s)")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -85,6 +85,26 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("q97 closed form equals the literal exceptAll/intersectAll plan") {
+    // q97 ships the 1-scan/1-shuffle dual-count form; this pins its
+    // equivalence to Spark's bag-semantics operators (the 4-scan plan
+    // it replaced), keeping the exceptAll/intersectAll API covered.
+    import org.apache.spark.sql.functions._
+    val a = graft.Tables.lineitem(spark, sf001).select(col("l_suppkey").as("k"))
+    val b = graft.Tables.lineitem(spark, sf001)
+      .filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val literal = a.exceptAll(b).groupBy(col("k"))
+      .agg(count(lit(1)).as("n_except"))
+      .join(a.intersectAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n_intersect")), Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val closed = ExtendedOps.queries("q97_bag_setops")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(closed.sameElements(literal))
+  }
+
   test("q65 stats: sample and population variance relate by n/(n-1)") {
     val out = ExtendedOps.queries("q65_stats_agg")(spark, sf001).collect()
     out.foreach { r =>

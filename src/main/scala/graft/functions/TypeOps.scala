@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables}
+import graft.operators.RelationalCore.{dsum, dsumSql}
 
 /** Round-2 type-system widening: map columns, interval arithmetic,
   * bitwise ops, sequence/zip higher-order functions, structured JSON
@@ -179,7 +180,8 @@ object TypeOps extends QueryModule {
       Tables.orders(s, d)
         .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("bucket_sum"),
+          // money sum through DECIMAL(20,4): exact, merge-order-free
+          round(dsum(col("o_totalprice")), 2).as("bucket_sum"),
           round(min(col("o_totalprice")), 2).as("lo"),
           round(max(col("o_totalprice")), 2).as("hi"))
         .orderBy(col("bucket"))
@@ -198,7 +200,8 @@ object TypeOps extends QueryModule {
       a.unionByName(b, allowMissingColumns = true)
         .groupBy(col("src"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("price")), 2).as("sum_price"),
+          // money sum through DECIMAL(20,4): exact, merge-order-free
+          round(dsum(col("price")), 2).as("sum_price"),
           count(col("price")).as("n_priced"))
         .orderBy(col("src"))
     }),
@@ -356,16 +359,16 @@ object TypeOps extends QueryModule {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q87_histogram" ->
-      """SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT)
+      s"""SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT)
         |    AS bucket,
         |  COUNT(*) AS n,
-        |  ROUND(SUM(o_totalprice), 2) AS bucket_sum,
+        |  ROUND(${dsumSql("o_totalprice")}, 2) AS bucket_sum,
         |  ROUND(MIN(o_totalprice), 2) AS lo,
         |  ROUND(MAX(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q88_union_by_name" ->
-      """SELECT src, COUNT(*) AS n, ROUND(SUM(price), 2) AS sum_price,
+      s"""SELECT src, COUNT(*) AS n, ROUND(${dsumSql("price")}, 2) AS sum_price,
         |  COUNT(price) AS n_priced
         |FROM (
         |  SELECT o_orderkey AS k, o_totalprice AS price, 'closed' AS src

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -329,21 +330,38 @@ object ExtendedOps extends QueryModule {
     // TPC-H Q1 pricing summary, faithful shape (q05 exercised the
     // groupBy-sum skeleton; this is the full aggregate battery on a
     // date-bounded scan — the canonical single-pass partial-agg
-    // benchmark query).
+    // benchmark query). Money parity rule: a raw double sum's
+    // partial-agg merge order is nondeterministic, so a
+    // cent-rounding-boundary hit vs the oracle would be a flake.
+    // Sums therefore run in exact decimal — and crucially the SOURCE
+    // columns are cast to DECIMAL(12,2) BEFORE any arithmetic:
+    // casting a double PRODUCT to decimal is not portable (Spark
+    // rounds the double's shortest decimal representation, DuckDB the
+    // exact binary value — they disagree at the product's noise
+    // digits), while 2-dp source data casts identically on both
+    // (noise ~1e-13 « 0.005). The decimal multiplies are then exact
+    // on both engines.
     "q100_tpch_q1" -> ((s, d) => {
-      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val dec = DecimalType(12, 2)
+      val price = col("l_extendedprice").cast(dec)
+      val qty = col("l_quantity").cast(dec)
+      val one = lit(1).cast(dec)
+      val disc = price * (one - col("l_discount").cast(dec))
+      val charge = disc * (one + col("l_tax").cast(dec))
+      val n = count(lit(1))
+      def dsum(c: Column) = sum(c).cast("double")
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(disc), 2).as("sum_disc_price"),
-          round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          round(dsum(qty), 2).as("sum_qty"),
+          round(dsum(price), 2).as("sum_base_price"),
+          round(dsum(disc), 2).as("sum_disc_price"),
+          round(dsum(charge), 2).as("sum_charge"),
+          round(dsum(qty) / n, 4).as("avg_qty"),
+          round(dsum(price) / n, 4).as("avg_price"),
+          round(dsum(col("l_discount").cast(dec)) / n, 6).as("avg_disc"),
+          n.as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -555,20 +573,29 @@ object ExtendedOps extends QueryModule {
         |    AS p90
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Twin of the decimal-first construction: 2-dp source columns cast
+    // to DECIMAL(12,2) before any arithmetic, multiplies exact in
+    // decimal, double conversion only at the end.
     "q100_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
-        |    AS sum_disc_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
-        |    AS sum_charge,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |    CAST(l_discount AS DECIMAL(12,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(12,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(price) AS DOUBLE), 2) AS sum_base_price,
+        |  ROUND(CAST(SUM(price * (CAST(1 AS DECIMAL(12,2)) - disc))
+        |    AS DOUBLE), 2) AS sum_disc_price,
+        |  ROUND(CAST(SUM(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+        |    * (CAST(1 AS DECIMAL(12,2)) + tax)) AS DOUBLE), 2) AS sum_charge,
+        |  ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |FROM t
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 

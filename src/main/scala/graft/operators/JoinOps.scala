@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import RelationalCore.{dsum, dsumSql}
+import RelationalCore.{dsum, dsumSql, revenue, revenueSql}
 
 /** Join operator family. The reference's only join is the map-side
   * replicated join of every example against the broadcast weight matrix
@@ -38,7 +38,8 @@ object JoinOps extends QueryModule {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -91,7 +92,8 @@ object JoinOps extends QueryModule {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"),
           count(lit(1)).as("cnt"))
         .orderBy(col("n_name"))
     })
@@ -105,7 +107,8 @@ object JoinOps extends QueryModule {
 
     "q17_inner_equi_join" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
-         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |  CAST(SUM(${revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE)
+         |    AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -135,7 +138,9 @@ object JoinOps extends QueryModule {
          |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "q21_multiway_star_join" ->
-      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev,
+      s"""SELECT n_name,
+         |  CAST(SUM(${revenueSql("l_extendedprice", "l_discount")}) AS DOUBLE)
+         |    AS rev,
          |  COUNT(*) AS cnt
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey

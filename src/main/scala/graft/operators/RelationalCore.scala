@@ -20,10 +20,31 @@ import graft.{QueryModule, Tables}
   */
 object RelationalCore extends QueryModule {
 
-  /** Order-independent exact sum of a monetary double column. */
+  /** Order-independent exact sum of a monetary double column. Only for
+    * SOURCE columns (≤4 decimals exact): casting a double PRODUCT to
+    * decimal is engine-dependent at its noise digits — use [[revenue]]
+    * for derived money terms.
+    */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 4))).cast("double")
   /** DuckDB twin of [[dsum]]. */
   def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,4))) AS DOUBLE)"
+
+  /** Exact TPC-H revenue term `price * (1 - discount)`: the 2-dp
+    * source columns cast to DECIMAL(12,2) BEFORE the multiply, so the
+    * product is exact decimal on both engines. Casting the double
+    * product instead is NOT portable: Spark rounds the double's
+    * shortest decimal representation, DuckDB the exact binary value —
+    * they disagree at the product's noise digits, while 2-dp source
+    * data casts identically on both (noise ~1e-13 « 0.005).
+    */
+  def revenue(price: Column, discount: Column): Column = {
+    val dec = DecimalType(12, 2)
+    price.cast(dec) * (lit(1).cast(dec) - discount.cast(dec))
+  }
+  /** DuckDB twin of [[revenue]]. */
+  def revenueSql(price: String, discount: String): String =
+    s"CAST($price AS DECIMAL(12,2)) * " +
+      s"(CAST(1 AS DECIMAL(12,2)) - CAST($discount AS DECIMAL(12,2)))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1+A4: scan + projection; Catalyst prunes the parquet scan to the

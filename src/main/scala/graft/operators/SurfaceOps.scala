@@ -15,21 +15,28 @@ object SurfaceOps extends QueryModule {
   // public: generated encoder/projection code must reach these types
   case class Li(flag: String, qty: Double, price: Double)
   case class LiStats(n: Long, sumQty: Double, sumPrice: Double)
+  case class LiStatsBuf(n: Long, sumQty: Double, sumPriceCents: Long)
 
   /** Typed three-way statistics in one partial-aggregable pass — the
     * Dataset-API analogue of count+sum+avg (same HashAggregate plan
-    * the untyped agg produces).
+    * the untyped agg produces). Money accumulates as exact long CENTS
+    * (prices carry 2 decimals): a raw double price sum's partial-agg
+    * merge order is nondeterministic, so cent-rounding vs the oracle
+    * would be a flake — the repo's money-parity rule (dsum elsewhere),
+    * expressed here in the typed-Aggregator buffer instead. Quantity
+    * stays double: integer-valued, so its double sum is exact.
     */
   object LiStatsAgg
-      extends org.apache.spark.sql.expressions.Aggregator[Li, LiStats, LiStats] {
+      extends org.apache.spark.sql.expressions.Aggregator[Li, LiStatsBuf, LiStats] {
     import org.apache.spark.sql.{Encoder, Encoders}
-    override def zero: LiStats = LiStats(0L, 0.0, 0.0)
-    override def reduce(b: LiStats, a: Li): LiStats =
-      LiStats(b.n + 1, b.sumQty + a.qty, b.sumPrice + a.price)
-    override def merge(x: LiStats, y: LiStats): LiStats =
-      LiStats(x.n + y.n, x.sumQty + y.sumQty, x.sumPrice + y.sumPrice)
-    override def finish(r: LiStats): LiStats = r
-    override def bufferEncoder: Encoder[LiStats] = Encoders.product[LiStats]
+    override def zero: LiStatsBuf = LiStatsBuf(0L, 0.0, 0L)
+    override def reduce(b: LiStatsBuf, a: Li): LiStatsBuf =
+      LiStatsBuf(b.n + 1, b.sumQty + a.qty, b.sumPriceCents + math.round(a.price * 100))
+    override def merge(x: LiStatsBuf, y: LiStatsBuf): LiStatsBuf =
+      LiStatsBuf(x.n + y.n, x.sumQty + y.sumQty, x.sumPriceCents + y.sumPriceCents)
+    override def finish(r: LiStatsBuf): LiStats =
+      LiStats(r.n, r.sumQty, r.sumPriceCents / 100.0)
+    override def bufferEncoder: Encoder[LiStatsBuf] = Encoders.product[LiStatsBuf]
     override def outputEncoder: Encoder[LiStats] = Encoders.product[LiStats]
   }
 
@@ -233,10 +240,13 @@ object SurfaceOps extends QueryModule {
         |  SELECT o_orderkey, 'tens' AS kind, o_totalprice * 10 AS v FROM orders)
         |ORDER BY o_orderkey, kind""".stripMargin,
 
+    // avg_price's sum through DECIMAL(20,4) — the exact value the
+    // Spark side's long-cents buffer produces, merge-order-free.
     "q103_typed_dataset" ->
       """SELECT l_returnflag AS flag, COUNT(*) AS n,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    / COUNT(*), 2) AS avg_price
         |FROM lineitem WHERE l_quantity > 10.0
         |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
 

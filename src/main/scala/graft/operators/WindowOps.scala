@@ -63,7 +63,10 @@ object WindowOps extends QueryModule {
     // of session-break flags (SURVEY q30; streaming twin uses
     // session_window in graft.streaming.StreamingOps). `ts` is an epoch
     // nanosecond long (Tables.events), so the gap test is pure integer
-    // arithmetic — exact on both engines.
+    // arithmetic — exact on both engines. The break test is `>=`
+    // to match session_window's exclusive end (an event at exactly
+    // prev+gap starts a new session), keeping q30's batch convention
+    // identical to q101's streaming semantics.
     "q30_session_window_batch" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -72,7 +75,7 @@ object WindowOps extends QueryModule {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + lit(gapNs), 1).otherwise(0))
+            col("ts") >= col("prev_ts") + lit(gapNs), 1).otherwise(0))
         .withColumn("sess", sum(col("is_new")).over(frame))
         .groupBy(col("user_id"), col("sess"))
         .agg(count(lit(1)).as("n_events"),
@@ -119,7 +122,7 @@ object WindowOps extends QueryModule {
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, value,
          |    CASE WHEN LAG(ts, 1) OVER w IS NULL
-         |           OR ts > LAG(ts, 1) OVER w + INTERVAL '30 minutes'
+         |           OR ts >= LAG(ts, 1) OVER w + INTERVAL '30 minutes'
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -79,21 +79,56 @@ object RewriteVecDot extends Rule[LogicalPlan] {
   * at runtime via `spark.experimental.extraOptimizations`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSigmoid)
     e.injectOptimizerRule(_ => RewriteVecDot)
-    // cast the child exactly like the Column API surface does — a raw
-    // int/long argument would otherwise ClassCastException at eval
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),
       new ExpressionInfo(classOf[Sigmoid].getName, "graft_sigmoid"),
-      (children: Seq[Expression]) =>
-        Sigmoid(Cast(children.head, org.apache.spark.sql.types.DoubleType))))
+      buildSigmoid))
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (children: Seq[Expression]) =>
-        RollingHash(Cast(children.head, org.apache.spark.sql.types.StringType))))
+      buildRollingHash))
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      buildVecDot))
+  }
+}
+
+/** The SQL-name builders, shared between [[GraftExtensions]] and
+  * runtime `functionRegistry` registration. Each validates arity
+  * first — a friendly analysis-time error (Spark's own WRONG_NUM_ARGS
+  * condition, matching checkInputDataTypes' style) instead of an
+  * IndexOutOfBoundsException from blind children(i) indexing — and
+  * casts the child exactly like the Column API surface does (a raw
+  * int/long argument would otherwise ClassCastException at eval).
+  */
+object GraftExtensions {
+
+  private def requireArity(name: String, expected: Int,
+      children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  val buildSigmoid: Seq[Expression] => Expression = { children =>
+    requireArity("graft_sigmoid", 1, children)
+    Sigmoid(Cast(children.head, org.apache.spark.sql.types.DoubleType))
+  }
+
+  val buildRollingHash: Seq[Expression] => Expression = { children =>
+    requireArity("graft_rolling_hash", 1, children)
+    RollingHash(Cast(children.head, org.apache.spark.sql.types.StringType))
+  }
+
+  val buildVecDot: Seq[Expression] => Expression = { children =>
+    requireArity("graft_vec_dot", 2, children)
+    VecDot(children(0), children(1))
   }
 }

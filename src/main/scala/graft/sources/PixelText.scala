@@ -26,28 +26,46 @@ object PixelText {
     * per line — the reference's format detector branch.
     *
     * Id stability: layer-k lines carry their own key (the offset the
-    * prop job emitted) and that key IS the id — stable under any file
-    * split. Raw layer-0 lines have no key, so ids fall back to
-    * `monotonically_increasing_id()`, which is stable only for a fixed
-    * file layout (the same property the reference's byte-offset keys
-    * had); pipelines needing layout-independent determinism at layer 0
-    * should ingest from a keyed source (e.g. the parquet fixtures'
-    * `vec_id`). Fallback ids are offset by 2^40 to separate them from
-    * keyed ids, but the separation is bounded, not absolute:
-    * monotonically_increasing_id packs partitionId into bits 33+, so a
-    * scan with >= 128 partitions already exceeds the offset, and keyed
-    * byte offsets beyond ~1 TB of layer-k text collide back into the
-    * fallback range. Directories mixing keyed and un-keyed files at
-    * that scale must ingest layer 0 from a keyed source instead of
-    * relying on this fallback.
+    * prop job emitted — a TextInputFormat byte offset, always ≥ 0) and
+    * that key IS the id — stable under any file split. Raw layer-0
+    * lines have no key, so the id is derived from the line's physical
+    * coordinates: `xxhash64(file_path, byte_offset) | Long.MinValue`.
+    * Both coordinates come from the Hadoop input split (the same
+    * byte-offset key the reference's mapper received,
+    * `rbmmapper.java:86`), so the id is stable under task retries,
+    * `repartition`, and executor count — unlike
+    * `monotonically_increasing_id()`, which bakes in the partition id.
+    * Forcing the sign bit makes fallback ids NEGATIVE, disjoint from
+    * the non-negative keyed ids by construction at any scale.
+    * Uniqueness is 63-bit-hash probabilistic (~1e-2 collision odds at
+    * 10^10 lines), not guaranteed — pipelines needing exact ids at
+    * layer 0 should ingest from a keyed source (e.g. the parquet
+    * fixtures' `vec_id`).
     */
   def read(spark: SparkSession, path: String, numdims: Int): DataFrame = {
-    val fallbackBase = 1L << 40
-    val lines = spark.read.text(path)
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    // newAPIHadoopFile instead of spark.read.text: the DataFrame text
+    // source exposes no per-line byte offset, and a window row_number
+    // over the file would need a single-partition sort per file. The
+    // split's (path, offset) pair is free, exact, and retry-stable.
+    val hrdd = spark.sparkContext.newAPIHadoopFile(path,
+      classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    val coords = hrdd.mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      // Text/LongWritable instances are reused by the record reader —
+      // materialize per element before the iterator advances
+      it.map { case (off, line) => (file, off.get(), line.toString) }
+    }
+    val sq = spark
+    import sq.implicits._
+    val lines = coords.toDF("file", "byte_off", "value")
       .select(
         when(col("value").contains("\t"),
           substring_index(col("value"), "\t", 1).cast("long"))
-          .otherwise(monotonically_increasing_id() + fallbackBase).as("row_id"),
+          .otherwise(xxhash64(col("file"), col("byte_off"))
+            .bitwiseOR(lit(Long.MinValue))).as("row_id"),
         col("value"))
     val payload = when(col("value").contains("\t"),
       substring_index(col("value"), "\t", -1)).otherwise(col("value"))

@@ -149,9 +149,19 @@ object StreamQueries extends QueryModule {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + 60000))
       }
+      // Non-sentinel replays (q92's at-least-once dedup proof in
+      // particular) rely on ALL staged copies landing in ONE
+      // micro-batch: a second copy arriving in a later batch would sit
+      // below the watermark the first advanced, where
+      // dropDuplicatesWithinWatermark gives no dedup guarantee. The
+      // default source behavior (unset maxFilesPerTrigger = all
+      // available files per trigger) already does this, but pin it
+      // explicitly so a Spark default change can't silently break the
+      // single-batch assumption. Sentinel replays need the OPPOSITE
+      // (1 file per batch) so the sentinel arrives after the data.
       val reader = s.readStream.schema(eventsSchema)
-      val stream =
-        (if (sentinel) reader.option("maxFilesPerTrigger", "1") else reader)
+        .option("maxFilesPerTrigger", if (sentinel) "1" else (copies + 1).toString)
+      val stream = reader
           .parquet(stage.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"replay_${runId.incrementAndGet()}"
@@ -188,14 +198,16 @@ object StreamQueries extends QueryModule {
     // q101: the batch sessionization twin runs on epoch-µs longs —
     // the same precision the stream sees after its ns→µs conversion —
     // so gap-boundary comparisons agree exactly. Session end = last
-    // event + gap, matching session_window's end.
+    // event + gap, and the break test is `>=` because session_window's
+    // end is EXCLUSIVE: an event at exactly prev+gap starts a new
+    // session in the stream, so it must in the twin too.
     "q101_stream_session_replay" ->
       s"""WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tu, value FROM events),
         |f AS (
         |  SELECT user_id, tu, value,
         |    CASE WHEN LAG(tu) OVER w IS NULL
-        |           OR tu > LAG(tu) OVER w + 1800000000 THEN 1 ELSE 0 END
+        |           OR tu >= LAG(tu) OVER w + 1800000000 THEN 1 ELSE 0 END
         |      AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
         |s2 AS (

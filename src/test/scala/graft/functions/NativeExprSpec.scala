@@ -140,18 +140,33 @@ class NativeExprSpec extends SparkSpec {
     assert(results(composedOf(mismatched)).values.forall(_.isEmpty))
   }
 
-  test("SQL names registered by GraftExtensions resolve and evaluate") {
-    new graft.plans.GraftExtensions()
-    // runtime registration mirror of the injectFunction entries
+  test("SQL names registered by GraftExtensions resolve and evaluate, " +
+    "and wrong arity is a friendly analysis error") {
+    import graft.plans.GraftExtensions
+    // runtime registration of the SAME builders injectFunction uses
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sigmoid", es => Sigmoid(es.head), "scala_udf")
+      "graft_sigmoid", GraftExtensions.buildSigmoid, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", es => RollingHash(es.head), "scala_udf")
+      "graft_rolling_hash", GraftExtensions.buildRollingHash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot", GraftExtensions.buildVecDot, "scala_udf")
     val r = spark.sql(
-      "SELECT graft_sigmoid(CAST(0.0 AS DOUBLE)) AS s, graft_rolling_hash('ab') AS h")
+      "SELECT graft_sigmoid(0) AS s, graft_rolling_hash('ab') AS h, " +
+        "graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v")
       .head()
     assert(r.getDouble(0) == 0.5)
     assert(r.getLong(1) == 257L * 'a'.toLong + 'b'.toLong)
+    assert(r.getDouble(2) == 11.0)
+    // arity is validated at analysis time with WRONG_NUM_ARGS, not an
+    // IndexOutOfBoundsException from children(1)
+    for ((sql, fn) <- Seq(
+        "SELECT graft_vec_dot(array(1.0d))" -> "graft_vec_dot",
+        "SELECT graft_sigmoid(1.0d, 2.0d)" -> "graft_sigmoid",
+        "SELECT graft_rolling_hash()" -> "graft_rolling_hash")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", sql)
+      assert(e.getMessage.contains(fn), sql)
+    }
   }
 
   test("fused CD1 Aggregator produces the same gradient as a scalar sweep") {

@@ -80,45 +80,48 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("s_start_us")))
   )
 
-  /** Shared replay harness: stage the events fixture into a temp dir
-    * (the file stream source requires a directory) `copies` times
-    * (>1 = an at-least-once source: every event duplicated), run
-    * `build` over a file-source stream of it — one deterministic
-    * batch — into a memory sink, and return the (unordered) sink
-    * table; callers apply their own transforms/ordering. Conf
-    * overrides and staging files are restored/removed before
-    * returning — the memory sink holds the result rows driver-side,
-    * so nothing references them.
-    *
-    * Shuffle partitions are pinned to 8 for the stateful stage:
-    * state-store instances (and their checkpoint dirs + open/commit
-    * cost) scale with shuffle partitions, and a few thousand groups in
-    * one replayed batch gain nothing from the session's CPU-count
-    * setting. An unbounded deployment would size this to key
-    * cardinality, not core count.
-    *
-    * ns → µs inside is integer division (`ts div 1000`): double
-    * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
-    *
-    * Concurrency contract: the session-conf overrides make this
-    * harness single-query-at-a-time per session (a query planned
-    * concurrently in the same session would inherit the temporary
-    * shuffle setting). The driver's Verify/Bench run queries
-    * sequentially; a server deployment would isolate replays in their
-    * own session (`spark.newSession()`).
+  /** Scratch space for replay staging + checkpoints: tmpfs (/dev/shm)
+    * when available. Replay checkpoints are throwaway — the WAL/state
+    * durability they buy is meaningless for a finite deterministic
+    * replay whose result is collected to a memory sink in the same
+    * call — so paying disk fsyncs for offset logs and 8 state-store
+    * delta commits per batch is pure fixed cost (~40% of a replay's
+    * wall time on ext4 /tmp). A real deployment would point
+    * checkpointLocation at durable storage; this harness documents
+    * that trade explicitly. Cleaned by JVM shutdown hook.
     */
-  private def replay(s: SparkSession, d: String, copies: Int = 1,
-      mode: String = "complete", sentinel: Boolean = false)(
-      build: DataFrame => DataFrame): DataFrame = {
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val stage = java.nio.file.Files.createTempDirectory("replay_events")
-    val dsts = (1 to copies).map(i => stage.resolve(s"events_$i.parquet"))
-    try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_replay_")
+      else java.nio.file.Files.createTempDirectory("graft_replay_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
+    root
+  }
+
+  /** Content-addressed staged-source cache: one staged copy of the
+    * events fixture per (sfDir, copies, sentinel) shape, shared across
+    * the four replay queries and across reruns in the same JVM —
+    * q46/q79 share a key outright, and repeated Verify/Bench passes
+    * pay the staging (and q101's sentinel-write Spark job) once.
+    * Safe to share: the file stream source only reads the directory,
+    * and each replay gets its own fresh checkpoint, so per-query
+    * processed-file tracking never collides.
+    */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), java.nio.file.Path]()
+
+  private def stagedSource(s: SparkSession, d: String, copies: Int,
+      sentinel: Boolean): java.nio.file.Path =
+    stageCache.computeIfAbsent((d, copies, sentinel), _ => {
+      val stage = java.nio.file.Files.createTempDirectory(scratchRoot, "src_")
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      dsts.foreach { dst =>
+      (1 to copies).foreach { i =>
+        val dst = stage.resolve(s"events_$i.parquet")
+        // hardlink fails across devices (fixture on disk, stage on
+        // tmpfs) → copy; the fixture is small relative to tmpfs
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       }
@@ -149,6 +152,61 @@ object StreamQueries extends QueryModule {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + 60000))
       }
+      stage
+    })
+
+  /** Shared replay harness: stage the events fixture into a cached
+    * tmpfs dir (the file stream source requires a directory) `copies`
+    * times (>1 = an at-least-once source: every event duplicated), run
+    * `build` over a file-source stream of it — one deterministic
+    * batch — into a memory sink, and return the (unordered) sink
+    * table; callers apply their own transforms/ordering. Conf
+    * overrides and the per-run checkpoint are restored/removed before
+    * returning — the memory sink holds the result rows driver-side,
+    * so nothing references them.
+    *
+    * Shuffle partitions are pinned to 4 for the stateful stage:
+    * state-store instances (and their checkpoint dirs + open/commit
+    * cost) scale with shuffle partitions, and the ≤100k keys in one
+    * replayed batch gain nothing from the session's CPU-count
+    * setting. An unbounded deployment would size this to key
+    * cardinality, not core count. Whole-stage codegen is disabled for
+    * the replay for the same finite-batch reason: each micro-batch
+    * re-plans and re-compiles the generated code, a fixed ~0.2-0.4s
+    * that a 1-3-batch replay never amortizes (a long-running stream
+    * compiles once and runs thousands of batches — it would keep
+    * codegen on). Both settings are restored on exit.
+    *
+    * ns → µs inside is integer division (`ts div 1000`): double
+    * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
+    *
+    * Concurrency contract: the session-conf overrides make this
+    * harness single-query-at-a-time per session (a query planned
+    * concurrently in the same session would inherit the temporary
+    * shuffle setting). The driver's Verify/Bench run queries
+    * sequentially; a server deployment would isolate replays in their
+    * own session (`spark.newSession()`).
+    */
+  private def t[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (sys.env.contains("GRAFT_REPLAY_TIMING"))
+      println(f"[replay-t] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  private def replay(s: SparkSession, d: String, copies: Int = 1,
+      mode: String = "complete", sentinel: Boolean = false)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      val stage = t("stage") { stagedSource(s, d, copies, sentinel) }
       // Non-sentinel replays (q92's at-least-once dedup proof in
       // particular) rely on ALL staged copies landing in ONE
       // micro-batch: a second copy arriving in a later batch would sit
@@ -165,9 +223,10 @@ object StreamQueries extends QueryModule {
           .parquet(stage.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"replay_${runId.incrementAndGet()}"
-      val q = build(stream).writeStream.outputMode(mode)
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      val q = t("query-start") { build(stream).writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(sink).start() }
+      try t("process-all") { q.processAllAvailable() } finally t("stop") { q.stop() }
       s.table(sink)
     } finally {
       prevNanos match {
@@ -175,7 +234,8 @@ object StreamQueries extends QueryModule {
         case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      deleteTree(stage)
+      s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      deleteTree(ckpt)
     }
   }
 

@@ -95,7 +95,10 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = lshPairs.intersect(brute).size.toDouble / brute.size
     info(s"LSH recall@3 vs brute force = $recall")
-    assert(recall > 0.35,
+    // measured 0.53 on the fixture; the gate sits just below so a
+    // silent quality regression (e.g. a plane-seeding change) fails
+    // while fixture-level jitter does not
+    assert(recall > 0.45,
       s"8-table OR-amplified LSH should recover a meaningful share " +
         s"of true neighbors: $recall")
   }
@@ -111,7 +114,9 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivfPairs.intersect(brute).size.toDouble / brute.size
     info(s"IVF recall@3 vs brute force = $recall")
-    assert(recall > 0.2,
+    // gate just below the measured fixture recall (same rationale as
+    // q43's): catches quality regressions, not fixture jitter
+    assert(recall > 0.3,
       s"nprobe=2 over 8 cells should recover some true neighbors: $recall")
   }
 

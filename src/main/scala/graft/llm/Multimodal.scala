@@ -5,29 +5,27 @@ import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
 /** Multimodal-column plumbing: media (image/audio/video) live as
-  * opaque `binary` columns with typed metadata alongside. This module
-  * makes the Spark-side plumbing real — binary casting, metadata
-  * extraction, and a partition-batched feature extractor — while the
-  * actual media *decode* is a clearly-marked deterministic STUB (no
-  * image/audio codecs exist in this environment; a production build
-  * swaps `stubDecodeFeatures` for a real decoder with the same
-  * signature and batch shape).
+  * opaque `binary` columns with typed metadata alongside. Binary
+  * casting and metadata extraction (q44) plus a partition-batched
+  * image DECODE + feature extraction pass (q45) through the real
+  * [[PgmCodec]] P5 parser — uncompressed grayscale, the one format a
+  * zero-dependency environment can genuinely decode, and the shape of
+  * the reference's MNIST data. Compressed formats (JPEG/audio/video)
+  * would slot into the same `Array[Byte] → features` contract and
+  * mapPartitions batch shape with a codec dependency.
   */
 object Multimodal extends QueryModule {
 
-  /** STUB decoder: stands in for image/audio decode. Consumes raw
-    * bytes, emits a fixed-length feature vector (byte-value quartile
-    * histogram). Deterministic, codec-free; same `Array[Byte] →
-    * Array[Int]` contract a real decoder would satisfy.
+  /** Deterministic fixture image for `doc_id`: dims and pixels are
+    * closed-form in the id, so the DuckDB oracle can recompute the
+    * expected decode output without parsing bytes — which is what
+    * upgrades q45 from a rows-only gate to a full oracle entry.
     */
-  def stubDecodeFeatures(bytes: Array[Byte]): Array[Int] = {
-    val hist = new Array[Int](4)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 6) += 1
-      i += 1
-    }
-    hist
+  def fixtureImage(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val px = Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toInt)
+    PgmCodec.encode(w, h, px)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,24 +44,39 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // Partition-batched feature extraction over the binary column via
-    // mapPartitions — the iterator is the batch; a real decoder would
-    // amortize codec init across it exactly like this. Deterministic
-    // but not SQL-expressible → rows-only gate + LlmOpsSpec's
-    // byte-partition invariant test.
+    // Partition-batched image decode + feature extraction over a
+    // binary column via mapPartitions — the iterator is the batch, so
+    // codec init amortizes across a partition exactly as a real
+    // (JPEG/audio) decoder would. The blobs are genuine P5 PGM images
+    // (synthesized deterministically per doc_id, so the oracle can
+    // recompute the expected output in closed form — see
+    // [[fixtureImage]]); the decode is [[PgmCodec]]'s real parser:
+    // header tokenizer, dims, payload bounds-check, pixel extraction.
     "q45_multimodal_features" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, fixtureImage(id)))
+        .toDF("doc_id", "blob")
         .as[(Long, Array[Byte])]
         .mapPartitions { batch =>
-          // codec init would happen once per partition, here:
+          // per-partition codec init would happen once, here:
           batch.map { case (id, blob) =>
-            val f = stubDecodeFeatures(blob)
-            (id, blob.length, f(0), f(1), f(2), f(3))
+            val img = PgmCodec.decode(blob)
+            var sum = 0L; var mn = 255; var mx = 0; var i = 0
+            while (i < img.pixels.length) {
+              val p = img.pixels(i)
+              sum += p
+              if (p < mn) mn = p
+              if (p > mx) mx = p
+              i += 1
+            }
+            (id, blob.length, img.width, img.height,
+              sum.toDouble / img.pixels.length, mn, mx)
           }
         }
-        .toDF("doc_id", "n_bytes", "f0", "f1", "f2", "f3")
+        .toDF("doc_id", "n_bytes", "width", "height",
+          "mean_px", "min_px", "max_px")
         .orderBy(col("doc_id"))
     })
   )
@@ -75,7 +88,32 @@ object Multimodal extends QueryModule {
         |  CAST(ascii(text) AS INT) AS first_code,
         |  md5(text) AS blob_md5,
         |  lang
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // q45 intentionally absent (stub decoder not SQL-expressible).
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q45's twin recomputes the decode output in closed form from
+    // doc_id (the fixture-image construction): dims from the id,
+    // pixel stats over generate_series, n_bytes = P5 header length
+    // ("P5\n" + "w h\n" + "255\n") + w*h payload.
+    "q45_multimodal_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 9 AS w,
+        |    8 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS p
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) t)
+        |SELECT doc_id,
+        |  CAST(3 + LENGTH(CAST(w AS VARCHAR)) + 1 + LENGTH(CAST(h AS VARCHAR))
+        |    + 1 + 4 + w * h AS INT) AS n_bytes,
+        |  CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_px,
+        |  CAST(MIN(p) AS INT) AS min_px,
+        |  CAST(MAX(p) AS INT) AS max_px
+        |FROM px
+        |GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -120,10 +120,36 @@ class LlmOpsSpec extends SparkSpec {
       s"nprobe=2 over 8 cells should recover some true neighbors: $recall")
   }
 
-  test("q45 multimodal stub features partition the byte count exactly") {
+  test("PGM codec round-trips pixels exactly and rejects malformed input") {
+    val px = Array.tabulate(12 * 7)(i => (i * 37) % 256)
+    val img = PgmCodec.decode(PgmCodec.encode(12, 7, px))
+    assert(img.width == 12 && img.height == 7 && img.maxVal == 255)
+    assert(img.pixels.sameElements(px))
+    // whitespace/comment tolerance per the netpbm spec
+    val commented = ("P5 # a comment\n# another\n 3\t2\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](0, 64, -128, -1, 10, 20))
+    val c = PgmCodec.decode(commented)
+    assert(c.width == 3 && c.height == 2)
+    assert(c.pixels.sameElements(Array(0, 64, 128, 255, 10, 20)))
+    for (bad <- Seq(
+        "P6\n2 2\n255\n....".getBytes("US-ASCII"), // wrong magic
+        "P5\n2 2\n65535\n....".getBytes("US-ASCII"), // 16-bit unsupported
+        "P5\n2 2\n255\nab".getBytes("US-ASCII"), // truncated payload
+        "P5\n2 x\n255\nabcd".getBytes("US-ASCII"))) // non-digit dim
+      intercept[IllegalArgumentException](PgmCodec.decode(bad))
+  }
+
+  test("q45 decodes real P5 blobs: stats match a driver-side decode") {
     val rows = Multimodal.queries("q45_multimodal_features")(spark, sf001).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r =>
-      r.getInt(2) + r.getInt(3) + r.getInt(4) + r.getInt(5) == r.getInt(1)))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val img = PgmCodec.decode(Multimodal.fixtureImage(id))
+      assert(r.getInt(1) == Multimodal.fixtureImage(id).length, "n_bytes")
+      assert(r.getInt(2) == img.width && r.getInt(3) == img.height, "dims")
+      assert(r.getInt(5) == img.pixels.min && r.getInt(6) == img.pixels.max)
+      assert(math.abs(r.getDouble(4) -
+        img.pixels.map(_.toLong).sum.toDouble / img.pixels.length) < 1e-12)
+    }
   }
 }

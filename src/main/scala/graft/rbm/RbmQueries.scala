@@ -26,6 +26,35 @@ object RbmQueries extends QueryModule {
       RBM.weightsToDf(s, w1).orderBy(col("i"), col("j"))
     }),
 
+    // Back-propagation fine-tuning over a pre-trained layer — the
+    // reference's named-but-never-implemented capability (README.md:2;
+    // SURVEY §7.1 S6). One seeded CD-1 pre-training epoch initializes
+    // W1, then full-batch backprop SGD updates both W1 and the softmax
+    // head through the treeAggregate gradient shape. Output: the
+    // per-epoch loss/accuracy trajectory (epoch 0 = pre-trained stack
+    // before any supervised step — the trajectory IS the proof the
+    // fine-tune moves the stack). Deterministic but float-merge-order
+    // sensitive → no DuckDB oracle; BackpropSpec pins a sequential
+    // golden trajectory and the accuracy-improves gate.
+    "q111_backprop_finetune" -> ((s, d) => {
+      val cfg = Backprop.Config(d = 64, h = NumHid, k = 10,
+        epsilon = 2.0, momentum = 0.9, epochs = 80, seed = 42L)
+      val data = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("x"),
+          col("label"))
+      val rbmCfg = RBM.Config(numdims = 64, numhid = NumHid, seed = 42L)
+      val w1 = RBM.cd1Epoch(s, data, RBM.initWeights(rbmCfg), rbmCfg)
+      val (_, _, stats) = Backprop.finetune(s, data, w1, cfg)
+      import s.implicits._
+      stats.map(t => (t.epoch, BigDecimal(t.loss).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(t.accuracy).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, t.n))
+        .toDF("epoch", "loss", "accuracy", "n")
+        .orderBy(col("epoch"))
+    }),
+
     // Deterministic forward propagation (A11) with a fixed rational
     // weight matrix W(i,j) = ((i*16+j) mod 17 − 8)/10 — exactly
     // representable, so both engines compute identical doubles. The

@@ -126,15 +126,17 @@ object SurfaceOps extends QueryModule {
     // expects. The result is materialized before the table and its
     // files are dropped, so the query leaves no catalog or disk state.
     "q107_catalog_ddl" -> ((s, d) => {
-      val loc = java.nio.file.Files.createTempDirectory("q107_tbl")
+      val loc = graft.Scratch.dir("q107_tbl_")
       val tbl = s"graft_q107_${System.nanoTime()}"
       try {
         Tables.orders(s, d).createOrReplaceTempView("g_orders_ddl")
         s.sql(s"""CREATE TABLE $tbl (o_orderstatus STRING, n BIGINT,
           |  sum_price DOUBLE) USING parquet LOCATION '$loc'""".stripMargin)
+        // money sum through DECIMAL(20,4): merge-order-free
         s.sql(s"""INSERT INTO $tbl
           |SELECT o_orderstatus, COUNT(*) AS n,
-          |  ROUND(SUM(o_totalprice), 2) AS sum_price
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+          |    AS sum_price
           |FROM g_orders_ddl GROUP BY o_orderstatus""".stripMargin)
         val back = s.sql(s"SELECT * FROM $tbl ORDER BY o_orderstatus")
         s.createDataFrame(
@@ -269,7 +271,8 @@ object SurfaceOps extends QueryModule {
 
     "q107_catalog_ddl" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+        |    AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q108_mask" ->

@@ -1,11 +1,10 @@
 package graft.sources
 
-import java.nio.file.{Files, Path}
-import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Scratch, Tables}
+import graft.operators.RelationalCore.{dsum, dsumSql}
 
 /** Text-format source/sink round-trip as a registered query: the
   * reference's only I/O was tab-separated text via TextInputFormat /
@@ -22,23 +21,15 @@ object SourceQueries extends QueryModule {
     StructField("l_quantity", DoubleType),
     StructField("l_extendedprice", DoubleType)))
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      // Files.walk holds directory handles open until closed
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // parquet → tab-separated CSV (parallel part files, like the
     // reference's A2 sink) → schema'd CSV scan → aggregate. The
     // aggregate is materialized before the staging dir is deleted, so
     // the returned frame owns its data and the query leaves no files
-    // behind.
+    // behind. Staging lives on tmpfs (Scratch): the CSV detour is
+    // deleted within this call, so disk I/O would be pure overhead.
     "q77_csv_roundtrip" -> ((s, d) => {
-      val stage = Files.createTempDirectory("q77_csv")
+      val stage = Scratch.dir("q77_csv_")
       try {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_returnflag"),
@@ -49,11 +40,12 @@ object SourceQueries extends QueryModule {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+            // money sum through DECIMAL(20,4): merge-order-free
+            round(dsum(col("l_extendedprice")), 2).as("sum_price"))
           .orderBy(col("l_returnflag"))
         s.createDataFrame(
           java.util.Arrays.asList(back.collect(): _*), back.schema)
-      } finally deleteRecursively(stage)
+      } finally Scratch.deleteTree(stage)
     })
   )
 
@@ -61,9 +53,9 @@ object SourceQueries extends QueryModule {
     // The oracle reads the original parquet: a lossless round-trip is
     // exactly "the CSV detour changes nothing".
     "q77_csv_roundtrip" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
+      s"""SELECT l_returnflag, COUNT(*) AS n,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

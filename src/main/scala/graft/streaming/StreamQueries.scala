@@ -80,26 +80,11 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"), col("s_start_us")))
   )
 
-  /** Scratch space for replay staging + checkpoints: tmpfs (/dev/shm)
-    * when available. Replay checkpoints are throwaway — the WAL/state
-    * durability they buy is meaningless for a finite deterministic
-    * replay whose result is collected to a memory sink in the same
-    * call — so paying disk fsyncs for offset logs and 8 state-store
-    * delta commits per batch is pure fixed cost (~40% of a replay's
-    * wall time on ext4 /tmp). A real deployment would point
-    * checkpointLocation at durable storage; this harness documents
-    * that trade explicitly. Cleaned by JVM shutdown hook.
-    */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val root =
-      if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_replay_")
-      else java.nio.file.Files.createTempDirectory("graft_replay_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
-    root
-  }
+  // Replay staging + checkpoints live on graft.Scratch (tmpfs): replay
+  // checkpoints are throwaway — the WAL/state durability they buy is
+  // meaningless for a finite deterministic replay whose result is
+  // collected to a memory sink in the same call. A real deployment
+  // would point checkpointLocation at durable storage.
 
   /** Content-addressed staged-source cache: one staged copy of the
     * events fixture per (sfDir, copies, sentinel) shape, shared across
@@ -116,7 +101,7 @@ object StreamQueries extends QueryModule {
   private def stagedSource(s: SparkSession, d: String, copies: Int,
       sentinel: Boolean): java.nio.file.Path =
     stageCache.computeIfAbsent((d, copies, sentinel), _ => {
-      val stage = java.nio.file.Files.createTempDirectory(scratchRoot, "src_")
+      val stage = graft.Scratch.dir("replay_src_")
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
       (1 to copies).foreach { i =>
         val dst = stage.resolve(s"events_$i.parquet")
@@ -147,7 +132,7 @@ object StreamQueries extends QueryModule {
           finally listing.close()
         val sentinelDst = stage.resolve("events_zz_sentinel.parquet")
         java.nio.file.Files.move(part, sentinelDst)
-        deleteTree(tmpOut)
+        graft.Scratch.deleteTree(tmpOut)
         java.nio.file.Files.setLastModifiedTime(sentinelDst,
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + 60000))
@@ -201,7 +186,7 @@ object StreamQueries extends QueryModule {
     val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "ckpt_")
+    val ckpt = graft.Scratch.dir("replay_ckpt_")
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -235,18 +220,9 @@ object StreamQueries extends QueryModule {
       }
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
-      deleteTree(ckpt)
+      graft.Scratch.deleteTree(ckpt)
     }
   }
-
-  /** Remove a staging tree (files first, then dirs). */
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
 
   def oracle: Map[String, String] = Map(
     "q46_stream_tumbling_replay" ->

@@ -35,6 +35,26 @@ object Dedup extends QueryModule {
     array_distinct(transform(sequence(lit(1), size(ts) - 1),
       i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
 
+  /** LSH band signatures (doc_id, band_id, bsig) — the shared
+    * candidate-generation stage of q31 (neighbor counts) and q113
+    * (cluster extraction).
+    */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("ts", tokens(col("text")))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5Int(concat(lit("0:"), col("shingle")))).as("m0"),
+      (1 until K).map(k =>
+        min(md5Int(concat(lit(s"$k:"), col("shingle")))).as(s"m$k")): _*)
+    val bandCols = (0 until Bands).map { b =>
+      md5(concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*))
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bsig")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 content hash → cluster size per doc (hash
     // groupBy; the all-distinct fixture yields size-1 clusters, which
@@ -52,19 +72,7 @@ object Dedup extends QueryModule {
     // equi-join → per-doc candidate-neighbor count.
     "q31_minhash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = docs
-        .withColumn("ts", tokens(col("text")))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min(md5Int(concat(lit("0:"), col("shingle")))).as("m0"),
-        (1 until K).map(k =>
-          min(md5Int(concat(lit(s"$k:"), col("shingle")))).as(s"m$k")): _*)
-      val bandCols = (0 until Bands).map { b =>
-        md5(concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*))
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_id", "bsig")))
+      val bands = bandsOf(docs)
       // joining with a.doc != b.doc yields both pair directions
       // directly, so one countDistinct replaces the
       // distinct-pairs → union-swap → re-aggregate detour (3 fewer
@@ -126,6 +134,64 @@ object Dedup extends QueryModule {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Connected components over the LSH candidate graph — the cluster
+    // extraction step a dedup pipeline actually needs (q31 counts
+    // neighbors; choosing ONE representative per near-dup cluster
+    // requires the transitive closure). Min-label propagation: every
+    // doc starts labeled with its own id, and each round every label
+    // flows across candidate edges and keeps the minimum — after
+    // diameter(graph) rounds each component is labeled by its smallest
+    // doc_id. The driver loop runs rounds until a fixpoint (no label
+    // changed), exactly like the reference's driver-side epoch loop.
+    //
+    // Scale: each round is one equi-join of (edges ⋈ labels) + a
+    // min-groupBy — shuffle bounded by |edges| + |docs|, never pairs²;
+    // rounds = component diameter, which for near-dup clusters is
+    // small (dups of a doc are dups of each other). A planet-scale
+    // graph would add the large-star/small-star optimization and
+    // periodic checkpointing of the iterated lineage; the fixpoint
+    // loop shape is identical.
+    "q113_dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bands = bandsOf(docs)
+      val a = bands.as("a"); val b = bands.as("b")
+      val edges = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val bi = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      var labels = docs.select(col("doc_id").as("id"),
+        col("doc_id").as("comp")).persist()
+      var converged = false
+      var round = 0
+      val maxRounds = 20
+      while (!converged && round < maxRounds) {
+        val viaEdges = bi.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.unionAll(viaEdges)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")).persist()
+        val changes = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels.unpersist()
+        labels = next
+        converged = changes == 0
+        round += 1
+      }
+      bi.unpersist()
+      require(converged,
+        s"component labels did not converge in $maxRounds rounds")
+      val sized = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).cast("int").as("comp_size"))
+      labels.select(col("id").as("doc_id"), col("comp"))
+        .join(sized, "comp")
+        .select(col("doc_id"), col("comp"), col("comp_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
     // side restricted to vec_id<100, via the broadcast typed kernel.
     // orderBy+limit compiles to TakeOrderedAndProject — distributed
@@ -181,6 +247,43 @@ object Dedup extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS INT) AS n_candidates
          |FROM documents d LEFT JOIN cnt USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q113_dedup_components" -> {
+      val mins = (0 until K).map(k =>
+        s"MIN(${md5IntSql(s"'$k:' || shingle")}) AS m$k").mkString(",\n    ")
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      // the recursive closure: labels flow along candidate edges until
+      // every doc carries the min doc_id of its component — the
+      // fixpoint the Spark side's propagation loop reaches
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |  ${shingleSql.replace("%FILT%", "")})),
+         |sig AS (SELECT doc_id,
+         |    $mins
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+         |      AND a.doc_id < b.doc_id),
+         |bi AS (SELECT src, dst FROM edges
+         |       UNION SELECT dst, src FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT bi.dst, reach.comp FROM reach JOIN bi ON reach.id = bi.src),
+         |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+         |sized AS (SELECT comp, CAST(COUNT(*) AS INT) AS comp_size
+         |          FROM lbl GROUP BY comp)
+         |SELECT doc_id, comp, comp_size
+         |FROM lbl JOIN sized USING (comp)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q36_simhash_dedup" ->

@@ -211,6 +211,34 @@ object SurfaceOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Observed metrics (Observation API / CollectMetrics): data-quality
+    // counters piggyback on an action the pipeline runs anyway — ZERO
+    // extra scans, vs the naive "run a second aggregate over the
+    // input" (at 100 TB the second scan is the whole cost). Here the
+    // driving action is the per-flag count the pipeline wanted; the
+    // observed metrics arrive with it and become the query's result.
+    // SurfaceOpsSpec proves the piggyback (a CollectMetrics node in
+    // the executed plan, one scan).
+    "q112_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation(
+        s"q112_${System.nanoTime()}")
+      val watched = Tables.lineitem(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(RelationalCore.dsum(col("l_extendedprice")), 2).as("sum_price"),
+        count_if(col("l_quantity") > 45.0).as("n_big"),
+        count_if(col("l_discount") === 0.0).as("n_nodisc"))
+      val perFlag = watched.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")).collect() // the driving action
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("n_big").asInstanceOf[Long],
+        m("n_nodisc").asInstanceOf[Long],
+        perFlag.length))
+        .toDF("n_rows", "sum_price", "n_big", "n_nodisc", "n_flags")
+    }),
+
     // XML parsing (Spark 4 from_xml): typed struct extraction out of a
     // markup column — the oracle re-extracts the same fields from the
     // identical document with regexps, so the check is value-level,
@@ -274,6 +302,16 @@ object SurfaceOps extends QueryModule {
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
         |    AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q112_observe_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  COUNT(*) FILTER (WHERE l_quantity > 45.0) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+        |  CAST((SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS INT)
+        |    AS n_flags
+        |FROM lineitem""".stripMargin,
 
     "q108_mask" ->
       """WITH t AS (SELECT o_orderkey,

@@ -18,11 +18,17 @@ class PlanBudgetSpec extends SparkSpec {
     "q80_tfidf",                // 1-row corpus-count scalar broadcast (N)
     "q82_vocab_topk")           // 1-row token-total scalar broadcast
 
-  // action-style queries that run their own jobs internally
+  // action-style queries that run their own jobs internally: building
+  // their DataFrame executes the work (training epochs, streaming
+  // replays, DDL round-trips) and the auditable "plan" is just the
+  // memory-sink / LocalTableScan of the already-computed rows —
+  // auditing it would re-run the job twice per suite for nothing
   private val skipped = Set("q15_rbm_cd1_epoch", "q54_dbn_pretrain",
-    "q46_stream_tumbling_replay", "q34_digit_classifier",
-    "q107_catalog_ddl") // runs its DDL round-trip eagerly; the audited
-    // plan would be the LocalTableScan of collected rows
+    "q34_digit_classifier", "q111_backprop_finetune",
+    "q46_stream_tumbling_replay", "q79_stream_sliding_replay",
+    "q92_stream_dedup_replay", "q101_stream_session_replay",
+    "q107_catalog_ddl", "q77_csv_roundtrip",
+    "q112_observe_metrics", "q113_dedup_components")
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -105,6 +105,45 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(closed.sameElements(literal))
   }
 
+  test("q112's metrics piggyback on the driving action: one scan, " +
+    "a CollectMetrics node, no second aggregate job") {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("q112_spec")
+    val watched = graft.Tables.lineitem(spark, sf001).observe(obs,
+      count(lit(1)).as("n_rows"))
+    val agg = watched.groupBy(col("l_returnflag")).agg(count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString()
+      .contains("CollectMetrics"),
+      "observe must plan a CollectMetrics node inside the action's plan")
+    // scans: exactly one FileScan feeds both the metrics and the agg
+    val scans = agg.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected 1 scan, saw $scans")
+    agg.collect()
+    assert(obs.get("n_rows").asInstanceOf[Long] > 0)
+  }
+
+  test("q113 labels every doc with the min doc_id reachable over the " +
+    "candidate graph (spot-check against q31's neighbor counts)") {
+    val comps = graft.llm.Dedup.queries("q113_dedup_components")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every doc appears once; component label is a member of the component
+    assert(comps.nonEmpty)
+    comps.foreach { case (doc, (comp, size)) =>
+      assert(comp <= doc, "label is the component's min id")
+      assert(size >= 1 && comps(comp)._1 == comp,
+        "the label doc itself carries the same label")
+    }
+    // docs q31 says have 0 candidates must be singletons, and sizes are
+    // consistent: the count of docs sharing a label equals comp_size
+    val q31 = graft.llm.Dedup.queries("q31_minhash_dedup")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    comps.foreach { case (doc, (comp, size)) =>
+      if (q31(doc) == 0) assert(size == 1, s"doc $doc: no candidates but size $size")
+      assert(comps.count(_._2._1 == comp) == size, s"comp $comp size mismatch")
+    }
+  }
+
   test("q65 stats: sample and population variance relate by n/(n-1)") {
     val out = ExtendedOps.queries("q65_stats_agg")(spark, sf001).collect()
     out.foreach { r =>

@@ -30,6 +30,22 @@ object Dedup extends QueryModule {
   private val Bands = 8  // bands × rows-per-band = K
   private val R = 4
 
+  // The K minhash functions are a universal-style integer family
+  // h_k(x) = (a_k·x₃₂ + b_k) mod 2³² over ONE md5 of the shingle —
+  // not K separate md5 invocations. One md5 per shingle + 32 integer
+  // ops is ~30× cheaper than 32 md5s (the md5-per-function version
+  // made the shared banding stage cost ~10s at sf0.1); the family's
+  // constants are generated here and inlined into the DuckDB twins, so
+  // both engines compute bit-identical signatures. Bounds: a ≤ 2²⁰,
+  // x₃₂ < 2³², so a·x+b < 2⁵³ — exact in BIGINT on both engines.
+  private val M32 = 4294967296L // 2^32
+  private def hashA(k: Int): Long = ((2654435761L * (k + 1)) & 0xFFFFFL) | 1L
+  private def hashB(k: Int): Long = (40503L * (k + 7) * (k + 13)) & 0xFFFFFFFFL
+  private def minhashCol(x32: Column, k: Int): Column =
+    (lit(hashA(k)) * x32 + lit(hashB(k))) % lit(M32)
+  private def minhashSql(k: Int): String =
+    s"(${hashA(k)} * x32 + ${hashB(k)}) % $M32"
+
   /** 2-word shingles of the token array (requires ≥ 2 tokens). */
   private def shingleArr(ts: Column): Column =
     array_distinct(transform(sequence(lit(1), size(ts) - 1),
@@ -44,10 +60,13 @@ object Dedup extends QueryModule {
       .withColumn("ts", tokens(col("text")))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5Int(concat(lit("0:"), col("shingle")))).as("m0"),
-      (1 until K).map(k =>
-        min(md5Int(concat(lit(s"$k:"), col("shingle")))).as(s"m$k")): _*)
+    // one md5 per shingle, truncated to 32 bits; the K functions are
+    // integer arithmetic over it (see family comment above)
+    val sx = sh.select(col("doc_id"),
+      md5Int(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)).as("x32"))
+    val sig = sx.groupBy(col("doc_id")).agg(
+      min(minhashCol(col("x32"), 0)).as("m0"),
+      (1 until K).map(k => min(minhashCol(col("x32"), k)).as(s"m$k")): _*)
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*))
     }
@@ -137,57 +156,14 @@ object Dedup extends QueryModule {
     // Connected components over the LSH candidate graph — the cluster
     // extraction step a dedup pipeline actually needs (q31 counts
     // neighbors; choosing ONE representative per near-dup cluster
-    // requires the transitive closure). Min-label propagation: every
-    // doc starts labeled with its own id, and each round every label
-    // flows across candidate edges and keeps the minimum — after
-    // diameter(graph) rounds each component is labeled by its smallest
-    // doc_id. The driver loop runs rounds until a fixpoint (no label
-    // changed), exactly like the reference's driver-side epoch loop.
-    //
-    // Scale: each round is one equi-join of (edges ⋈ labels) + a
-    // min-groupBy — shuffle bounded by |edges| + |docs|, never pairs²;
-    // rounds = component diameter, which for near-dup clusters is
-    // small (dups of a doc are dups of each other). A planet-scale
-    // graph would add the large-star/small-star optimization and
-    // periodic checkpointing of the iterated lineage; the fixpoint
-    // loop shape is identical.
+    // requires the transitive closure). See [[components]] for the
+    // adaptive driver-union-find / distributed-propagation design.
     "q113_dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bands = bandsOf(docs)
-      val a = bands.as("a"); val b = bands.as("b")
-      val edges = a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct()
-      val bi = edges.unionAll(
-        edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
-      var labels = docs.select(col("doc_id").as("id"),
-        col("doc_id").as("comp")).persist()
-      var converged = false
-      var round = 0
-      val maxRounds = 20
-      while (!converged && round < maxRounds) {
-        val viaEdges = bi.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("comp"))
-        val next = labels.unionAll(viaEdges)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp")).persist()
-        val changes = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.comp") =!= col("o.comp")).count()
-        labels.unpersist()
-        labels = next
-        converged = changes == 0
-        round += 1
-      }
-      bi.unpersist()
-      require(converged,
-        s"component labels did not converge in $maxRounds rounds")
+      val labels = components(docs)
       val sized = labels.groupBy(col("comp"))
         .agg(count(lit(1)).cast("int").as("comp_size"))
-      labels.select(col("id").as("doc_id"), col("comp"))
-        .join(sized, "comp")
+      labels.join(sized, "comp")
         .select(col("doc_id"), col("comp"), col("comp_size"))
         .orderBy(col("doc_id"))
     }),
@@ -206,6 +182,99 @@ object Dedup extends QueryModule {
     })
   )
 
+  /** Component labels (doc_id, comp) over the LSH candidate graph,
+    * comp = min doc_id reachable via candidate edges.
+    *
+    * The edge set is |near-dup PAIRS| — tiny relative to the corpus
+    * (the whole point of dedup is that duplicates are the minority),
+    * so the default path collects the edges and runs union-find on the
+    * driver (edges only, never the corpus: driver memory is bounded by
+    * docs-that-have-candidates), then joins the ≤|edges|·2-row label
+    * map back — 3 jobs total. When the graph is genuinely huge
+    * (> maxDriverEdges), it falls back to distributed min-label
+    * propagation to a fixpoint: per round one (edges ⋈ labels)
+    * equi-join + min-groupBy, shuffle bounded by |edges| + |docs|,
+    * rounds = component diameter (near-dup clusters are shallow — dups
+    * of a doc are dups of each other). Same adaptive philosophy as
+    * Backprop's treeAggregate depth: the 1000-executor shape and the
+    * fixture shape want different plans, and the data decides.
+    * A planet-scale propagation would add large-star/small-star and
+    * lineage checkpointing; the loop shape is identical.
+    */
+  private[graft] def components(docs: DataFrame,
+      maxDriverEdges: Long = 10000000L): DataFrame = {
+    val s = docs.sparkSession
+    val a = bandsOf(docs).as("a"); val b = bandsOf(docs).as("b")
+    // persist the directed edges: both downstream shapes reuse them
+    val edges = a.join(b,
+      col("a.band_id") === col("b.band_id") &&
+        col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct().persist()
+    try {
+      if (edges.count() <= maxDriverEdges) {
+        // driver union-find over the pair set (path-halving + rank)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElse(x, x)
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        edges.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        import s.implicits._
+        val labelMap = parent.keys.map(x => (x, find(x))).toSeq.toDF("id", "root")
+        // only docs that appear in an edge need a mapped label;
+        // broadcast: the map is |docs-with-candidates| rows
+        docs.select(col("doc_id"))
+          .join(broadcast(labelMap), col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("doc_id")).as("comp"))
+      } else {
+        val bi = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        var labels = docs.select(col("doc_id").as("id"),
+          col("doc_id").as("comp")).persist()
+        // Convergence check: labels only ever DECREASE
+        // (min-propagation), so the label sum is strictly monotone
+        // until the fixpoint — one narrow aggregate over the cached
+        // labels per round instead of a next⋈previous diff join.
+        // Summed in DECIMAL(38,0): exact at any id range × row count,
+        // where a long sum could wrap.
+        def labelSum(df: DataFrame): java.math.BigDecimal = df.agg(
+          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head().getDecimal(0)
+        var prevSum = labelSum(labels)
+        var converged = false
+        var round = 0
+        val maxRounds = 50
+        while (!converged && round < maxRounds) {
+          val viaEdges = bi.join(labels, col("src") === col("id"))
+            .select(col("dst").as("id"), col("comp"))
+          val next = labels.unionAll(viaEdges)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp")).persist()
+          val nextSum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+          round += 1
+        }
+        bi.unpersist()
+        require(converged,
+          s"component labels did not converge in $maxRounds rounds")
+        labels.select(col("id").as("doc_id"), col("comp"))
+      }
+    } finally edges.unpersist()
+  }
+
   // ---- generated DuckDB twins -------------------------------------
 
   private val shingleSql =
@@ -215,27 +284,36 @@ object Dedup extends QueryModule {
        |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents%FILT%)
        |  WHERE len(ts) >= 2""".stripMargin
 
+  /** Generated CTE chain `sh → sx → sig → bands` — the DuckDB twin of
+    * [[bandsOf]], shared by the q31 and q113 oracles.
+    */
+  private val bandsSqlCtes: String = {
+    val mins = (0 until K).map(k =>
+      s"MIN(${minhashSql(k)}) AS m$k").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |  ${shingleSql.replace("%FILT%", "")})),
+       |sx AS (SELECT doc_id, (${md5IntSql("shingle")} & 4294967295) AS x32
+       |       FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM sx GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q35_exact_dedup" ->
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS INT) AS cluster_size
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q31_minhash_dedup" -> {
-      val mins = (0 until K).map(k =>
-        s"MIN(${md5IntSql(s"'$k:' || shingle")}) AS m$k").mkString(",\n    ")
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |  ${shingleSql.replace("%FILT%", "")})),
-         |sig AS (SELECT doc_id,
-         |    $mins
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
+    "q31_minhash_dedup" ->
+      s"""WITH $bandsSqlCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM bands a JOIN bands b
@@ -246,27 +324,13 @@ object Dedup extends QueryModule {
          |cnt AS (SELECT doc_id, COUNT(DISTINCT p) AS n FROM partners GROUP BY doc_id)
          |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS INT) AS n_candidates
          |FROM documents d LEFT JOIN cnt USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
 
-    "q113_dedup_components" -> {
-      val mins = (0 until K).map(k =>
-        s"MIN(${md5IntSql(s"'$k:' || shingle")}) AS m$k").mkString(",\n    ")
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
-      }.mkString("\n  UNION ALL ")
-      // the recursive closure: labels flow along candidate edges until
-      // every doc carries the min doc_id of its component — the
-      // fixpoint the Spark side's propagation loop reaches
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |  ${shingleSql.replace("%FILT%", "")})),
-         |sig AS (SELECT doc_id,
-         |    $mins
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
+    // the recursive closure: labels flow along candidate edges until
+    // every doc carries the min doc_id of its component — the
+    // fixpoint the Spark side's propagation loop reaches
+    "q113_dedup_components" ->
+      s"""WITH RECURSIVE $bandsSqlCtes,
          |edges AS (
          |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
          |  FROM bands a JOIN bands b
@@ -283,8 +347,7 @@ object Dedup extends QueryModule {
          |          FROM lbl GROUP BY comp)
          |SELECT doc_id, comp, comp_size
          |FROM lbl JOIN sized USING (comp)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "q36_simhash_dedup" ->
       s"""WITH tok AS (

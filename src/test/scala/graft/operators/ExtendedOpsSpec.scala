@@ -144,6 +144,19 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("q113's distributed propagation path equals the driver " +
+    "union-find path label-for-label") {
+    val docs = graft.Tables.documents(spark, sf001)
+    def labelsOf(maxDriverEdges: Long) =
+      graft.llm.Dedup.components(docs, maxDriverEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUnionFind = labelsOf(Long.MaxValue) // always driver path
+    val viaLoop = labelsOf(-1L)                // always distributed path
+    assert(viaUnionFind == viaLoop)
+    assert(viaUnionFind.exists { case (doc, comp) => comp != doc },
+      "fixture must contain at least one non-trivial component")
+  }
+
   test("q65 stats: sample and population variance relate by n/(n-1)") {
     val out = ExtendedOps.queries("q65_stats_agg")(spark, sf001).collect()
     out.foreach { r =>

@@ -59,11 +59,17 @@ object ExtendedOps extends QueryModule {
         .groupBy(col("o_orderpriority"))
         .agg(
           count_if(col("o_totalprice") > 100000.0).as("n_big"),
+          // conditional money sum through DECIMAL(20,4) (parity rule):
+          // the CASE output is a source price or exact 0.0, so the
+          // cast is portable and the sum merge-order-free
           round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-            .otherwise(0.0)), 2).as("sum_f"),
+            .otherwise(0.0).cast(DecimalType(20, 4))).cast("double"), 2)
+            .as("sum_f"),
           // avg over a when(): nulls are skipped, so this IS
-          // avg(...) FILTER (WHERE status = 'O')
-          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+          // avg(...) FILTER (WHERE status = 'O'); decimal sum / count
+          round((sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+            .cast(DecimalType(20, 4))).cast("double") /
+            count(when(col("o_orderstatus") === "O", lit(1)))), 2)
             .as("avg_open"),
           bool_or(col("o_totalprice") > 400000.0).as("any_huge"),
           count(lit(1)).as("n"))
@@ -111,9 +117,11 @@ object ExtendedOps extends QueryModule {
     "q67_range_frame" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
-          round(expr("""sum(o_totalprice) OVER (
+          // frame sum through decimal: engines may associate frame
+          // accumulation differently (running vs segment-tree)
+          round(expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
               PARTITION BY o_orderpriority ORDER BY o_totalprice
-              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"""), 2)
+              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)"""), 2)
             .as("near_sum"),
           expr("""count(*) OVER (
               PARTITION BY o_orderpriority ORDER BY o_totalprice
@@ -416,9 +424,11 @@ object ExtendedOps extends QueryModule {
     "q64_conditional_agg" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
-        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-        |    ELSE 0.0 END), 2) AS sum_f,
-        |  ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |    ELSE 0.0 END AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_f,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+        |      FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+        |    / COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 2)
         |    AS avg_open,
         |  BOOL_OR(o_totalprice > 400000.0) AS any_huge,
         |  COUNT(*) AS n
@@ -447,9 +457,10 @@ object ExtendedOps extends QueryModule {
 
     "q67_range_frame" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  ROUND(SUM(o_totalprice) OVER (
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
         |    PARTITION BY o_orderpriority ORDER BY o_totalprice
-        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        |    AS near_sum,
         |  COUNT(*) OVER (
         |    PARTITION BY o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_n

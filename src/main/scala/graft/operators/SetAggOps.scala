@@ -103,6 +103,34 @@ object SetAggOps extends QueryModule {
         .select(col("exact_users"), col("n"),
           (abs(col("approx_raw") - col("exact_users")) <=
             col("exact_users") * 0.2).as("approx_ok"))
+    }),
+
+    // MERGEABLE HLL sketches (Spark 4 datasketches): per-group sketches
+    // union into the global sketch with NO rescan — the re-aggregation
+    // pattern that matters at 100 TB (store a sketch per day/partition,
+    // answer any range by merging KB-sized sketches). The query proves
+    // the algebra: union(per-flag sketches) estimates EXACTLY what the
+    // direct whole-table sketch estimates (register-max is associative
+    // over any data partitioning), plus a bounded-error check vs the
+    // exact count. Both proofs travel as both-sides-true predicates
+    // (q29's convention — sketch internals aren't SQL-portable).
+    "q114_hll_merge" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("g_li_hll")
+      s.sql(
+        """WITH parts AS (
+          |  SELECT l_returnflag, hll_sketch_agg(l_suppkey) AS sk
+          |  FROM g_li_hll GROUP BY l_returnflag),
+          |merged AS (
+          |  SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_merged
+          |  FROM parts),
+          |direct AS (
+          |  SELECT hll_sketch_estimate(hll_sketch_agg(l_suppkey)) AS est_direct,
+          |    COUNT(DISTINCT l_suppkey) AS n_exact
+          |  FROM g_li_hll)
+          |SELECT n_exact,
+          |  (est_merged = est_direct) AS merged_eq_direct,
+          |  (ABS(est_merged - n_exact) <= 0.05 * n_exact) AS err_within_5pct
+          |FROM merged CROSS JOIN direct""".stripMargin)
     })
   )
 
@@ -154,6 +182,16 @@ object SetAggOps extends QueryModule {
       """SELECT COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n,
         |  (ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
         |     <= COUNT(DISTINCT user_id) * 0.2) AS approx_ok
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // the exact count is recomputed; the two sketch-algebra predicates
+    // are asserted true — if Spark's merge ever diverges from the
+    // direct sketch, or the estimate error exceeds 5%, the hash
+    // comparison fails
+    "q114_hll_merge" ->
+      """SELECT COUNT(DISTINCT l_suppkey) AS n_exact,
+        |  true AS merged_eq_direct,
+        |  true AS err_within_5pct
+        |FROM lineitem""".stripMargin
   )
 }

@@ -16,7 +16,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q20_theta_range_join",     // 5-row band table, broadcast
     "q57_scalar_subquery",      // decorrelated subquery may plan BNLJ on empty-key edge
     "q80_tfidf",                // 1-row corpus-count scalar broadcast (N)
-    "q82_vocab_topk")           // 1-row token-total scalar broadcast
+    "q82_vocab_topk",           // 1-row token-total scalar broadcast
+    "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -26,18 +26,28 @@ object Bench {
     } catch { case _: Throwable => () }
     // Same for the micro-batch engine: the first streaming query pays
     // ~2s of one-time init (streaming planner, state-store coordinator,
-    // sink machinery) that belongs to the engine, not the query —
-    // without this, alphabetically-first q101 absorbs it all.
+    // file-source listing, session-window/append state machinery) that
+    // belongs to the engine, not the query — without this,
+    // alphabetically-first q101 absorbs it all. The warmup mirrors the
+    // replay shape: file source → watermark → session window → append
+    // → memory sink.
     try {
       import spark.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-      ms.addData(1, 2, 3)
-      val q = ms.toDF().groupBy($"value").count().writeStream
-        .outputMode("complete").format("memory")
-        .queryName("bench_warm_stream").start()
+      val sdir = Scratch.dir("bench_warm_stream_")
+      spark.range(3)
+        .selectExpr("id AS k", "timestamp_micros(id * 1000000) AS ts")
+        .coalesce(1).write.parquet(s"$sdir/src")
+      val q = spark.readStream
+        .schema("k BIGINT, ts TIMESTAMP").parquet(s"$sdir/src")
+        .withWatermark("ts", "1 second")
+        .groupBy(org.apache.spark.sql.functions.session_window($"ts", "1 second"), $"k")
+        .count()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$sdir/ckpt")
+        .format("memory").queryName("bench_warm_stream").start()
       q.processAllAvailable()
       q.stop()
+      Scratch.deleteTree(sdir)
     } catch { case _: Throwable => () }
     // Sorted execution order: run-to-run comparability, instead of
     // whatever query Map iteration order happened to put first.

@@ -192,4 +192,22 @@ object exprs {
     Bridge.column(RollingHash(Cast(Bridge.expression(c), StringType)))
   def graft_vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Spark's internal runtime-filter primitives, surfaced as Column
+    * functions: `BloomFilterAggregate` builds the filter (binary),
+    * `BloomFilterMightContain` probes it. Spark only wires these into
+    * the automatic InjectRuntimeFilter rule; exposing them lets a
+    * pipeline build a dim-side filter ONCE and ship it as a literal to
+    * prune a fact scan explicitly (q115) — the manual form of the
+    * semi-join pushdown a 100 TB join wants.
+    */
+  def graft_bloom_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+  def graft_might_contain(bloom: Column, v: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(Bridge.expression(bloom), Bridge.expression(v)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import RelationalCore.{dsum, dsumSql, revenue, revenueSql}
@@ -81,6 +81,44 @@ object JoinOps extends QueryModule {
         .orderBy(col("band_id"))
     }),
 
+    // Manual runtime-filter (semi-join pushdown): build a bloom filter
+    // over the filtered dim keys ONCE, ship the KB-sized binary to the
+    // fact side as a literal, and prune fact rows BEFORE any join —
+    // Spark's InjectRuntimeFilter does this automatically in narrow
+    // cases; the explicit form works for any pipeline stage (e.g.
+    // pre-filtering a 100 TB scan against yesterday's dedup survivors).
+    // The query proves the two properties that make the trick safe at
+    // scale: zero false negatives (pruning never loses a match), and a
+    // bounded false-positive rate (pruning actually prunes). Both ride
+    // as both-sides-true oracle predicates next to the exact match
+    // count.
+    "q115_bloom_join_prune" -> ((s, d) => {
+      import graft.functions.exprs.{graft_bloom_agg, graft_might_contain}
+      val dimKeys = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey").cast("long").as("k"))
+      // the "shipping" step: collect the filter binary (KB), inline it
+      val bloomBytes = dimKeys
+        .agg(graft_bloom_agg(col("k"), 1000L, 8000L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      def probe(c: Column) = graft_might_contain(lit(bloomBytes), c)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("fk"))
+        .join(broadcast(dimKeys), col("fk") === col("k"), "left_outer")
+        .agg(
+          count(when(col("k").isNotNull, 1)).as("n_match"),
+          count(when(col("k").isNotNull && !probe(col("fk")), 1))
+            .as("n_false_neg"),
+          count(when(col("k").isNull && probe(col("fk")), 1))
+            .as("n_false_pos"),
+          count(lit(1)).as("n_total"))
+        .select(col("n_match"),
+          (col("n_false_neg") === 0).as("no_false_negatives"),
+          (col("n_false_pos") <=
+            greatest(col("n_total") - col("n_match"), lit(1L)) * 0.2)
+            .as("fp_rate_ok"),
+          col("n_total"))
+    }),
+
     // TPC-H Q5-shaped star join: fact → orders ⋈ dims, dims broadcast.
     "q21_multiway_star_join" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -136,6 +174,18 @@ object JoinOps extends QueryModule {
          |      FROM range(5) t(i)) b
          |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
          |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // exact match count recomputed; the bloom's soundness (no false
+    // negatives) and usefulness (bounded FP rate) asserted true — a
+    // Spark-side violation hash-mismatches
+    "q115_bloom_join_prune" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IN
+        |     (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5))
+        |    AS n_match,
+        |  true AS no_false_negatives,
+        |  true AS fp_rate_ok,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_total""".stripMargin,
 
     "q21_multiway_star_join" ->
       s"""SELECT n_name,

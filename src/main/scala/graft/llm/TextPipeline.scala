@@ -97,10 +97,33 @@ object TextPipeline extends QueryModule {
             .as("share"),
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("rank"))
+    }),
+
+    // Stratified sampling with per-class quotas — the corpus-balancing
+    // step every training mix needs (downsample the dominant language,
+    // keep the tail). Quota membership is a deterministic hash of the
+    // key (q91's technique, stratified): stable under reruns, joins,
+    // repartitioning, and incremental appends — a row's fate never
+    // changes when the corpus around it grows, unlike RNG sampling.
+    // One narrow filter, no shuffle at all; fully oracle-checkable
+    // because both engines compute the identical hash.
+    "q116_stratified_sample" -> ((s, d) => {
+      val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
+      val quota = when(col("lang") === "en", 50).otherwise(20)
+      Tables.documents(s, d)
+        .filter(h < quota)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q116_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100
+         |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         |ORDER BY doc_id""".stripMargin,
+
     "q80_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -109,11 +109,14 @@ object SetAggOps extends QueryModule {
     // union into the global sketch with NO rescan — the re-aggregation
     // pattern that matters at 100 TB (store a sketch per day/partition,
     // answer any range by merging KB-sized sketches). The query proves
-    // the algebra: union(per-flag sketches) estimates EXACTLY what the
-    // direct whole-table sketch estimates (register-max is associative
-    // over any data partitioning), plus a bounded-error check vs the
-    // exact count. Both proofs travel as both-sides-true predicates
-    // (q29's convention — sketch internals aren't SQL-portable).
+    // the algebra: union(per-flag sketches) estimates what the direct
+    // whole-table sketch estimates to within 2% (not bit-equal: the
+    // datasketches impl promotes representations — sparse coupons →
+    // dense HLL_4, unions target HLL_8 — so estimates coincide exactly
+    // only below the promotion threshold; closeness IS the mergeability
+    // contract), plus a 5% bounded-error check vs the exact count.
+    // Both proofs travel as both-sides-true predicates (q29's
+    // convention — sketch internals aren't SQL-portable).
     "q114_hll_merge" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("g_li_hll")
       s.sql(
@@ -128,7 +131,8 @@ object SetAggOps extends QueryModule {
           |    COUNT(DISTINCT l_suppkey) AS n_exact
           |  FROM g_li_hll)
           |SELECT n_exact,
-          |  (est_merged = est_direct) AS merged_eq_direct,
+          |  (ABS(est_merged - est_direct) <= 0.02 * GREATEST(n_exact, 1))
+          |    AS merge_lossless_2pct,
           |  (ABS(est_merged - n_exact) <= 0.05 * n_exact) AS err_within_5pct
           |FROM merged CROSS JOIN direct""".stripMargin)
     })
@@ -186,11 +190,11 @@ object SetAggOps extends QueryModule {
 
     // the exact count is recomputed; the two sketch-algebra predicates
     // are asserted true — if Spark's merge ever diverges from the
-    // direct sketch, or the estimate error exceeds 5%, the hash
+    // direct sketch by >2%, or the estimate error exceeds 5%, the hash
     // comparison fails
     "q114_hll_merge" ->
       """SELECT COUNT(DISTINCT l_suppkey) AS n_exact,
-        |  true AS merged_eq_direct,
+        |  true AS merge_lossless_2pct,
         |  true AS err_within_5pct
         |FROM lineitem""".stripMargin
   )

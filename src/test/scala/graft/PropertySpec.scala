@@ -125,6 +125,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PGM codec law: decode ∘ encode is identity for arbitrary " +
+    "images; every truncation of a valid image is rejected") {
+    import graft.llm.PgmCodec
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px.toArray)
+    forAll(genImg) { case (w, h, px) =>
+      val bytes = PgmCodec.encode(w, h, px)
+      val img = PgmCodec.decode(bytes)
+      assert(img.width == w && img.height == h && img.maxVal == 255)
+      assert(img.pixels.sameElements(px))
+      // any strict prefix is malformed (truncated header or payload)
+      val cut = bytes.length - 1 - (px.hashCode().abs % bytes.length)
+      intercept[IllegalArgumentException](
+        PgmCodec.decode(java.util.Arrays.copyOf(bytes, cut)))
+    }
+  }
+
+  test("minhash band-signature law: permuting or duplicating a doc's " +
+    "shingles never changes its q31/q113 signature (order/multiplicity " +
+    "independence of min-aggregation)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the registry computes signatures from DISTINCT (doc, shingle)
+    // pairs via min-agg; this pins the invariance that makes the LSH
+    // candidates stable under re-partitioning and input re-ordering
+    val base = Seq("the quick brown", "fox jumps over", "lazy dog again")
+    def sigOf(shingles: Seq[String]): Seq[Long] = {
+      val df = shingles.toDF("shingle")
+        .select((conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long") bitwiseAND lit(0xFFFFFFFFL)).as("x32"))
+      def a(k: Int): Long = ((2654435761L * (k + 1)) & 0xFFFFFL) | 1L
+      def b(k: Int): Long = (40503L * (k + 7) * (k + 13)) & 0xFFFFFFFFL
+      df.agg(
+        min((lit(a(0)) * col("x32") + lit(b(0))) % lit(4294967296L)).as("m0"),
+        (1 until 8).map(k =>
+          min((lit(a(k)) * col("x32") + lit(b(k))) % lit(4294967296L)).as(s"m$k")): _*)
+        .head().toSeq.map(_.asInstanceOf[Long])
+    }
+    val s1 = sigOf(base)
+    assert(s1 == sigOf(base.reverse))
+    assert(s1 == sigOf(base ++ base)) // min-agg is multiset-insensitive
+    sigOf(base :+ "a new shingle").zip(s1).foreach { case (n, o) =>
+      assert(n <= o, "adding a shingle can only lower minhashes")
+    }
+  }
+
   test("matvec via relational explode-join-sum equals direct dot (q11 law)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -168,6 +168,27 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The end-to-end corpus-construction pipeline in ONE query — the
+    // composition a user of this engine actually runs: near-dup
+    // cluster extraction (q113's components) → keep each cluster's
+    // representative (its min-id member: doc_id == comp) → balanced
+    // per-language quotas over a deterministic hash (q116's sampling)
+    // → the resulting training-mix statistics. Proves the pieces
+    // compose under one oracle, not just individually.
+    "q117_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reps = components(docs)
+        .filter(col("doc_id") === col("comp")).select(col("doc_id"))
+      val h = md5Int(col("doc_id").cast("string")) % 100
+      val quota = when(col("lang") === "en", 50).otherwise(20)
+      docs.join(reps, "doc_id")
+        .filter(h < quota)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
     // side restricted to vec_id<100, via the broadcast typed kernel.
     // orderBy+limit compiles to TakeOrderedAndProject — distributed
@@ -306,6 +327,25 @@ object Dedup extends QueryModule {
        |  $bandSelects)""".stripMargin
   }
 
+  /** [[bandsSqlCtes]] extended through the recursive component
+    * closure (`edges → bi → reach → lbl`) — the DuckDB twin of
+    * [[components]], shared by the q113 and q117 oracles.
+    */
+  private val componentSqlCtes: String =
+    s"""$bandsSqlCtes,
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+       |      AND a.doc_id < b.doc_id),
+       |bi AS (SELECT src, dst FROM edges
+       |       UNION SELECT dst, src FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT bi.dst, reach.comp FROM reach JOIN bi ON reach.id = bi.src),
+       |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q35_exact_dedup" ->
       """SELECT doc_id, md5(text) AS fp,
@@ -330,24 +370,24 @@ object Dedup extends QueryModule {
     // every doc carries the min doc_id of its component — the
     // fixpoint the Spark side's propagation loop reaches
     "q113_dedup_components" ->
-      s"""WITH RECURSIVE $bandsSqlCtes,
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.bsig = b.bsig
-         |      AND a.doc_id < b.doc_id),
-         |bi AS (SELECT src, dst FROM edges
-         |       UNION SELECT dst, src FROM edges),
-         |reach(id, comp) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT bi.dst, reach.comp FROM reach JOIN bi ON reach.id = bi.src),
-         |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $componentSqlCtes,
          |sized AS (SELECT comp, CAST(COUNT(*) AS INT) AS comp_size
          |          FROM lbl GROUP BY comp)
          |SELECT doc_id, comp, comp_size
          |FROM lbl JOIN sized USING (comp)
          |ORDER BY doc_id""".stripMargin,
+
+    // same generated closure, composed with representative selection
+    // (doc = its component's min) and the q116 hash quotas
+    "q117_corpus_pipeline" ->
+      s"""WITH RECURSIVE $componentSqlCtes
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d
+         |JOIN lbl ON d.doc_id = lbl.doc_id AND lbl.comp = d.doc_id
+         |WHERE ${md5IntSql("CAST(d.doc_id AS VARCHAR)")} % 100
+         |      < CASE WHEN d.lang = 'en' THEN 50 ELSE 20 END
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q36_simhash_dedup" ->
       s"""WITH tok AS (

@@ -29,7 +29,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q46_stream_tumbling_replay", "q79_stream_sliding_replay",
     "q92_stream_dedup_replay", "q101_stream_session_replay",
     "q107_catalog_ddl", "q77_csv_roundtrip",
-    "q112_observe_metrics", "q113_dedup_components")
+    "q112_observe_metrics", "q113_dedup_components",
+    "q117_corpus_pipeline")
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness reads a short stdout tail and JSON-parses the
+// bench line. sbt's default output strategy logs forked-process stdout
+// through its own logger ("[info] {...}"), and appends a "[success]
+// Total time" epilogue — both defeat a line-oriented JSON parser. Print
+// child output raw and drop the epilogue so the bench JSON is the
+// literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,9 @@ run / fork := true
 // literal last line of stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by the command layer, not a task — exclude it
+// from lintUnused so every sbt run isn't prefixed with a 4-line [warn].
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

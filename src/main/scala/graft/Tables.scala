@@ -15,6 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * it per SURVEY §2.A A1.
   */
 object Tables {
+  /** Session-level reader configuration every graft entry point applies
+    * at session build (Verify/Bench/Smoke/specs). Readers in this object
+    * are pure — none mutates session state as a side effect.
+    */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -26,16 +36,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read it as a raw nanosecond epoch long
-    * instead (`spark.sql.legacy.parquet.nanosAsLong`) and keep full ns
+    * reader rejects outright; it is read as a raw nanosecond epoch long
+    * instead (`spark.sql.legacy.parquet.nanosAsLong`, set once at
+    * session construction — see [[Tables.configure]]) keeping full ns
     * precision. Queries do ordering/gap arithmetic on the long; an
     * equivalent micros timestamp is derivable via
     * `timestamp_micros(ts div 1000)` when interval semantics are needed.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

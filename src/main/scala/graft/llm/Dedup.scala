@@ -22,7 +22,8 @@ import TextAnalysis.{md5Int, md5IntSql, tokens, tokensSql}
   * banding turns the quadratic all-pairs problem into an equi-join on
   * (band_id, band_signature), which Spark executes as a plain shuffled
   * hash join; skewed buckets (giant near-dup clusters) are exactly the
-  * AQE skew-join case.
+  * AQE skew-join case — DedupPlanSpec plants a hot bucket and proves
+  * the runtime skew-split fires on this join shape.
   */
 object Dedup extends QueryModule {
 
@@ -55,7 +56,7 @@ object Dedup extends QueryModule {
     * candidate-generation stage of q31 (neighbor counts) and q113
     * (cluster extraction).
     */
-  private def bandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("ts", tokens(col("text")))
       .filter(size(col("ts")) >= 2)
@@ -203,6 +204,22 @@ object Dedup extends QueryModule {
     })
   )
 
+  /** Directed near-dup candidate edges (src < dst) from a band stage —
+    * the equi-join on (band_id, bsig) that turns LSH banding into a
+    * shuffled hash/sort-merge join instead of an all-pairs product.
+    * The caller owns the persist lifecycle of `bands` (pass it cached:
+    * the self-join otherwise computes the minhash pipeline twice).
+    */
+  private[graft] def candidateEdges(bands: DataFrame): DataFrame = {
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+      col("a.band_id") === col("b.band_id") &&
+        col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
+
   /** Component labels (doc_id, comp) over the LSH candidate graph,
     * comp = min doc_id reachable via candidate edges.
     *
@@ -219,20 +236,24 @@ object Dedup extends QueryModule {
     * of a doc are dups of each other). Same adaptive philosophy as
     * Backprop's treeAggregate depth: the 1000-executor shape and the
     * fixture shape want different plans, and the data decides.
-    * A planet-scale propagation would add large-star/small-star and
-    * lineage checkpointing; the loop shape is identical.
+    * Each round is localCheckpoint'd so the logical plan stays O(1) in
+    * rounds; a planet-scale propagation would add large-star/small-star
+    * contraction on top — the loop shape is identical.
     */
   private[graft] def components(docs: DataFrame,
       maxDriverEdges: Long = 10000000L): DataFrame = {
     val s = docs.sparkSession
-    val a = bandsOf(docs).as("a"); val b = bandsOf(docs).as("b")
+    // Persist the band stage ONCE and self-join the cached copy: the
+    // shingle→md5→32-minhash-agg→band pipeline is the expensive part of
+    // the whole method, and an uncached self-join computes that subtree
+    // twice (Spark's exchange reuse doesn't fire across the aliased
+    // sides). Evidence: q31 shares this exact self-join shape at 0.2s
+    // while the uncached version here cost ~7s per call at sf0.1.
+    // DedupPlanSpec pins this: both sides of the edge join must scan
+    // the in-memory relation, with zero band aggregates outside it.
+    val bands = bandsOf(docs).persist()
     // persist the directed edges: both downstream shapes reuse them
-    val edges = a.join(b,
-      col("a.band_id") === col("b.band_id") &&
-        col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct().persist()
+    val edges = candidateEdges(bands).persist()
     try {
       if (edges.count() <= maxDriverEdges) {
         // driver union-find over the pair set (path-halving + rank)
@@ -279,8 +300,17 @@ object Dedup extends QueryModule {
         while (!converged && round < maxRounds) {
           val viaEdges = bi.join(labels, col("src") === col("id"))
             .select(col("dst").as("id"), col("comp"))
+          // localCheckpoint (eager): materializes the round AND truncates
+          // lineage to a scan of the cached blocks, so the logical plan
+          // stays O(1) in rounds — without it each round nests the
+          // previous round's join and at high component diameter the
+          // PLANNER, not the data, becomes the bottleneck. Blocks live
+          // at MEMORY_AND_DISK; on a real cluster with executor churn
+          // you'd swap in reliable `checkpoint()` to the cluster FS —
+          // same loop shape, one line.
           val next = labels.unionAll(viaEdges)
-            .groupBy(col("id")).agg(min(col("comp")).as("comp")).persist()
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+            .localCheckpoint()
           val nextSum = labelSum(next)
           labels.unpersist()
           labels = next
@@ -293,7 +323,7 @@ object Dedup extends QueryModule {
           s"component labels did not converge in $maxRounds rounds")
         labels.select(col("id").as("doc_id"), col("comp"))
       }
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); bands.unpersist() }
   }
 
   // ---- generated DuckDB twins -------------------------------------

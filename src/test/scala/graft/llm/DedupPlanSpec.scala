@@ -1,0 +1,110 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+
+/** Structural plan guards for the dedup cluster-extraction path
+  * (q113/q117). Those two queries run eager jobs inside `components()`,
+  * so the registry-wide PlanBudgetSpec legitimately skips them — this
+  * spec audits the expensive internal stages directly instead:
+  * the band-stage cache reuse, the candidate edge join shape, the
+  * label-map join shape, the checkpointed-lineage bound of the
+  * distributed fallback, and AQE's skew handling of a hot band bucket.
+  */
+class DedupPlanSpec extends SparkSpec {
+
+  test("candidate edge join scans the cached band stage on BOTH sides " +
+    "— the minhash pipeline is computed once per action, not twice") {
+    val docs = Tables.documents(spark, sf001)
+    val bands = Dedup.bandsOf(docs).persist()
+    try {
+      val edges = Dedup.candidateEdges(bands)
+      val plan = edges.queryExecution.executedPlan.toString()
+      val scans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(scans == 2,
+        s"expected both join sides to read the cached band stage, " +
+          s"got $scans InMemoryTableScan(s):\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian edge join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ edge join:\n$plan")
+    } finally bands.unpersist()
+  }
+
+  test("driver-path component labels join the corpus against a " +
+    "BROADCAST label map (no shuffle of the docs side)") {
+    val docs = Tables.documents(spark, sf001)
+    val labels = Dedup.components(docs) // edge count << threshold → driver path
+    val plan = labels.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label map not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"docs side shuffled for the label join:\n$plan")
+  }
+
+  test("distributed-propagation labels carry an O(1) logical plan " +
+    "(lineage localCheckpoint'd every round, not nested per round)") {
+    val docs = Tables.documents(spark, sf001)
+    val labels = Dedup.components(docs, maxDriverEdges = -1L) // force fallback
+    val nodes = labels.queryExecution.optimizedPlan.collect { case p => p }
+    assert(nodes.size <= 4,
+      s"plan grew with propagation rounds (${nodes.size} nodes):\n" +
+        labels.queryExecution.optimizedPlan.toString())
+    // and the fallback still agrees with itself end-to-end
+    assert(labels.count() == docs.count())
+  }
+
+  test("AQE splits the hot band bucket a giant near-dup cluster creates " +
+    "(skewed shuffle partition → skew=true join at runtime)") {
+    // 200 identical docs → identical minhash signatures → 8 hot
+    // (band_id, bsig) buckets of 200 rows each: the worst-case skew a
+    // giant near-dup cluster creates, which the Dedup scaladoc claims
+    // AQE covers — this test proves it. The three size thresholds
+    // (skew threshold, advisory split size, coalesce minPartitionSize)
+    // are scaled from their MB/256MB defaults down to fixture bytes;
+    // the *ratios* are the defaults' shape. minPartitionSize matters:
+    // left at its 1MB default, coalescing merges every fixture-sized
+    // partition BEFORE the skew check and coalesced partitions are
+    // exempt from splitting — at real scale a hot partition is GBs and
+    // never coalesced, so the defaults trip on exactly this shape.
+    val s = spark
+    import s.implicits._
+    val hot = Iterator.continually(
+      "spark adaptive execution splits skewed shuffle partitions at runtime")
+      .take(4).mkString(" ")
+    val texts = (0 until 200).map(i => (i.toLong, hot)) ++
+      (200 until 600).map(i => (i.toLong,
+        s"unique document number $i with filler words about topic ${i % 37} " +
+          s"and entropy ${i * 31} plus tail ${i * 7919}"))
+    val docs = texts.toDF("doc_id", "text")
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.shuffle.partitions")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "100b")
+      // the cluster's 8 hot band buckets must stand out against the
+      // partition-size MEDIAN — at the suite default of 4 partitions
+      // every partition absorbs ~2 hot buckets and nothing is skewed
+      // relative to anything (exactly why a 1000-executor cluster runs
+      // thousands of shuffle partitions, not 4)
+      spark.conf.set("spark.sql.shuffle.partitions", "37")
+      val edges = Dedup.candidateEdges(Dedup.bandsOf(docs))
+      // collect() executes THIS DataFrame's plan (count() would plan a
+      // separate aggregate query and leave edges' own AQE plan unfinalized)
+      val n = edges.collect().length
+      assert(n >= 200 * 199 / 2, s"hot cluster pairs missing: $n")
+      val plan = edges.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot band bucket:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}

@@ -119,6 +119,42 @@ object JoinOps extends QueryModule {
           col("n_total"))
     }),
 
+    // Large-LARGE interval join — the case q20's broadcast BNLJ cannot
+    // handle (SCALING.md §Joins: "a large-large band join would first
+    // bucket both sides by coarse range, then band-join within
+    // buckets"). Every lineitem shipdate (point side) joins every
+    // order's 48h window (interval side); at 100 TB NEITHER side fits
+    // in a broadcast. Coarse-range bucketing with bucket width W ≥ max
+    // interval width means each interval overlaps ≤ 2 buckets: explode
+    // the interval side to its buckets, join on the bucket equi-key,
+    // keep the band predicate as a residual filter — a plain shuffled
+    // sort-merge join, linear shuffle, no BNLJ, no cartesian
+    // (PlanBudgetSpec enforces both). The oracle runs the RAW band
+    // predicate with no buckets, proving bucketing is result-invisible.
+    "q118_interval_bucket_join" -> ((s, d) => {
+      val W = 7L * 86400 * 1000   // bucket width: 7 days in ms
+      val span = 2L * 86400 * 1000 // interval width: 48h in ms
+      val iv = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          // fixture timestamps are NTZ; session TZ is UTC everywhere,
+          // so the cast is the identity embedding into epoch ms
+          unix_millis(col("o_orderdate").cast("timestamp")).as("lo"))
+        .withColumn("hi", col("lo") + span)
+        .withColumn("bucket",
+          explode(sequence(expr(s"lo DIV $W"), expr(s"(hi - 1) DIV $W"))))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("v"))
+        .withColumn("bucket", expr(s"v DIV $W"))
+      pts.join(iv, Seq("bucket"))
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_orderkey")).as("sum_lok"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // TPC-H Q5-shaped star join: fact → orders ⋈ dims, dims broadcast.
     "q21_multiway_star_join" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -186,6 +222,17 @@ object JoinOps extends QueryModule {
         |  true AS no_false_negatives,
         |  true AS fp_rate_ok,
         |  (SELECT COUNT(*) FROM lineitem) AS n_total""".stripMargin,
+
+    // the raw band predicate, NO buckets: the oracle proves the Spark
+    // side's coarse-range bucketing changes nothing but the plan
+    "q118_interval_bucket_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_pairs,
+         |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_lok,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders
+         |  ON epoch_ms(l_shipdate) >= epoch_ms(o_orderdate)
+         | AND epoch_ms(l_shipdate) < epoch_ms(o_orderdate) + 172800000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q21_multiway_star_join" ->
       s"""SELECT n_name,

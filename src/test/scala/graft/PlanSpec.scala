@@ -47,6 +47,31 @@ class PlanSpec extends SparkSpec {
       "star dims must broadcast:\n" + q21)
   }
 
+  test("q118 large-large interval join plans as a shuffled EQUI-join " +
+    "on the coarse bucket, band predicate demoted to a residual") {
+    // At fixture scale the orders side is broadcastable, so the default
+    // plan is a BroadcastHashJoin — still keyed on bucket, never a
+    // nested loop. The large-large claim is what happens when NEITHER
+    // side fits a broadcast: force that regime and the plan must
+    // degrade to a sort-merge join on the bucket equi-key (linear
+    // shuffle), not to q20's BroadcastNestedLoopJoin.
+    val dflt = execPlan("q118_interval_bucket_join")
+    assert(!dflt.contains("BroadcastNestedLoopJoin") && !dflt.contains("CartesianProduct"),
+      s"interval join planned non-equi at default sizes:\n$dflt")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = execPlan("q118_interval_bucket_join")
+      val smjLine = p.linesIterator.find(_.contains("SortMergeJoin"))
+        .orElse(p.linesIterator.find(_.contains("ShuffledHashJoin")))
+      assert(smjLine.isDefined, s"no shuffled join:\n$p")
+      assert(smjLine.get.contains("bucket"),
+        s"join not keyed on bucket:\n${smjLine.get}")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"interval join fell back to a non-equi physical plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("q16 forward prop is a single narrow stage — zero shuffles") {
     val p = execPlan("q16_forward_prop")
     // the only exchange allowed is the final orderBy's range partition

@@ -72,6 +72,122 @@ object RewriteVecDot extends Rule[LogicalPlan] {
     }
 }
 
+/** Whole-PLAN optimizer rule: recognize the MapReduce-style relational
+  * matvec — `posexplode(x) ⋈ posexplode(w) ON pos → GROUP BY → SUM(x*w)`
+  * (q11's shape, the reference's `rbmmapper.java:144-183` expressed
+  * relationally) — and collapse the explode/join/re-aggregate into a
+  * join of the UN-exploded rows with one fused
+  * `SUM(graft_vec_dot_matched(x, w))` per pair: no row explosion (64×
+  * here), no position-key shuffle, one primitive loop per vector pair.
+  *
+  * Soundness (why every matched plan can be rewritten blindly):
+  *   - [[graft.functions.VecDotMatched]] reproduces the join+SUM
+  *     semantics exactly: positions beyond the shorter array don't
+  *     join (ignored), null elements make null products which SUM
+  *     skips (skipped), all-null means SUM over nulls (null result).
+  *   - Group EXISTENCE: a row whose array is null/empty emits zero
+  *     posexplode rows, so it vanishes from the aggregate; the rewrite
+  *     re-creates that with explicit `IsNotNull ∧ size > 0` filters on
+  *     both inputs (usually already present via
+  *     InferFiltersFromGenerate — the extra copy folds away).
+  *   - The rule bails unless EVERY aggregate in the Aggregate node is
+  *     the matched sum (a stray `count(*)` counts matched positions,
+  *     which the fused form no longer materializes) and no other
+  *     expression references the exploded columns.
+  */
+object RewriteMatvecJoin extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import graft.functions.VecDotMatched
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType => stripCast(c.child)
+    case other => other
+  }
+
+  private case class Matvec(embL: Expression, xval: Attribute,
+      embR: Expression, wval: Attribute,
+      lChild: LogicalPlan, rChild: LogicalPlan, hint: JoinHint)
+
+  /** Matches the (optionally Project-capped) inner equi-join of two
+    * non-outer posexplodes on their position outputs. Restricted to
+    * float/double arrays: VecDotMatched accumulates in double, which
+    * matches the composed form's `cast-to-double × cast-to-double`
+    * arithmetic for fp elements but would silently change integer
+    * arrays' exact long-sum semantics (and their result type).
+    */
+  private object ExplodedJoin {
+    private def fpArray(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    def unapply(p: LogicalPlan): Option[Matvec] = p match {
+      case Project(projList, child) if projList.forall(_.isInstanceOf[Attribute]) =>
+        unapply(child)
+      case Join(
+          Generate(PosExplode(embL), _, false, _, Seq(posL, xvalL), lChild),
+          Generate(PosExplode(embR), _, false, _, Seq(posR, wvalR), rChild),
+          Inner, Some(EqualTo(a, b)), hint)
+          if ((a.semanticEquals(posL) && b.semanticEquals(posR)) ||
+            (a.semanticEquals(posR) && b.semanticEquals(posL))) &&
+            embL.deterministic && embR.deterministic &&
+            fpArray(embL) && fpArray(embR) =>
+        Some(Matvec(embL, xvalL, embR, wvalR, lChild, rChild, hint))
+      case _ => None
+    }
+  }
+
+  private def isMatchedMul(e: Expression, m: Matvec): Boolean =
+    stripCast(e) match {
+      case mul: Multiply =>
+        val l = stripCast(mul.left); val r = stripCast(mul.right)
+        (l.semanticEquals(m.xval) && r.semanticEquals(m.wval)) ||
+          (l.semanticEquals(m.wval) && r.semanticEquals(m.xval))
+      case _ => false
+    }
+
+  private def sound(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression], m: Matvec): Boolean = {
+    val childOut = m.lChild.outputSet ++ m.rChild.outputSet
+    grouping.forall {
+      case a: Attribute => childOut.contains(a)
+      case _ => false
+    } &&
+    aggExprs.forall(_.collect { case ae: AggregateExpression => ae }.forall {
+      case AggregateExpression(s: Sum, _, false, None, _) =>
+        isMatchedMul(s.child, m)
+      case _ => false
+    }) && {
+      // with every aggregate verified above, blank them out and require
+      // the residue to reference only un-exploded columns
+      val residue = aggExprs.map(_.transform {
+        case _: AggregateExpression => Literal(0.0)
+      })
+      residue.forall(_.references.subsetOf(childOut))
+    }
+  }
+
+  private def nonEmptyArrays(child: LogicalPlan, emb: Expression): LogicalPlan =
+    Filter(And(IsNotNull(emb), GreaterThan(Size(emb), Literal(0))), child)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Aggregate(grouping, aggExprs, ExplodedJoin(m), aggHint)
+        if sound(grouping, aggExprs, m) =>
+      val dot = VecDotMatched(m.embL, m.embR)
+      val newAggExprs = aggExprs.map(_.transform {
+        case ae @ AggregateExpression(s: Sum, _, false, None, _)
+            if isMatchedMul(s.child, m) =>
+          ae.copy(aggregateFunction =
+            s.withNewChildren(Seq(dot)).asInstanceOf[Sum])
+      }.asInstanceOf[NamedExpression])
+      Aggregate(grouping, newAggExprs,
+        Join(nonEmptyArrays(m.lChild, m.embL),
+          nonEmptyArrays(m.rChild, m.embR), Cross, None, m.hint), aggHint)
+  }
+}
+
 /** `SparkSessionExtensions` installer: SQL-function registration for
   * the native expressions plus the sigmoid rewrite rule. Activate with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or per-session
@@ -84,6 +200,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSigmoid)
     e.injectOptimizerRule(_ => RewriteVecDot)
+    e.injectOptimizerRule(_ => RewriteMatvecJoin)
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),
       new ExpressionInfo(classOf[Sigmoid].getName, "graft_sigmoid"),
       buildSigmoid))

@@ -23,7 +23,9 @@ class PlanBudgetSpec extends SparkSpec {
   // their DataFrame executes the work (training epochs, streaming
   // replays, DDL round-trips) and the auditable "plan" is just the
   // memory-sink / LocalTableScan of the already-computed rows —
-  // auditing it would re-run the job twice per suite for nothing
+  // auditing it would re-run the job twice per suite for nothing.
+  // q113/q117's expensive internal stages are audited by DedupPlanSpec
+  // instead (band-stage cache reuse, edge-join and label-join shapes).
   private val skipped = Set("q15_rbm_cd1_epoch", "q54_dbn_pretrain",
     "q34_digit_classifier", "q111_backprop_finetune",
     "q46_stream_tumbling_replay", "q79_stream_sliding_replay",

@@ -220,6 +220,21 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Release a superseded label round deterministically. `unpersist()`
+    * on a localCheckpoint'd Dataset is a CacheManager no-op (the
+    * checkpoint RDD was never registered there) — its blocks would
+    * otherwise wait for GC-driven ContextCleaner while the loop pins
+    * one full label snapshot per round; free the underlying RDD
+    * directly instead. The round-0 labels are a plain `persist()`ed
+    * Dataset, for which `unpersist()` is the correct path.
+    */
+  private def freeLabels(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** Component labels (doc_id, comp) over the LSH candidate graph,
     * comp = min doc_id reachable via candidate edges.
     *
@@ -312,7 +327,7 @@ object Dedup extends QueryModule {
             .groupBy(col("id")).agg(min(col("comp")).as("comp"))
             .localCheckpoint()
           val nextSum = labelSum(next)
-          labels.unpersist()
+          freeLabels(labels)
           labels = next
           converged = nextSum.compareTo(prevSum) == 0
           prevSum = nextSum

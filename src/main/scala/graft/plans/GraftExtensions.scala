@@ -113,10 +113,11 @@ object RewriteMatvecJoin extends Rule[LogicalPlan] {
 
   /** Matches the (optionally Project-capped) inner equi-join of two
     * non-outer posexplodes on their position outputs. Restricted to
-    * float/double arrays: VecDotMatched accumulates in double, which
-    * matches the composed form's `cast-to-double × cast-to-double`
-    * arithmetic for fp elements but would silently change integer
-    * arrays' exact long-sum semantics (and their result type).
+    * float/double arrays (integer arrays' exact long-sum semantics and
+    * result type would change under double accumulation); additionally
+    * [[isMatchedMul]] requires the multiply itself to be double-typed,
+    * so float elements fuse only when the query already casts them to
+    * double before multiplying — exactly VecDotMatched's arithmetic.
     */
   private object ExplodedJoin {
     private def fpArray(e: Expression): Boolean = e.dataType match {
@@ -141,7 +142,12 @@ object RewriteMatvecJoin extends Rule[LogicalPlan] {
 
   private def isMatchedMul(e: Expression, m: Matvec): Boolean =
     stripCast(e) match {
-      case mul: Multiply =>
+      // the multiply must itself be DOUBLE-typed: float arrays summed
+      // through an uncast float×float multiply round the product to
+      // fp32 first, which VecDotMatched's double×double arithmetic
+      // would not reproduce bit-for-bit — only the explicitly
+      // cast-to-double form (or native double arrays) is fused
+      case mul: Multiply if mul.dataType == DoubleType =>
         val l = stripCast(mul.left); val r = stripCast(mul.right)
         (l.semanticEquals(m.xval) && r.semanticEquals(m.wval)) ||
           (l.semanticEquals(m.wval) && r.semanticEquals(m.xval))

@@ -42,11 +42,19 @@ class DedupPlanSpec extends SparkSpec {
   test("distributed-propagation labels carry an O(1) logical plan " +
     "(lineage localCheckpoint'd every round, not nested per round)") {
     val docs = Tables.documents(spark, sf001)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val labels = Dedup.components(docs, maxDriverEdges = -1L) // force fallback
     val nodes = labels.queryExecution.optimizedPlan.collect { case p => p }
     assert(nodes.size <= 4,
       s"plan grew with propagation rounds (${nodes.size} nodes):\n" +
         labels.queryExecution.optimizedPlan.toString())
+    // superseded rounds must be FREED as the loop advances — unpersist()
+    // on a checkpointed Dataset is a CacheManager no-op, so a naive loop
+    // pins one full label snapshot per round; only the final round (the
+    // returned labels) may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1,
+      s"$leaked persisted RDDs left behind by the propagation loop")
     // and the fallback still agrees with itself end-to-end
     assert(labels.count() == docs.count())
   }

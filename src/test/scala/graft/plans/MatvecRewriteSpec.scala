@@ -106,6 +106,21 @@ class MatvecRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rule bails on an uncast float×float multiply (fp32 product " +
+    "rounding that double accumulation would not reproduce)") {
+    val e = Tables.embeddings(spark, sf001) // embedding: array<float>
+    val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xval")))
+    val w = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "wval")))
+    val df = x.join(w, Seq("pos")).groupBy(col("vec_id"))
+      .agg(sum(col("xval") * col("wval")).as("dot")) // no casts: FLOAT multiply
+    withRule {
+      val opt = df.queryExecution.optimizedPlan.toString()
+      assert(!opt.contains("graft_vec_dot_matched"),
+        s"rewrite fired on a float-typed multiply:\n$opt")
+    }
+  }
+
   test("rule bails when the aggregate carries anything but the matched " +
     "sum (count(*) counts positions, which the fused form drops)") {
     val (xs, ws) = fixtures

@@ -78,6 +78,63 @@ object Multimodal extends QueryModule {
         .toDF("doc_id", "n_bytes", "width", "height",
           "mean_px", "min_px", "max_px")
         .orderBy(col("doc_id"))
+    }),
+
+    // Nearest-neighbor RESIZE to 8×8 through the real decoder — the
+    // third leg of the decode/extract/resize/frame-sample quartet.
+    // Target cell (r,c) samples source pixel (r·h/8, c·w/8); the
+    // partition-batched Array[Byte] → pixels contract is identical to
+    // q45's, which is where a JPEG/video thumbnailer would slot in.
+    // Oracle recomputes the resized grid in closed form from doc_id.
+    "q119_image_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, fixtureImage(id)))
+        .toDF("doc_id", "blob")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, blob) =>
+            val img = PgmCodec.decode(blob)
+            val out = Array.tabulate(64) { k =>
+              val r = k / 8; val c = k % 8
+              img.pixels((r * img.height / 8) * img.width + (c * img.width / 8))
+            }
+            var sum = 0L; var mn = 255; var mx = 0
+            out.foreach { p => sum += p; if (p < mn) mn = p; if (p > mx) mx = p }
+            (id, sum, mn, mx, out(0), out(63))
+          }
+        }
+        .toDF("doc_id", "rsum", "rmin", "rmax", "p00", "p77")
+        .orderBy(col("doc_id"))
+    }),
+
+    // FRAME-SAMPLE over a packed binary "video" column: the fixture
+    // packs F fixed-size frames into one blob; every 2nd frame is
+    // sliced out with substring on the BINARY column (a stride
+    // `sequence` + explode — no per-frame decode needed to sample) and
+    // fingerprinted byte-exactly via hex. The slicing arithmetic is the
+    // real operator; a codec would only replace the fingerprint step.
+    "q120_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (4 + id % 5).toInt
+          val fsize = (16 + (id % 3) * 8).toInt
+          val video = Array.tabulate(frames * fsize) { i =>
+            val f = i / fsize; val j = i % fsize
+            ((id * 13 + f * 101 + j * 7) % 256).toByte
+          }
+          (id, frames, fsize, video)
+        }
+        .toDF("doc_id", "n_frames", "fsize", "video")
+        .select(col("doc_id"), col("fsize"), col("video"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("f"))
+        .select(col("doc_id"), col("f").cast("int").as("frame_id"),
+          hex(expr("substring(video, f * fsize + 1, fsize)")).as("fhex"),
+          col("fsize").cast("int").as("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_id"))
     })
   )
 
@@ -114,6 +171,40 @@ object Multimodal extends QueryModule {
         |  CAST(MAX(p) AS INT) AS max_px
         |FROM px
         |GROUP BY doc_id, w, h
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // resized pixel (r,c) = source pixel at (r·h/8, c·w/8), and source
+    // pixel i = (id·31 + i·7) % 256 — the whole resize recomputed in
+    // closed form, no byte parsing needed
+    "q119_image_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT g.doc_id, rr.r, cc.c,
+        |    ((g.doc_id*31 + (((rr.r*g.h)//8)*g.w + ((cc.c*g.w)//8))*7) % 256) AS v
+        |  FROM g CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c))
+        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS rsum,
+        |  CAST(MIN(v) AS INT) AS rmin, CAST(MAX(v) AS INT) AS rmax,
+        |  CAST(MAX(CASE WHEN r=0 AND c=0 THEN v END) AS INT) AS p00,
+        |  CAST(MAX(CASE WHEN r=7 AND c=7 THEN v END) AS INT) AS p77
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte j of frame f = (id·13 + f·101 + j·7) % 256; the sampled
+    // frames' uppercase-hex fingerprints must match Spark's
+    // hex(substring(video, ...)) byte for byte. range() can't take
+    // lateral column args in DuckDB, so fixed max ranges + filters.
+    "q120_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT d.doc_id, f.f, CAST(16 + (d.doc_id % 3) * 8 AS INT) AS n_bytes,
+        |    string_agg(format('{:02X}', (d.doc_id*13 + f.f*101 + j.j*7) % 256),
+        |               '' ORDER BY j.j) AS fhex
+        |  FROM documents d
+        |  CROSS JOIN range(9) f(f)
+        |  CROSS JOIN range(32) j(j)
+        |  WHERE f.f < 4 + d.doc_id % 5 AND j.j < 16 + (d.doc_id % 3) * 8
+        |  GROUP BY d.doc_id, f.f)
+        |SELECT doc_id, CAST(f AS INT) AS frame_id, fhex, n_bytes
+        |FROM frames WHERE f % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin
   )
 }

@@ -67,6 +67,35 @@ object StreamQueries extends QueryModule {
     // lag/cumulative-sum sessionization (q30's construction) computed
     // at the same µs precision the stream sees. The decimal-summed
     // value keeps the per-session total order-independent.
+    // Stream-STREAM inner join under replay: each click joined to the
+    // same user's preceding views within 2h. Both sides carry
+    // watermarks — the state-cleanup contract that makes this run
+    // unbounded: Spark buffers each side only within
+    // watermark + join-interval per user, so state is the 2h
+    // correlation window, not the stream. Append mode (the only mode
+    // stream-stream joins support); inner-join output is complete for
+    // a drained finite replay, so the batch twin is the identical
+    // interval join at the same µs precision.
+    "q121_stream_join_replay" -> ((s, d) =>
+      replay(s, d, mode = "append") { stream =>
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+            col("v_ts") <= col("c_ts"))
+      }.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("c_id")).as("n_clicks"),
+          count_distinct(col("v_id")).as("n_views"))
+        .orderBy(col("user_id"))),
+
     "q101_stream_session_replay" -> ((s, d) =>
       replay(s, d, mode = "append", sentinel = true) { stream =>
         stream.withWatermark("ts", "10 minutes")
@@ -230,6 +259,22 @@ object StreamQueries extends QueryModule {
         |  event_type, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    // q121: the same click⋈view interval join at the same µs precision
+    // the stream computes after its ns→µs conversion
+    "q121_stream_join_replay" ->
+      """WITH p AS (
+        |  SELECT a.user_id, a.event_id AS c_id, b.event_id AS v_id
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'view'
+        |   AND epoch_ns(b.ts)//1000
+        |       BETWEEN epoch_ns(a.ts)//1000 - 7200000000
+        |           AND epoch_ns(a.ts)//1000)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_clicks,
+        |  CAST(COUNT(DISTINCT v_id) AS BIGINT) AS n_views
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q101: the batch sessionization twin runs on epoch-µs longs —
     // the same precision the stream sees after its ns→µs conversion —

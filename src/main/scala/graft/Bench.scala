@@ -22,6 +22,8 @@ object Bench {
       val tiny = spark.read.parquet(s"$sfDir/region.parquet").limit(1)
       tiny.write.mode("overwrite").parquet(s"$wdir/p")
       tiny.write.mode("overwrite").csv(s"$wdir/c")
+      tiny.write.mode("overwrite").orc(s"$wdir/o")
+      tiny.write.mode("overwrite").json(s"$wdir/j")
       Scratch.deleteTree(wdir)
     } catch { case _: Throwable => () }
     // Same for the micro-batch engine: the first streaming query pays

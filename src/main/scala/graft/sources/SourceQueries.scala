@@ -46,8 +46,54 @@ object SourceQueries extends QueryModule {
         s.createDataFrame(
           java.util.Arrays.asList(back.collect(): _*), back.schema)
       } finally Scratch.deleteTree(stage)
+    }),
+
+    // parquet → ORC → scan → aggregate: the second columnar format a
+    // user migrating storage runs through this engine. Same
+    // materialize-then-delete staging contract as q77.
+    "q122_orc_roundtrip" -> ((s, d) => {
+      val stage = Scratch.dir("q122_orc_")
+      try {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").orc(stage.toString)
+        val back = s.read.orc(stage.toString)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("l_linestatus"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
+    // parquet → JSON-lines → schema'd scan → aggregate: jsonl is the
+    // interchange format LLM corpora actually ship in; the length sum
+    // over `text` proves quotes/escapes/unicode survive the round-trip
+    // byte-for-byte, not just the numeric columns.
+    "q123_jsonl_roundtrip" -> ((s, d) => {
+      val stage = Scratch.dir("q123_jsonl_")
+      try {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(stage.toString)
+        val back = s.read.schema(jsonlSchema).json(stage.toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"))
+          .orderBy(col("lang"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
     })
   )
+
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("n_chars", LongType)))
 
   def oracle: Map[String, String] = Map(
     // The oracle reads the original parquet: a lossless round-trip is
@@ -56,6 +102,18 @@ object SourceQueries extends QueryModule {
       s"""SELECT l_returnflag, COUNT(*) AS n,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q122_orc_roundtrip" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q123_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

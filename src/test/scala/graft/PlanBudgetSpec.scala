@@ -32,6 +32,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q92_stream_dedup_replay", "q101_stream_session_replay",
     "q121_stream_join_replay",
     "q107_catalog_ddl", "q77_csv_roundtrip",
+    "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline")
 

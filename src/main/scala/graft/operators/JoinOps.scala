@@ -136,29 +136,8 @@ object JoinOps extends QueryModule {
     // the join's intermediate cardinality — with a 48h window and 7-day
     // buckets this query produced ~75M candidates at sf0.1 (~21s); at
     // 2h/2h it is ~25× more selective with the identical plan shape.
-    "q118_interval_bucket_join" -> ((s, d) => {
-      val W = 2L * 3600 * 1000    // bucket width: 2h in ms (= span)
-      val span = 2L * 3600 * 1000 // interval width: 2h in ms
-      val iv = Tables.orders(s, d)
-        .select(col("o_orderpriority"),
-          // fixture timestamps are NTZ; session TZ is UTC everywhere,
-          // so the cast is the identity embedding into epoch ms
-          unix_millis(col("o_orderdate").cast("timestamp")).as("lo"))
-        .withColumn("hi", col("lo") + span)
-        .withColumn("bucket",
-          explode(sequence(expr(s"lo DIV $W"), expr(s"(hi - 1) DIV $W"))))
-      val pts = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"),
-          unix_millis(col("l_shipdate").cast("timestamp")).as("v"))
-        .withColumn("bucket", expr(s"v DIV $W"))
-      pts.join(iv, Seq("bucket"))
-        .filter(col("v") >= col("lo") && col("v") < col("hi"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("l_orderkey")).as("sum_lok"),
-          dsum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("o_orderpriority"))
-    }),
+    "q118_interval_bucket_join" -> ((s, d) =>
+      intervalBucketJoin(s, d, bucketMs = 2L * 3600 * 1000)),
 
     // TPC-H Q5-shaped star join: fact → orders ⋈ dims, dims broadcast.
     "q21_multiway_star_join" -> ((s, d) => {
@@ -177,6 +156,39 @@ object JoinOps extends QueryModule {
         .orderBy(col("n_name"))
     })
   )
+
+  /** q118's body, parameterized on bucket width: `bucketMs` is a pure
+    * execution knob — any width ≥ 1 ms yields identical results (the
+    * sequence explode covers every bucket an interval overlaps, and the
+    * band predicate is re-checked as a residual), which PropertySpec
+    * asserts across widths including ones smaller than and coprime to
+    * the interval. Width only tunes candidate-pair volume: pairs scale
+    * with (bucket + interval) width, so the 2h default (= interval
+    * width) is the economical sound choice.
+    */
+  private[graft] def intervalBucketJoin(s: SparkSession, d: String,
+      bucketMs: Long): DataFrame = {
+    val span = 2L * 3600 * 1000 // interval width: 2h in ms
+    val iv = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        // fixture timestamps are NTZ; session TZ is UTC everywhere,
+        // so the cast is the identity embedding into epoch ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("lo"))
+      .withColumn("hi", col("lo") + span)
+      .withColumn("bucket",
+        explode(sequence(expr(s"lo DIV $bucketMs"), expr(s"(hi - 1) DIV $bucketMs"))))
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("v"))
+      .withColumn("bucket", expr(s"v DIV $bucketMs"))
+    pts.join(iv, Seq("bucket"))
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_orderkey")).as("sum_lok"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q08_broadcast_join" ->

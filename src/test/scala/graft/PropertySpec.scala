@@ -193,4 +193,21 @@ class PropertySpec extends SparkSpec {
     }.toMap
     direct.foreach { case (id, d) => assert(math.abs(rel(id) - d) < 1e-12) }
   }
+
+  test("q118 bucketing law: bucket width is result-invisible — wider, " +
+    "narrower, and coprime widths all agree with the 2h default") {
+    def rows(bucketMs: Long) =
+      graft.operators.JoinOps.intervalBucketJoin(spark, sf001, bucketMs)
+        .collect().map(_.toSeq).toSeq
+    val default = rows(2L * 3600 * 1000)
+    assert(default.nonEmpty)
+    // wider than the interval (intervals span 1 bucket mostly),
+    // narrower (every interval spans ≥ 2 buckets), and a width coprime
+    // to both interval and data granularities (maximally misaligned
+    // boundaries) — the sequence explode + residual re-check makes the
+    // width a pure execution knob
+    for (w <- Seq(26L * 3600 * 1000, 1800L * 1000, 7919L * 1000 + 13)) {
+      assert(rows(w) == default, s"bucket width $w changed results")
+    }
+  }
 }

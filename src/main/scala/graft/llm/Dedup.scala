@@ -244,16 +244,11 @@ object Dedup extends QueryModule {
     * driver (edges only, never the corpus: driver memory is bounded by
     * docs-that-have-candidates), then joins the ≤|edges|·2-row label
     * map back — 3 jobs total. When the graph is genuinely huge
-    * (> maxDriverEdges), it falls back to distributed min-label
-    * propagation to a fixpoint: per round one (edges ⋈ labels)
-    * equi-join + min-groupBy, shuffle bounded by |edges| + |docs|,
-    * rounds = component diameter (near-dup clusters are shallow — dups
-    * of a doc are dups of each other). Same adaptive philosophy as
-    * Backprop's treeAggregate depth: the 1000-executor shape and the
-    * fixture shape want different plans, and the data decides.
-    * Each round is localCheckpoint'd so the logical plan stays O(1) in
-    * rounds; a planet-scale propagation would add large-star/small-star
-    * contraction on top — the loop shape is identical.
+    * (> maxDriverEdges), it falls back to [[propagateLabels]]:
+    * distributed min-label propagation with pointer jumping, rounds =
+    * O(log component diameter). Same adaptive philosophy as Backprop's
+    * treeAggregate depth: the 1000-executor shape and the fixture
+    * shape want different plans, and the data decides.
     */
   private[graft] def components(docs: DataFrame,
       maxDriverEdges: Long = 10000000L): DataFrame = {
@@ -294,51 +289,77 @@ object Dedup extends QueryModule {
           .join(broadcast(labelMap), col("doc_id") === col("id"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("doc_id")).as("comp"))
-      } else {
-        val bi = edges.unionAll(
-          edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
-        var labels = docs.select(col("doc_id").as("id"),
-          col("doc_id").as("comp")).persist()
-        // Convergence check: labels only ever DECREASE
-        // (min-propagation), so the label sum is strictly monotone
-        // until the fixpoint — one narrow aggregate over the cached
-        // labels per round instead of a next⋈previous diff join.
-        // Summed in DECIMAL(38,0): exact at any id range × row count,
-        // where a long sum could wrap.
-        def labelSum(df: DataFrame): java.math.BigDecimal = df.agg(
-          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .head().getDecimal(0)
-        var prevSum = labelSum(labels)
-        var converged = false
-        var round = 0
-        val maxRounds = 50
-        while (!converged && round < maxRounds) {
-          val viaEdges = bi.join(labels, col("src") === col("id"))
-            .select(col("dst").as("id"), col("comp"))
-          // localCheckpoint (eager): materializes the round AND truncates
-          // lineage to a scan of the cached blocks, so the logical plan
-          // stays O(1) in rounds — without it each round nests the
-          // previous round's join and at high component diameter the
-          // PLANNER, not the data, becomes the bottleneck. Blocks live
-          // at MEMORY_AND_DISK; on a real cluster with executor churn
-          // you'd swap in reliable `checkpoint()` to the cluster FS —
-          // same loop shape, one line.
-          val next = labels.unionAll(viaEdges)
-            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-            .localCheckpoint()
-          val nextSum = labelSum(next)
-          freeLabels(labels)
-          labels = next
-          converged = nextSum.compareTo(prevSum) == 0
-          prevSum = nextSum
-          round += 1
-        }
-        bi.unpersist()
-        require(converged,
-          s"component labels did not converge in $maxRounds rounds")
-        labels.select(col("id").as("doc_id"), col("comp"))
-      }
+      } else propagateLabels(docs.select(col("doc_id")), edges)
     } finally { edges.unpersist(); bands.unpersist() }
+  }
+
+  /** Distributed min-label propagation WITH pointer jumping, to a
+    * fixpoint. Per round: (a) one hop along the bidirectional edges
+    * (edges ⋈ labels + min-groupBy — shuffle bounded by
+    * |edges| + |docs|), then (b) a pointer jump — every label is
+    * replaced by ITS OWN current label (labels ⋈ labels), the PRAM
+    * pointer-doubling step that compresses label chains exponentially.
+    * Hop alone needs O(component diameter) rounds (a 200-long near-dup
+    * chain would blow the round budget); hop + jump converges in
+    * O(log diameter), which DedupPlanSpec demonstrates on a synthetic
+    * 200-edge chain. Every round is localCheckpoint'd (plan depth
+    * stays O(1) in rounds) and superseded rounds are freed
+    * deterministically ([[freeLabels]]).
+    */
+  private[graft] def propagateLabels(docIds: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val bi = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = docIds.select(col("doc_id").as("id"),
+      col("doc_id").as("comp")).persist()
+    // Convergence check: labels only ever DECREASE
+    // (min-propagation), so the label sum is strictly monotone
+    // until the fixpoint — one narrow aggregate over the cached
+    // labels per round instead of a next⋈previous diff join.
+    // Summed in DECIMAL(38,0): exact at any id range × row count,
+    // where a long sum could wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df.agg(
+      sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    val maxRounds = 50
+    while (!converged && round < maxRounds) {
+      val viaEdges = bi.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val hop = labels.unionAll(viaEdges)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")).persist()
+      // pointer jump: comp ← label(comp). Sound because labels are
+      // monotone minima of reachable ids: label(comp) is reachable
+      // from comp, which is reachable from id. Every label id exists
+      // as a row id (labels cover all docs), so the join always
+      // matches; coalesce only guards the contract.
+      // localCheckpoint (eager): materializes the round AND truncates
+      // lineage to a scan of the cached blocks, so the logical plan
+      // stays O(1) in rounds — without it each round nests the
+      // previous round's joins and at depth the PLANNER, not the
+      // data, becomes the bottleneck. Blocks live at MEMORY_AND_DISK;
+      // on a real cluster with executor churn you'd swap in reliable
+      // `checkpoint()` to the cluster FS — same loop shape, one line.
+      val next = hop.as("l")
+        .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")).as("p"),
+          col("l.comp") === col("jid"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("jcomp"), col("l.comp")).as("comp"))
+        .localCheckpoint()
+      hop.unpersist()
+      val nextSum = labelSum(next)
+      freeLabels(labels)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      round += 1
+    }
+    bi.unpersist()
+    require(converged,
+      s"component labels did not converge in $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("comp"))
   }
 
   // ---- generated DuckDB twins -------------------------------------

@@ -59,6 +59,22 @@ class DedupPlanSpec extends SparkSpec {
     assert(labels.count() == docs.count())
   }
 
+  test("pointer jumping converges a 200-long chain within the round " +
+    "budget (one-hop propagation alone would need 200 rounds)") {
+    // a path graph is the worst case for per-round min-label
+    // propagation: the min label crawls one hop per round. The jump
+    // step compresses label chains exponentially, so 200 hops fit
+    // comfortably inside maxRounds = 50 (log₂ 200 ≈ 8).
+    val s = spark
+    import s.implicits._
+    val docIds = (0L to 200L).toDF("doc_id")
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.propagateLabels(docIds, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 201 && labels.values.forall(_ == 0L),
+      "chain must collapse to a single component labeled 0")
+  }
+
   test("AQE splits the hot band bucket a giant near-dup cluster creates " +
     "(skewed shuffle partition → skew=true join at runtime)") {
     // 200 identical docs → identical minhash signatures → 8 hot

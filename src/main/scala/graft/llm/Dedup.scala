@@ -190,6 +190,32 @@ object Dedup extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // INCREMENTAL dedup — the production shape: an incoming batch
+    // (doc_id ≡ 0 mod 5, ~20%) screened against the EXISTING corpus
+    // (the rest), not against itself. One shared band stage filtered
+    // to each side; the join is the same banded equi-join, so at scale
+    // the existing side is a stored fingerprint table (band_id, bsig,
+    // doc_id) that new batches join against without re-fingerprinting
+    // the corpus. Per incoming doc: how many existing docs it
+    // band-collides with, and whether it is novel.
+    "q124_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bands = bandsOf(docs)
+      val a = bands.filter(col("doc_id") % 5 === 0).as("a")
+      val b = bands.filter(col("doc_id") % 5 =!= 0).as("b")
+      val hits = a.join(b,
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bsig") === col("b.bsig"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(countDistinct(col("b.doc_id")).as("n"))
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("int").as("n_corpus_dups"),
+          (coalesce(col("n"), lit(0L)) === 0).as("is_novel"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
     // side restricted to vec_id<100, via the broadcast typed kernel.
     // orderBy+limit compiles to TakeOrderedAndProject — distributed
@@ -454,6 +480,22 @@ object Dedup extends QueryModule {
          |WHERE ${md5IntSql("CAST(d.doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN d.lang = 'en' THEN 50 ELSE 20 END
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // same generated band CTEs; the incoming/existing split is a
+    // filter on each join side
+    "q124_incremental_dedup" ->
+      s"""WITH $bandsSqlCtes,
+         |hits AS (
+         |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+         |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(n, 0) AS INT) AS n_corpus_dups,
+         |  COALESCE(n, 0) = 0 AS is_novel
+         |FROM documents d LEFT JOIN hits USING (doc_id)
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q36_simhash_dedup" ->
       s"""WITH tok AS (

@@ -52,6 +52,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L) == 0 && out(4L) == 0, s"unrelated docs must not: $out")
   }
 
+  test("q124 incremental dedup screens the incoming batch against the " +
+    "existing corpus: the staged exact dup is caught, novelty is real") {
+    // synthetic split: doc 0 (≡0 mod 5) is the incoming batch; docs
+    // 1-4 are the corpus. Doc 0 is an exact dup of corpus doc 1.
+    val out = Dedup.queries("q124_incremental_dedup")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(0L), s"only incoming docs in the output: $out")
+    val (nDups, isNovel) = out(0L)
+    assert(nDups >= 1 && !isNovel,
+      s"exact dup of a corpus doc must not screen as novel: $out")
+  }
+
   test("q37 ngram jaccard: exact pair scores 1.0, near pair high, " +
     "unrelated pairs share nothing") {
     val rows = Dedup.queries("q37_ngram_jaccard")(spark, synthDir)

@@ -216,6 +216,63 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // PASSAGE-level dedup — exact dedup below document granularity:
+    // non-overlapping 8-token chunks ("passages"), a corpus-wide
+    // chunk→distinct-doc-count index, and per-doc shared-passage
+    // ratios. This is the boilerplate/template detector an LLM corpus
+    // needs where whole-doc hashing (q35) sees nothing: docs that
+    // share paragraphs without being near-dups. Scale: chunks shuffle
+    // by chunk text (bounded by corpus token count / 8), the per-doc
+    // rollup by doc_id — two partial-agg-friendly groupBys, no pairs.
+    "q127_passage_dedup" -> ((s, d) => {
+      val P = 8
+      val ch = Tables.documents(s, d)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= P)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), (size(col("ts")) / P).cast("int") - 1),
+            i => array_join(slice(col("ts"), i * P + 1, lit(P)), " ")))
+            .as("chunk"))
+      val shared = ch.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      ch.join(shared, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          sum(when(col("ndocs") > 1, 1).otherwise(0)).cast("int")
+            .as("n_shared"),
+          round(avg(when(col("ndocs") > 1, 1.0).otherwise(0.0)), 6)
+            .as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark CONTAMINATION check — the eval-integrity pass a
+    // training pipeline runs before any split ships: per corpus doc,
+    // how many of its distinct 2-word shingles also occur in the
+    // benchmark set (here: every 50th doc stands in for the eval
+    // suite). The benchmark side is tiny by construction, so it
+    // broadcasts and the corpus is screened in one narrow semi-join
+    // pass — no shuffle of the corpus, no pairs.
+    "q130_contamination" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("shingle")).distinct()
+      val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      val hits = corpus.join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_sh").cast("int").as("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).cast("int").as("n_overlap"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6)
+            .as("overlap_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
     // side restricted to vec_id<100, via the broadcast typed kernel.
     // orderBy+limit compiles to TakeOrderedAndProject — distributed
@@ -496,6 +553,47 @@ object Dedup extends QueryModule {
          |FROM documents d LEFT JOIN hits USING (doc_id)
          |WHERE d.doc_id % 5 = 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    // chunking twin: range() indices → list_slice windows, exactly the
+    // Spark transform(sequence(...), slice) construction
+    "q127_passage_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ts
+         |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents)
+         |  WHERE len(ts) >= 8),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, len(ts) // 8),
+         |      i -> array_to_string(list_slice(ts, i*8 + 1, i*8 + 8), ' ')))
+         |      AS chunk
+         |  FROM t),
+         |shared AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+         |           FROM ch GROUP BY chunk)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS INT)
+         |    AS n_shared,
+         |  ROUND(AVG(CASE WHEN ndocs > 1 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS shared_frac
+         |FROM ch JOIN shared USING (chunk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same generated shingle CTE; benchmark membership is a plain
+    // IN-subquery semi join
+    "q130_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |  ${shingleSql.replace("%FILT%", "")})),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM corpus
+         |         WHERE shingle IN (SELECT shingle FROM bench)
+         |         GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_sh AS INT) AS n_shingles,
+         |  CAST(COALESCE(n_hit, 0) AS INT) AS n_overlap,
+         |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_sh, 6) AS overlap_frac
+         |FROM sizes LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q36_simhash_dedup" ->
       s"""WITH tok AS (

@@ -107,7 +107,38 @@ object Similarity extends QueryModule {
 
     // IVF ANN (data-adaptive cells, nprobe=2) — deterministic but not
     // SQL-expressible → rows-only gate + LlmOpsSpec recall check.
-    "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d))
+    "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d)),
+
+    // Int8 scalar quantization of the embedding column — the 4×
+    // storage/bandwidth compression an ANN index at scale actually
+    // ships. Pass 1: per-dimension [min,max] — an aggregate whose
+    // cardinality is the embedding width, so its result broadcasts.
+    // Pass 2: code = round-half-up of the affine map into [-127,127]
+    // (floor(x+0.5): exact and engine-independent, unlike the two
+    // engines' round()s). Output per vector: the code checksum and
+    // the worst-dimension reconstruction error. All arithmetic is
+    // pinned to double on both engines so the codes are bit-identical.
+    "q129_embedding_quantize" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val stats = ex.groupBy(col("dim"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val q = ex.join(broadcast(stats), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+              * 254 - 127 + 0.5))
+            .cast("int"))
+        .withColumn("deq",
+          when(col("mx") === col("mn"), col("mn"))
+            .otherwise((col("code") + lit(127.0)) / 254.0
+              * (col("mx") - col("mn")) + col("mn")))
+      q.groupBy(col("vec_id"))
+        .agg(sum(col("code")).cast("long").as("code_sum"),
+          round(max(abs(col("deq") - col("v"))), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** IVF-style ANN: coarse-quantize vectors into k cells (centroids
@@ -195,7 +226,29 @@ object Similarity extends QueryModule {
         |      ORDER BY cosine DESC, cid) AS INT) AS rank
         |  FROM p)
         |SELECT qid, cid, cosine, rank FROM r
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // q43 intentionally absent (LSH planes not SQL-expressible).
+
+    // paired unnests expand in lockstep, so (dim, v) mirrors Spark's
+    // posexplode; the 1- vs 0-based dim offset is invisible (dim is a
+    // join key only, never output)
+    "q129_embedding_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id, v, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(FLOOR((v - mn) / (mx - mn) * 254 - 127 + 0.5)
+        |              AS INT) END AS code
+        |  FROM ex JOIN stats USING (dim))
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  ROUND(MAX(ABS(CASE WHEN mx = mn THEN mn
+        |    ELSE (code + 127.0) / 254.0 * (mx - mn) + mn END - v)), 6)
+        |    AS max_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -107,6 +107,40 @@ object TextPipeline extends QueryModule {
     // changes when the corpus around it grows, unlike RNG sampling.
     // One narrow filter, no shuffle at all; fully oracle-checkable
     // because both engines compute the identical hash.
+    // Repetition-based quality filter (the Gopher-rule family): per
+    // doc, the mass of the single most frequent token and the
+    // duplicate-bigram fraction — the two cheapest detectors of
+    // degenerate/templated text. Everything is one narrow pass: the
+    // bigram stats come from array functions on the token array (no
+    // second explode), only the unigram mode needs the (doc,token)
+    // rollup, and both groupBys are partial-agg friendly.
+    "q128_repetition_quality" -> ((s, d) => {
+      val bigrams = transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)))
+      Tables.documents(s, d)
+        .withColumn("ts", tokens)
+        .filter(size(col("ts")) >= 2)
+        .withColumn("n_tok", size(col("ts")))
+        .withColumn("n_bi", size(col("ts")) - 1)
+        .withColumn("n_dbi", size(array_distinct(bigrams)))
+        .select(col("doc_id"), col("n_tok"), col("n_bi"), col("n_dbi"),
+          explode(col("ts")).as("tok"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_bi"), col("n_dbi"),
+          col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_bi"), col("n_dbi"))
+        .agg(max(col("c")).as("maxc"))
+        .select(col("doc_id"),
+          round(col("maxc").cast("double") / col("n_tok"), 6)
+            .as("top_unigram_frac"),
+          round(lit(1.0) - col("n_dbi").cast("double") / col("n_bi"), 6)
+            .as("dup_bigram_frac"))
+        .withColumn("flagged",
+          col("top_unigram_frac") > 0.2 || col("dup_bigram_frac") > 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -123,6 +157,34 @@ object TextPipeline extends QueryModule {
          |WHERE ${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          |ORDER BY doc_id""".stripMargin,
+
+    // 1-based ts[i] indexing; range(1, n) = [1..n-1] pairs each token
+    // with its successor — the twin of transform(sequence(1, n-1), ...)
+    "q128_repetition_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, ts FROM (
+        |    SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), t -> t != '') AS ts
+        |    FROM documents)
+        |  WHERE len(ts) >= 2),
+        |meta AS (
+        |  SELECT doc_id, len(ts) AS n_tok, len(ts) - 1 AS n_bi,
+        |    len(list_distinct(list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i+1]))) AS n_dbi, ts
+        |  FROM t),
+        |cnt AS (
+        |  SELECT doc_id, n_tok, n_bi, n_dbi, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, n_tok, n_bi, n_dbi, unnest(ts) AS tok
+        |        FROM meta)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |mx AS (SELECT doc_id, n_tok, n_bi, n_dbi, MAX(c) AS maxc
+        |       FROM cnt GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        |  ROUND(CAST(maxc AS DOUBLE) / n_tok, 6) AS top_unigram_frac,
+        |  ROUND(1.0 - CAST(n_dbi AS DOUBLE) / n_bi, 6) AS dup_bigram_frac,
+        |  (ROUND(CAST(maxc AS DOUBLE) / n_tok, 6) > 0.2 OR
+        |   ROUND(1.0 - CAST(n_dbi AS DOUBLE) / n_bi, 6) > 0.3) AS flagged
+        |FROM mx ORDER BY doc_id""".stripMargin,
 
     "q80_tfidf" ->
       """WITH toks AS (

@@ -318,6 +318,42 @@ object ExtendedOps extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // CDC MERGE (Delta-style upsert/delete changelog apply) — the
+    // incremental-maintenance op a corpus/warehouse pipeline runs on
+    // every batch. Snapshot = customer balances; changelog = orders
+    // read as keyed ops (status F → delete, else upsert of the order
+    // total; every ~97th order re-keyed past the snapshot range to
+    // exercise the INSERT path). Keep-latest per key (q98's window),
+    // then one full-outer join applies all three actions. At scale
+    // both the window and the join shuffle on the same key, so the
+    // changelog exchange is reused; the snapshot side is the big one
+    // and is touched exactly once.
+    "q126_cdc_merge" -> ((s, d) => {
+      val key = when(col("o_orderkey") % 97 === 0,
+        col("o_custkey") + 1000000L).otherwise(col("o_custkey"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, d)
+        .select(key.as("key"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          round(col("o_totalprice"), 2).as("newbal"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("op"), col("newbal"))
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal0"))
+        .join(latest, Seq("key"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(col("key"),
+          coalesce(col("newbal"), col("bal0")).as("bal"),
+          when(col("op").isNull, lit("keep"))
+            .when(col("bal0").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy(col("key"))
+    }),
+
     // Discrete percentiles (WITHIN GROUP ordered-set syntax): the
     // returned value is an actual data element, vs q50's interpolated
     // continuous form.
@@ -573,6 +609,30 @@ object ExtendedOps extends QueryModule {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q126_cdc_merge" ->
+      """WITH log AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    ROUND(o_totalprice, 2) AS newbal,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY CASE WHEN o_orderkey % 97 = 0
+        |                        THEN o_custkey + 1000000
+        |                        ELSE o_custkey END
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |latest AS (SELECT key, op, newbal FROM log WHERE rn = 1),
+        |snap AS (SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS bal0
+        |         FROM customer)
+        |SELECT COALESCE(s.key, l.key) AS key,
+        |  COALESCE(l.newbal, s.bal0) AS bal,
+        |  CASE WHEN l.op IS NULL THEN 'keep'
+        |       WHEN s.key IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+        |WHERE COALESCE(l.op, 'K') <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "q99_percentile_disc" ->
       """SELECT o_orderpriority,

@@ -69,6 +69,30 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     }),
 
+    // Hive-partitioned write + partition-pruned read — the 100 TB
+    // LAYOUT op: `partitionBy(lang)` writes one directory per
+    // language, and the lang='en' filter on the read-back resolves at
+    // PLAN time (PartitionFilters on the scan; non-en directories are
+    // never listed into the scan). PlanSpec asserts the pruning
+    // mechanics (numFiles == the en dir's part files) on this exact
+    // layout; here it is registered as a user-facing query under the
+    // same materialize-then-delete staging contract as q77.
+    "q125_partitioned_prune" -> ((s, d) => {
+      val stage = Scratch.dir("q125_part_")
+      try {
+        Tables.documents(s, d)
+          .write.mode("overwrite").partitionBy("lang").parquet(stage.toString)
+        val back = s.read.parquet(stage.toString)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
     // parquet → JSON-lines → schema'd scan → aggregate: jsonl is the
     // interchange format LLM corpora actually ship in; the length sum
     // over `text` proves quotes/escapes/unicode survive the round-trip
@@ -114,6 +138,14 @@ object SourceQueries extends QueryModule {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // oracle filters the original table: a pruned partitioned read is
+    // exactly "the partitioned detour changes nothing for lang='en'"
+    "q125_partitioned_prune" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

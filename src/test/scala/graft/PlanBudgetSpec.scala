@@ -33,6 +33,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q121_stream_join_replay",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
+    "q125_partitioned_prune",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline")
 

@@ -131,4 +131,12 @@ class DedupPlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("contamination screen (q130) probes a BROADCAST benchmark set " +
+    "via a semi join — the corpus is never shuffled for the probe") {
+    val plan = graft.SparkEntry.queries("q130_contamination")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark probe is not a broadcast semi join:\n$plan")
+  }
 }

@@ -52,11 +52,12 @@ object Dedup extends QueryModule {
     array_distinct(transform(sequence(lit(1), size(ts) - 1),
       i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
 
-  /** LSH band signatures (doc_id, band_id, bsig) — the shared
-    * candidate-generation stage of q31 (neighbor counts) and q113
-    * (cluster extraction).
+  /** K-column minhash signatures (doc_id, m0..m31) — the sketch stage
+    * shared by banding ([[bandsOf]]) and the estimator-quality query
+    * (q132, which compares matching-minhash fractions to exact
+    * Jaccard).
     */
-  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("ts", tokens(col("text")))
       .filter(size(col("ts")) >= 2)
@@ -65,9 +66,20 @@ object Dedup extends QueryModule {
     // integer arithmetic over it (see family comment above)
     val sx = sh.select(col("doc_id"),
       md5Int(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)).as("x32"))
-    val sig = sx.groupBy(col("doc_id")).agg(
-      min(minhashCol(col("x32"), 0)).as("m0"),
-      (1 until K).map(k => min(minhashCol(col("x32"), k)).as(s"m$k")): _*)
+    // `sz` rides the same aggregation: sx has one row per distinct
+    // shingle, so COUNT(*) is the doc's shingle-set size — q132 needs
+    // it and a separate sizes aggregation would cost one more shuffle
+    sx.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("sz"),
+      (0 until K).map(k => min(minhashCol(col("x32"), k)).as(s"m$k")): _*)
+  }
+
+  /** LSH band signatures (doc_id, band_id, bsig) — the shared
+    * candidate-generation stage of q31 (neighbor counts) and q113
+    * (cluster extraction).
+    */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
+    val sig = signaturesOf(docs)
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*))
     }
@@ -273,6 +285,47 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Sketch-quality evaluation: minhash Jaccard ESTIMATE (fraction of
+    // matching minhash functions) against exact shingle Jaccard, per
+    // shared-shingle pair of the q37 study subset. The op a pipeline
+    // owner runs before trusting LSH thresholds at scale: it turns
+    // "K=32 should be accurate enough" into a measured per-pair error
+    // column. Signatures come from the same [[signaturesOf]] stage the
+    // production banding uses — the estimator audited is the estimator
+    // deployed. Exact side is candidate-pair scoped like q37.
+    "q132_minhash_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val sh = docs
+        .withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      // signaturesOf carries sz in the same aggregation, so the tiny
+      // per-doc (size + signature) table attaches to the pair stream
+      // with two broadcast joins — no extra sizes shuffle
+      val sig = signaturesOf(docs)
+      val a = sig.toDF(sig.columns.map(_ + "_a"): _*)
+      val b = sig.toDF(sig.columns.map(_ + "_b"): _*)
+      val nMatch = (0 until K)
+        .map(k => when(col(s"m${k}_a") === col(s"m${k}_b"), 1).otherwise(0))
+        .reduce(_ + _)
+      inter
+        .join(broadcast(a), col("da") === col("doc_id_a"))
+        .join(broadcast(b), col("db") === col("doc_id_b"))
+        .select(col("da"), col("db"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"),
+          round(nMatch.cast("double") / K, 6).as("jaccard_est"))
+        .withColumn("abs_err",
+          round(abs(col("jaccard_est") - col("jaccard")), 6))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by cosine, left
     // side restricted to vec_id<100, via the broadcast typed kernel.
     // orderBy+limit compiles to TakeOrderedAndProject — distributed
@@ -454,24 +507,32 @@ object Dedup extends QueryModule {
        |  FROM (SELECT doc_id, $tokensSql AS ts FROM documents%FILT%)
        |  WHERE len(ts) >= 2""".stripMargin
 
+  /** Generated CTE chain `sh → sx → sig` — the DuckDB twin of
+    * [[signaturesOf]], parameterized by a source-table filter so the
+    * q132 estimator oracle can scope it to the pair-study subset.
+    */
+  private def sigSqlCtes(filt: String): String = {
+    val mins = (0 until K).map(k =>
+      s"MIN(${minhashSql(k)}) AS m$k").mkString(",\n    ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |  ${shingleSql.replace("%FILT%", filt)})),
+       |sx AS (SELECT doc_id, (${md5IntSql("shingle")} & 4294967295) AS x32
+       |       FROM sh),
+       |sig AS (SELECT doc_id, COUNT(*) AS sz,
+       |    $mins
+       |  FROM sx GROUP BY doc_id)""".stripMargin
+  }
+
   /** Generated CTE chain `sh → sx → sig → bands` — the DuckDB twin of
     * [[bandsOf]], shared by the q31 and q113 oracles.
     */
   private val bandsSqlCtes: String = {
-    val mins = (0 until K).map(k =>
-      s"MIN(${minhashSql(k)}) AS m$k").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
-       |  ${shingleSql.replace("%FILT%", "")})),
-       |sx AS (SELECT doc_id, (${md5IntSql("shingle")} & 4294967295) AS x32
-       |       FROM sh),
-       |sig AS (SELECT doc_id,
-       |    $mins
-       |  FROM sx GROUP BY doc_id),
+    s"""${sigSqlCtes("")},
        |bands AS (
        |  $bandSelects)""".stripMargin
   }
@@ -594,6 +655,32 @@ object Dedup extends QueryModule {
          |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_sh, 6) AS overlap_frac
          |FROM sizes LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // same generated sig CTEs scoped to the study subset; the match
+    // count is 32 generated CASE terms
+    "q132_minhash_estimate" -> {
+      val nMatchSql = (0 until K)
+        .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+        .mkString(" +\n      ")
+      s"""WITH ${sigSqlCtes(" WHERE doc_id < 50")},
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.da, p.db,
+         |    ROUND(CAST(p.inter AS DOUBLE) / (a.sz + b.sz - p.inter), 6)
+         |      AS jaccard,
+         |    ROUND(CAST(($nMatchSql)
+         |      AS DOUBLE) / $K, 6) AS jaccard_est
+         |  FROM pairs p
+         |  JOIN sig a ON p.da = a.doc_id
+         |  JOIN sig b ON p.db = b.doc_id)
+         |SELECT da, db, jaccard, jaccard_est,
+         |  ROUND(ABS(jaccard_est - jaccard), 6) AS abs_err
+         |FROM scored ORDER BY da, db""".stripMargin
+    },
 
     "q36_simhash_dedup" ->
       s"""WITH tok AS (

@@ -135,6 +135,39 @@ object Multimodal extends QueryModule {
           hex(expr("substring(video, f * fsize + 1, fsize)")).as("fhex"),
           col("fsize").cast("int").as("n_bytes"))
         .orderBy(col("doc_id"), col("frame_id"))
+    }),
+
+    // AUDIO leg of the multimodal triad: a PCM8-style mono payload
+    // (fixture-synthesized, like q120's video) framed into 16-sample
+    // windows sliced with binary substring, each window's RMS and peak
+    // computed from the actual BYTES (hex-unpack → centered samples) —
+    // the window framing + feature extraction a loudness/VAD pass
+    // runs; a real codec would only replace the byte→sample decode.
+    // All window features are integer-derived, so sqrt/avg are
+    // bit-identical across engines.
+    "q131_audio_window_rms" -> ((s, d) => {
+      import s.implicits._
+      val W = 16
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (64 + (id % 5) * 16).toInt
+          val audio = Array.tabulate(n)(i => ((id * 17 + i * 11) % 256).toByte)
+          (id, n / W, audio)
+        }
+        .toDF("doc_id", "n_win", "audio")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_win") - 1)).as("w"),
+          hex(expr(s"substring(audio, w * $W + 1, $W)")).as("whex"))
+        .select(col("doc_id"), col("w").cast("int").as("window_id"),
+          explode(sequence(lit(0), lit(W - 1))).as("j"), col("whex"))
+        .select(col("doc_id"), col("window_id"),
+          (expr("conv(substr(whex, j * 2 + 1, 2), 16, 10)").cast("double")
+            - 128).as("v"))
+        .groupBy(col("doc_id"), col("window_id"))
+        .agg(round(sqrt(avg(col("v") * col("v"))), 6).as("rms"),
+          max(abs(col("v"))).cast("int").as("peak"))
+        .orderBy(col("doc_id"), col("window_id"))
     })
   )
 
@@ -205,6 +238,22 @@ object Multimodal extends QueryModule {
         |  WHERE f.f < 4 + d.doc_id % 5 AND j.j < 16 + (d.doc_id % 3) * 8
         |  GROUP BY d.doc_id, f.f)
         |SELECT doc_id, CAST(f AS INT) AS frame_id, fhex, n_bytes
-        |FROM frames WHERE f % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin
+        |FROM frames WHERE f % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin,
+
+    // samples recomputed in closed form from doc_id (the fixture
+    // synthesis); all per-window terms are integers, so AVG and sqrt
+    // are exact/deterministic on both engines
+    "q131_audio_window_rms" ->
+      """WITH w AS (
+        |  SELECT doc_id, 64 + (doc_id % 5) * 16 AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, i // 16 AS window_id,
+        |    CAST((doc_id * 17 + i * 11) % 256 AS DOUBLE) - 128 AS v
+        |  FROM w, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t)
+        |SELECT doc_id, CAST(window_id AS INT) AS window_id,
+        |  ROUND(sqrt(AVG(v * v)), 6) AS rms,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak
+        |FROM sm GROUP BY doc_id, window_id
+        |ORDER BY doc_id, window_id""".stripMargin
   )
 }

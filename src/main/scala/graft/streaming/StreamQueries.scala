@@ -96,6 +96,23 @@ object StreamQueries extends QueryModule {
           count_distinct(col("v_id")).as("n_views"))
         .orderBy(col("user_id"))),
 
+    // UPSERT materialized view under replay: the latest event per key,
+    // maintained by the streaming engine (complete-mode max_by
+    // aggregation — per-key state is one row, the streaming analogue
+    // of q126's batch CDC merge / q98's keep-latest). Tie-break and
+    // precision match the batch twin at the µs the stream sees.
+    "q133_stream_upsert_replay" -> ((s, d) =>
+      replay(s, d) { stream =>
+        stream.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"))
+          .select(col("user_id"), col("last.event_id").as("event_id"),
+            unix_micros(col("last.ts")).as("ts_us"),
+            col("last.event_type").as("event_type"),
+            col("last.value").as("value"))
+      }.orderBy(col("user_id"))),
+
     "q101_stream_session_replay" -> ((s, d) =>
       replay(s, d, mode = "append", sentinel = true) { stream =>
         stream.withWatermark("ts", "10 minutes")
@@ -301,6 +318,17 @@ object StreamQueries extends QueryModule {
         |  ${dsumSql("value")} AS sum_value
         |FROM s2 GROUP BY user_id, sess
         |ORDER BY user_id, s_start_us""".stripMargin,
+
+    // q133: the batch keep-latest twin, ordered at the µs precision
+    // the stream's ns→µs conversion produces (a sub-µs-only ordering
+    // difference must not flip which event is "latest").
+    "q133_stream_upsert_replay" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // q92: duplicated replay + dedup ≡ plain distinct counts.
     "q92_stream_dedup_replay" ->

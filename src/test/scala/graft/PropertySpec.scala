@@ -210,4 +210,24 @@ class PropertySpec extends SparkSpec {
       assert(rows(w) == default, s"bucket width $w changed results")
     }
   }
+
+  test("q129 quantization law: int8 codes are partition-layout invariant " +
+    "— shards quantized under different partitionings agree bit-for-bit") {
+    // the claim a distributed quantizer must honor: per-dim [min,max]
+    // is an algebraic aggregate and floor(x+0.5) is exact, so the
+    // codes can't depend on how the executors happened to split the
+    // data. A mean/stddev-based scheme with naive float accumulation
+    // would fail exactly this test.
+    val q = SparkEntry.queries("q129_embedding_quantize")
+    val base = q(spark, sf001).collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "13")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(q(spark, sf001).collect().map(_.toSeq).toSeq == base,
+          s"codes changed under shuffle.partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -141,6 +141,44 @@ object TextPipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Collocation mining: PMI (pointwise mutual information) of
+    // within-doc bigrams — ln of observed-vs-independent probability,
+    // the co-occurrence statistic behind phrase detection in corpus
+    // preprocessing. Unigram and bigram counts shuffle by term
+    // (vocabulary cardinality, not corpus); the unigram table and both
+    // scalar totals broadcast into the scoring join; top-20 by count
+    // compiles to TakeOrderedAndProject (distributed top-k, no global
+    // sort).
+    "q134_bigram_pmi" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("ts", tokens)
+        .filter(size(col("ts")) >= 2)
+      val bi = toks.select(explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      // one broadcast of `uni` serves both joins (identical exchange →
+      // the second is a ReusedExchange); the two corpus totals
+      // pre-combine into a single 1-row broadcast
+      val tot = uni.agg(sum(col("nw")).as("tu"))
+        .crossJoin(bc.agg(sum(col("nb")).as("tb")))
+      bc.join(broadcast(uni), col("w1") === col("w"))
+        .withColumnRenamed("w", "wa").withColumnRenamed("nw", "n1")
+        .join(broadcast(uni), col("w2") === col("w"))
+        .withColumnRenamed("nw", "n2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("nb"),
+          round(log((col("nb").cast("double") / col("tb")) /
+            ((col("n1").cast("double") / col("tu")) *
+              (col("n2").cast("double") / col("tu")))), 6).as("pmi"))
+        .orderBy(col("nb").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -157,6 +195,35 @@ object TextPipeline extends QueryModule {
          |WHERE ${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          |ORDER BY doc_id""".stripMargin,
+
+    // paired unnests over the two token slices mirror the Spark
+    // successor-struct explode; arithmetic association order matches
+    // the Spark expression term for term so the doubles agree
+    "q134_bigram_pmi" ->
+      """WITH t2 AS (
+        |  SELECT ts FROM (
+        |    SELECT list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
+        |    FROM documents)
+        |  WHERE len(ts) >= 2),
+        |bi AS (
+        |  SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+        |         unnest(list_slice(ts, 2, len(ts))) AS w2
+        |  FROM t2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT w, COUNT(*) AS nw
+        |        FROM (SELECT unnest(ts) AS w FROM t2) GROUP BY 1),
+        |tu AS (SELECT SUM(nw) AS tu FROM uni),
+        |tb AS (SELECT SUM(nb) AS tb FROM bc)
+        |SELECT w1, w2, nb,
+        |  ROUND(ln((CAST(nb AS DOUBLE) / tb) /
+        |    ((CAST(n1.nw AS DOUBLE) / tu) * (CAST(n2.nw AS DOUBLE) / tu))), 6)
+        |    AS pmi
+        |FROM bc
+        |JOIN uni n1 ON bc.w1 = n1.w
+        |JOIN uni n2 ON bc.w2 = n2.w
+        |CROSS JOIN tu CROSS JOIN tb
+        |ORDER BY nb DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // 1-based ts[i] indexing; range(1, n) = [1..n-1] pairs each token
     // with its successor — the twin of transform(sequence(1, n-1), ...)

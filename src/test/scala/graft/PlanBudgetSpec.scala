@@ -17,6 +17,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q57_scalar_subquery",      // decorrelated subquery may plan BNLJ on empty-key edge
     "q80_tfidf",                // 1-row corpus-count scalar broadcast (N)
     "q82_vocab_topk",           // 1-row token-total scalar broadcast
+    "q134_bigram_pmi",          // two 1-row corpus-total scalar broadcasts
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building
@@ -37,15 +38,23 @@ class PlanBudgetSpec extends SparkSpec {
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline")
 
+  // static (pre-AQE) counts where the overage is the SAME subtree
+  // printed repeatedly, not extra work: q134's five corpus-subtree
+  // repetitions collapse onto two aggregates once AQE exchange reuse
+  // runs — TextPipelineSpec executes it and asserts ReusedExchange
+  private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11)
+
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {
     // q37 (distinct shingles → self-join → pair agg → size joins →
     // total sort) legitimately plans 7; anything above 8 means a query
     // grew an unplanned stage.
-    val maxExchanges = 8
+    val defaultMaxExchanges = 8
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
       case (name, fn) =>
+        val maxExchanges =
+          maxExchangesOverride.getOrElse(name, defaultMaxExchanges)
         val plan = fn(spark, sf001).queryExecution.executedPlan.toString()
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
         val cartesian = plan.contains("CartesianProduct")

@@ -37,4 +37,17 @@ class TextPipelineSpec extends SparkSpec {
     val shareSum = rows.map(_.getDouble(2)).sum
     assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-9)
   }
+
+  test("q134's repeated corpus subtrees dedupe at runtime — AQE reuses " +
+    "the identical unigram/bigram exchanges the static plan repeats") {
+    // PlanBudgetSpec carries a static-count override for q134 (11
+    // pre-AQE exchanges); this is the proof the overage is not real
+    // work: the five corpus-scan subtrees collapse onto the same two
+    // aggregates once exchange reuse runs.
+    val df = graft.SparkEntry.queries("q134_bigram_pmi")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
 }

@@ -64,6 +64,41 @@ class LlmOpsSpec extends SparkSpec {
       s"exact dup of a corpus doc must not screen as novel: $out")
   }
 
+  test("q127 passage dedup flags the shared leading passage and " +
+    "nothing else") {
+    // docs 0/1/2 share their first 8 tokens ("the quick brown fox
+    // jumps over the lazy" — the near-dup edit is at token 9), docs
+    // 3/4 share nothing; each doc is one chunk long
+    val out = Dedup.queries("q127_passage_dedup")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_) == (1, 1)),
+      s"shared passage not flagged: $out")
+    assert(Seq(3L, 4L).forall(out(_) == (1, 0)),
+      s"unique passages misflagged: $out")
+  }
+
+  test("q130 contamination scores the benchmark's exact twin 1.0, the " +
+    "near dup high, unrelated docs 0.0") {
+    // doc 0 (id % 50 == 0) is the benchmark; docs 1-4 are the corpus
+    val out = Dedup.queries("q130_contamination")(spark, synthDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0, s"exact twin of the benchmark doc: $out")
+    assert(out(2L) > 0.5, s"near dup should overlap heavily: $out")
+    assert(out(3L) == 0.0 && out(4L) == 0.0, s"unrelated docs: $out")
+  }
+
+  test("q132 estimator agrees with exact Jaccard on the degenerate " +
+    "cases: identical docs 1.0/1.0, near dups close, disjoint absent") {
+    val rows = Dedup.queries("q132_minhash_estimate")(spark, synthDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (j01, e01, err01) = rows((0L, 1L))
+    assert(j01 == 1.0 && e01 == 1.0 && err01 == 0.0,
+      s"identical pair must estimate exactly: ${rows((0L, 1L))}")
+    // disjoint docs share no shingle, so the pair never forms
+    assert(!rows.contains((3L, 4L)), "disjoint pair should be absent")
+  }
+
   test("q37 ngram jaccard: exact pair scores 1.0, near pair high, " +
     "unrelated pairs share nothing") {
     val rows = Dedup.queries("q37_ngram_jaccard")(spark, synthDir)

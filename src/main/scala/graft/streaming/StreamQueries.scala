@@ -97,10 +97,15 @@ object StreamQueries extends QueryModule {
         .orderBy(col("user_id"))),
 
     // UPSERT materialized view under replay: the latest event per key,
-    // maintained by the streaming engine (complete-mode max_by
-    // aggregation — per-key state is one row, the streaming analogue
-    // of q126's batch CDC merge / q98's keep-latest). Tie-break and
-    // precision match the batch twin at the µs the stream sees.
+    // maintained by the streaming engine (max_by aggregation — per-key
+    // state is one row, the streaming analogue of q126's batch CDC
+    // merge / q98's keep-latest). Complete mode because the memory-sink
+    // replay needs the whole view in one table; an unbounded deployment
+    // emits the SAME aggregation in update mode to an upsert sink —
+    // the keyed state (and so the scale bound: key cardinality, not
+    // stream length) is identical, only the sink protocol changes.
+    // Tie-break and precision match the batch twin at the µs the
+    // stream sees.
     "q133_stream_upsert_replay" -> ((s, d) =>
       replay(s, d) { stream =>
         stream.groupBy(col("user_id"))

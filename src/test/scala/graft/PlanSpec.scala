@@ -174,4 +174,19 @@ class PlanSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("q126's changelog is exchanged ONCE — the keep-latest window and " +
+    "the merge join share the key partitioning, and the rank filter is " +
+    "pushed to a WindowGroupLimit") {
+    val p = execPlan("q126_cdc_merge")
+    val firstSection = p.split("== Initial Plan ==").head
+    // one hash exchange per join side; anything more means the window
+    // output was re-partitioned for the join
+    assert(countOccurrences(firstSection, "hashpartitioning") == 2,
+      s"expected exactly 2 key exchanges (snapshot + changelog):\n$firstSection")
+    // rn=1 must run as a group-limit (top-1 per key map-side + final),
+    // not a full window materialization
+    assert(firstSection.contains("WindowGroupLimit"),
+      s"keep-latest rank filter not pushed down:\n$firstSection")
+  }
 }

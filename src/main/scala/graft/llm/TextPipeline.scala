@@ -179,6 +179,36 @@ object TextPipeline extends QueryModule {
         .limit(20)
     }),
 
+    // SEQUENCE PACKING: assign docs to fixed-token-budget context
+    // windows ("bins") — the step between a cleaned corpus and a
+    // token pipeline. A doc's bin is the 512-token window its running
+    // start offset lands in, computed per (lang, shard): sharding by a
+    // doc-id hash is what production packers do anyway (each worker
+    // packs its own shard), and it is exactly what makes the window
+    // parallel — a single per-lang cumsum would serialize on the
+    // handful of language partitions. Keyed window + one groupBy; the
+    // window's (lang, shard) exchange is strictly finer-grained work
+    // than the corpus.
+    "q135_sequence_packing" -> ((s, d) => {
+      val shards = 16
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .withColumn("shard",
+          (graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string"))
+            % shards).cast("int"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -195,6 +225,26 @@ object TextPipeline extends QueryModule {
          |WHERE ${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          |ORDER BY doc_id""".stripMargin,
+
+    // start-offset binning twin: `div`/`//` agree on non-negative
+    // longs, and the whitespace tokenizer is TextAnalysis's shared twin
+    "q135_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(${graft.llm.TextAnalysis.tokensSql}) AS BIGINT) AS n_tok,
+         |    CAST(${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")}
+         |      % 16 AS INT) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT lang, shard, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS INT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY lang, shard, bin
+         |ORDER BY lang, shard, bin""".stripMargin,
 
     // paired unnests over the two token slices mirror the Spark
     // successor-struct explode; arithmetic association order matches

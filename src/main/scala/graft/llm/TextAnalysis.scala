@@ -91,6 +91,29 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Character-level Shannon entropy per document — the classic cheap
+    // detector of binary junk / encoding noise / repeated-padding text
+    // (low entropy = degenerate, high = random bytes). The char explode
+    // multiplies rows, but every exploded row stays in its source
+    // partition and the (doc,ch) hash-agg combines map-side, so the
+    // shuffle carries only docs × distinct-chars (~40) rows, not
+    // docs × chars.
+    "q137_char_entropy" -> ((s, d) => {
+      val chars = filter(split(col("text"), ""), c => c =!= "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(chars).as("n"),
+          explode(chars).as("ch"))
+        .groupBy(col("doc_id"), col("n"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).cast("int").as("n_distinct_chars"),
+          round(-sum(col("c").cast("double") / col("n") *
+            log(col("c").cast("double") / col("n"))), 6).as("entropy"))
+        .select(col("doc_id"), col("n").cast("int").as("n_chars_tok"),
+          col("n_distinct_chars"), col("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized text, plus
     // its 60-bit integer form (join-key friendly). A polynomial rolling
     // hash variant ships as a custom codegen Expression in
@@ -149,6 +172,21 @@ object TextAnalysis extends QueryModule {
          |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
          |  CAST(length(text) AS INT) AS text_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // string_split(text,'') yields the same char list Spark's
+    // split-then-drop-empties does; -SUM(p·ln p) merge order differs
+    // by ~1e-15 across engines, under the round(6) granularity
+    "q137_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, len(string_split(text, '')) AS n,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS INT) AS n_chars_tok,
+        |  CAST(COUNT(*) AS INT) AS n_distinct_chars,
+        |  ROUND(-SUM(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)), 6)
+        |    AS entropy
+        |FROM cnt GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "q42_doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id,

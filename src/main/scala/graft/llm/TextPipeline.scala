@@ -209,6 +209,30 @@ object TextPipeline extends QueryModule {
         .orderBy(col("lang"), col("shard"), col("bin"))
     }),
 
+    // LM-based quality scoring, the cheapest form: per-doc mean unigram
+    // log-probability under the corpus's own unigram model (exp(-avg)
+    // is the familiar perplexity). The model table is vocabulary-sized,
+    // so it broadcasts into the per-token scoring join; the only
+    // corpus-sized shuffles are keyed by term (model build) and doc_id
+    // (per-doc mean) — the same two exchanges TF-IDF needs. At 100 TB
+    // the unigram table would be trained once and stored; the scoring
+    // pass itself stays a broadcast join + one keyed agg.
+    "q136_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("term"))
+      val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("nw"))
+      val tot = uni.agg(sum(col("nw")).as("tu"))
+      toks.join(broadcast(uni), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          round(avg(log(col("nw").cast("double") / col("tu"))), 6)
+            .as("avg_logp"),
+          round(exp(-avg(log(col("nw").cast("double") / col("tu")))), 6)
+            .as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -220,6 +244,22 @@ object TextPipeline extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // same tokenizer CTE as q80; AVG's merge order differs between
+    // engines but the per-doc operand count (~1e2) keeps the error
+    // ~1e-13, far under the round(6) granularity
+    "q136_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |uni AS (SELECT term, COUNT(*) AS nw FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(nw) AS tu FROM uni)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok,
+        |  ROUND(AVG(ln(CAST(nw AS DOUBLE) / tu)), 6) AS avg_logp,
+        |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
+        |FROM toks JOIN uni USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q116_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")} % 100

@@ -18,6 +18,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q80_tfidf",                // 1-row corpus-count scalar broadcast (N)
     "q82_vocab_topk",           // 1-row token-total scalar broadcast
     "q134_bigram_pmi",          // two 1-row corpus-total scalar broadcasts
+    "q136_unigram_logprob",     // 1-row token-total scalar broadcast
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building

@@ -337,6 +337,27 @@ object Dedup extends QueryModule {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("ia"), col("ib"))
         .limit(20)
+    }),
+
+    // Semantic-dedup bucketing (SemDeDup-lite): embeddings hashed to a
+    // sign-bit bucket (bit i = sign of dim i), one representative kept
+    // per bucket (min vec_id), the rest counted as near-dup candidates.
+    // One narrow projection + one bucket-keyed groupBy — no pairwise
+    // anything; at corpus scale the within-bucket cosine-verify pass
+    // would reuse q38's broadcast kernel per bucket. Basis-aligned sign
+    // bits (rather than q43's seeded random hyperplanes) keep the
+    // bucketing reproducible on both engines for the oracle.
+    "q139_embed_sign_dedup" -> ((s, d) => {
+      val bucket = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) >= 0, lit(1L << (i - 1)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("int").as("n_vecs"),
+          min(col("vec_id")).as("rep_id"))
+        .withColumn("n_dup_candidates", (col("n_vecs") - 1).cast("int"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -725,6 +746,20 @@ object Dedup extends QueryModule {
         |  FROM n a, n b
         |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id)
         |SELECT ia, ib, cosine FROM p
-        |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin
+        |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin,
+
+    // same sign-bit sum, 1-indexed list access; float >= 0 is exact on
+    // both engines so the buckets agree bit-for-bit
+    "q139_embed_sign_dedup" -> {
+      val bits = (1 to 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings)
+         |SELECT bucket, CAST(COUNT(*) AS INT) AS n_vecs,
+         |  MIN(vec_id) AS rep_id,
+         |  CAST(COUNT(*) - 1 AS INT) AS n_dup_candidates
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }

@@ -83,6 +83,39 @@ object WindowOps extends QueryModule {
           max(col("event_id")).as("last_event"),
           RelationalCore.dsum(col("value")).as("sum_value"))
         .orderBy(col("user_id"), col("sess"))
+    }),
+
+    // Time-series resample + forward-fill: per user, an hourly grid
+    // spanning first→last active hour, gaps carrying the last observed
+    // value forward (LAST ... IGNORE NULLS) — the gap-fill every
+    // metrics/feature pipeline needs before ML. The per-(user,hour)
+    // downsample is a keyed hash-agg (arg-max by ts, deterministic:
+    // (user_id,ts) is unique in the fixture); the grid explodes from a
+    // per-user span table orders of magnitude smaller than the events;
+    // the fill is a user-partitioned window — grid rows per user are
+    // bounded by the span (≤720 here), never by event count, so the
+    // window partitions stay small at any corpus scale.
+    "q138_gap_fill_resample" -> ((s, d) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), expr(s"ts div $hourNs").as("h"),
+          col("ts"), col("value"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(max_by(col("value"), col("ts")).as("v"),
+          count(lit(1)).cast("int").as("n_ev"))
+      val spans = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("fill_value",
+          round(last(col("v"), ignoreNulls = true).over(w), 6))
+        .select(col("user_id"), col("h"), col("fill_value"),
+          coalesce(col("n_ev"), lit(0)).as("n_ev"),
+          col("v").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("h"))
     })
   )
 
@@ -134,6 +167,29 @@ object WindowOps extends QueryModule {
          |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
          |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
          |  ${RelationalCore.dsumSql("value")} AS sum_value
-         |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+         |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
+    // arg_max twin of max_by; range(h0,h1+1) twin of sequence(h0,h1);
+    // LAST_VALUE IGNORE NULLS over the same cumulative frame
+    "q138_gap_fill_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, ts, value
+        |  FROM events WHERE user_id < 20),
+        |hourly AS (
+        |  SELECT user_id, h, arg_max(value, ts) AS v,
+        |    CAST(COUNT(*) AS INT) AS n_ev
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+        |          FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM spans),
+        |j AS (SELECT g.user_id, g.h, hourly.v, hourly.n_ev
+        |      FROM grid g LEFT JOIN hourly
+        |        ON g.user_id = hourly.user_id AND g.h = hourly.h)
+        |SELECT user_id, CAST(h AS BIGINT) AS h,
+        |  ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS fill_value,
+        |  COALESCE(n_ev, 0) AS n_ev, v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, h""".stripMargin
   )
 }

@@ -233,6 +233,44 @@ object TextPipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-outlier winsorization: per-language p05/p95 bounds (exact
+    // interpolated percentiles), every doc clamped into its language's
+    // band and flagged if outside — the robust-stats length filter that
+    // runs before quality scoring. The per-lang stats table is
+    // languages-sized, so it broadcasts; the corpus pass stays narrow.
+    "q140_length_winsorize" -> ((s, d) => {
+      val stats = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+          expr("percentile(n_chars, 0.95)").as("hi"))
+      Tables.documents(s, d)
+        .join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          round(greatest(least(col("n_chars").cast("double"), col("hi")),
+            col("lo")), 6).as("clamped"),
+          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+            .as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sketch-based frequent items: approx_top_k (Apache DataSketches
+    // frequent-items under the hood) over the token stream — the
+    // one-pass, mergeable, fixed-memory path to q82's vocabulary table
+    // (per-partition sketches merge on the driver instead of shuffling
+    // a term table). The fixture vocabulary (31 terms) is far below
+    // maxItemsTracked, making the sketch provably exact, so the exact
+    // SQL top-k is a valid oracle; the top-20 frequency boundary is
+    // tie-free at every SF, making the selected set unique. Output is
+    // re-sorted deterministically by (count desc, term).
+    "q141_approx_topk_sketch" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens).as("term"))
+        .agg(expr("approx_top_k(term, 20, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -259,6 +297,30 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q140_length_winsorize" ->
+      """WITH stats AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS qlo,
+        |    quantile_cont(n_chars, 0.95) AS qhi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang AS lang, n_chars,
+        |  ROUND(qlo, 6) AS lo, ROUND(qhi, 6) AS hi,
+        |  ROUND(GREATEST(LEAST(CAST(n_chars AS DOUBLE), qhi), qlo), 6)
+        |    AS clamped,
+        |  (n_chars < qlo OR n_chars > qhi) AS is_outlier
+        |FROM documents d JOIN stats USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact twin is valid because the sketch is exact at this vocab
+    // size (see the query comment); same (count desc, term) resort
+    "q141_approx_topk_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1)
+        |SELECT term, freq FROM freq
+        |ORDER BY freq DESC, term LIMIT 20""".stripMargin,
 
     "q116_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents

@@ -168,6 +168,38 @@ object Multimodal extends QueryModule {
         .agg(round(sqrt(avg(col("v") * col("v"))), 6).as("rms"),
           max(abs(col("v"))).cast("int").as("peak"))
         .orderBy(col("doc_id"), col("window_id"))
+    }),
+
+    // Media payload dedup — the multimodal leg of the dedup family:
+    // re-crawled/mirrored images collapse to one representative per
+    // decoded content. The fixture simulates re-crawls by generating
+    // each doc's image from doc_id % 64 (so ~64 distinct contents),
+    // and the dedup key is the DECODED content fingerprint
+    // (w, h, pixel-sum) from the real PgmCodec parse — byte-identical
+    // files are the easy case; decoding first also catches re-encoded
+    // duplicates, which is why production image dedup keys on content
+    // (pHash et al), not file bytes. One decode pass + one
+    // fingerprint-keyed groupBy, no pairwise stage.
+    "q143_media_dedup" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, fixtureImage(id % 64)))
+        .toDF("doc_id", "blob")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, blob) =>
+            val img = PgmCodec.decode(blob)
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i); i += 1 }
+            (id, img.width, img.height, sum)
+          }
+        }
+        .toDF("doc_id", "w", "h", "px_sum")
+        .groupBy(col("w"), col("h"), col("px_sum"))
+        .agg(count(lit(1)).cast("int").as("n_copies"),
+          min(col("doc_id")).as("rep_id"))
+        .orderBy(col("w"), col("h"), col("px_sum"))
     })
   )
 
@@ -254,6 +286,24 @@ object Multimodal extends QueryModule {
         |  ROUND(sqrt(AVG(v * v)), 6) AS rms,
         |  CAST(MAX(ABS(v)) AS INT) AS peak
         |FROM sm GROUP BY doc_id, window_id
-        |ORDER BY doc_id, window_id""".stripMargin
+        |ORDER BY doc_id, window_id""".stripMargin,
+
+    // decoded-content fingerprint recomputed in closed form from
+    // m = doc_id % 64 (the re-crawl simulation): dims from m, pixel
+    // sum over generate_series — the twin of decoding the real bytes
+    "q143_media_dedup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 64 AS m,
+        |    8 + (doc_id % 64) % 9 AS w, 8 + (doc_id % 64) % 7 AS h
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(SUM((m * 31 + i * 7) % 256) AS BIGINT) AS px_sum
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) t
+        |  GROUP BY doc_id, w, h)
+        |SELECT CAST(w AS INT) AS w, CAST(h AS INT) AS h, px_sum,
+        |  CAST(COUNT(*) AS INT) AS n_copies, MIN(doc_id) AS rep_id
+        |FROM fp GROUP BY w, h, px_sum ORDER BY w, h, px_sum""".stripMargin
   )
 }

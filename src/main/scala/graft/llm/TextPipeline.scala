@@ -271,6 +271,35 @@ object TextPipeline extends QueryModule {
         .orderBy(col("freq").desc, col("term"))
     }),
 
+    // CCNet-style quality bucketing: per-language head/middle/tail
+    // tertiles of the LM quality score (q136's unigram log-prob) — the
+    // bucketing CCNet uses to stage corpus quality tiers for training
+    // mixes. The per-doc score is rounded to 6dp BEFORE the tertile
+    // stats so both engines interpolate over bit-identical inputs and
+    // the boundary comparisons can never flip on a ±1ulp disagreement.
+    // The bounds table is languages-sized → broadcasts; the corpus
+    // shuffles stay term-keyed and doc-keyed, same as q136/q80.
+    "q142_ccnet_bucket" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens).as("term"))
+      val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("nw"))
+      val tot = uni.agg(sum(col("nw")).as("tu"))
+      val scored = toks.join(broadcast(uni), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(log(col("nw").cast("double") / col("tu"))), 6)
+          .as("score"))
+      val bounds = scored.groupBy(col("lang"))
+        .agg(expr("percentile(score, 0.3333333333333333)").as("b1"),
+          expr("percentile(score, 0.6666666666666666)").as("b2"))
+      scored.join(broadcast(bounds), "lang")
+        .select(col("doc_id"), col("lang"), col("score"),
+          when(col("score") >= col("b2"), "head")
+            .when(col("score") >= col("b1"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -297,6 +326,31 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same scored CTE as q136 (rounded before the quantiles, see the
+    // query comment); quantile_cont twin of percentile
+    "q142_ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |uni AS (SELECT term, COUNT(*) AS nw FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(nw) AS tu FROM uni),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(AVG(ln(CAST(nw AS DOUBLE) / tu)), 6) AS score
+        |  FROM toks JOIN uni USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id, lang),
+        |bounds AS (
+        |  SELECT lang, quantile_cont(score, 0.3333333333333333) AS b1,
+        |    quantile_cont(score, 0.6666666666666666) AS b2
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, s.lang AS lang, score,
+        |  CASE WHEN score >= b2 THEN 'head'
+        |       WHEN score >= b1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN bounds USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "q140_length_winsorize" ->
       """WITH stats AS (

@@ -19,6 +19,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q82_vocab_topk",           // 1-row token-total scalar broadcast
     "q134_bigram_pmi",          // two 1-row corpus-total scalar broadcasts
     "q136_unigram_logprob",     // 1-row token-total scalar broadcast
+    "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building
@@ -43,7 +44,10 @@ class PlanBudgetSpec extends SparkSpec {
   // printed repeatedly, not extra work: q134's five corpus-subtree
   // repetitions collapse onto two aggregates once AQE exchange reuse
   // runs — TextPipelineSpec executes it and asserts ReusedExchange
-  private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11)
+  // q142 repeats the whole scored-docs subtree under its bounds branch
+  // — same AQE-reuse story, asserted in TextPipelineSpec
+  private val maxExchangesOverride =
+    Map("q134_bigram_pmi" -> 11, "q142_ccnet_bucket" -> 15)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

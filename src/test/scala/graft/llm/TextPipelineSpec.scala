@@ -50,4 +50,17 @@ class TextPipelineSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
+
+  test("q142's scored-docs subtree dedupes at runtime — the bounds " +
+    "branch reuses the main branch's exchanges") {
+    // PlanBudgetSpec carries a static-count override for q142 (15
+    // pre-AQE exchanges): the tertile-bounds branch repeats the whole
+    // tokenise→model-join→per-doc-score pipeline in the static plan,
+    // and this is the proof the repeat is not executed twice.
+    val df = graft.SparkEntry.queries("q142_ccnet_bucket")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
 }

@@ -138,6 +138,39 @@ object Similarity extends QueryModule {
         .agg(sum(col("code")).cast("long").as("code_sum"),
           round(max(abs(col("deq") - col("v"))), 6).as("max_err"))
         .orderBy(col("vec_id"))
+    }),
+
+    // One distributed k-means refinement step over the embedding table
+    // — the building block of corpus topic clustering (cluster-balanced
+    // training mixes) and of q62's IVF cell training, here in its
+    // at-scale shape: centroids broadcast (k×dims, tiny), assignment is
+    // a narrow map pass (zip_with/aggregate fold, codegen'd — no UDF),
+    // and the centroid update shuffles only (cid, dim) partial means,
+    // never vectors. Deterministic seeding (centroids = vec_id < 4) and
+    // a (d2, cid) tiebreak make the step fully oracle-checkable, unlike
+    // q62's sampled Lloyd loop.
+    "q145_kmeans_step" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 4
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cvec"))
+      val sq = zip_with(col("embedding"), col("cvec"), (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      })
+      val dist = Tables.embeddings(s, d)
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          aggregate(sq, lit(0.0), (acc, v) => acc + v).as("d2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).cast("int").as("n_members"),
+          round(avg(col("v").cast("double")), 6).as("centroid"))
+        .select(col("cid"), col("dim").cast("int").as("dim"),
+          col("n_members"), col("centroid"))
+        .orderBy(col("cid"), col("dim"))
     })
   )
 
@@ -249,6 +282,33 @@ object Similarity extends QueryModule {
         |  ROUND(MAX(ABS(CASE WHEN mx = mn THEN mn
         |    ELSE (code + 127.0) / 254.0 * (mx - mn) + mn END - v)), 6)
         |    AS max_err
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // same seeding/tiebreak; the d2 fold's merge order differs by
+    // ~1e-13 relative across engines — an assignment flip would need
+    // two centroids equidistant to that precision
+    "q145_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 4),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, e.embedding,
+        |    (SELECT SUM(dd * dd) FROM (
+        |       SELECT CAST(ua AS DOUBLE) - CAST(ub AS DOUBLE) AS dd
+        |       FROM (SELECT unnest(e.embedding) AS ua,
+        |                    unnest(c.cvec) AS ub) z0) z) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |asg AS (
+        |  SELECT vec_id, cid, embedding FROM dist
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cid) = 1),
+        |ex AS (
+        |  SELECT cid, unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM asg)
+        |SELECT cid, CAST(dim AS INT) AS dim,
+        |  CAST(COUNT(*) AS INT) AS n_members,
+        |  ROUND(AVG(v), 6) AS centroid
+        |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
   )
 }

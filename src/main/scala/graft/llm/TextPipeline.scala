@@ -300,6 +300,33 @@ object TextPipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization + per-domain dedup stats — the crawl-side
+    // dedup pass that runs before any fetch: lowercase scheme+host,
+    // strip default port / www / query / fragment, then count distinct
+    // canonical URLs per domain. The fixture injects URLs
+    // deterministically per doc (q81's technique), with collision
+    // structure planted via doc_id%50 paths. One narrow codegen'd
+    // regexp pass + one domain-keyed groupBy; domains are the natural
+    // partition key at crawl scale (and the skew key — a hot domain
+    // would take q52's salting).
+    "q144_url_canonicalize" -> ((s, d) => {
+      val url = concat(lit("HTTPS://WWW.EXAMPLE"), col("doc_id") % 20,
+        lit(".COM:443/p/"), col("doc_id") % 50,
+        lit("?utm_source=feed&ref="), col("doc_id") % 7, lit("#frag"))
+      val sh = lower(regexp_extract(url, "^([A-Za-z]+://[^/]+)", 1))
+      val shCanon = regexp_replace(regexp_replace(sh, ":443$", ""),
+        "://www\\.", "://")
+      val path = regexp_extract(url, "^[A-Za-z]+://[^/]+([^?#]*)", 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(shCanon, "://(.+)$", 1).as("domain"),
+          concat(shCanon, path).as("canon"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("int").as("n_urls"),
+          countDistinct(col("canon")).cast("int").as("n_canonical"))
+        .orderBy(col("domain"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -326,6 +353,26 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same injected URL, same anchored RE2-safe regexps (no lookahead)
+    "q144_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.EXAMPLE' || (doc_id % 20) || '.COM:443/p/' ||
+        |    (doc_id % 50) || '?utm_source=feed&ref=' || (doc_id % 7) ||
+        |    '#frag' AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^([A-Za-z]+://[^/]+)', 1)),
+        |      ':443$', ''), '://www\.', '://') AS sh,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1) AS path
+        |  FROM u)
+        |SELECT regexp_extract(sh, '://(.+)$', 1) AS domain,
+        |  CAST(COUNT(*) AS INT) AS n_urls,
+        |  CAST(COUNT(DISTINCT sh || path) AS INT) AS n_canonical
+        |FROM c GROUP BY 1 ORDER BY domain""".stripMargin,
 
     // same scored CTE as q136 (rounded before the quantiles, see the
     // query comment); quantile_cont twin of percentile

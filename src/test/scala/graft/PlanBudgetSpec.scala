@@ -20,6 +20,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q134_bigram_pmi",          // two 1-row corpus-total scalar broadcasts
     "q136_unigram_logprob",     // 1-row token-total scalar broadcast
     "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
+    "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building

@@ -199,4 +199,15 @@ class LlmOpsSpec extends SparkSpec {
         img.pixels.map(_.toLong).sum.toDouble / img.pixels.length) < 1e-12)
     }
   }
+
+  test("q137's char count is computed below the explode — a sibling " +
+    "computed column in the generate select would re-split the text " +
+    "once per exploded CHAR (O(chars²)/doc, measured 37s vs 0.4s at " +
+    "sf0.1)") {
+    val plan = graft.SparkEntry.queries("q137_char_entropy")(spark, sf001)
+      .queryExecution.executedPlan.toString()
+    val aboveGenerate = plan.split("Generate", 2)(0)
+    assert(!aboveGenerate.contains("split("),
+      s"text re-split downstream of the explode:\n$plan")
+  }
 }

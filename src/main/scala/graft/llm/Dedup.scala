@@ -339,6 +339,53 @@ object Dedup extends QueryModule {
         .limit(20)
     }),
 
+    // LSH quality evaluation: precision/recall of the production band
+    // stage's candidate pairs against exact-Jaccard ≥ 0.5 ground truth
+    // — the audit every deployed LSH configuration needs (q132 audits
+    // the estimator's VALUE; this audits the candidate SET). Ground
+    // truth is pair-scoped to doc_id<50 (q37's convention: exact
+    // all-pairs Jaccard only ever runs on bounded subsets; at scale
+    // this audit runs on a sampled stratum). Both sides reuse the
+    // shared shingle/band machinery, so the audited stage is the
+    // deployed one.
+    "q147_lsh_pr_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pred = candidateEdges(bandsOf(docs))
+      val sh = docs.withColumn("ts", tokens(col("text")))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val truth = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "src")
+          .withColumnRenamed("sz", "sa")), "src")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("sz", "sb")), "dst")
+        .filter(col("inter").cast("double")
+          / (col("sa") + col("sb") - col("inter")) >= 0.5)
+        .select(col("src"), col("dst"))
+      pred.withColumn("p", lit(true))
+        .join(truth.withColumn("t", lit(true)), Seq("src", "dst"), "full_outer")
+        .agg(coalesce(sum(when(col("p") && col("t"), 1).otherwise(0)), lit(0))
+            .cast("int").as("tp"),
+          coalesce(sum(when(col("p") && col("t").isNull, 1).otherwise(0)),
+            lit(0)).cast("int").as("fp"),
+          coalesce(sum(when(col("p").isNull && col("t"), 1).otherwise(0)),
+            lit(0)).cast("int").as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall"))
+    }),
+
     // Semantic-dedup bucketing (SemDeDup-lite): embeddings hashed to a
     // sign-bit bucket (bit i = sign of dim i), one representative kept
     // per bucket (min vec_id), the rest counted as near-dup candidates.
@@ -548,15 +595,19 @@ object Dedup extends QueryModule {
   /** Generated CTE chain `sh → sx → sig → bands` — the DuckDB twin of
     * [[bandsOf]], shared by the q31 and q113 oracles.
     */
-  private val bandsSqlCtes: String = {
-    val bandSelects = (0 until Bands).map { b =>
-      val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
-    }.mkString("\n  UNION ALL ")
+  /** The `sig → bands` band-signature selects, shared by
+    * [[bandsSqlCtes]] and the q147 evaluation oracle (which scopes the
+    * upstream `sig` CTE to the pair-study subset).
+    */
+  private val bandSelectsSql: String = (0 until Bands).map { b =>
+    val cols = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS bsig FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val bandsSqlCtes: String =
     s"""${sigSqlCtes("")},
        |bands AS (
-       |  $bandSelects)""".stripMargin
-  }
+       |  $bandSelectsSql)""".stripMargin
 
   /** [[bandsSqlCtes]] extended through the recursive component
     * closure (`edges → bi → reach → lbl`) — the DuckDB twin of
@@ -747,6 +798,48 @@ object Dedup extends QueryModule {
         |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id)
         |SELECT ia, ib, cosine FROM p
         |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin,
+
+    // the sig/sh CTEs scoped to the pair-study subset; pred is the
+    // band self-join, truth the exact set-Jaccard threshold over the
+    // same DISTINCT shingle relation the signatures derive from
+    "q147_lsh_pr_eval" ->
+      s"""WITH ${sigSqlCtes(" WHERE doc_id < 500")},
+         |bands AS (
+         |  $bandSelectsSql),
+         |pred AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+         |      AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |it AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT src, dst FROM it
+         |  JOIN (SELECT doc_id AS src, sz AS sa FROM sizes) USING (src)
+         |  JOIN (SELECT doc_id AS dst, sz AS sb FROM sizes) USING (dst)
+         |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+         |m AS (
+         |  SELECT p.src IS NOT NULL AS p, t.src IS NOT NULL AS t
+         |  FROM pred p FULL OUTER JOIN truth t
+         |    ON p.src = t.src AND p.dst = t.dst),
+         |agg AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END), 0)
+         |      AS INT) AS tp,
+         |    CAST(COALESCE(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END), 0)
+         |      AS INT) AS fp,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END), 0)
+         |      AS INT) AS fn
+         |  FROM m)
+         |SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+         |FROM agg""".stripMargin,
 
     // same sign-bit sum, 1-indexed list access; float >= 0 is exact on
     // both engines so the buckets agree bit-for-bit

@@ -327,6 +327,42 @@ object TextPipeline extends QueryModule {
         .orderBy(col("domain"))
     }),
 
+    // Training-mix reweighting: given a target share per source,
+    // compute each source's downsampling weight
+    // min(1, target·total/source_tokens) and the achieved post-sample
+    // mix — the static data-mixing step (DoReMi-lite) between corpus
+    // stats and the sampler (whose per-doc mechanism is q116's hash
+    // quota). Everything after the one corpus-keyed rollup operates on
+    // a sources-sized table: both totals cross in as 1-row broadcasts.
+    "q146_source_mix_weights" -> ((s, d) => {
+      val srcStats = Tables.documents(s, d)
+        .select(col("source"),
+          size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tok")).as("src_tokens"))
+        .withColumn("tgtw",
+          (regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 3 + 1)
+            .cast("double"))
+      val tots = srcStats.agg(sum(col("src_tokens")).as("total_tokens"),
+        sum(col("tgtw")).as("tgt_sum"))
+      val w = srcStats.crossJoin(broadcast(tots))
+        .withColumn("target_share", col("tgtw") / col("tgt_sum"))
+        .withColumn("weight",
+          least(lit(1.0), col("target_share") * col("total_tokens")
+            / col("src_tokens")))
+        .withColumn("kept_tokens", col("weight") * col("src_tokens"))
+      val keptTot = w.agg(sum(col("kept_tokens")).as("kept_sum"))
+      w.crossJoin(broadcast(keptTot))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          round(col("target_share"), 6).as("target_share"),
+          round(col("weight"), 6).as("weight"),
+          round(col("kept_tokens"), 6).as("kept_tokens"),
+          round(col("kept_tokens") / col("kept_sum"), 6).as("achieved_share"))
+        .orderBy(col("source"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -353,6 +389,33 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same whitespace tokenizer as q33 (TextAnalysis.tokensSql); the
+    // derived weight arithmetic is associated identically term by term
+    "q146_source_mix_weights" ->
+      s"""WITH src AS (
+         |  SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+         |    CAST(SUM(len(${graft.llm.TextAnalysis.tokensSql})) AS BIGINT)
+         |      AS src_tokens,
+         |    CAST(CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) % 3 + 1
+         |      AS DOUBLE) AS tgtw
+         |  FROM documents GROUP BY source),
+         |tots AS (SELECT SUM(src_tokens) AS total_tokens, SUM(tgtw) AS tgt_sum
+         |         FROM src),
+         |w AS (
+         |  SELECT source, n_docs, src_tokens,
+         |    tgtw / tgt_sum AS target_share,
+         |    LEAST(1.0, (tgtw / tgt_sum) * total_tokens / src_tokens) AS weight,
+         |    LEAST(1.0, (tgtw / tgt_sum) * total_tokens / src_tokens)
+         |      * src_tokens AS kept_tokens
+         |  FROM src CROSS JOIN tots),
+         |kt AS (SELECT SUM(kept_tokens) AS kept_sum FROM w)
+         |SELECT source, n_docs, src_tokens,
+         |  ROUND(target_share, 6) AS target_share,
+         |  ROUND(weight, 6) AS weight,
+         |  ROUND(kept_tokens, 6) AS kept_tokens,
+         |  ROUND(kept_tokens / kept_sum, 6) AS achieved_share
+         |FROM w CROSS JOIN kt ORDER BY source""".stripMargin,
 
     // same injected URL, same anchored RE2-safe regexps (no lookahead)
     "q144_url_canonicalize" ->

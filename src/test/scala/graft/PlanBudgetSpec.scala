@@ -21,6 +21,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q136_unigram_logprob",     // 1-row token-total scalar broadcast
     "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
     "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
+    "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building
@@ -45,10 +46,14 @@ class PlanBudgetSpec extends SparkSpec {
   // printed repeatedly, not extra work: q134's five corpus-subtree
   // repetitions collapse onto two aggregates once AQE exchange reuse
   // runs — TextPipelineSpec executes it and asserts ReusedExchange
-  // q142 repeats the whole scored-docs subtree under its bounds branch
-  // — same AQE-reuse story, asserted in TextPipelineSpec
-  private val maxExchangesOverride =
-    Map("q134_bigram_pmi" -> 11, "q142_ccnet_bucket" -> 15)
+  // q142 repeats the whole scored-docs subtree under its bounds branch,
+  // q146 its source rollup under both totals branches, q147 its shingle
+  // relation under the pred/sizes/inter branches — same AQE-reuse
+  // story, asserted in TextPipelineSpec (q142/q146) and LlmOpsSpec
+  // (q147)
+  private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
+    "q142_ccnet_bucket" -> 15, "q146_source_mix_weights" -> 11,
+    "q147_lsh_pr_eval" -> 15)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

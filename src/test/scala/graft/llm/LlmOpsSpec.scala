@@ -210,4 +210,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(!aboveGenerate.contains("split("),
       s"text re-split downstream of the explode:\n$plan")
   }
+
+  test("q147 evaluates the deployed band stage sanely and its repeated " +
+    "shingle subtrees dedupe at runtime (PlanBudgetSpec override proof)") {
+    val df = graft.SparkEntry.queries("q147_lsh_pr_eval")(spark, sf001)
+    val r = df.collect()
+    assert(r.length == 1)
+    // LSH banding can only lose true pairs probabilistically; on the
+    // fixture every >=0.5-Jaccard pair survives banding (fn == 0) and
+    // candidates exist (the planted dup structure is in-range)
+    assert(r(0).getInt(0) > 0, "no true-positive candidates found")
+    assert(r(0).getInt(2) == 0, s"banding missed ${r(0).getInt(2)} true pairs")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
 }

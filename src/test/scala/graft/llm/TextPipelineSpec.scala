@@ -63,4 +63,13 @@ class TextPipelineSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
+
+  test("q146's source rollup dedupes at runtime — the totals branches " +
+    "reuse the corpus rollup's exchange (PlanBudgetSpec override proof)") {
+    val df = graft.SparkEntry.queries("q146_source_mix_weights")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
 }

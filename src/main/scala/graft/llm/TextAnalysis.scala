@@ -117,6 +117,46 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Char-trigram language ID — the real n-gram-profile method (q39's
+    // marker words are the toy version): per-language top-20 trigram
+    // profiles built from the corpus itself, each doc voting for the
+    // language whose profile overlaps its trigram set most. The
+    // profile is langs×20 → broadcast into the scoring join; the
+    // corpus-sized shuffles are keyed by (lang,trigram), (doc,trigram)
+    // and doc. Both argmaxes are deterministic: profile rank ties
+    // break on trigram, vote ties on language name.
+    "q148_trigram_langid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = lower(regexp_replace(col("text"), "[^A-Za-z ]", ""))
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), norm.as("nt"))
+        .filter(length(col("nt")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), length(col("nt")) - 2),
+            i => col("nt").substr(i, lit(3)))).as("tg"))
+      val profile = tri.groupBy(col("lang"), col("tg"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("plang"), col("tg"))
+      val docTri = tri.select(col("doc_id"), col("lang"), col("tg")).distinct()
+      val votes = docTri.join(broadcast(profile), "tg")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("v"))
+      val guess = votes.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("v").desc, col("plang"))))
+        .filter(col("rk") === 1)
+      guess.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(when(col("plang") === col("lang"), 1).otherwise(0)).cast("int")
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_docs"), 6))
+        .orderBy(col("lang"))
+    }),
+
     // Document fingerprint: md5 over whitespace-normalized text, plus
     // its 60-bit integer form (join-key friendly). A polynomial rolling
     // hash variant ships as a custom codegen Expression in
@@ -175,6 +215,40 @@ object TextAnalysis extends QueryModule {
          |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
          |  CAST(length(text) AS INT) AS text_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same normalize/trigram/profile/vote chain; both row_number
+    // argmaxes carry the same deterministic tiebreaks
+    "q148_trigram_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS nt
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, substr(nt, i, 3) AS tg
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(nt) - 2)) AS i) z
+        |  WHERE len(nt) >= 3),
+        |profile AS (
+        |  SELECT lang AS plang, tg FROM (
+        |    SELECT lang, tg, COUNT(*) AS c,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, tg) AS rk
+        |    FROM tri GROUP BY lang, tg)
+        |  WHERE rk <= 20),
+        |doctri AS (SELECT DISTINCT doc_id, lang, tg FROM tri),
+        |votes AS (
+        |  SELECT doc_id, lang, plang, COUNT(*) AS v
+        |  FROM doctri JOIN profile USING (tg)
+        |  GROUP BY 1, 2, 3),
+        |guess AS (
+        |  SELECT doc_id, lang, plang FROM votes
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY v DESC, plang) = 1)
+        |SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS INT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS accuracy
+        |FROM guess GROUP BY lang ORDER BY lang""".stripMargin,
 
     // string_split(text,'') yields the same char list Spark's
     // split-then-drop-empties does; -SUM(p·ln p) merge order differs

@@ -363,6 +363,29 @@ object TextPipeline extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Shard-balance pre-check for every hash-sharded op (q135's
+    // packer, a sharded writer, a salted join): docs per (lang, shard)
+    // under the production shard hash, rolled up to per-lang min/max/
+    // avg shard load and the skew factor max/avg — the number that
+    // says whether the shard count needs raising before a run. Two
+    // keyed aggs, output cardinality = languages.
+    "q149_shard_balance" -> ((s, d) => {
+      val shards = 16
+      Tables.documents(s, d)
+        .select(col("lang"),
+          (graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string"))
+            % shards).cast("int").as("shard"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_shards"),
+          min(col("n")).as("min_load"), max(col("n")).as("max_load"),
+          round(avg(col("n")), 6).as("avg_load"))
+        .withColumn("skew",
+          round(col("max_load") / col("avg_load"), 6))
+        .orderBy(col("lang"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -389,6 +412,24 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same production shard hash; skew divides by the ROUNDED avg so
+    // both engines derive it from the identical stored value
+    "q149_shard_balance" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CAST(${graft.llm.TextAnalysis.md5IntSql("CAST(doc_id AS VARCHAR)")}
+         |      % 16 AS INT) AS shard
+         |  FROM documents),
+         |c AS (SELECT lang, shard, COUNT(*) AS n FROM s GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, CAST(COUNT(*) AS INT) AS n_shards,
+         |    MIN(n) AS min_load, MAX(n) AS max_load,
+         |    ROUND(AVG(n), 6) AS avg_load
+         |  FROM c GROUP BY lang)
+         |SELECT lang, n_shards, min_load, max_load, avg_load,
+         |  ROUND(max_load / avg_load, 6) AS skew
+         |FROM r ORDER BY lang""".stripMargin,
 
     // same whitespace tokenizer as q33 (TextAnalysis.tokensSql); the
     // derived weight arithmetic is associated identically term by term

@@ -127,23 +127,44 @@ object TextAnalysis extends QueryModule {
     // break on trigram, vote ties on language name.
     "q148_trigram_langid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // trigrams come from a char ARRAY (element_at is O(1)), not from
+      // substr(nt, i, 3) — Spark's UTF8 substr scans from the string
+      // start, so substr-per-index is O(len²) per doc (measured ~5s at
+      // sf0.1 vs ~1s this way). The array is projected below the
+      // explode (q137's lesson).
       val norm = lower(regexp_replace(col("text"), "[^A-Za-z ]", ""))
       val tri = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), norm.as("nt"))
-        .filter(length(col("nt")) >= 3)
         .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), length(col("nt")) - 2),
-            i => col("nt").substr(i, lit(3)))).as("tg"))
-      val profile = tri.groupBy(col("lang"), col("tg"))
+          filter(split(norm, ""), c => c =!= "").as("cs"))
+        .filter(size(col("cs")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("cs")) - 2),
+            i => concat(element_at(col("cs"), i),
+              element_at(col("cs"), i + 1),
+              element_at(col("cs"), i + 2)))).as("tg"))
+      // one explode + ONE corpus-keyed shuffle: both consumers derive
+      // from the (doc,lang,tg) occurrence rollup — the profile sums the
+      // per-doc counts, and voting is occurrence-WEIGHTED (sum of
+      // matching-trigram counts, the standard rank-profile scoring) so
+      // both branches consume the identical subtree and AQE reuses its
+      // exchange (the naive two-branch form re-exploded the corpus per
+      // branch; a distinct-vote variant diverges the subtrees after
+      // column pruning and loses the reuse)
+      // the explicit isNotNull matches the filter the join would infer
+      // on its probe side only — without it the two base subtrees
+      // differ by that one inferred filter and the exchange can't dedupe
+      val base = tri.filter(col("tg").isNotNull)
+        .groupBy(col("doc_id"), col("lang"), col("tg"))
         .agg(count(lit(1)).as("c"))
+      val profile = base.groupBy(col("lang"), col("tg"))
+        .agg(sum(col("c")).as("c"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
         .filter(col("rk") <= 20)
         .select(col("lang").as("plang"), col("tg"))
-      val docTri = tri.select(col("doc_id"), col("lang"), col("tg")).distinct()
-      val votes = docTri.join(broadcast(profile), "tg")
+      val votes = base.join(broadcast(profile), "tg")
         .groupBy(col("doc_id"), col("lang"), col("plang"))
-        .agg(count(lit(1)).as("v"))
+        .agg(sum(col("c")).as("v"))
       val guess = votes.withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("v").desc, col("plang"))))
@@ -234,10 +255,9 @@ object TextAnalysis extends QueryModule {
         |        ORDER BY COUNT(*) DESC, tg) AS rk
         |    FROM tri GROUP BY lang, tg)
         |  WHERE rk <= 20),
-        |doctri AS (SELECT DISTINCT doc_id, lang, tg FROM tri),
         |votes AS (
         |  SELECT doc_id, lang, plang, COUNT(*) AS v
-        |  FROM doctri JOIN profile USING (tg)
+        |  FROM tri JOIN profile USING (tg)
         |  GROUP BY 1, 2, 3),
         |guess AS (
         |  SELECT doc_id, lang, plang FROM votes

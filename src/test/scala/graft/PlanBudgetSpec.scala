@@ -53,7 +53,7 @@ class PlanBudgetSpec extends SparkSpec {
   // (q147)
   private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
     "q142_ccnet_bucket" -> 15, "q146_source_mix_weights" -> 11,
-    "q147_lsh_pr_eval" -> 15)
+    "q147_lsh_pr_eval" -> 15, "q148_trigram_langid" -> 9)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

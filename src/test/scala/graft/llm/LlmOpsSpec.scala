@@ -225,4 +225,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
+
+  test("q148's (doc,lang,tg) rollup feeds both the profile and the vote " +
+    "branches through ONE reused exchange (PlanBudgetSpec override proof)") {
+    val df = graft.SparkEntry.queries("q148_trigram_langid")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
 }

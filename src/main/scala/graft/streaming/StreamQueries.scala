@@ -118,6 +118,21 @@ object StreamQueries extends QueryModule {
             col("last.value").as("value"))
       }.orderBy(col("user_id"))),
 
+    // foreachBatch MERGE sink under at-least-once replay: each
+    // micro-batch is CDC-applied (keep-latest merge) into a parquet
+    // snapshot via read-modify-write + directory swap — the mechanism
+    // production incremental pipelines use to apply a stream to a
+    // table (a Delta/Iceberg MERGE; the dir swap stands in for the
+    // format's atomic commit). The fixture is staged TWICE with
+    // maxFilesPerTrigger=1, so the same data arrives across multiple
+    // batches and the final view is correct only because keep-latest
+    // is idempotent — exactly the sink-side contract an at-least-once
+    // stream requires. q133 keeps this view in engine state (complete
+    // mode); here the state lives in the TABLE, so engine state is
+    // zero and the view survives restarts — the 100 TB deployment
+    // shape.
+    "q150_stream_merge_sink" -> ((s, d) => replayMergeSink(s, d)),
+
     "q101_stream_session_replay" -> ((s, d) =>
       replay(s, d, mode = "append", sentinel = true) { stream =>
         stream.withWatermark("ts", "10 minutes")
@@ -231,6 +246,74 @@ object StreamQueries extends QueryModule {
     r
   }
 
+  /** The q150 harness: replay with a foreachBatch CDC-merge sink.
+    * Per batch: keep-latest within the batch, merge with the current
+    * parquet snapshot, write the next snapshot generation, swap. The
+    * final view is collected before the scratch dirs are deleted (the
+    * q107 materialize-before-drop pattern) — it is key-cardinality
+    * sized by construction (one row per user).
+    */
+  private def replayMergeSink(s: SparkSession, d: String): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val ckpt = graft.Scratch.dir("merge_ckpt_")
+    val snapRoot = graft.Scratch.dir("merge_snap_")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val stage = stagedSource(s, d, copies = 2, sentinel = false)
+      val stream = s.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // keep-latest per user by (ts, event_id) — associative and
+      // idempotent, so batch slicing and duplicate delivery are both
+      // invisible in the final snapshot
+      def keepLatest(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value").as("value"))
+      var cur: Option[String] = None
+      var gen = 0
+      val applyBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, _) => {
+        val delta = keepLatest(batch)
+        val merged = cur match {
+          case Some(p) => keepLatest(s.read.parquet(p).unionByName(delta))
+          case None => delta
+        }
+        gen += 1
+        val next = snapRoot.resolve(s"g$gen").toString
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+      }
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(applyBatch)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(cur.nonEmpty, "no micro-batch produced a snapshot")
+      val rows = s.read.parquet(cur.get)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id")).collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+          StructField("user_id", LongType), StructField("ts_us", LongType),
+          StructField("event_id", LongType), StructField("value", DoubleType))))
+        .orderBy(col("user_id"))
+    } finally {
+      prevNanos match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.Scratch.deleteTree(ckpt)
+      graft.Scratch.deleteTree(snapRoot)
+    }
+  }
+
   private def replay(s: SparkSession, d: String, copies: Int = 1,
       mode: String = "complete", sentinel: Boolean = false)(
       build: DataFrame => DataFrame): DataFrame = {
@@ -330,6 +413,16 @@ object StreamQueries extends QueryModule {
     "q133_stream_upsert_replay" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
         |  event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q150: the merged snapshot ≡ plain batch keep-latest at the µs
+    // precision the stream sees — batch slicing and the duplicated
+    // staging are invisible because the merge is idempotent
+    "q150_stream_merge_sink" ->
+      """SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events)

@@ -116,6 +116,66 @@ object WindowOps extends QueryModule {
           coalesce(col("n_ev"), lit(0)).as("n_ev"),
           col("v").isNull.as("is_gap"))
         .orderBy(col("user_id"), col("h"))
+    }),
+
+    // Session funnel: view → click → purchase conversion within q30's
+    // 30-min sessions — each stage's timestamp is the first qualifying
+    // event AT OR AFTER the previous stage (ordered funnel, not mere
+    // co-occurrence). The three dependent stage minima stack as window
+    // aggregates over the SAME (user,sess) partition, so they share
+    // one exchange+sort; the final summary is a tiny global rollup of
+    // the per-session stage table.
+    "q151_session_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val ws = Window.partitionBy(col("user_id"), col("sess"))
+      val sessions = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") >= col("prev_ts") + lit(gapNs), 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(frame))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(ws))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") >= col("t_view"), col("ts"))).over(ws))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t_click"), col("ts"))).over(ws))
+      val perSession = sessions.groupBy(col("user_id"), col("sess"))
+        .agg(max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+      perSession.agg(count(lit(1)).cast("int").as("n_sessions"),
+          count(col("t_view")).cast("int").as("n_view"),
+          count(col("t_click")).cast("int").as("n_view_click"),
+          count(col("t_purchase")).cast("int").as("n_full_funnel"))
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          round(col("n_view_click").cast("double") / col("n_view"), 6)
+            .as("click_rate"),
+          round(col("n_full_funnel").cast("double") / col("n_view_click"), 6)
+            .as("purchase_rate"))
+    }),
+
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per day offset — the (cohort, offset) retention matrix.
+    // The cohort table is user-cardinality (broadcastable at any
+    // realistic user count ÷ corpus ratio); the activity relation is
+    // the distinct (user, day) projection.
+    "q152_cohort_retention" -> ((s, d) => {
+      val day = expr("ts div 86400000000000")
+      val cohorts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(day).as("cohort_day"))
+      val active = Tables.events(s, d)
+        .select(col("user_id"), day.as("day")).distinct()
+      active.join(broadcast(cohorts), "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).cast("int").as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -190,6 +250,61 @@ object WindowOps extends QueryModule {
         |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS fill_value,
         |  COALESCE(n_ev, 0) AS n_ev, v IS NULL AS is_gap
-        |FROM j ORDER BY user_id, h""".stripMargin
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    // q30's session CTEs; the dependent stage minima become join-backs
+    // (DuckDB twin of the stacked same-partition window aggregates)
+    "q151_session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
+        |    CASE WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL
+        |           OR epoch_ns(ts) >= LAG(epoch_ns(ts), 1) OVER w
+        |              + 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, tsn, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |s1 AS (
+        |  SELECT user_id, sess,
+        |    MIN(CASE WHEN event_type = 'view' THEN tsn END) AS t_view
+        |  FROM sessions GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT e.user_id, e.sess, t_view,
+        |    MIN(CASE WHEN event_type = 'click' AND tsn >= t_view
+        |        THEN tsn END) AS t_click
+        |  FROM sessions e JOIN s1 USING (user_id, sess) GROUP BY 1, 2, 3),
+        |s3 AS (
+        |  SELECT e.user_id, e.sess, t_view, t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND tsn >= t_click
+        |        THEN tsn END) AS t_purchase
+        |  FROM sessions e JOIN s2 USING (user_id, sess)
+        |  GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS INT) AS n_sessions,
+        |    CAST(COUNT(t_view) AS INT) AS n_view,
+        |    CAST(COUNT(t_click) AS INT) AS n_view_click,
+        |    CAST(COUNT(t_purchase) AS INT) AS n_full_funnel
+        |  FROM s3)
+        |SELECT n_sessions, n_view, n_view_click, n_full_funnel,
+        |  ROUND(CAST(n_view_click AS DOUBLE) / n_view, 6) AS click_rate,
+        |  ROUND(CAST(n_full_funnel AS DOUBLE) / n_view_click, 6)
+        |    AS purchase_rate
+        |FROM agg""".stripMargin,
+
+    "q152_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day
+        |            FROM d GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, day FROM d)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS INT) AS n_active
+        |FROM active JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

@@ -386,6 +386,55 @@ object Dedup extends QueryModule {
             .as("recall"))
     }),
 
+    // PageRank (3 unrolled iterations, d=0.85) over the LSH candidate
+    // graph — the centrality signal dedup-cluster curation uses to
+    // pick representatives (the most-connected duplicate is usually
+    // the canonical copy). The fixed unroll keeps the query
+    // declarative and oracle-checkable (the twin unrolls the same
+    // three CTE rounds); at an unbounded iteration count this becomes
+    // q113's shape: persist the edge list, iterate with localCheckpoint.
+    // Per iteration the work is one edges⋈ranks join + one dst-keyed
+    // sum — shuffle bounded by |edges|, never |docs|².
+    "q153_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      // a declarative 3-round unroll re-references each round's input
+      // twice, doubling the full minhash lineage per round (181 static
+      // exchanges) — so this takes q113's action-style shape instead:
+      // persist the per-edge relation once, keep the scalar |N| on the
+      // driver, iterate over the cache, materialize the bounded
+      // (≤ study-subset) result before releasing it
+      val biDeg = {
+        val edges = candidateEdges(bandsOf(docs))
+        val bi = edges.select(col("src"), col("dst"))
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        bi.join(deg, "src")
+      }.persist()
+      try {
+        val deg = biDeg.select(col("src").as("node"), col("deg")).distinct()
+        val nVal = deg.count().toDouble
+        val damp = 0.85
+        var r = deg.select(col("node"), (lit(1.0) / nVal).as("p"))
+        for (_ <- 1 to 3) {
+          r = biDeg.join(r, col("src") === col("node"))
+            .select(col("dst"), (col("p") / col("deg")).as("contrib"))
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+            .select(col("dst").as("node"),
+              (lit((1.0 - damp) / nVal) + lit(damp) * col("inflow")).as("p"))
+        }
+        val rows = r.join(deg, "node")
+          .select(col("node").as("doc_id"), col("deg").cast("int").as("degree"),
+            round(col("p"), 6).as("rank"))
+          .orderBy(col("doc_id")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_id", LongType), StructField("degree", IntegerType),
+            StructField("rank", DoubleType))))
+          .orderBy(col("doc_id"))
+      } finally biDeg.unpersist()
+    }),
+
     // Semantic-dedup bucketing (SemDeDup-lite): embeddings hashed to a
     // sign-bit bucket (bit i = sign of dim i), one representative kept
     // per bucket (min vec_id), the rest counted as near-dup candidates.
@@ -798,6 +847,41 @@ object Dedup extends QueryModule {
         |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id)
         |SELECT ia, ib, cosine FROM p
         |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin,
+
+    // the same three rounds unrolled as CTE pairs (contrib sum, rank
+    // update); the (1 - 0.85) is spelled as double arithmetic so both
+    // engines fold it to the identical 0.15000000000000002
+    "q153_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        val prev = s"r${k - 1}"
+        s"""c$k AS (
+           |  SELECT dst, SUM(p / deg) AS inflow
+           |  FROM bi JOIN $prev ON bi.src = $prev.node GROUP BY dst),
+           |r$k AS (
+           |  SELECT $prev.node, $prev.deg, $prev.n,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $prev.n
+           |      + CAST(0.85 AS DOUBLE) * c$k.inflow AS p
+           |  FROM c$k JOIN $prev ON c$k.dst = $prev.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${sigSqlCtes(" WHERE doc_id < 500")},
+         |bands AS (
+         |  $bandSelectsSql),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+         |      AND a.doc_id < b.doc_id),
+         |bi AS (SELECT src, dst FROM edges
+         |       UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM bi GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, deg, n.n AS n,
+         |       CAST(1 AS DOUBLE) / n.n AS p FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT node AS doc_id, CAST(deg AS INT) AS degree,
+         |  ROUND(p, 6) AS rank
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
 
     // the sig/sh CTEs scoped to the pair-study subset; pred is the
     // band self-join, truth the exact set-Jaccard threshold over the

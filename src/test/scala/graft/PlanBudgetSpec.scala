@@ -41,7 +41,12 @@ class PlanBudgetSpec extends SparkSpec {
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",
     "q112_observe_metrics", "q113_dedup_components",
-    "q117_corpus_pipeline")
+    "q117_corpus_pipeline",
+    // q153 iterates PageRank over a persisted edge relation (the
+    // declarative unroll doubles the minhash lineage per round — 181
+    // static exchanges); like q113 it runs its own jobs and
+    // materializes a bounded result
+    "q153_pagerank")
 
   // static (pre-AQE) counts where the overage is the SAME subtree
   // printed repeatedly, not extra work: q134's five corpus-subtree

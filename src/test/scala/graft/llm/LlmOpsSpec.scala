@@ -226,6 +226,21 @@ class LlmOpsSpec extends SparkSpec {
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
 
+  test("q153 conserves total rank (PageRank invariant on a graph with " +
+    "no dangling nodes) and is deterministic across runs") {
+    val run1 = graft.SparkEntry.queries("q153_pagerank")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(run1.nonEmpty, "candidate graph is empty")
+    // every node of the undirected candidate graph has deg >= 1, so no
+    // rank leaks to dangling nodes and the total stays 1 (up to the
+    // per-node round(6))
+    val total = run1.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"rank total drifted: $total")
+    val run2 = graft.SparkEntry.queries("q153_pagerank")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(run1.toSeq == run2.toSeq, "nondeterministic ranks")
+  }
+
   test("q148's (doc,lang,tg) rollup feeds both the profile and the vote " +
     "branches through ONE reused exchange (PlanBudgetSpec override proof)") {
     val df = graft.SparkEntry.queries("q148_trigram_langid")(spark, sf001)

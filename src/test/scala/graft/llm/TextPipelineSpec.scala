@@ -64,6 +64,35 @@ class TextPipelineSpec extends SparkSpec {
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
 
+  test("the vocabulary/stats tables BROADCAST into their scoring joins " +
+    "(q136 unigram model, q140 per-lang percentile bounds) — the scale " +
+    "claim each query's comment makes") {
+    for (q <- Seq("q136_unigram_logprob", "q140_length_winsorize")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: model/stats join is not a broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: corpus-side shuffle join appeared:\n$plan")
+    }
+  }
+
+  test("q144 finds real URL dedup structure and q146 emits a valid " +
+    "sampling plan (weights <= 1, achieved mix sums to 1)") {
+    val urls = graft.SparkEntry.queries("q144_url_canonicalize")(spark, sf001)
+      .collect()
+    assert(urls.nonEmpty)
+    // doc_id%50 paths inside doc_id%20 domains guarantee canonical
+    // collisions once a domain holds >= 6 docs
+    assert(urls.exists(r => r.getInt(2) < r.getInt(1)),
+      "no canonical-URL collisions found")
+    val mix = graft.SparkEntry.queries("q146_source_mix_weights")(spark, sf001)
+      .collect()
+    assert(mix.forall(_.getDouble(4) <= 1.0 + 1e-9), "weight above 1")
+    val share = mix.map(_.getDouble(6)).sum
+    assert(math.abs(share - 1.0) < 1e-3, s"achieved mix sums to $share")
+  }
+
   test("q146's source rollup dedupes at runtime — the totals branches " +
     "reuse the corpus rollup's exchange (PlanBudgetSpec override proof)") {
     val df = graft.SparkEntry.queries("q146_source_mix_weights")(spark, sf001)

@@ -140,6 +140,31 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-space class diagnostics: per-label centroid cohesion —
+    // member count, mean norm, and mean cosine-to-centroid — the
+    // separation report an embedding-quality eval runs before trusting
+    // labels (or clusters) for curation. The centroid table is
+    // labels×dims (tiny → broadcast); corpus shuffles are keyed by
+    // (label,dim) and vec_id, never pairwise.
+    "q155_embedding_class_stats" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ex.groupBy(col("label"), col("dim")).agg(avg(col("v")).as("c"))
+      ex.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("n2v"),
+          sum(col("c") * col("c")).as("n2c"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("int").as("n_vecs"),
+          round(avg(sqrt(col("n2v"))), 6).as("avg_norm"),
+          round(avg(col("dot") / sqrt(col("n2v") * col("n2c"))), 6)
+            .as("avg_cos_to_centroid"))
+        .orderBy(col("label"))
+    }),
+
     // One distributed k-means refinement step over the embedding table
     // — the building block of corpus topic clustering (cluster-balanced
     // training mixes) and of q62's IVF cell training, here in its
@@ -283,6 +308,24 @@ object Similarity extends QueryModule {
         |    ELSE (code + 127.0) / 254.0 * (mx - mn) + mn END - v)), 6)
         |    AS max_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // paired-unnest twin of the posexplode; centroid AVG merge order
+    // differs ~1e-13 across engines, absorbed by the round(6)
+    "q155_embedding_class_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, AVG(v) AS c FROM ex GROUP BY 1, 2),
+        |per AS (
+        |  SELECT vec_id, ex.label AS label,
+        |    SUM(v * c) AS dot, SUM(v * v) AS n2v, SUM(c * c) AS n2c
+        |  FROM ex JOIN cent USING (label, dim) GROUP BY 1, 2)
+        |SELECT label, CAST(COUNT(*) AS INT) AS n_vecs,
+        |  ROUND(AVG(sqrt(n2v)), 6) AS avg_norm,
+        |  ROUND(AVG(dot / sqrt(n2v * n2c)), 6) AS avg_cos_to_centroid
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
 
     // same seeding/tiebreak; the d2 fold's merge order differs by
     // ~1e-13 relative across engines — an assignment flip would need

@@ -386,6 +386,32 @@ object TextPipeline extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // BPE merge-step discovery: the most frequent adjacent symbol
+    // pairs inside tokens, counted over token OCCURRENCES (so frequent
+    // words weigh more) — the statistic a BPE trainer's first merge
+    // maximizes, run corpus-wide. Pair counts shuffle by pair text
+    // (symbol-alphabet² cardinality, not corpus); global top-20 goes
+    // through orderBy().limit() → TakeOrderedAndProject with rank
+    // recovered on the 20 survivors (q82's pattern — no global window).
+    "q154_bpe_pair_merge" -> ((s, d) => {
+      val cs = filter(split(col("tok"), ""), c => c =!= "")
+      val pairs = Tables.documents(s, d)
+        .select(explode(tokens).as("tok"))
+        .select(col("tok"), cs.as("cs"))
+        .filter(size(col("cs")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("cs")) - 1),
+          i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1))))
+          .as("pair"))
+      val freq = pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      freq.orderBy(col("freq").desc, col("pair")).limit(20)
+        .agg(sort_array(collect_list(struct(
+          (-col("freq")).as("negf"), col("pair").as("pair")))).as("arr"))
+        .select(posexplode(col("arr")))
+        .select(col("col.pair").as("pair"), (-col("col.negf")).as("freq"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy(col("rank"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -412,6 +438,23 @@ object TextPipeline extends QueryModule {
         |  ROUND(exp(-AVG(ln(CAST(nw AS DOUBLE) / tu))), 6) AS ppl
         |FROM toks JOIN uni USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer; pair windows over the char list, total-order
+    // top-20 so boundary ties select identically on both engines
+    "q154_bpe_pair_merge" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS tok
+        |  FROM documents),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, len(cs)),
+        |    i -> cs[i] || cs[i + 1])) AS pair
+        |  FROM (SELECT string_split(tok, '') AS cs FROM toks)
+        |  WHERE len(cs) >= 2),
+        |freq AS (SELECT pair, COUNT(*) AS freq FROM pr GROUP BY 1)
+        |SELECT pair, freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
+        |FROM freq QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
 
     // same production shard hash; skew divides by the ROUNDED avg so
     // both engines derive it from the identical stored value

@@ -118,6 +118,40 @@ object StreamQueries extends QueryModule {
             col("last.value").as("value"))
       }.orderBy(col("user_id"))),
 
+    // Stream-STREAM LEFT OUTER interval join under replay — the outer
+    // variant q121 doesn't cover: an unmatched click's null-padded row
+    // can only be emitted once the watermark proves no matching view
+    // can still arrive, so this exercises watermark-gated state
+    // FINALIZATION, not just state cleanup. The far-future sentinel
+    // rides both sides (filters keep it) to push both watermarks past
+    // every real event; Spark's no-data batch then flushes the
+    // unmatched rows, and the sentinel's own rows are filtered out of
+    // the sink (q101's pattern).
+    "q156_stream_outer_join_replay" -> ((s, d) =>
+      replay(s, d, mode = "append", sentinel = true) { stream =>
+        val clicks = stream
+          .filter(col("event_type").isin("click", "sentinel"))
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = stream
+          .filter(col("event_type").isin("view", "sentinel"))
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+            col("v_ts") <= col("c_ts"),
+          "left_outer")
+      }.filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v_id").isNull, 1).otherwise(0)).cast("int")
+            .as("n_unmatched"),
+          count_distinct(col("c_id")).as("n_clicks"))
+        .orderBy(col("user_id"))),
+
     // foreachBatch MERGE sink under at-least-once replay: each
     // micro-batch is CDC-applied (keep-latest merge) into a parquet
     // snapshot via read-modify-write + directory swap — the mechanism
@@ -417,6 +451,25 @@ object StreamQueries extends QueryModule {
         |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q156: drained left-outer replay ≡ the batch left interval join
+    // at the µs precision the stream sees
+    "q156_stream_outer_join_replay" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS c_ts, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS v_user, epoch_ns(ts) // 1000 AS v_ts,
+        |    event_id AS v_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_unmatched,
+        |  COUNT(DISTINCT c_id) AS n_clicks
+        |FROM c LEFT JOIN v
+        |  ON c.user_id = v.v_user
+        |    AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q150: the merged snapshot ≡ plain batch keep-latest at the µs
     // precision the stream sees — batch slicing and the duplicated

@@ -36,7 +36,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q46_stream_tumbling_replay", "q79_stream_sliding_replay",
     "q92_stream_dedup_replay", "q101_stream_session_replay",
     "q121_stream_join_replay", "q133_stream_upsert_replay",
-    "q150_stream_merge_sink",
+    "q150_stream_merge_sink", "q156_stream_outer_join_replay",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",

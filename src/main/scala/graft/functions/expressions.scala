@@ -280,6 +280,56 @@ case class VecDotMatched(left: Expression, right: Expression)
   override def prettyName: String = "graft_vec_dot_matched"
 }
 
+/** All length-`n` byte-window substrings of a string, as an array —
+  * char n-grams for ASCII input (the callers normalize to [a-z ]
+  * first; a multibyte code point would be split, which is why the name
+  * says BYTE). Exists because the composed HOF form
+  * `transform(sequence(...), i -> substr/element_at ...)` evaluates
+  * its lambda interpreted per element — and `substr(s, i, n)` on a
+  * string additionally rescans from the start per call (O(len²) per
+  * row). This is one allocation-light pass over the UTF-8 buffer
+  * inside whole-stage codegen: q148's corpus trigram stage measured
+  * ~3× faster end to end.
+  */
+case class ByteNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    ByteNgrams.ngrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteNgrams.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ByteNgrams =
+    copy(child = c)
+  override def prettyName: String = "graft_byte_ngrams"
+}
+
+object ByteNgrams {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Shared by interpreted eval and generated code. */
+  def ngrams(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(bytes, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API entry points. Children are cast explicitly (the
   * expressions themselves don't implement implicit coercion — that
   * trait's types are `private[sql]` in Spark 4).
@@ -293,6 +343,8 @@ object exprs {
     Bridge.column(RollingHash(Cast(Bridge.expression(c), StringType)))
   def graft_vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  def graft_byte_ngrams(c: Column, n: Int): Column =
+    Bridge.column(ByteNgrams(Cast(Bridge.expression(c), StringType), n))
 
   /** Spark's internal runtime-filter primitives, surfaced as Column
     * functions: `BloomFilterAggregate` builds the filter (binary),

@@ -127,21 +127,21 @@ object TextAnalysis extends QueryModule {
     // break on trigram, vote ties on language name.
     "q148_trigram_langid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // trigrams come from a char ARRAY (element_at is O(1)), not from
-      // substr(nt, i, 3) — Spark's UTF8 substr scans from the string
-      // start, so substr-per-index is O(len²) per doc (measured ~5s at
-      // sf0.1 vs ~1s this way). The array is projected below the
-      // explode (q137's lesson).
+      // trigrams come from the ByteNgrams codegen expression — one
+      // pass over the UTF-8 buffer (char ≡ byte n-grams on the [a-z ]
+      // normalized input). The composed HOF forms are strictly worse:
+      // substr-per-index rescans the string per call (O(len²)/doc,
+      // ~5s at sf0.1) and a char-array element_at build still pays an
+      // interpreted lambda per trigram (~4s); this is ~1.5s. The
+      // normalized string is projected below the explode (q137's
+      // lesson).
       val norm = lower(regexp_replace(col("text"), "[^A-Za-z ]", ""))
       val tri = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), norm.as("nt"))
+        .filter(length(col("nt")) >= 3)
         .select(col("doc_id"), col("lang"),
-          filter(split(norm, ""), c => c =!= "").as("cs"))
-        .filter(size(col("cs")) >= 3)
-        .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("cs")) - 2),
-            i => concat(element_at(col("cs"), i),
-              element_at(col("cs"), i + 1),
-              element_at(col("cs"), i + 2)))).as("tg"))
+          explode(graft.functions.exprs.graft_byte_ngrams(col("nt"), 3))
+            .as("tg"))
       // one explode + ONE corpus-keyed shuffle: both consumers derive
       // from the (doc,lang,tg) occurrence rollup — the profile sums the
       // per-doc counts, and voting is occurrence-WEIGHTED (sum of

@@ -394,13 +394,13 @@ object TextPipeline extends QueryModule {
     // through orderBy().limit() → TakeOrderedAndProject with rank
     // recovered on the 20 survivors (q82's pattern — no global window).
     "q154_bpe_pair_merge" -> ((s, d) => {
-      val cs = filter(split(col("tok"), ""), c => c =!= "")
+      // pair windows via the ByteNgrams codegen expression (char ≡
+      // byte 2-grams on the [a-z]+ tokens) — see q148's comment for
+      // why the composed HOF forms lose
       val pairs = Tables.documents(s, d)
         .select(explode(tokens).as("tok"))
-        .select(col("tok"), cs.as("cs"))
-        .filter(size(col("cs")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("cs")) - 1),
-          i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1))))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(graft.functions.exprs.graft_byte_ngrams(col("tok"), 2))
           .as("pair"))
       val freq = pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
       freq.orderBy(col("freq").desc, col("pair")).limit(20)

@@ -22,6 +22,26 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_byte_ngrams equals the composed char-array HOF form on " +
+    "real corpus text, and handles the short-string edges") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(lower(regexp_replace(col("text"), "[^A-Za-z ]", "")).as("nt"))
+    val composed = transform(
+      sequence(lit(1), length(col("nt")) - 2),
+      i => col("nt").substr(i, lit(3)))
+    val rows = docs.filter(length(col("nt")) >= 3)
+      .select(graft_byte_ngrams(col("nt"), 3).as("native"),
+        composed.as("composed")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    val edges = Seq("", "a", "ab", "abc").toDF("s")
+      .select(graft_byte_ngrams(col("s"), 3).as("g")).collect()
+    assert(edges.map(_.getSeq[String](0).toList).toList ==
+      List(Nil, Nil, Nil, List("abc")))
+  }
+
   test("graft_vec_dot equals the zip_with+aggregate form bit-for-bit, " +
     "for float and double arrays, and is null-safe") {
     val df = Seq(

@@ -419,10 +419,146 @@ object TextPipeline extends QueryModule {
         .filter(h < quota)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window document chunking — the pretraining/RAG chunker:
+    // 80-char windows on a 60-char stride (20-char overlap), emitting
+    // per-chunk offsets and an md5 of the chunk instead of the chunk
+    // text (hash parity proves byte-identical chunking without
+    // ballooning the result). One narrow Generate per doc (len/stride
+    // starts, a handful of ints); the substr runs above the Generate
+    // because it depends on the generated offset — per-chunk substr is
+    // O(chunk), not q137's per-char O(len²) trap. At 100 TB this is a
+    // map-only pass: chunk count is linear in corpus bytes, documents
+    // never straddle partitions, and the only shuffle is the output
+    // sort (which a real pipeline writing chunks wouldn't carry).
+    "q157_chunk_overlap" -> ((s, d) => {
+      val C = 80
+      val S = 60
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 1, lit(S)))
+            .as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          col("text").substr(col("chunk_start") + 1, lit(C)).as("chunk"))
+        .select(col("doc_id"),
+          (col("chunk_start") / S).cast("int").as("chunk_id"),
+          col("chunk_start").cast("int").as("chunk_start"),
+          length(col("chunk")).cast("int").as("chunk_len"),
+          md5(col("chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Quality-filter cascade with per-stage drop accounting — the
+    // observability report every corpus-cleaning pipeline ships next
+    // to its filters: each doc is attributed to the FIRST stage that
+    // rejects it (min-length → script → repetition → word shape), then
+    // the per-stage n_in/n_dropped/n_out/drop_rate funnel is derived
+    // from that ≤5-row drop profile. The corpus is touched exactly
+    // twice (one tokenize pass for the per-doc stats, one count for
+    // the total); everything after the drop-profile aggregation is
+    // constant-size arithmetic over broadcast scalars, so the funnel
+    // costs the same as the filters it audits at any corpus size.
+    "q158_filter_funnel" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val rep = tf.groupBy(col("doc_id")).agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep"),
+        sum(col("c")).as("n_tok"),
+        sum(col("c") * length(col("tok"))).as("alpha_chars"))
+      // round the avg word length BEFORE comparing, so the band edges
+      // can't flip on a ulp between engines
+      val awl = round(col("alpha_chars").cast("double") / col("n_tok"), 6)
+      val flags = docs.join(rep, "doc_id").select(
+        when(col("n_chars") < 100, 1)
+          .when(col("lang") === "zh", 2)
+          .when(col("rep") > 0.2, 3)
+          .when(not(awl.between(4.2, 4.8)), 4)
+          .otherwise(0).as("first_fail"))
+      val drops = flags.groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+      val stages = Seq((1, "min_length"), (2, "latin_script"),
+        (3, "repetition"), (4, "word_shape")).toDF("stage", "stage_name")
+      val tot = docs.agg(count(lit(1)).as("total"))
+      stages.crossJoin(broadcast(tot)).crossJoin(broadcast(drops))
+        .groupBy(col("stage"), col("stage_name"), col("total"))
+        .agg(
+          sum(when(col("first_fail") > 0 && col("first_fail") < col("stage"),
+            col("n")).otherwise(0L)).as("before"),
+          sum(when(col("first_fail") === col("stage"), col("n"))
+            .otherwise(0L)).as("at"))
+        .select(col("stage"), col("stage_name"),
+          (col("total") - col("before")).as("n_in"),
+          col("at").as("n_dropped"),
+          (col("total") - col("before") - col("at")).as("n_out"),
+          round(col("at").cast("double") / (col("total") - col("before")), 6)
+            .as("drop_rate"))
+        .orderBy(col("stage"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // duckdb range(0, len, 60) is exclusive-stop = Spark's inclusive
+    // sequence(0, len-1, 60); substr is 1-based char-indexed in both,
+    // and md5 hashes the identical UTF-8 bytes
+    "q157_chunk_overlap" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(range(0, len(text), 60)) AS chunk_start,
+        |    text
+        |  FROM documents WHERE len(text) >= 1)
+        |SELECT doc_id, CAST(chunk_start // 60 AS INT) AS chunk_id,
+        |  CAST(chunk_start AS INT) AS chunk_start,
+        |  CAST(len(substr(text, CAST(chunk_start AS INT) + 1, 80)) AS INT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(chunk_start AS INT) + 1, 80)) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same tokenizer; SUM over BIGINT is HUGEINT in duckdb — cast the
+    // funnel counts back to BIGINT; rep and awl are rounded before the
+    // threshold comparisons in both engines (band edges can't flip)
+    "q158_filter_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep,
+        |    SUM(c) AS n_tok, SUM(c * len(tok)) AS alpha_chars
+        |  FROM tf GROUP BY 1),
+        |flags AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.n_chars < 100 THEN 1
+        |         WHEN d.lang = 'zh' THEN 2
+        |         WHEN r.rep > 0.2 THEN 3
+        |         WHEN ROUND(CAST(r.alpha_chars AS DOUBLE) / r.n_tok, 6)
+        |           NOT BETWEEN 4.2 AND 4.8 THEN 4
+        |         ELSE 0 END AS first_fail
+        |  FROM documents d JOIN rep r USING (doc_id)),
+        |drops AS (SELECT first_fail, COUNT(*) AS n FROM flags GROUP BY 1),
+        |stages AS (
+        |  SELECT * FROM (VALUES (1, 'min_length'), (2, 'latin_script'),
+        |    (3, 'repetition'), (4, 'word_shape')) s(stage, stage_name)),
+        |tot AS (SELECT COUNT(*) AS total FROM documents)
+        |SELECT stage, stage_name,
+        |  CAST(total - COALESCE(SUM(n) FILTER (
+        |    WHERE first_fail > 0 AND first_fail < stage), 0) AS BIGINT)
+        |    AS n_in,
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE first_fail = stage), 0)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(total - COALESCE(SUM(n) FILTER (
+        |    WHERE first_fail > 0 AND first_fail <= stage), 0) AS BIGINT)
+        |    AS n_out,
+        |  ROUND(CAST(COALESCE(SUM(n) FILTER (WHERE first_fail = stage), 0)
+        |      AS DOUBLE)
+        |    / (total - COALESCE(SUM(n) FILTER (
+        |        WHERE first_fail > 0 AND first_fail < stage), 0)), 6)
+        |    AS drop_rate
+        |FROM stages CROSS JOIN tot LEFT JOIN drops ON true
+        |GROUP BY stage, stage_name, total ORDER BY stage""".stripMargin,
+
     // same tokenizer CTE as q80; AVG's merge order differs between
     // engines but the per-doc operand count (~1e2) keeps the error
     // ~1e-13, far under the round(6) granularity

@@ -22,6 +22,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
     "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
     "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
+    "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
     "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
 
   // action-style queries that run their own jobs internally: building
@@ -59,7 +60,12 @@ class PlanBudgetSpec extends SparkSpec {
   // (q147)
   private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
     "q142_ccnet_bucket" -> 15, "q146_source_mix_weights" -> 11,
-    "q147_lsh_pr_eval" -> 15, "q148_trigram_langid" -> 9)
+    "q147_lsh_pr_eval" -> 15, "q148_trigram_langid" -> 9,
+    // the 9th exchange is the constant-size funnel arithmetic AFTER
+    // the ≤5-row drop profile: a 4-row groupBy + sort, plus the two
+    // tiny broadcasts — not corpus-sized work (the corpus is touched
+    // exactly twice, by the tokenize pass and the total count)
+    "q158_filter_funnel" -> 9)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

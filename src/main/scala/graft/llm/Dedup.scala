@@ -202,6 +202,40 @@ object Dedup extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Canonical-representative selection — q117 keeps each near-dup
+    // cluster's min-id member; a real pipeline keeps its BEST member.
+    // Joins q113's clusters with q40's quality score and arg-maxes
+    // (quality desc, doc_id asc) per cluster via a struct-max — one
+    // comp-keyed shuffle with map-side partial agg, no window sort —
+    // reporting what the dedup pass kept and dropped per cluster. The
+    // quality pass is doc-local; nothing here scales worse than q113
+    // itself.
+    "q159_canonical_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = components(docs)
+      val ts = TextAnalysis.tokens(col("text"))
+      val q = docs
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt",
+          size(filter(ts, t => t.isin(TextAnalysis.Stopwords: _*))))
+        .select(col("doc_id"),
+          round(least(col("n_chars") / lit(500.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stop_cnt").cast("double") / col("n_tok")) * 0.5,
+            6).as("quality"))
+      labels.join(q, "doc_id")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).cast("int").as("comp_size"),
+          // max over (quality, -doc_id) = highest quality, then lowest
+          // doc_id — the deterministic argmax without a window sort
+          max(struct(col("quality").as("quality"),
+            (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("comp"), col("comp_size"),
+          (-col("m.nd")).as("keep_doc_id"),
+          col("m.quality").as("keep_quality"),
+          (col("comp_size") - 1).cast("int").as("n_dropped"))
+        .orderBy(col("comp"))
+    }),
+
     // INCREMENTAL dedup — the production shape: an incoming batch
     // (doc_id ≡ 0 mod 5, ~20%) screened against the EXISTING corpus
     // (the rest), not against itself. One shared band stage filtered
@@ -707,6 +741,31 @@ object Dedup extends QueryModule {
          |SELECT doc_id, comp, comp_size
          |FROM lbl JOIN sized USING (comp)
          |ORDER BY doc_id""".stripMargin,
+
+    // same generated closure joined with q40's quality formula; the
+    // struct-max argmax is the twin of ROW_NUMBER (quality DESC,
+    // doc_id) = 1 — identical because quality is rounded to 6dp in
+    // both engines BEFORE the comparison
+    "q159_canonical_select" ->
+      s"""WITH RECURSIVE $componentSqlCtes,
+         |qt AS (SELECT doc_id, n_chars,
+         |  CAST(len(list_filter($tokensSql,
+         |    t -> t IN ('the','a','of','and','to','in','is'))) AS INT)
+         |    AS stop_cnt,
+         |  CAST(len($tokensSql) AS INT) AS n_tok
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5 +
+         |    (1.0 - CAST(stop_cnt AS DOUBLE) / n_tok) * 0.5, 6) AS quality
+         |  FROM qt),
+         |r AS (SELECT comp, l.doc_id, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY quality DESC, l.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY comp) AS cs
+         |  FROM lbl l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT comp, CAST(cs AS INT) AS comp_size, doc_id AS keep_doc_id,
+         |  quality AS keep_quality, CAST(cs - 1 AS INT) AS n_dropped
+         |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin,
 
     // same generated closure, composed with representative selection
     // (doc = its component's min) and the q116 hash quotas

@@ -29,7 +29,7 @@ object TextAnalysis extends QueryModule {
   def md5IntSql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[llm] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-language corpus statistics (SURVEY §2.B q33).

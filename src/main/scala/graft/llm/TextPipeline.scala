@@ -496,10 +496,56 @@ object TextPipeline extends QueryModule {
           round(col("at").cast("double") / (col("total") - col("before")), 6)
             .as("drop_rate"))
         .orderBy(col("stage"))
+    }),
+
+    // Zipf rank-frequency fit — the corpus-health diagnostic that
+    // flags unnatural token distributions: natural text fits
+    // ln(freq) ≈ slope·ln(rank) + c with slope ≈ −1; machine-generated
+    // or template text (like this fixture: slope ≈ −0.2, r² ≈ 0.06)
+    // does not. One tokenize pass → vocab-keyed count → top-1000 head
+    // via orderBy().limit() (TakeOrderedAndProject, rank recovered on
+    // the survivors — q82's pattern, no global window over the vocab)
+    // → a single regression aggregate over ≤1000 points. The corpus is
+    // read once; everything after the vocab rollup is vocab-head-sized.
+    "q160_zipf_fit" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(tokens).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val ranked = freq.orderBy(col("freq").desc, col("term")).limit(1000)
+        .agg(sort_array(collect_list(struct(
+          (-col("freq")).as("negf"), col("term").as("term")))).as("arr"))
+        .select(posexplode(col("arr")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          (-col("col.negf")).as("freq"))
+      ranked.agg(count(lit(1)).cast("int").as("n_terms"),
+        round(regr_slope(log(col("freq")), log(col("rank"))), 4)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("freq")), log(col("rank"))), 4)
+          .as("zipf_intercept"),
+        round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // same tokenizer; both engines compute the regression over the
+    // identical ≤1000 (ln rank, ln freq) points, rounded to 4dp (the
+    // covariance merge order differs between engines at ~1e-13)
+    "q160_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+        |top AS (
+        |  SELECT freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+        |  FROM freq QUALIFY rank <= 1000)
+        |SELECT CAST(COUNT(*) AS INT) AS n_terms,
+        |  ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+        |  ROUND(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+        |  ROUND(regr_r2(ln(freq), ln(rank)), 4) AS r2
+        |FROM top""".stripMargin,
+
     // duckdb range(0, len, 60) is exclusive-stop = Spark's inclusive
     // sequence(0, len-1, 60); substr is 1-based char-indexed in both,
     // and md5 hashes the identical UTF-8 bytes

@@ -236,6 +236,28 @@ object Dedup extends QueryModule {
         .orderBy(col("comp"))
     }),
 
+    // Per-source duplication accounting — the curation diagnostic
+    // that tells you WHICH ingest source is redundant before you pay
+    // to keep crawling it: q113's clusters sliced by `source`, a doc
+    // counting as kept iff it is its cluster's representative (q117's
+    // min-id rule), dropped docs attributed to their OWN source. One
+    // source-keyed rollup after the label join; nothing scales worse
+    // than q113 itself, and the report is |sources| rows.
+    "q161_source_dup_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = components(docs)
+      val kept = sum(when(col("doc_id") === col("comp"), 1).otherwise(0))
+      docs.join(labels, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          kept.cast("int").as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          round((col("n_docs") - col("n_kept")).cast("double") /
+            col("n_docs"), 6).as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // INCREMENTAL dedup — the production shape: an incoming batch
     // (doc_id ≡ 0 mod 5, ~20%) screened against the EXISTING corpus
     // (the rest), not against itself. One shared band stage filtered
@@ -766,6 +788,21 @@ object Dedup extends QueryModule {
          |SELECT comp, CAST(cs AS INT) AS comp_size, doc_id AS keep_doc_id,
          |  quality AS keep_quality, CAST(cs - 1 AS INT) AS n_dropped
          |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin,
+
+    // same generated closure; kept = doc is its component's min
+    "q161_source_dup_stats" ->
+      s"""WITH RECURSIVE $componentSqlCtes
+         |SELECT d.source, CAST(COUNT(*) AS INT) AS n_docs,
+         |  CAST(SUM(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END) AS INT)
+         |    AS n_kept,
+         |  CAST(COUNT(*) -
+         |    SUM(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END) AS INT)
+         |    AS n_dropped,
+         |  ROUND(CAST(COUNT(*) -
+         |      SUM(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_rate
+         |FROM documents d JOIN lbl l ON d.doc_id = l.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // same generated closure, composed with representative selection
     // (doc = its component's min) and the q116 hash quotas

@@ -43,9 +43,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q125_partitioned_prune",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
-    // q159 runs components() like q113/q117 (eager propagation jobs);
-    // its quality-join and struct-max argmax add only narrow stages
-    "q159_canonical_select",
+    // q159/q161 run components() like q113/q117 (eager propagation
+    // jobs); their joins and rollups add only narrow stages
+    "q159_canonical_select", "q161_source_dup_stats",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

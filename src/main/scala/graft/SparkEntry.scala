@@ -27,6 +27,7 @@ object SparkEntry {
     llm.Multimodal,
     llm.TextPipeline,
     llm.CorpusOps,
+    llm.CleanOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

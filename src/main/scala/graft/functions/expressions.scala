@@ -330,6 +330,46 @@ object ByteNgrams {
   }
 }
 
+/** Unicode NFC normalization (canonical decomposition + canonical
+  * composition, `java.text.Normalizer`) as a codegen'd scalar — the
+  * web-corpus cleaning primitive that folds decomposed sequences
+  * (`a` + U+0301) into their composed forms (`á`) so that exact-dedup
+  * hashing and tokenization see one spelling per grapheme. Spark has
+  * no builtin for this; the UDF form would box every row. The fast
+  * path (`isNormalized`, true for all-ASCII) returns the input
+  * `UTF8String` without allocating.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+  override def prettyName: String = "graft_nfc_normalize"
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  /** Shared by interpreted eval and generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 /** Column-API entry points. Children are cast explicitly (the
   * expressions themselves don't implement implicit coercion — that
   * trait's types are `private[sql]` in Spark 4).
@@ -345,6 +385,8 @@ object exprs {
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def graft_byte_ngrams(c: Column, n: Int): Column =
     Bridge.column(ByteNgrams(Cast(Bridge.expression(c), StringType), n))
+  def graft_nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Cast(Bridge.expression(c), StringType)))
 
   /** Spark's internal runtime-filter primitives, surfaced as Column
     * functions: `BloomFilterAggregate` builds the filter (binary),

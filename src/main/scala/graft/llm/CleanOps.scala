@@ -1,0 +1,324 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => sqlfn}
+import graft.{QueryModule, Tables}
+import graft.functions.exprs.graft_nfc_normalize
+import TextAnalysis.md5Int
+
+/** Ingest-side cleaning and data-quality operators — the passes a web
+  * corpus runs BEFORE the scoring/dedup stages in [[TextAnalysis]] /
+  * [[Dedup]]: markup stripping, Unicode NFC normalization (via the
+  * codegen'd [[graft.functions.NfcNormalize]] expression), script
+  * detection, a single-scan column profiler, and content-defined
+  * chunking for sub-document dedup.
+  *
+  * The fixture text is plain ASCII, so q168/q170/q171 first synthesize
+  * their dirty input deterministically from the fixture (markup
+  * wrappers, Cyrillic lookalikes, combining accents) with the SAME
+  * construction on both engines — the q105-from_xml pattern: the check
+  * is value-level over a nontrivial input, not a no-op over clean text.
+  *
+  * Scale posture, per query:
+  *   - q168/q170/q171: pure narrow projections (regex/translate/
+  *     normalize chains, all codegen'd); the only exchange is the
+  *     output sort. At 100 TB these run map-side in the ingest pass.
+  *   - q169: ONE corpus scan -> one agg row (the four exact distincts
+  *     share the scan via expand), unpivoted to a per-column report;
+  *     never a scan per column like naive profilers.
+  *   - q172: explode stays in its source partition; one doc-keyed
+  *     shuffle feeds both the boundary window and the chunk grouping
+  *     (partitioning on doc_id satisfies the (doc_id, chunk_id)
+  *     clustering), then one chunk-keyed agg + TakeOrdered. Word-level
+  *     boundaries here; the byte-level Rabin variant swaps the md5
+  *     boundary rule for [[graft.functions.RollingHash]] over a
+  *     sliding window with the same plan shape.
+  */
+object CleanOps extends QueryModule {
+
+  /** Lowercased alpha tokens (the [[TextPipeline]] tokenizer). */
+  private def alphaTokens =
+    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+
+  private val alphaTokensSql =
+    """list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')"""
+
+  /** Content-defined chunk table for a (doc_id, text) frame: word-level
+    * chunks whose boundaries are a pure function of word content
+    * (md5 mod 8), so edits re-chunk only their neighborhood —
+    * CleanOpsSpec pins that a head insertion leaves every chunk after
+    * the first surviving boundary hash-identical. One doc-keyed
+    * shuffle serves both the boundary window and the chunk grouping.
+    */
+  private[llm] def cdcChunks(docs: DataFrame): DataFrame = {
+    val boundaryW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), posexplode(alphaTokens).as(Seq("pos", "w")))
+      .withColumn("is_boundary",
+        when(md5Int(col("w")) % 8 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("is_boundary")).over(boundaryW), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk_text"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Markup stripping: comments out first (they may contain '<'),
+    // then tags, then the entity table, then whitespace collapse —
+    // the canonical HTML-to-text cleaning order (tags before entities
+    // so decoded '<' can't fabricate a tag). All six rewrites are
+    // codegen'd string ops in one projection.
+    "q168_markup_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><body><h1>Doc "), col("doc_id"),
+        lit("</h1><p class=\"body\">"),
+        sqlfn.replace(
+          sqlfn.replace(col("text"), lit("value"),
+            lit("<b>&amp;value&lt;</b>")),
+          lit("table"), lit("table&nbsp;")),
+        lit("</p><!-- footer "), col("doc_id"), lit(" --></body></html>"))
+      val noMarkup = regexp_replace(
+        regexp_replace(col("html"), "<!--.*?-->", " "), "<[^>]+>", " ")
+      val decoded = sqlfn.replace(
+        sqlfn.replace(
+          sqlfn.replace(
+            sqlfn.replace(noMarkup, lit("&nbsp;"), lit(" ")),
+            lit("&amp;"), lit("&")),
+          lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">"))
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          length(col("html")).cast("int").as("raw_len"),
+          clean.as("clean"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("clean")).cast("int").as("clean_len"),
+          substring(col("clean"), 1, 40).as("clean_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Single-scan column profiler (null counts, exact NDV, min/max) —
+    // the data-quality assertion pass a pipeline runs on every ingest
+    // batch. All four columns profile in ONE aggregate over one scan
+    // (the exact distincts share it via expand); the per-column report
+    // shape comes from unpivoting the 1-row aggregate with stack, not
+    // from re-scanning per column.
+    "q169_profile_report" -> ((s, d) => {
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("o_custkey"))).as("ck_nulls"),
+          countDistinct(col("o_custkey")).as("ck_nd"),
+          round(min(col("o_custkey")).cast("double"), 2).as("ck_min"),
+          round(max(col("o_custkey")).cast("double"), 2).as("ck_max"),
+          (count(lit(1)) - count(col("o_totalprice"))).as("tp_nulls"),
+          countDistinct(col("o_totalprice")).as("tp_nd"),
+          round(min(col("o_totalprice")).cast("double"), 2).as("tp_min"),
+          round(max(col("o_totalprice")).cast("double"), 2).as("tp_max"),
+          (count(lit(1)) - count(col("o_orderstatus"))).as("st_nulls"),
+          countDistinct(col("o_orderstatus")).as("st_nd"),
+          min(col("o_orderstatus")).as("st_min"),
+          max(col("o_orderstatus")).as("st_max"),
+          (count(lit(1)) - count(col("o_orderpriority"))).as("pr_nulls"),
+          countDistinct(col("o_orderpriority")).as("pr_nd"),
+          min(col("o_orderpriority")).as("pr_min"),
+          max(col("o_orderpriority")).as("pr_max"))
+        .select(col("n_rows"), expr(
+          """stack(4,
+            |  'o_custkey', ck_nulls, ck_nd, ck_min, ck_max,
+            |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_totalprice', tp_nulls, tp_nd, tp_min, tp_max,
+            |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_orderstatus', st_nulls, st_nd,
+            |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), st_min, st_max,
+            |  'o_orderpriority', pr_nulls, pr_nd,
+            |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), pr_min, pr_max)
+            |  AS (col_name, n_nulls, n_distinct,
+            |      min_num, max_num, min_str, max_str)""".stripMargin))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Unicode-script detection: per-doc character counts by script
+    // range -> dominant script, the routing signal for script-specific
+    // tokenizers and the mojibake/wrong-charset alarm. Docs with
+    // doc_id % 5 = 0 get Cyrillic-lookalike substitution (the
+    // homoglyph confusion case) so both branches of the classifier
+    // carry weight.
+    "q170_script_detect" -> ((s, d) => {
+      val t = when(col("doc_id") % 5 === 0,
+        translate(col("text"), "aeiounstrl", "аеіоунстрл"))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), t.as("t"))
+        .select(col("doc_id"), col("source"),
+          regexp_count(col("t"), lit("[a-z]")).cast("int").as("n_latin"),
+          regexp_count(col("t"), lit("[а-яі]")).cast("int").as("n_cyrillic"),
+          regexp_count(col("t"), lit("[0-9]")).cast("int").as("n_digit"))
+        .withColumn("dominant",
+          when(col("n_cyrillic") > col("n_latin"), "cyrillic")
+            .when(col("n_latin") > 0, "latin").otherwise("other"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // NFC normalization via the codegen'd NfcNormalize expression:
+    // combining-accent sequences (here 'a' + U+0301, injected
+    // deterministically) compose to single code points, so
+    // len_decomposed - len_nfc counts the folded pairs. DuckDB's
+    // nfc_normalize is the cross-engine oracle for the JDK
+    // Normalizer — both implement Unicode canonical composition.
+    "q171_unicode_normalize" -> ((s, d) => {
+      val deco = sqlfn.replace(col("text"), lit("a"), lit("a\u0301"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), deco.as("deco"))
+        .select(col("doc_id"), col("deco"),
+          graft_nfc_normalize(col("deco")).as("nfc"))
+        .select(col("doc_id"),
+          length(col("deco")).cast("int").as("len_decomposed"),
+          length(col("nfc")).cast("int").as("len_nfc"),
+          (length(col("deco")) - length(col("nfc"))).cast("int")
+            .as("n_composed"),
+          substring(col("nfc"), 1, 30).as("nfc_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined chunking for sub-document dedup: chunk
+    // boundaries are a pure function of CONTENT (hash of the word mod
+    // 8), not position, so an insertion near the head re-chunks only
+    // its neighborhood and every downstream chunk still hash-matches —
+    // the property fixed-width chunking (q157) lacks and the reason
+    // CDC underlies storage dedup. Output is the chunk-frequency
+    // table: repeated chunk_hashes across docs are the shared
+    // boilerplate a passage-level dedup would drop.
+    "q172_cdc_chunk_dedup" -> ((s, d) => {
+      cdcChunks(Tables.documents(s, d))
+        .groupBy(col("chunk_text"))
+        .agg(count(lit(1)).cast("int").as("n_occurrences"),
+          countDistinct(col("doc_id")).cast("int").as("n_docs"),
+          min(length(col("chunk_text"))).cast("int").as("chunk_len"))
+        .select(md5(col("chunk_text")).as("chunk_hash"),
+          col("n_occurrences"), col("n_docs"), col("chunk_len"))
+        .orderBy(col("n_occurrences").desc, col("chunk_hash"))
+        .limit(100)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // identical synthesize -> strip chain; RE2's lazy '.*?' and Java's
+    // agree on these inputs (no nested comments in the construction)
+    "q168_markup_strip" ->
+      """WITH marked AS (
+        |  SELECT doc_id,
+        |    '<html><body><h1>Doc ' || doc_id || '</h1><p class="body">' ||
+        |    replace(replace(text, 'value', '<b>&amp;value&lt;</b>'),
+        |            'table', 'table&nbsp;') ||
+        |    '</p><!-- footer ' || doc_id || ' --></body></html>' AS html
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(html, '<!--.*?-->', ' ', 'g'),
+        |                       '<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '\s+', ' ', 'g')) AS clean FROM marked)
+        |SELECT doc_id, CAST(length(html) AS INT) AS raw_len,
+        |  CAST(length(clean) AS INT) AS clean_len,
+        |  substr(clean, 1, 40) AS clean_prefix
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
+    // per-column scalar aggregates; DuckDB re-states the single-scan
+    // aggregate as four unions (same values, engine plans differ)
+    "q169_profile_report" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |  COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(ROUND(MIN(o_custkey), 2) AS DOUBLE) AS min_num,
+        |  CAST(ROUND(MAX(o_custkey), 2) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |  COUNT(DISTINCT o_totalprice),
+        |  CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE),
+        |  CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus), NULL, NULL,
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority), NULL, NULL,
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    // same homoglyph injection + script-range counts
+    "q170_script_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN translate(text, 'aeiounstrl', 'аеіоунстрл')
+        |         ELSE text END AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(t, '[a-z]')) AS INT) AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '[а-яі]')) AS INT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '[0-9]')) AS INT) AS n_digit
+        |  FROM s)
+        |SELECT doc_id, source, n_latin, n_cyrillic, n_digit,
+        |  CASE WHEN n_cyrillic > n_latin THEN 'cyrillic'
+        |       WHEN n_latin > 0 THEN 'latin' ELSE 'other' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same combining-accent injection; nfc_normalize is DuckDB's
+    // canonical-composition twin of the JDK Normalizer
+    "q171_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS deco
+        |  FROM documents),
+        |n AS (SELECT doc_id, deco, nfc_normalize(deco) AS nfc FROM d)
+        |SELECT doc_id, CAST(length(deco) AS INT) AS len_decomposed,
+        |  CAST(length(nfc) AS INT) AS len_nfc,
+        |  CAST(length(deco) - length(nfc) AS INT) AS n_composed,
+        |  substr(nfc, 1, 30) AS nfc_prefix
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // same md5-mod-8 boundary rule and in-order chunk assembly;
+    // chunk_hash is unique per group so the top-100 cut is total
+    "q172_cdc_chunk_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, u.w, u.pos FROM (
+         |    SELECT doc_id, $alphaTokensSql AS ts FROM documents),
+         |    LATERAL (SELECT unnest(ts) AS w,
+         |                    unnest(range(1, len(ts)+1)) AS pos) u),
+         |b AS (
+         |  SELECT doc_id, w, pos,
+         |    CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 8 = 0
+         |         THEN 1 ELSE 0 END AS is_boundary FROM w),
+         |ch AS (
+         |  SELECT doc_id, w, pos,
+         |    COALESCE(SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk_id
+         |  FROM b),
+         |chunks AS (
+         |  SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY pos)
+         |    AS chunk_text
+         |  FROM ch GROUP BY doc_id, chunk_id)
+         |SELECT md5(chunk_text) AS chunk_hash,
+         |  CAST(COUNT(*) AS INT) AS n_occurrences,
+         |  CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+         |  CAST(min(length(chunk_text)) AS INT) AS chunk_len
+         |FROM chunks GROUP BY chunk_text
+         |ORDER BY n_occurrences DESC, chunk_hash LIMIT 100""".stripMargin
+  )
+}

@@ -208,6 +208,77 @@ object CleanOps extends QueryModule {
           col("n_occurrences"), col("n_docs"), col("chunk_len"))
         .orderBy(col("n_occurrences").desc, col("chunk_hash"))
         .limit(100)
+    }),
+
+    // Ingest-volume anomaly detection: per-minute event counts
+    // z-scored against the stream's own mean/stddev — the monitoring
+    // query that pages when a producer doubles its rate or goes dark.
+    // The minute histogram is the only corpus-sized aggregation; the
+    // stats are a 1-row broadcast back onto it (bounded: minutes, not
+    // events). z is rounded BEFORE the threshold compare so the flag
+    // can't flip on a ulp (cross-engine parity rule).
+    "q174_volume_anomaly" -> ((s, d) => {
+      val minutes = Tables.events(s, d)
+        .select(expr("ts div 60000000000").as("minute"))
+        .groupBy(col("minute"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = minutes.agg(
+        avg(col("n_events")).as("mu"),
+        stddev_pop(col("n_events")).as("sigma"))
+      val z = round((col("n_events") - col("mu")) / col("sigma"), 6)
+      minutes.crossJoin(broadcast(stats))
+        .select(col("minute"), col("n_events").cast("int").as("n_events"),
+          z.as("z"), (abs(z) > 3.0).as("is_anomaly"))
+        .orderBy(col("minute"))
+    }),
+
+    // Referential-integrity audit (FK orphan rates) — the data-contract
+    // check a multi-table corpus runs per ingest. ONE pass over each
+    // child table: lineitem's three FKs resolve in a single chain of
+    // broadcast left joins and one aggregate row (stacked to the
+    // report shape), orders→customer in a second small branch. Parent
+    // sets are deterministically carved (orders missing key%97=0,
+    // customer missing key%53=0) so the audit provably DETECTS
+    // orphans rather than vacuously passing on the clean fixture.
+    "q175_fk_integrity" -> ((s, d) => {
+      val ordersP = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 =!= 0).select(col("o_orderkey"))
+      val customerP = Tables.customer(s, d)
+        .filter(col("c_custkey") % 53 =!= 0).select(col("c_custkey"))
+      val partP = Tables.part(s, d).select(col("p_partkey"))
+      val supplierP = Tables.supplier(s, d).select(col("s_suppkey"))
+
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(ordersP), col("l_orderkey") === col("o_orderkey"),
+          "left")
+        .join(broadcast(partP), col("l_partkey") === col("p_partkey"),
+          "left")
+        .join(broadcast(supplierP), col("l_suppkey") === col("s_suppkey"),
+          "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("ok_orph"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("pk_orph"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("sk_orph"))
+        .select(expr(
+          """stack(3,
+            |  'lineitem.l_orderkey->orders', n_child, ok_orph,
+            |  'lineitem.l_partkey->part', n_child, pk_orph,
+            |  'lineitem.l_suppkey->supplier', n_child, sk_orph)
+            |  AS (rel, n_child, n_orphans)""".stripMargin))
+      val oc = Tables.orders(s, d).select(col("o_custkey"))
+        .join(broadcast(customerP), col("o_custkey") === col("c_custkey"),
+          "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit("orders.o_custkey->customer").as("rel"),
+          col("n_child"), col("n_orphans"))
+      li.unionByName(oc)
+        .select(col("rel"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_child"), 6)
+            .as("orphan_frac"))
+        .orderBy(col("rel"))
     })
   )
 
@@ -319,6 +390,53 @@ object CleanOps extends QueryModule {
          |  CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
          |  CAST(min(length(chunk_text)) AS INT) AS chunk_len
          |FROM chunks GROUP BY chunk_text
-         |ORDER BY n_occurrences DESC, chunk_hash LIMIT 100""".stripMargin
+         |ORDER BY n_occurrences DESC, chunk_hash LIMIT 100""".stripMargin,
+
+    // same minute bucketing (events.ts is TIMESTAMP_NS here, an
+    // epoch-ns long on the Spark side — bridge with epoch_ns); z
+    // rounded before the threshold on both engines
+    "q174_volume_anomaly" ->
+      """WITH m AS (
+        |  SELECT epoch_ns(ts) // 60000000000 AS minute,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT AVG(n_events) AS mu, STDDEV_POP(n_events) AS sigma
+        |      FROM m)
+        |SELECT m.minute, CAST(m.n_events AS INT) AS n_events,
+        |  ROUND((m.n_events - s.mu) / s.sigma, 6) AS z,
+        |  (ABS(ROUND((m.n_events - s.mu) / s.sigma, 6)) > 3.0) AS is_anomaly
+        |FROM m, s ORDER BY m.minute""".stripMargin,
+
+    // same parent carve + left-join orphan counting
+    "q175_fk_integrity" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) AS n_child,
+        |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_orph,
+        |    SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS pk_orph,
+        |    SUM(CASE WHEN su.s_suppkey IS NULL THEN 1 ELSE 0 END) AS sk_orph
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+        |    o ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey),
+        |oc AS (
+        |  SELECT COUNT(*) AS n_child,
+        |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orph
+        |  FROM orders o
+        |  LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 53 <> 0)
+        |    c ON o.o_custkey = c.c_custkey)
+        |SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_frac
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS rel, n_child,
+        |    ok_orph AS n_orphans FROM li
+        |  UNION ALL SELECT 'lineitem.l_partkey->part', n_child, pk_orph
+        |    FROM li
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier', n_child, sk_orph
+        |    FROM li
+        |  UNION ALL SELECT 'orders.o_custkey->customer', n_child, orph
+        |    FROM oc)
+        |ORDER BY rel""".stripMargin
   )
 }

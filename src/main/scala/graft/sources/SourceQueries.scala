@@ -112,6 +112,35 @@ object SourceQueries extends QueryModule {
         s.createDataFrame(
           java.util.Arrays.asList(back.collect(): _*), back.schema)
       } finally Scratch.deleteTree(stage)
+    }),
+
+    // Parquet schema evolution: an old snapshot written with two
+    // columns and a new snapshot written with four read back as ONE
+    // table via mergeSchema — missing columns surface as typed nulls,
+    // which is how a 100 TB corpus adds metadata without rewriting
+    // history. The aggregate proves both generations land in the
+    // merged schema (the null-lang bucket IS the v1 generation). Same
+    // materialize-then-delete staging contract as q77.
+    "q173_schema_evolution" -> ((s, d) => {
+      val stage = Scratch.dir("q173_evo_")
+      try {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$stage/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$stage/v2")
+        val back = s.read.option("mergeSchema", "true")
+          .parquet(s"$stage/v1", s"$stage/v2")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_text_len"),
+            count(col("source")).as("n_with_source"))
+          .orderBy(col("lang").asc_nulls_first)
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
     })
   )
 
@@ -146,6 +175,16 @@ object SourceQueries extends QueryModule {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // oracle re-states the generation carve on the original table:
+    // even docs are the two-column v1 snapshot (lang/source null in
+    // the merged schema), odd docs the four-column v2
+    "q173_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source
+        |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
   )
 }

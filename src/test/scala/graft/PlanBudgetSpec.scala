@@ -26,7 +26,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join
     "q163_token_budget_select", // 1-row budget + 1-row bucket-control broadcasts
     "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
-    "q166_bigram_ppl")          // 1-row vocab-size scalar broadcast
+    "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast
+    "q174_volume_anomaly")      // 1-row mean/stddev stats broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -239,6 +239,36 @@ object SurfaceOps extends QueryModule {
         .toDF("n_rows", "sum_price", "n_big", "n_nodisc", "n_flags")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): iterative graph
+    // reachability expressed declaratively — each step joins the
+    // frontier to a fingerprint-derived edge list (one deterministic
+    // outgoing edge per doc below 200, so paths never branch and
+    // UNION ALL can't blow up). The engine iterates to the fixpoint
+    // (~9 steps here; hop sizes are tuned so the step count, which is
+    // pure scheduling overhead at 10 frontier rows, stays O(10)) under the depth guard; at scale this replaces
+    // the hand-rolled driver loop in Dedup.components for
+    // bounded-diameter traversals.
+    "q176_recursive_cte" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("g_docs_rec")
+      s.sql(
+        """WITH RECURSIVE
+          |e AS (
+          |  SELECT doc_id AS src,
+          |    doc_id + CAST(conv(substr(md5(text), 1, 15), 16, 10)
+          |      AS BIGINT) % 19 + 6 AS dst
+          |  FROM g_docs_rec WHERE doc_id < 100),
+          |reach(root, node, depth) AS (
+          |  SELECT doc_id, doc_id, 0 FROM g_docs_rec WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT r.root, e.dst, r.depth + 1
+          |  FROM reach r JOIN e ON r.node = e.src
+          |  WHERE r.depth < 99)
+          |SELECT root, CAST(COUNT(*) AS INT) AS n_reachable,
+          |  CAST(MAX(depth) AS INT) AS max_depth,
+          |  CAST(MAX(node) AS BIGINT) AS terminal
+          |FROM reach GROUP BY root ORDER BY root""".stripMargin)
+    }),
+
     // XML parsing (Spark 4 from_xml): typed struct extraction out of a
     // markup column — the oracle re-extracts the same fields from the
     // identical document with regexps, so the check is value-level,
@@ -312,6 +342,26 @@ object SurfaceOps extends QueryModule {
         |  CAST((SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS INT)
         |    AS n_flags
         |FROM lineitem""".stripMargin,
+
+    // same edge construction (the md5-hex-to-int bridge) and the same
+    // depth guard; DuckDB's recursive UNION ALL is the semantic twin
+    "q176_recursive_cte" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT doc_id AS src,
+        |    doc_id + CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 19
+        |      + 6 AS dst
+        |  FROM documents WHERE doc_id < 100),
+        |reach(root, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT r.root, e.dst, r.depth + 1
+        |  FROM reach r JOIN e ON r.node = e.src
+        |  WHERE r.depth < 99)
+        |SELECT root, CAST(COUNT(*) AS INT) AS n_reachable,
+        |  CAST(MAX(depth) AS INT) AS max_depth,
+        |  CAST(MAX(node) AS BIGINT) AS terminal
+        |FROM reach GROUP BY root ORDER BY root""".stripMargin,
 
     "q108_mask" ->
       """WITH t AS (SELECT o_orderkey,

@@ -127,6 +127,37 @@ class CleanOpsSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 parquet scan, found $scans:\n$plan")
   }
 
+  test("q175 detects the carved orphans (nonzero rates on the pruned " +
+    "parents) and stays clean on the intact ones — the audit is " +
+    "load-bearing, not vacuous") {
+    val rows = run("q175_fk_integrity").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == 4)
+    val (_, okOrph, okFrac) = rows("lineitem.l_orderkey->orders")
+    val (_, cOrph, _) = rows("orders.o_custkey->customer")
+    assert(okOrph > 0, "carved orders parent produced no orphans")
+    assert(cOrph > 0, "carved customer parent produced no orphans")
+    assert(rows("lineitem.l_partkey->part")._2 == 0L)
+    assert(rows("lineitem.l_suppkey->supplier")._2 == 0L)
+    rows.values.foreach { case (n, orph, frac) =>
+      assert(math.abs(frac - orph.toDouble / n) < 1e-6)
+    }
+    assert(okFrac > 0.0 && okFrac < 1.0)
+  }
+
+  test("q174 flags exactly the minutes whose rounded z exceeds 3 sigma, " +
+    "and the minute histogram covers every event exactly once") {
+    val rows = run("q174_volume_anomaly").collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (math.abs(r.getDouble(2)) > 3.0))
+    }
+    val totalEvents = rows.map(_.getInt(1).toLong).sum
+    val nEvents = graft.Tables.events(spark, sf001).count()
+    assert(totalEvents == nEvents,
+      s"histogram covers $totalEvents of $nEvents events")
+  }
+
   test("q170 classifies every injected doc consistently: dominant " +
     "follows the max count, and only doc_id % 5 == 0 docs carry " +
     "cyrillic characters") {

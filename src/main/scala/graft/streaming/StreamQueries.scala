@@ -177,7 +177,9 @@ object StreamQueries extends QueryModule {
             unix_micros(col("session_window.end")).as("s_end_us"),
             col("user_id"), col("n_events"), col("sum_value"))
       }.filter(col("user_id") =!= -1L)
-        .orderBy(col("user_id"), col("s_start_us")))
+        .orderBy(col("user_id"), col("s_start_us"))),
+
+    "q177_stream_late_audit" -> ((s, d) => lateAuditReplay(s, d))
   )
 
   // Replay staging + checkpoints live on graft.Scratch (tmpfs): replay
@@ -348,6 +350,95 @@ object StreamQueries extends QueryModule {
     }
   }
 
+  /** q177 — watermark LATE-DATA semantics under replay: the fixture is
+    * split into an on-time bulk (event_id % 10 != 0, batch 1) and a
+    * late slice (event_id % 10 == 0, batch 2, arriving after batch 1
+    * advanced the watermark to max(on-time ts) − 1h). Append-mode
+    * 1h-tumbling counts then accept a late row iff its window has not
+    * been finalized (window end > the batch-1 watermark) — already-
+    * emitted windows drop late contributions. A far-future sentinel
+    * (batch 3) flushes the tail windows. The oracle states the exact
+    * acceptance rule in batch SQL at the stream's ms watermark
+    * precision, so the hash-compare pins Spark's late-row-drop
+    * boundary, not just the happy path.
+    */
+  private def lateAuditReplay(s: SparkSession, d: String): DataFrame = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val ckpt = graft.Scratch.dir("late_ckpt_")
+    val stage = graft.Scratch.dir("late_src_")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import scala.jdk.CollectionConverters._
+      def writeOne(df: DataFrame, name: String, mtimePlusMs: Long): Unit = {
+        val tmp = stage.resolve(s"${name}_build")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = stage.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        graft.Scratch.deleteTree(tmp)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimePlusMs))
+      }
+      val ev = s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      val onTime = ev.filter(col("event_id") % 10 =!= 0)
+      writeOne(onTime, "events_a_ontime", 0)
+      // Eviction runs at the END of the first batch executed UNDER the
+      // advanced watermark — late data arriving in that same batch
+      // still merges into live state (observed: 0 dropped when the
+      // late slice was batch 2 of 3). So a 1-row on-time MARKER batch
+      // activates the watermark and triggers the eviction, and only
+      // THEN does the late slice arrive against evicted state.
+      val maxANs = onTime.agg(max(col("ts"))).head().getLong(0)
+      writeOne(s.createDataFrame(Seq(org.apache.spark.sql
+          .Row(-2L, maxANs, -2L, "marker", 0.0, "{}")).asJava, eventsSchema),
+        "events_m_marker", 30000)
+      writeOne(ev.filter(col("event_id") % 10 === 0), "events_x_late", 60000)
+      val farNs = 4000000000000000000L // ~year 2096 in epoch-ns
+      writeOne(s.createDataFrame(Seq(org.apache.spark.sql
+          .Row(-1L, farNs, -1L, "sentinel", 0.0, "{}")).asJava, eventsSchema),
+        "events_zz_sentinel", 120000)
+
+      val stream = s.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_sec"), col("n"))
+      val sink = s"late_audit_${runId.incrementAndGet()}"
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = s.table(sink)
+        .filter(col("hour_sec") < 3000000000L) // sentinel's 2096 window
+        .orderBy(col("hour_sec")).collect()
+      s.createDataFrame(rows.toSeq.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("hour_sec",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType))))
+        .orderBy(col("hour_sec"))
+    } finally {
+      prevNanos match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.Scratch.deleteTree(ckpt)
+      graft.Scratch.deleteTree(stage)
+    }
+  }
+
   private def replay(s: SparkSession, d: String, copies: Int = 1,
       mode: String = "complete", sentinel: Boolean = false)(
       build: DataFrame => DataFrame): DataFrame = {
@@ -393,6 +484,28 @@ object StreamQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // q177: the late-acceptance rule stated in batch SQL — a late row
+    // counts iff its window end clears the batch-1 watermark, which is
+    // the on-time max event time FLOORED TO MS (Spark tracks event
+    // time at ms precision) minus the 1h delay; the +1 marker row is
+    // the watermark-activating batch
+    "q177_stream_late_audit" ->
+      """WITH a AS (
+        |  SELECT epoch_ns(ts)//1000 AS us FROM events
+        |  WHERE event_id % 10 <> 0),
+        |mx AS (SELECT MAX(us) AS max_us FROM a),
+        |wm AS (SELECT (max_us // 1000) * 1000 - 3600000000 AS wmk FROM mx),
+        |b AS (
+        |  SELECT epoch_ns(ts)//1000 AS us FROM events
+        |  WHERE event_id % 10 = 0),
+        |keep AS (
+        |  SELECT us FROM a
+        |  UNION ALL SELECT max_us FROM mx
+        |  UNION ALL SELECT b.us FROM b, wm
+        |    WHERE (b.us // 3600000000 + 1) * 3600000000 > wm.wmk)
+        |SELECT (us // 3600000000) * 3600 AS hour_sec, COUNT(*) AS n
+        |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q46_stream_tumbling_replay" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_sec,
         |  event_type, COUNT(*) AS n

@@ -179,7 +179,38 @@ object StreamQueries extends QueryModule {
       }.filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("s_start_us"))),
 
-    "q177_stream_late_audit" -> ((s, d) => lateAuditReplay(s, d))
+    "q177_stream_late_audit" -> ((s, d) => lateAuditReplay(s, d)),
+
+    // transformWithState (per-key custom state, RocksDB-backed) under
+    // replay, ORACLE-checked — §2.C's newest state API graduated from
+    // spec-gated to hash-compared. GradientMeanProcessor's update is a
+    // commutative vector sum, so per-key arrival order (which a
+    // multi-partition shuffle does NOT fix) cannot change the result:
+    // the mean of [value, value²] per user is order-free, and rounding
+    // absorbs the fold's ulp-level association drift. Single batch +
+    // update mode → exactly one emitted row per key.
+    "q178_stream_tws_replay" -> ((s, d) => {
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        replay(s, d, mode = "update") { stream =>
+          import stream.sparkSession.implicits._
+          val evs = stream.select(col("user_id").as("key"),
+            array(col("value"), col("value") * col("value")).as("grad"))
+            .as[StreamingOps.GradientEvent]
+          StreamingOps.gradientMeans(evs).toDF()
+            .select(col("key").as("user_id"), col("n"),
+              round(element_at(col("mean"), 1), 6).as("mean_v"),
+              round(element_at(col("mean"), 2), 6).as("mean_v2"))
+        }.orderBy(col("user_id"))
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    })
   )
 
   // Replay staging + checkpoints live on graft.Scratch (tmpfs): replay
@@ -505,6 +536,15 @@ object StreamQueries extends QueryModule {
         |    WHERE (b.us // 3600000000 + 1) * 3600000000 > wm.wmk)
         |SELECT (us // 3600000000) * 3600 AS hour_sec, COUNT(*) AS n
         |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q178: per-user mean of [value, value²] — commutative, so the
+    // batch twin needs no ordering assumptions; n is the processor's
+    // per-event counter, i.e. the per-user event count
+    "q178_stream_tws_replay" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  ROUND(AVG(value), 6) AS mean_v,
+        |  ROUND(AVG(value * value), 6) AS mean_v2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q46_stream_tumbling_replay" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_sec,

@@ -42,7 +42,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q92_stream_dedup_replay", "q101_stream_session_replay",
     "q121_stream_join_replay", "q133_stream_upsert_replay",
     "q150_stream_merge_sink", "q156_stream_outer_join_replay",
-    "q177_stream_late_audit",
+    "q177_stream_late_audit", "q178_stream_tws_replay",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",

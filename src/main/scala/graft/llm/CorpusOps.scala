@@ -231,6 +231,28 @@ object CorpusOps extends QueryModule {
             .when(col("a_text") =!= col("b_text"), "changed")
             .otherwise("unchanged").as("status"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Recency weighting (exponential time decay, 7-day half-life):
+    // per-user decayed sum and decayed weight mass — the curation
+    // knob that upweights fresh data without a hard cutoff. The age
+    // term stays in exact integer µs until the final division; the
+    // 1-row max-timestamp anchor broadcasts back (BNLJ-allowlisted).
+    // Rounded 6dp: per-term exp() ulp drift across engines is ~1e-13
+    // relative, far below the rounding grain.
+    "q179_time_decay_weight" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("value"), expr("ts div 1000").as("us"))
+      val mx = e.agg(max(col("us")).as("max_us"))
+      val halfLife = 604800000000.0 // 7 days in µs
+      val w = exp(lit(-0.693147180559945) *
+        (col("max_us") - col("us")) / lit(halfLife))
+      e.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * w), 6).as("decayed_sum"),
+          round(sum(w), 6).as("decayed_weight"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -366,6 +388,19 @@ object CorpusOps extends QueryModule {
         |       WHEN a.text <> b.text THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // same integer-µs age arithmetic and decay constant; 6dp rounding
+    // absorbs cross-engine exp() ulp drift
+    "q179_time_decay_weight" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ns(ts)//1000 AS us FROM events),
+        |mx AS (SELECT MAX(us) AS max_us FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value * EXP(-0.693147180559945 * (mx.max_us - us)
+        |    / 604800000000.0)), 6) AS decayed_sum,
+        |  ROUND(SUM(EXP(-0.693147180559945 * (mx.max_us - us)
+        |    / 604800000000.0)), 6) AS decayed_weight
+        |FROM e, mx GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

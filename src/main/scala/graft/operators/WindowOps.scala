@@ -176,6 +176,38 @@ object WindowOps extends QueryModule {
           (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).cast("int").as("n_active"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Interval union (gaps-and-islands): each event opens a 30-minute
+    // interval; overlapping intervals per user merge via the classic
+    // running-max-end break detector, then per-user coverage stats.
+    // ONE user-keyed shuffle feeds both windows and both groupBys
+    // (partitioning on user_id satisfies the (user_id, grp)
+    // clustering); (user_id, ts) is unique in the fixture so the
+    // (s, e) window order is a total order. All integer µs arithmetic
+    // — no float parity risk.
+    "q180_interval_union" -> ((s, d) => {
+      val us = expr("ts div 1000")
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), us.as("s"),
+          (us + lit(1800000000L)).as("e"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("brk",
+          when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("s")).as("gs"), max(col("e")).as("ge"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_intervals"),
+          sum(col("ge") - col("gs")).as("covered_us"),
+          min(col("gs")).as("first_start_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -305,6 +337,31 @@ object WindowOps extends QueryModule {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  CAST(COUNT(DISTINCT user_id) AS INT) AS n_active
         |FROM active JOIN cohorts USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // same running-max-end break detector at the same µs precision
+    "q180_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS s,
+        |         epoch_ns(ts)//1000 + 1800000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |merged AS (
+        |  SELECT user_id, grp, MIN(s) AS gs, MAX(e) AS ge
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(COUNT(*) AS INT) AS n_intervals,
+        |  CAST(SUM(ge - gs) AS BIGINT) AS covered_us,
+        |  CAST(MIN(gs) AS BIGINT) AS first_start_us
+        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

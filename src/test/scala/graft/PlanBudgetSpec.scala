@@ -27,7 +27,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q163_token_budget_select", // 1-row budget + 1-row bucket-control broadcasts
     "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
     "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast
-    "q174_volume_anomaly")      // 1-row mean/stddev stats broadcast
+    "q174_volume_anomaly",      // 1-row mean/stddev stats broadcast
+    "q179_time_decay_weight")   // 1-row max-timestamp anchor broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

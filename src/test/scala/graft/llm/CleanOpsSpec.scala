@@ -115,6 +115,21 @@ class CleanOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks plans exactly ONE data shuffle — the doc_id hash " +
+    "partitioning serves both the boundary window and the chunk " +
+    "grouping (no second exchange for the (doc_id, chunk_id) agg)") {
+    val plan = CleanOps.cdcChunks(
+        graft.Tables.documents(spark, sf001))
+      .queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.length == 1,
+      s"expected 1 hash exchange, found ${exchanges.length}:\n$plan")
+    assert(exchanges.head.contains("doc_id"),
+      s"the single exchange is not doc_id-keyed: ${exchanges.head}")
+  }
+
   test("q169 profiles all four columns in ONE scan of orders " +
     "(no scan-per-column fan-out)") {
     val df = run("q169_profile_report")

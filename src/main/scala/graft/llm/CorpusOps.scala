@@ -253,6 +253,28 @@ object CorpusOps extends QueryModule {
           round(sum(col("value") * w), 6).as("decayed_sum"),
           round(sum(w), 6).as("decayed_weight"))
         .orderBy(col("user_id"))
+    }),
+
+    // Quantile normalization: cross-source score calibration — each
+    // doc's length is replaced by the mean of the same-rank lengths
+    // across all sources, so every source ends up with an identical
+    // marginal distribution (the batch-effect correction of corpus
+    // curation; sources are equal-sized here, the classic QN setting).
+    // One source-keyed window ranks, one rank-keyed agg builds the
+    // reference distribution (corpus/|sources| rows), and the map
+    // joins back by rank. Ranks tiebreak on doc_id — deterministic.
+    "q181_quantile_normalize" -> ((s, d) => {
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(wr))
+      val m = r.groupBy(col("rk"))
+        .agg(round(avg(col("n_chars")), 6).as("calibrated"))
+      r.join(m, "rk")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rk").cast("int").as("rk"), col("calibrated"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -401,6 +423,20 @@ object CorpusOps extends QueryModule {
         |    / 604800000000.0)), 6) AS decayed_sum,
         |  ROUND(SUM(EXP(-0.693147180559945 * (mx.max_us - us)
         |    / 604800000000.0)), 6) AS decayed_weight
-        |FROM e, mx GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM e, mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same per-source ranking (doc_id tiebreak) + same-rank mean map
+    "q181_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |m AS (
+        |  SELECT rk, ROUND(AVG(n_chars), 6) AS calibrated
+        |  FROM r GROUP BY rk)
+        |SELECT r.doc_id, r.source, r.n_chars, CAST(r.rk AS INT) AS rk,
+        |  m.calibrated
+        |FROM r JOIN m USING (rk) ORDER BY doc_id""".stripMargin
   )
 }

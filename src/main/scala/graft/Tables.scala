@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Typed readers for the driver-generated parquet fixture tables
   * (`TESTDATA.md`, schemas in `FIXTURES.md`). All queries read through
@@ -19,8 +21,15 @@ object Tables {
     * at session build (Verify/Bench/Smoke/specs). Readers in this object
     * are pure — none mutates session state as a side effect.
     */
-  val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val sessionConfs: Map[String, String] = Map(
+    // Accept TIMESTAMP(NANOS) parquet (which Spark's reader otherwise
+    // rejects outright) as a raw ns epoch long; [[eventsUs]] folds it
+    // into the canonical µs view. Micros fixtures ignore this conf.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Pin the session zone so TIMESTAMP_NTZ → epoch conversion (and
+    // the DuckDB oracle, which runs in a UTC container) agree on what
+    // instant a wall-clock value denotes, on any host zone.
+    "spark.sql.session.timeZone" -> "UTC")
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
@@ -35,15 +44,47 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; it is read as a raw nanosecond epoch long
-    * instead (`spark.sql.legacy.parquet.nanosAsLong`, set once at
-    * session construction — see [[Tables.configure]]) keeping full ns
-    * precision. Queries do ordering/gap arithmetic on the long; an
-    * equivalent micros timestamp is derivable via
-    * `timestamp_micros(ts div 1000)` when interval semantics are needed.
+  /** Raw events scan. `ts`'s Spark-side type depends on the parquet
+    * physical type the fixture generator chose — TIMESTAMP_NTZ for
+    * plain µs (the current fixtures), TIMESTAMP for µs-adjusted-UTC,
+    * or BIGINT nanos under [[sessionConfs]]'s `nanosAsLong` when the
+    * file is TIMESTAMP(NANOS) (earlier fixture generations). Queries
+    * that only ORDER or EQUI-GROUP on `ts` may read it as-is; anything
+    * doing epoch/interval ARITHMETIC must go through [[eventsUs]] so
+    * the math is precision-portable.
     */
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** Canonical microsecond view of the events table: identical to
+    * [[events]] but with `ts` replaced by `ts_us: BIGINT` — epoch
+    * microseconds, wall-clock-as-UTC — whatever the parquet physical
+    * timestamp type was. All event-time arithmetic (session gaps,
+    * time buckets, decay ages, interval unions) is integer µs math on
+    * this column: exact (no double rounding of large epochs), engine-
+    * portable (DuckDB's `epoch_us(ts)` / `epoch_ns(ts)//1000` produce
+    * the same integers), and independent of the fixture's precision.
+    */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.select(col("event_id"), tsToUs(df.schema("ts").dataType, "ts").as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** Epoch-µs projection of a timestamp-ish column, by scanned type:
+    * BIGINT is epoch ns (the `nanosAsLong` bridge) → integer-divide —
+    * never float-divide: epoch ns ≈ 1.7e18 overflows a double's 53-bit
+    * mantissa; TIMESTAMP is an instant → `unix_micros`; TIMESTAMP_NTZ
+    * is a wall clock → interpreted as UTC (the session zone pinned in
+    * [[sessionConfs]], matching the oracle's reading of the same file).
+    */
+  def tsToUs(dt: DataType, colName: String): Column = dt match {
+    case LongType => expr(s"$colName div 1000")
+    case TimestampType => unix_micros(col(colName))
+    case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+    case other =>
+      throw new IllegalStateException(
+        s"events.$colName: unsupported timestamp physical type $other")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -218,8 +218,8 @@ object CleanOps extends QueryModule {
     // events). z is rounded BEFORE the threshold compare so the flag
     // can't flip on a ulp (cross-engine parity rule).
     "q174_volume_anomaly" -> ((s, d) => {
-      val minutes = Tables.events(s, d)
-        .select(expr("ts div 60000000000").as("minute"))
+      val minutes = Tables.eventsUs(s, d)
+        .select(expr("ts_us div 60000000").as("minute"))
         .groupBy(col("minute"))
         .agg(count(lit(1)).as("n_events"))
       val stats = minutes.agg(
@@ -392,9 +392,10 @@ object CleanOps extends QueryModule {
          |FROM chunks GROUP BY chunk_text
          |ORDER BY n_occurrences DESC, chunk_hash LIMIT 100""".stripMargin,
 
-    // same minute bucketing (events.ts is TIMESTAMP_NS here, an
-    // epoch-ns long on the Spark side — bridge with epoch_ns); z
-    // rounded before the threshold on both engines
+    // same minute bucketing (Spark side buckets Tables.eventsUs's
+    // canonical epoch-µs; epoch_ns(ts)//60e9 is the identical minute
+    // index at any fixture precision); z rounded before the threshold
+    // on both engines
     "q174_volume_anomaly" ->
       """WITH m AS (
         |  SELECT epoch_ns(ts) // 60000000000 AS minute,

@@ -241,8 +241,8 @@ object CorpusOps extends QueryModule {
     // Rounded 6dp: per-term exp() ulp drift across engines is ~1e-13
     // relative, far below the rounding grain.
     "q179_time_decay_weight" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("value"), expr("ts div 1000").as("us"))
+      val e = Tables.eventsUs(s, d)
+        .select(col("user_id"), col("value"), col("ts_us").as("us"))
       val mx = e.agg(max(col("us")).as("max_us"))
       val halfLife = 604800000000.0 // 7 days in µs
       val w = exp(lit(-0.693147180559945) *

@@ -307,14 +307,12 @@ object ExtendedOps extends QueryModule {
     // tiebreak, keep rank 1; shuffles once by key.
     "q98_keep_latest" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, d)
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.eventsUs(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        // µs precision on the wire: DuckDB's parquet reader surfaces
-        // the ns timestamp at µs, Spark reads the raw ns long
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
         .orderBy(col("user_id"))
     }),
 

@@ -61,21 +61,21 @@ object WindowOps extends QueryModule {
 
     // Batch sessionization: 30-min-gap sessions via lag + cumulative sum
     // of session-break flags (SURVEY q30; streaming twin uses
-    // session_window in graft.streaming.StreamingOps). `ts` is an epoch
-    // nanosecond long (Tables.events), so the gap test is pure integer
-    // arithmetic — exact on both engines. The break test is `>=`
-    // to match session_window's exclusive end (an event at exactly
+    // session_window in graft.streaming.StreamingOps). The gap test is
+    // pure integer µs arithmetic on Tables.eventsUs's canonical ts_us —
+    // exact on both engines at any fixture precision. The break test is
+    // `>=` to match session_window's exclusive end (an event at exactly
     // prev+gap starts a new session), keeping q30's batch convention
     // identical to q101's streaming semantics.
     "q30_session_window_batch" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapNs = 30L * 60 * 1000 * 1000 * 1000
-      Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.eventsUs(s, d)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_ts").isNull ||
-            col("ts") >= col("prev_ts") + lit(gapNs), 1).otherwise(0))
+            col("ts_us") >= col("prev_ts") + lit(gapUs), 1).otherwise(0))
         .withColumn("sess", sum(col("is_new")).over(frame))
         .groupBy(col("user_id"), col("sess"))
         .agg(count(lit(1)).as("n_events"),
@@ -96,12 +96,12 @@ object WindowOps extends QueryModule {
     // bounded by the span (≤720 here), never by event count, so the
     // window partitions stay small at any corpus scale.
     "q138_gap_fill_resample" -> ((s, d) => {
-      val hourNs = 3600L * 1000 * 1000 * 1000
-      val ev = Tables.events(s, d).filter(col("user_id") < 20)
-        .select(col("user_id"), expr(s"ts div $hourNs").as("h"),
-          col("ts"), col("value"))
+      val hourUs = 3600L * 1000 * 1000
+      val ev = Tables.eventsUs(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), expr(s"ts_us div $hourUs").as("h"),
+          col("ts_us"), col("value"))
       val hourly = ev.groupBy(col("user_id"), col("h"))
-        .agg(max_by(col("value"), col("ts")).as("v"),
+        .agg(max_by(col("value"), col("ts_us")).as("v"),
           count(lit(1)).cast("int").as("n_ev"))
       val spans = hourly.groupBy(col("user_id"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -126,24 +126,24 @@ object WindowOps extends QueryModule {
     // one exchange+sort; the final summary is a tiny global rollup of
     // the per-session stage table.
     "q151_session_funnel" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val gapUs = 30L * 60 * 1000 * 1000
       val ws = Window.partitionBy(col("user_id"), col("sess"))
-      val sessions = Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      val sessions = Tables.eventsUs(s, d)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_ts").isNull ||
-            col("ts") >= col("prev_ts") + lit(gapNs), 1).otherwise(0))
+            col("ts_us") >= col("prev_ts") + lit(gapUs), 1).otherwise(0))
         .withColumn("sess", sum(col("is_new")).over(frame))
         .withColumn("t_view",
-          min(when(col("event_type") === "view", col("ts"))).over(ws))
+          min(when(col("event_type") === "view", col("ts_us"))).over(ws))
         .withColumn("t_click",
           min(when(col("event_type") === "click" &&
-            col("ts") >= col("t_view"), col("ts"))).over(ws))
+            col("ts_us") >= col("t_view"), col("ts_us"))).over(ws))
         .withColumn("t_purchase",
           min(when(col("event_type") === "purchase" &&
-            col("ts") >= col("t_click"), col("ts"))).over(ws))
+            col("ts_us") >= col("t_click"), col("ts_us"))).over(ws))
       val perSession = sessions.groupBy(col("user_id"), col("sess"))
         .agg(max(col("t_view")).as("t_view"),
           max(col("t_click")).as("t_click"),
@@ -166,10 +166,10 @@ object WindowOps extends QueryModule {
     // realistic user count ÷ corpus ratio); the activity relation is
     // the distinct (user, day) projection.
     "q152_cohort_retention" -> ((s, d) => {
-      val day = expr("ts div 86400000000000")
-      val cohorts = Tables.events(s, d)
+      val day = expr("ts_us div 86400000000")
+      val cohorts = Tables.eventsUs(s, d)
         .groupBy(col("user_id")).agg(min(day).as("cohort_day"))
-      val active = Tables.events(s, d)
+      val active = Tables.eventsUs(s, d)
         .select(col("user_id"), day.as("day")).distinct()
       active.join(broadcast(cohorts), "user_id")
         .groupBy(col("cohort_day"),
@@ -187,8 +187,8 @@ object WindowOps extends QueryModule {
     // (s, e) window order is a total order. All integer µs arithmetic
     // — no float parity risk.
     "q180_interval_union" -> ((s, d) => {
-      val us = expr("ts div 1000")
-      val iv = Tables.events(s, d)
+      val us = col("ts_us")
+      val iv = Tables.eventsUs(s, d)
         .select(col("user_id"), us.as("s"),
           (us + lit(1800000000L)).as("e"))
       val wPrev = Window.partitionBy(col("user_id"))

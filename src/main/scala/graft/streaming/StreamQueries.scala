@@ -19,10 +19,59 @@ object StreamQueries extends QueryModule {
 
   private val runId = new AtomicInteger()
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The events fixture's ACTUAL scan schema, probed from the parquet
+    * footer (a metadata read, no data scan). The file stream source
+    * needs an explicit schema, and hard-coding one is how a fixture
+    * precision change silently corrupts every replay: reading µs
+    * TIMESTAMP parquet through a `ts: LongType` schema yields raw
+    * micros where ns were assumed, compressing all event time 1000×.
+    * Probing keeps the replay harness faithful to whatever physical
+    * type the generator chose (ns-as-long, µs TIMESTAMP, or µs NTZ —
+    * the same trichotomy as [[graft.Tables.tsToUs]]).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def eventsSchema(s: SparkSession, d: String): StructType =
+    schemaCache.computeIfAbsent(d,
+      _ => s.read.parquet(s"$d/events.parquet").schema)
+
+  private def tsType(schema: StructType): DataType = schema("ts").dataType
+
+  /** Normalize the scanned `ts` to a proper TimestampType instant (µs
+    * precision, wall-clock-as-UTC — the session zone is pinned UTC in
+    * Tables.sessionConfs) so watermarks/windows see identical event
+    * time at any fixture precision. ns→µs is integer division: double
+    * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
+    */
+  private def tsAsTimestamp(dt: DataType) = dt match {
+    case LongType => timestamp_micros(expr("ts div 1000"))
+    case TimestampType => col("ts")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported timestamp physical type $other")
+  }
+
+  /** A `ts` literal for synthetic rows (sentinel/marker), in the
+    * probed schema's native representation of the given epoch-µs.
+    */
+  private def tsValue(dt: DataType, us: Long): Any = {
+    val instant = java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L)
+    dt match {
+      case LongType => us * 1000L
+      case TimestampType => java.sql.Timestamp.from(instant)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported timestamp physical type $other")
+    }
+  }
+
+  /** Far-future sentinel event time (~year 2096) in epoch-µs: pushes
+    * every watermark past all real fixture events; its own windows are
+    * filtered from sinks (`hour_sec` ≥ 3e9 / `user_id` = -1).
+    */
+  private val farUs = 4000000000000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stream_tumbling_replay" -> ((s, d) =>
@@ -252,11 +301,12 @@ object StreamQueries extends QueryModule {
         // the watermark past every real session; Spark's no-data batch
         // then evicts and emits them. The sentinel's own session stays
         // un-finalized, so callers filter its user_id (-1).
-        val farNs = 4000000000000000000L // ~year 2096 in epoch-ns
+        val schema = eventsSchema(s, d)
         import scala.jdk.CollectionConverters._
-        val row = org.apache.spark.sql.Row(-1L, farNs, -1L, "sentinel", 0.0, "{}")
+        val row = org.apache.spark.sql.Row(
+          -1L, tsValue(tsType(schema), farUs), -1L, "sentinel", 0.0, "{}")
         val tmpOut = stage.resolve("sentinel_build")
-        s.createDataFrame(Seq(row).asJava, eventsSchema)
+        s.createDataFrame(Seq(row).asJava, schema)
           .coalesce(1).write.parquet(tmpOut.toString)
         val listing = java.nio.file.Files.list(tmpOut)
         val part =
@@ -295,8 +345,9 @@ object StreamQueries extends QueryModule {
     * compiles once and runs thousands of batches — it would keep
     * codegen on). Both settings are restored on exit.
     *
-    * ns → µs inside is integer division (`ts div 1000`): double
-    * arithmetic cannot represent epoch-ns exactly (2^53 << 1.7e18).
+    * Event time is normalized once at the source via [[tsAsTimestamp]]
+    * (schema-probed, precision-portable); everything downstream sees a
+    * proper µs TimestampType whatever the fixture's physical type.
     *
     * Concurrency contract: the session-conf overrides make this
     * harness single-query-at-a-time per session (a query planned
@@ -329,10 +380,11 @@ object StreamQueries extends QueryModule {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val stage = stagedSource(s, d, copies = 2, sentinel = false)
-      val stream = s.readStream.schema(eventsSchema)
+      val schema = eventsSchema(s, d)
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", tsAsTimestamp(tsType(schema)))
       // keep-latest per user by (ts, event_id) — associative and
       // idempotent, so batch slicing and duplicate delivery are both
       // invisible in the final snapshot
@@ -417,7 +469,8 @@ object StreamQueries extends QueryModule {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + mtimePlusMs))
       }
-      val ev = s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      val schema = eventsSchema(s, d)
+      val ev = s.read.schema(schema).parquet(s"$d/events.parquet")
       val onTime = ev.filter(col("event_id") % 10 =!= 0)
       writeOne(onTime, "events_a_ontime", 0)
       // Eviction runs at the END of the first batch executed UNDER the
@@ -425,21 +478,23 @@ object StreamQueries extends QueryModule {
       // still merges into live state (observed: 0 dropped when the
       // late slice was batch 2 of 3). So a 1-row on-time MARKER batch
       // activates the watermark and triggers the eviction, and only
-      // THEN does the late slice arrive against evicted state.
-      val maxANs = onTime.agg(max(col("ts"))).head().getLong(0)
+      // THEN does the late slice arrive against evicted state. The
+      // marker reuses the on-time max ts in the schema's own native
+      // representation (no re-encoding — get(0) passes it through).
+      val maxATs = onTime.agg(max(col("ts"))).head().get(0)
       writeOne(s.createDataFrame(Seq(org.apache.spark.sql
-          .Row(-2L, maxANs, -2L, "marker", 0.0, "{}")).asJava, eventsSchema),
+          .Row(-2L, maxATs, -2L, "marker", 0.0, "{}")).asJava, schema),
         "events_m_marker", 30000)
       writeOne(ev.filter(col("event_id") % 10 === 0), "events_x_late", 60000)
-      val farNs = 4000000000000000000L // ~year 2096 in epoch-ns
       writeOne(s.createDataFrame(Seq(org.apache.spark.sql
-          .Row(-1L, farNs, -1L, "sentinel", 0.0, "{}")).asJava, eventsSchema),
+          .Row(-1L, tsValue(tsType(schema), farUs), -1L, "sentinel", 0.0,
+            "{}")).asJava, schema),
         "events_zz_sentinel", 120000)
 
-      val stream = s.readStream.schema(eventsSchema)
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", tsAsTimestamp(tsType(schema)))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
@@ -492,11 +547,12 @@ object StreamQueries extends QueryModule {
       // explicitly so a Spark default change can't silently break the
       // single-batch assumption. Sentinel replays need the OPPOSITE
       // (1 file per batch) so the sentinel arrives after the data.
-      val reader = s.readStream.schema(eventsSchema)
+      val schema = eventsSchema(s, d)
+      val reader = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", if (sentinel) "1" else (copies + 1).toString)
       val stream = reader
           .parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", tsAsTimestamp(tsType(schema)))
       val sink = s"replay_${runId.incrementAndGet()}"
       val q = t("query-start") { build(stream).writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt.toString)

@@ -58,20 +58,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 2-decimal wire precision: the harness retains only a ~3.5KB tail
-    // of stdout, and at 100 queries the line must stay well under that
-    // or it arrives truncated mid-JSON. Locale.ROOT: a comma-decimal
-    // default locale would render "1,234" and corrupt the line.
-    // Keys are shortened to the unique "qNN" prefix for the same reason:
-    // full names at 110+ queries overflow the tail and the driver gets
-    // an unparseable fragment (r1 and r2 both arrived parsed:null).
+    // The harness retains only a ~2.4KB tail of stdout; at 181 queries
+    // even qNN-shortened keys push an inline per-query map past that
+    // and the tail begins mid-JSON (BENCH_r06 arrived parsed:null). So
+    // the per-query map goes to bench_queries.json next to the repo
+    // root, its line is printed FIRST (truncation can only eat the
+    // front of the tail), and the FINAL stdout line is just the total
+    // — <200 bytes, always inside any tail window. Locale.ROOT: a
+    // comma-decimal default locale would render "1,234" and corrupt
+    // the JSON.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

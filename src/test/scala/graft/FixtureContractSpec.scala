@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture data-contract tripwire (round-6 verdict ask #2): the driver
+  * regenerated `/root/testdata` with `events.ts` as TIMESTAMP(MICROS)
+  * where it had been TIMESTAMP(NANOS), and nothing in `sbt test` named
+  * the drift — 16 queries broke silently in the driver's report. This
+  * suite pins what the engine actually ASSUMES about each fixture
+  * table, so the next regeneration fails HERE with the drifted column
+  * in the message:
+  *
+  *  - every non-timestamp column's exact Spark-side type;
+  *  - timestamp columns against the SET of encodings the engine
+  *    tolerates (not one physical type — over-pinning is what broke);
+  *  - the µs/ns/instant trichotomy of [[Tables.eventsUs]], proven on
+  *    generated twins of all three encodings, so ts portability stays
+  *    tested even while the live fixture exercises only one branch.
+  */
+class FixtureContractSpec extends SparkSpec {
+
+  private def fields(name: String): Map[String, DataType] =
+    Tables.table(spark, sf001, name).schema
+      .map(f => f.name -> f.dataType).toMap
+
+  private def assertCols(table: String, expected: Map[String, DataType]): Unit = {
+    val got = fields(table)
+    assert(got.keySet == expected.keySet,
+      s"$table columns drifted: got ${got.keySet.toSeq.sorted}, " +
+        s"expected ${expected.keySet.toSeq.sorted}")
+    expected.foreach { case (c, dt) =>
+      assert(got(c) == dt, s"$table.$c drifted: got ${got(c)}, expected $dt")
+    }
+  }
+
+  /** The encodings a timestamp-ish fixture column may arrive in; the
+    * same trichotomy [[Tables.tsToUs]] folds to canonical epoch-µs.
+    */
+  private val tsEncodings: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
+  test("TPC-H-ish fixture columns match the engine's assumed contract") {
+    assertCols("region", Map(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType))
+    assertCols("nation", Map(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType))
+    assertCols("customer", Map(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType))
+    assertCols("supplier", Map(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType))
+    assertCols("part", Map(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType))
+
+    val orders = fields("orders")
+    assertCols("orders", Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> orders("o_orderdate"),
+      "o_orderpriority" -> StringType))
+    assert(tsEncodings.contains(orders("o_orderdate")),
+      s"orders.o_orderdate drifted to unsupported ${orders("o_orderdate")}")
+    val li = fields("lineitem")
+    assertCols("lineitem", Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> li("l_shipdate")))
+    assert(tsEncodings.contains(li("l_shipdate")),
+      s"lineitem.l_shipdate drifted to unsupported ${li("l_shipdate")}")
+  }
+
+  test("LLM fixture columns match the engine's assumed contract") {
+    assertCols("documents", Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
+    assertCols("embeddings", Map(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType))
+  }
+
+  test("events columns match, and ts is a supported timestamp encoding") {
+    val ev = fields("events")
+    assert(ev.keySet == Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"), s"events columns drifted: ${ev.keySet.toSeq.sorted}")
+    Map("event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType).foreach { case (c, dt) =>
+      assert(ev(c) == dt, s"events.$c drifted: got ${ev(c)}, expected $dt")
+    }
+    assert(tsEncodings.contains(ev("ts")),
+      s"events.ts drifted to unsupported encoding ${ev("ts")} — " +
+        "extend Tables.tsToUs (and StreamQueries' replay normalization) " +
+        "before trusting any event-time query")
+    // the canonical view always lands on BIGINT micros
+    assert(Tables.eventsUs(spark, sf001).schema("ts_us").dataType == LongType)
+  }
+
+  test("eventsUs folds all three ts encodings to identical epoch-us") {
+    val base = Tables.eventsUs(spark, sf001).orderBy("event_id").limit(64)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .cache()
+    val expected = base.select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty)
+
+    // twin generators: same rows, ts re-encoded per physical flavor.
+    // (Spark cannot WRITE TIMESTAMP(NANOS); the raw-long twin stands in
+    // for it — under nanosAsLong a ns file scans as exactly this.)
+    val twins: Seq[(String, DataFrame)] = Seq(
+      "ns-as-long" -> base.withColumn("ts", col("ts_us") * 1000),
+      "timestamp-ltz" -> base.withColumn("ts", timestamp_micros(col("ts_us"))),
+      "timestamp-ntz" -> base.withColumn("ts",
+        timestamp_micros(col("ts_us")).cast(TimestampNTZType)))
+
+    twins.foreach { case (flavor, df) =>
+      val dir = Scratch.dir(s"fixture_twin_")
+      try {
+        df.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .write.parquet(dir.resolve("events.parquet").toString)
+        val got = Tables.eventsUs(spark, dir.toString)
+          .select("event_id", "ts_us").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"$flavor twin decoded differently: " +
+            got.collect { case (k, v) if expected(k) != v =>
+              s"event $k: $v vs ${expected(k)}" }.take(3).mkString("; "))
+      } finally Scratch.deleteTree(dir)
+    }
+    base.unpersist()
+  }
+}

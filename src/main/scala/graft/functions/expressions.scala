@@ -330,6 +330,62 @@ object ByteNgrams {
   }
 }
 
+/** Adjacent-token pairs of a string array — `["a","b","c"]` →
+  * `["a b","b c"]` — the word-bigram primitive of repetition/PMI
+  * analysis. Exists for the same reason as [[ByteNgrams]]: the
+  * composed form `transform(sequence(1, size(a)-1), i ->
+  * concat(element_at(a,i), ' ', element_at(a,i+1)))` is a
+  * HigherOrderFunction, which is CodegenFallback in Spark — it not
+  * only interprets the lambda per element, it breaks the WHOLE
+  * projection out of whole-stage codegen (q128 measured this as the
+  * single most expensive query in the round-6 bench). This is one
+  * pass over the array inside codegen. The " " separator is
+  * unambiguous for the callers' [a-z]+ tokens, so
+  * `array_distinct` over the result counts distinct PAIRS exactly.
+  */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AdjacentPairs.pairs(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AdjacentPairs.pairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): AdjacentPairs =
+    copy(child = c)
+  override def prettyName: String = "graft_adjacent_pairs"
+}
+
+object AdjacentPairs {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def pairs(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val next = arr.getUTF8String(i + 1)
+      out(i) = UTF8String.concat(prev, SPACE, next)
+      prev = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Unicode NFC normalization (canonical decomposition + canonical
   * composition, `java.text.Normalizer`) as a codegen'd scalar — the
   * web-corpus cleaning primitive that folds decomposed sequences
@@ -385,6 +441,8 @@ object exprs {
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def graft_byte_ngrams(c: Column, n: Int): Column =
     Bridge.column(ByteNgrams(Cast(Bridge.expression(c), StringType), n))
+  def graft_adjacent_pairs(c: Column): Column =
+    Bridge.column(AdjacentPairs(Bridge.expression(c)))
   def graft_nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalize(Cast(Bridge.expression(c), StringType)))
 

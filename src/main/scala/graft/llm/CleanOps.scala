@@ -40,7 +40,7 @@ object CleanOps extends QueryModule {
 
   /** Lowercased alpha tokens (the [[TextPipeline]] tokenizer). */
   private def alphaTokens =
-    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    array_remove(split(lower(col("text")), "[^a-z]+"), "")
 
   private val alphaTokensSql =
     """list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')"""

@@ -18,7 +18,7 @@ import graft.{QueryModule, Tables}
 object TextAnalysis extends QueryModule {
 
   /** Whitespace tokens, empties dropped (Spark side). */
-  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+  def tokens(c: Column): Column = array_remove(split(c, "\\s+"), "")
   /** DuckDB twin of [[tokens]]. */
   val tokensSql = """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
 
@@ -102,7 +102,7 @@ object TextAnalysis extends QueryModule {
     // post-Generate Project and re-splits the text once per exploded
     // CHAR (O(chars²)/doc — measured 37s at sf0.1 vs 0.4s this way).
     "q137_char_entropy" -> ((s, d) => {
-      val chars = filter(split(col("text"), ""), c => c =!= "")
+      val chars = array_remove(split(col("text"), ""), "")
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), size(chars).as("n"))
         .select(col("doc_id"), col("n"), explode(chars).as("ch"))

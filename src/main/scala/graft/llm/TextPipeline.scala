@@ -23,7 +23,7 @@ object TextPipeline extends QueryModule {
     * tokenization is split-safe on leading/trailing separators.
     */
   private def tokens =
-    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    array_remove(split(lower(col("text")), "[^a-z]+"), "")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF with idf = ln(N/df), top-5 terms per document by weight
@@ -115,9 +115,10 @@ object TextPipeline extends QueryModule {
     // second explode), only the unigram mode needs the (doc,token)
     // rollup, and both groupBys are partial-agg friendly.
     "q128_repetition_quality" -> ((s, d) => {
-      val bigrams = transform(sequence(lit(1), size(col("ts")) - 1),
-        i => concat(element_at(col("ts"), i), lit(" "),
-          element_at(col("ts"), i + 1)))
+      // codegen'd single-pass word bigrams: the transform/element_at
+      // HOF form is CodegenFallback and was the round-6 bench's most
+      // expensive stage (see AdjacentPairs scaladoc)
+      val bigrams = graft.functions.exprs.graft_adjacent_pairs(col("ts"))
       Tables.documents(s, d)
         .withColumn("ts", tokens)
         .filter(size(col("ts")) >= 2)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.{RollingHash, Sigmoid, VecDot}
+import graft.functions.{AdjacentPairs, RollingHash, Sigmoid, VecDot}
 
 /** Optimizer rule: recognize the composed sigmoid pattern
   * `1.0 / (1.0 + exp(-x))` anywhere in a plan and collapse it into the
@@ -216,6 +216,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
       buildVecDot))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_adjacent_pairs"),
+      new ExpressionInfo(classOf[AdjacentPairs].getName, "graft_adjacent_pairs"),
+      buildAdjacentPairs))
   }
 }
 
@@ -253,5 +256,10 @@ object GraftExtensions {
   val buildVecDot: Seq[Expression] => Expression = { children =>
     requireArity("graft_vec_dot", 2, children)
     VecDot(children(0), children(1))
+  }
+
+  val buildAdjacentPairs: Seq[Expression] => Expression = { children =>
+    requireArity("graft_adjacent_pairs", 1, children)
+    AdjacentPairs(children.head)
   }
 }

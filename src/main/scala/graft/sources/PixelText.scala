@@ -69,7 +69,7 @@ object PixelText {
         col("value"))
     val payload = when(col("value").contains("\t"),
       substring_index(col("value"), "\t", -1)).otherwise(col("value"))
-    val toks = filter(split(trim(payload), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(trim(payload), "\\s+"), "")
     // the arity guard must live INSIDE the value path — a standalone
     // assert_true column would be pruned away by Catalyst
     val checked = when(size(toks) === numdims, toks)

@@ -42,6 +42,24 @@ class NativeExprSpec extends SparkSpec {
       List(Nil, Nil, Nil, List("abc")))
   }
 
+  test("graft_adjacent_pairs equals the composed transform/element_at " +
+    "HOF form on real corpus tokens, and handles the short-array edges") {
+    val toks = graft.Tables.documents(spark, sf001)
+      .select(array_remove(split(lower(col("text")), "[^a-z]+"), "").as("ts"))
+    val composed = transform(sequence(lit(1), size(col("ts")) - 1),
+      i => concat(element_at(col("ts"), i), lit(" "),
+        element_at(col("ts"), i + 1)))
+    val rows = toks.filter(size(col("ts")) >= 2)
+      .select(graft_adjacent_pairs(col("ts")).as("native"),
+        composed.as("composed")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val edges = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"))
+      .toDF("ts").select(graft_adjacent_pairs(col("ts")).as("g")).collect()
+    assert(edges.map(_.getSeq[String](0).toList).toList ==
+      List(Nil, Nil, List("a b")))
+  }
+
   test("graft_vec_dot equals the zip_with+aggregate form bit-for-bit, " +
     "for float and double arrays, and is null-safe") {
     val df = Seq(

@@ -16,6 +16,23 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q128's bigram stage is the codegen AdjacentPairs expression, " +
+    "not a CodegenFallback higher-order function") {
+    // HOFs (ArrayTransform/ArrayFilter) are CodegenFallback: one in the
+    // scan projection breaks the whole stage out of codegen — the
+    // round-6 bench measured q128's HOF form as the registry's most
+    // expensive query. Pin the fix structurally so a refactor can't
+    // silently reintroduce the interpreted path.
+    val plan = TextPipeline.queries("q128_repetition_quality")(spark, sf001)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("graft_adjacent_pairs"),
+      "q128 lost its native bigram expression")
+    assert(!plan.contains("transform("),
+      "q128 regrew an interpreted transform() lambda")
+    assert(!plan.contains("filter(split("),
+      "the tokenizer regrew its interpreted filter() lambda")
+  }
+
   test("q81 pii scrub finds the injected PII and leaves none behind") {
     val rows = TextPipeline.queries("q81_pii_scrub")(spark, sf001).collect()
     assert(rows.forall(_.getInt(1) >= 1), "every doc got an email injected")

@@ -30,6 +30,32 @@ class StreamingSpec extends SparkSpec {
     (df.writeStream.outputMode(mode).format("memory").queryName(name).start(), name)
   }
 
+  test("q177's late-row-drop boundary lands EXACTLY where the watermark " +
+    "rule says at sf0.001: accepted = on-time + marker + late rows whose " +
+    "window outlived the batch-1 watermark, and the drop is non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val sinkTotal = StreamQueries.queries("q177_stream_late_audit")(spark, sf001)
+      .agg(sum(col("n"))).head().getLong(0)
+    // the batch twin of the acceptance rule (the sf0.01 DuckDB oracle's
+    // construction): watermark = max on-time event time floored to ms
+    // (Spark tracks event time at ms) minus the 1h lateness; a late row
+    // survives iff its 1h window's END clears that watermark
+    val ev = graft.Tables.eventsUs(spark, sf001)
+    val onTime = ev.filter(col("event_id") % 10 =!= 0)
+    val nOnTime = onTime.count()
+    val maxUs = onTime.agg(max(col("ts_us"))).head().getLong(0)
+    val wmk = (maxUs / 1000L) * 1000L - 3600000000L
+    val late = ev.filter(col("event_id") % 10 === 0)
+    val nLate = late.count()
+    val nAccepted = late
+      .filter(expr(s"(ts_us div 3600000000 + 1) * 3600000000 > $wmk")).count()
+    assert(sinkTotal == nOnTime + 1 + nAccepted,
+      s"sink holds $sinkTotal rows; the watermark rule predicts " +
+        s"$nOnTime on-time + 1 marker + $nAccepted accepted-late")
+    assert(nAccepted < nLate,
+      s"all $nLate late rows were accepted — the drop path is untested")
+  }
+
   test("tumbling window counts aggregate by 10-minute windows") {
     val ms = MemoryStream[Ev]
     val (q, sink) = startQuery(StreamingOps.tumblingCounts(toEventsDf(ms)), "complete")

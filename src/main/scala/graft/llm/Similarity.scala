@@ -174,6 +174,58 @@ object Similarity extends QueryModule {
     // never vectors. Deterministic seeding (centroids = vec_id < 4) and
     // a (d2, cid) tiebreak make the step fully oracle-checkable, unlike
     // q62's sampled Lloyd loop.
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    // the embedding space, then look for near-duplicate pairs ONLY
+    // within a cluster — the trick that turns O(N²) embedding dedup
+    // into k independent O((N/k)²) problems. Centroids are the k=8
+    // deterministic seed vectors (q145's convention); assignment is one
+    // broadcast map pass maximizing cosine (graft_vec_dot codegen, tie
+    // → lowest cid); the pair stage is an equi-join ON THE CLUSTER ID —
+    // at corpus scale k grows ~√N so cluster populations stay bounded
+    // and the join never degenerates toward all-pairs. Cosines are
+    // rounded BEFORE the duplicate threshold (τ=0.35 — sized to this
+    // synthetic embedding distribution; real corpora use ~0.99+) so the
+    // flag can't flip on a ulp. n_dup_vecs counts the higher-id member
+    // of each dup pair — the vectors the keep-lowest-id rule drops.
+    "q183_semantic_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val cents = withNorm(Tables.embeddings(s, d).filter(col("vec_id") < k))
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      val scored = withNorm(Tables.embeddings(s, d))
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+          (graft_vec_dot(col("embedding"), col("cvec")) /
+            (col("nrm") * col("cnrm"))).as("ccos"))
+      val wa = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = scored
+        .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cid").as("cid"), col("b.vec_id").as("hi_id"),
+          round(graft_vec_dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("pcos"))
+      val stats = pairs.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("pcos") >= 0.35, 1L).otherwise(0L)).as("n_dup_pairs"),
+          countDistinct(when(col("pcos") >= 0.35, col("hi_id")))
+            .as("n_dup_vecs"),
+          max(col("pcos")).as("max_cosine"))
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).cast("int").as("n_vectors"))
+        .join(stats, Seq("cid"), "left")
+        .select(col("cid"), col("n_vectors"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dup_vecs"), lit(0L)).cast("long").as("n_dup_vecs"),
+          col("max_cosine"))
+        .orderBy(col("cid"))
+    }),
+
     "q145_kmeans_step" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 4
@@ -264,6 +316,53 @@ object Similarity extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // same centroid assignment (argmax cosine, tie -> lowest cid) and
+    // same within-cluster pair scan; cosines rounded 6dp before the
+    // tau=0.35 threshold on both engines
+    "q183_semantic_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec,
+        |             nrm AS cnrm FROM n WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+        |    (SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |     FROM (SELECT unnest(n.embedding) AS ua,
+        |                  unnest(c.cvec) AS ub) z)
+        |      / (n.nrm * c.cnrm) AS ccos
+        |  FROM n, c),
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT a.cid, b.vec_id AS hi_id,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(a.embedding) AS ua,
+        |                        unnest(b.embedding) AS ub) z)
+        |      / (a.nrm * b.nrm), 6) AS pcos
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |st AS (
+        |  SELECT cid, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN pcos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_pairs,
+        |    COUNT(DISTINCT CASE WHEN pcos >= 0.35 THEN hi_id END)
+        |      AS n_dup_vecs,
+        |    MAX(pcos) AS max_cosine
+        |  FROM p GROUP BY cid),
+        |v AS (SELECT cid, CAST(COUNT(*) AS INT) AS n_vectors
+        |      FROM asg GROUP BY cid)
+        |SELECT v.cid, v.n_vectors,
+        |  CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(st.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(COALESCE(st.n_dup_vecs, 0) AS BIGINT) AS n_dup_vecs,
+        |  st.max_cosine
+        |FROM v LEFT JOIN st ON v.cid = st.cid ORDER BY v.cid""".stripMargin,
+
     "q32_knn_similarity" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -230,6 +230,28 @@ object StreamQueries extends QueryModule {
 
     "q177_stream_late_audit" -> ((s, d) => lateAuditReplay(s, d)),
 
+    // Stream-STATIC broadcast enrichment join under replay — the most
+    // common production streaming shape (every event stream is joined
+    // to a dimension before anything else) and the §2.C capability
+    // q121/q156's stream-stream joins don't cover: the static side is
+    // a plain batch DataFrame in the streaming plan, re-resolved per
+    // micro-batch and BROADCAST, so the stream side never shuffles for
+    // the join and no join state is kept at all (nothing to watermark
+    // — state is the dimension, not the stream). LEFT join keeps
+    // unmatched events (the dim is deliberately missing user_id 0) so
+    // the enrichment's null path is exercised, not just the happy path.
+    "q182_stream_static_enrich" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      replay(s, d) { stream =>
+        stream.join(broadcast(dim), col("user_id") === col("c_custkey"),
+            "left")
+          .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("seg"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      }.orderBy(col("seg"), col("event_type"))
+    }),
+
     // transformWithState (per-key custom state, RocksDB-backed) under
     // replay, ORACLE-checked — §2.C's newest state API graduated from
     // spec-gated to hash-compared. GradientMeanProcessor's update is a
@@ -689,6 +711,14 @@ object StreamQueries extends QueryModule {
         |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q182: drained stream-static replay ≡ the identical batch
+    // enrichment join; the missing-dim null path lands in 'unknown'
+    "q182_stream_static_enrich" ->
+      s"""SELECT COALESCE(c_mktsegment, 'unknown') AS seg, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events LEFT JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY seg, event_type""".stripMargin,
 
     // q92: duplicated replay + dedup ≡ plain distinct counts.
     "q92_stream_dedup_replay" ->

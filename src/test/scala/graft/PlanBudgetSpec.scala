@@ -21,6 +21,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q136_unigram_logprob",     // 1-row token-total scalar broadcast
     "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
     "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
+    "q183_semantic_dedup",      // 8-row centroid broadcast (assignment pass)
     "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
     "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
     "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join
@@ -44,6 +45,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q121_stream_join_replay", "q133_stream_upsert_replay",
     "q150_stream_merge_sink", "q156_stream_outer_join_replay",
     "q177_stream_late_audit", "q178_stream_tws_replay",
+    "q182_stream_static_enrich",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",
@@ -84,7 +86,12 @@ class PlanBudgetSpec extends SparkSpec {
     "q165_ks_drift" -> 14,
     // the 9th is the 1-row vocab-count scalar; the bigram/context
     // model exchanges are shared with the scoring join at runtime
-    "q166_bigram_ppl" -> 9)
+    "q166_bigram_ppl" -> 9,
+    // the assigned-vectors subtree (centroid BNLJ + argmax window)
+    // prints under BOTH sides of the within-cluster pair join and
+    // again under the n_vectors rollup; the sides are identical and
+    // reuse at runtime — same AQE-reuse story as q165's self-join
+    "q183_semantic_dedup" -> 10)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -226,6 +226,30 @@ class LlmOpsSpec extends SparkSpec {
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
 
+  test("q183 semantic dedup: every vector lands in exactly one cluster, " +
+    "pair counts are the within-cluster C(n,2), dup counts are " +
+    "non-vacuous, and the repeated assigned-vectors subtree dedupes at " +
+    "runtime (PlanBudgetSpec override proof)") {
+    val df = graft.SparkEntry.queries("q183_semantic_dedup")(spark, sf001)
+    val rows = df.collect()
+    val nVecs = graft.Tables.embeddings(spark, sf001).count()
+    assert(rows.map(_.getInt(1).toLong).sum == nVecs,
+      "cluster populations must partition the table")
+    rows.foreach { r =>
+      val n = r.getInt(1).toLong
+      assert(r.getLong(2) == n * (n - 1) / 2,
+        s"cluster ${r.getInt(0)}: pair count != C($n,2)")
+      assert(r.getLong(3) >= r.getLong(4),
+        "dup pairs can never be fewer than dropped vectors")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "tau=0.35 found no duplicate pairs — the threshold is vacuous " +
+        "on this fixture")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
   test("q153 conserves total rank (PageRank invariant on a graph with " +
     "no dangling nodes) and is deterministic across runs") {
     val run1 = graft.SparkEntry.queries("q153_pagerank")(spark, sf001)

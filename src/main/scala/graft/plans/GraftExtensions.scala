@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.{AdjacentPairs, RollingHash, Sigmoid, VecDot}
+import graft.functions.{AdjacentPairs, ByteNgrams, NfcNormalize, RollingHash, Sigmoid, VecDot}
 
 /** Optimizer rule: recognize the composed sigmoid pattern
   * `1.0 / (1.0 + exp(-x))` anywhere in a plan and collapse it into the
@@ -219,6 +219,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_adjacent_pairs"),
       new ExpressionInfo(classOf[AdjacentPairs].getName, "graft_adjacent_pairs"),
       buildAdjacentPairs))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_byte_ngrams"),
+      new ExpressionInfo(classOf[ByteNgrams].getName, "graft_byte_ngrams"),
+      buildByteNgrams))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
+      buildNfcNormalize))
   }
 }
 
@@ -261,5 +267,24 @@ object GraftExtensions {
   val buildAdjacentPairs: Seq[Expression] => Expression = { children =>
     requireArity("graft_adjacent_pairs", 1, children)
     AdjacentPairs(children.head)
+  }
+
+  val buildByteNgrams: Seq[Expression] => Expression = { children =>
+    requireArity("graft_byte_ngrams", 2, children)
+    val n = children(1) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_byte_ngrams` (n must be an int literal)",
+          "expectedNum" -> "2", "actualNum" -> s"non-literal: $other",
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    ByteNgrams(Cast(children.head, org.apache.spark.sql.types.StringType), n)
+  }
+
+  val buildNfcNormalize: Seq[Expression] => Expression = { children =>
+    requireArity("graft_nfc_normalize", 1, children)
+    NfcNormalize(Cast(children.head, org.apache.spark.sql.types.StringType))
   }
 }

@@ -188,13 +188,25 @@ class NativeExprSpec extends SparkSpec {
       "graft_rolling_hash", GraftExtensions.buildRollingHash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", GraftExtensions.buildVecDot, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_adjacent_pairs", GraftExtensions.buildAdjacentPairs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_byte_ngrams", GraftExtensions.buildByteNgrams, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc_normalize", GraftExtensions.buildNfcNormalize, "scala_udf")
     val r = spark.sql(
       "SELECT graft_sigmoid(0) AS s, graft_rolling_hash('ab') AS h, " +
-        "graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v")
+        "graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v, " +
+        "graft_adjacent_pairs(array('a', 'b', 'c')) AS p, " +
+        "graft_byte_ngrams('abcd', 2) AS g, " +
+        "graft_nfc_normalize('á') AS n")
       .head()
     assert(r.getDouble(0) == 0.5)
     assert(r.getLong(1) == 257L * 'a'.toLong + 'b'.toLong)
     assert(r.getDouble(2) == 11.0)
+    assert(r.getSeq[String](3) == Seq("a b", "b c"))
+    assert(r.getSeq[String](4) == Seq("ab", "bc", "cd"))
+    assert(r.getString(5) == "á")
     // arity is validated at analysis time with WRONG_NUM_ARGS, not an
     // IndexOutOfBoundsException from children(1)
     for ((sql, fn) <- Seq(

@@ -263,6 +263,45 @@ object CorpusOps extends QueryModule {
     // One source-keyed window ranks, one rank-keyed agg builds the
     // reference distribution (corpus/|sources| rows), and the map
     // joins back by rank. Ranks tiebreak on doc_id — deterministic.
+    // Epoch materialization with deterministic fractional upsampling —
+    // the step AFTER the mix/quality scoring: actually EMIT one
+    // training epoch at CCNet-style bucket weights (quality head
+    // upsampled 1.6×, middle kept, tail downsampled to 0.4×; the
+    // quality prior here is doc length — the cheapest Gopher signal —
+    // bucketed at global tertiles; any scored column drops in). Every
+    // doc gets floor(w) whole copies plus one more iff its seeded md5
+    // residual falls below the fractional part — reproducible across
+    // reruns/partitioning (q162's determinism contract), unbiased in
+    // expectation; zero-copy tail docs simply vanish. The tertile
+    // bounds are a 1-row broadcast; the explode is narrow — no shuffle
+    // beyond the output sort at any corpus size.
+    "q184_epoch_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.3333333333333333)").as("b1"),
+        expr("percentile(n_chars, 0.6666666666666666)").as("b2"))
+      val w = when(col("n_chars") >= col("b2"), 1.6)
+        .when(col("n_chars") >= col("b1"), 1.0)
+        .otherwise(0.4)
+      val resid = (TextAnalysis.md5Int(
+        concat(lit("epoch0:"), col("doc_id").cast("string"))) % 1000000)
+        .cast("double") / 1000000.0
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("source"),
+          when(col("n_chars") >= col("b2"), "head")
+            .when(col("n_chars") >= col("b1"), "middle")
+            .otherwise("tail").as("bucket"),
+          w.as("w"),
+          (floor(w) + when(resid < w - floor(w), 1).otherwise(0))
+            .cast("int").as("n_copies"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"), col("bucket"), col("w"),
+          col("n_copies"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
     "q181_quantile_normalize" -> ((s, d) => {
       val wr = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
@@ -424,6 +463,36 @@ object CorpusOps extends QueryModule {
         |  ROUND(SUM(EXP(-0.693147180559945 * (mx.max_us - us)
         |    / 604800000000.0)), 6) AS decayed_weight
         |FROM e, mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same tertile bounds (quantile_cont twin of percentile, q142's
+    // precedent), same bucket weights, same md5 residual rule;
+    // range(1, n+1) twins sequence(1, n) and an empty unnest drops
+    // 0-copy docs just like the Spark-side filter
+    "q184_epoch_materialize" ->
+      s"""WITH b AS (
+         |  SELECT quantile_cont(n_chars, 0.3333333333333333) AS b1,
+         |         quantile_cont(n_chars, 0.6666666666666666) AS b2
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN n_chars >= b2 THEN 'head'
+         |         WHEN n_chars >= b1 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    CASE WHEN n_chars >= b2 THEN 1.6
+         |         WHEN n_chars >= b1 THEN 1.0
+         |         ELSE 0.4 END AS w,
+         |    CAST(${TextAnalysis.md5IntSql(
+                 "'epoch0:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS DOUBLE) / 1000000.0 AS resid
+         |  FROM documents, b),
+         |k AS (
+         |  SELECT doc_id, source, bucket, w,
+         |    CAST(FLOOR(w) + CASE WHEN resid < w - FLOOR(w)
+         |      THEN 1 ELSE 0 END AS INT) AS n_copies
+         |  FROM c)
+         |SELECT doc_id, source, bucket, w, n_copies,
+         |  CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_id
+         |FROM k ORDER BY doc_id, copy_id""".stripMargin,
 
     // same per-source ranking (doc_id tiebreak) + same-rank mean map
     "q181_quantile_normalize" ->

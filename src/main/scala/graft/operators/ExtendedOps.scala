@@ -441,6 +441,23 @@ object ExtendedOps extends QueryModule {
         .agg(count(lit(1)).as("n"),
           round(avg(col("n_chars")), 2).as("avg_chars"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    // Leakage-safe GROUP-aware split — q91's row-hash split would put
+    // one user's events in both folds, leaking user behavior from
+    // train into eval; here the fold is a pure function of the GROUP
+    // key (seeded md5 of user_id), every event inherits it, and no
+    // user can straddle folds by construction. One narrow projection
+    // plus the fold rollup — the assignment itself never shuffles.
+    "q185_group_split" -> ((s, d) => {
+      val fold = (graft.llm.TextAnalysis.md5Int(
+        concat(lit("fold:"), col("user_id").cast("string"))) % 5).cast("int")
+      Tables.events(s, d)
+        .select(fold.as("fold"), col("event_type"), col("user_id"))
+        .groupBy(col("fold"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).cast("int").as("n_users"))
+        .orderBy(col("fold"), col("event_type"))
     })
   )
 
@@ -685,6 +702,14 @@ object ExtendedOps extends QueryModule {
       """SELECT CASE WHEN (doc_id * 48271) % 100 < 80
         |    THEN 'train' ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // same seeded group-key fold function (TextAnalysis.md5IntSql)
+    "q185_group_split" ->
+      s"""SELECT CAST(${graft.llm.TextAnalysis.md5IntSql(
+           "'fold:' || CAST(user_id AS VARCHAR)")} % 5 AS INT) AS fold,
+         |  event_type, COUNT(*) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS INT) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY fold, event_type""".stripMargin
   )
 }

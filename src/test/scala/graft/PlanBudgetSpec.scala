@@ -22,6 +22,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q142_ccnet_bucket",        // 1-row token-total scalar broadcast
     "q145_kmeans_step",         // 4-row centroid broadcast (k×dims)
     "q183_semantic_dedup",      // 8-row centroid broadcast (assignment pass)
+    "q184_epoch_materialize",   // 1-row tertile-bounds broadcast
     "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
     "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
     "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join

@@ -16,6 +16,8 @@ import graft.operators.RelationalCore.{dsum, dsumSql}
   */
 object SourceQueries extends QueryModule {
 
+  private val bucketRun = new java.util.concurrent.atomic.AtomicInteger()
+
   private val csvSchema = StructType(Seq(
     StructField("l_orderkey", LongType), StructField("l_returnflag", StringType),
     StructField("l_quantity", DoubleType),
@@ -77,6 +79,53 @@ object SourceQueries extends QueryModule {
     // mechanics (numFiles == the en dir's part files) on this exact
     // layout; here it is registered as a user-facing query under the
     // same materialize-then-delete staging contract as q77.
+    // Bucketed CO-LOCATED join as a registered query — THE 100 TB
+    // layout op: both fact tables are written `bucketBy(8, orderkey)`
+    // + sortBy, so the join-key shuffle happens ONCE at write time and
+    // every subsequent join of the two tables plans sort-merge with
+    // ZERO exchanges on the join keys (BucketingSpec pins that plan
+    // property; broadcast is disabled here so the co-located SMJ path
+    // — the one a fact-fact join at scale must take — is what runs).
+    // The oracle computes the same aggregate over the raw tables,
+    // proving the bucketed layout is result-invisible. Materialize-
+    // then-drop staging contract (q107/q125): tables and files are
+    // gone when the call returns.
+    "q186_bucketed_cojoin" -> ((s, d) => {
+      val stage = Scratch.dir("q186_bucket_")
+      val id = bucketRun.incrementAndGet()
+      val liT = s"g186_li_$id"
+      val ordT = s"g186_ord_$id"
+      val prevThresh =
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey")
+          .option("path", s"$stage/li").saveAsTable(liT)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey")
+          .option("path", s"$stage/ord").saveAsTable(ordT)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val back = s.table(liT)
+          .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(dsum(col("l_quantity")), 2).as("sum_qty"),
+            round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $ordT")
+        Scratch.deleteTree(stage)
+      }
+    }),
+
     "q125_partitioned_prune" -> ((s, d) => {
       val stage = Scratch.dir("q125_part_")
       try {
@@ -168,6 +217,14 @@ object SourceQueries extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the raw-table aggregate: the bucketed detour must change nothing
+    "q186_bucketed_cojoin" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+         |  ROUND(${dsumSql("l_quantity")}, 2) AS sum_qty,
+         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // oracle filters the original table: a pruned partitioned read is
     // exactly "the partitioned detour changes nothing for lang='en'"

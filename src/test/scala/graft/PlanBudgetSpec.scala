@@ -50,6 +50,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",
+    "q186_bucketed_cojoin",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

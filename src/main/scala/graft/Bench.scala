@@ -75,9 +75,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // CWD-relative by the driver contract (Bench runs from the repo
+    // root); a failed write must not kill the run but must not be
+    // silent either — a stale committed file would misattribute old
+    // timings to this run
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), full + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_queries.json not written: $e")
+    }
     println(full)
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()

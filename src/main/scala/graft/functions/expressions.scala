@@ -345,7 +345,14 @@ object ByteNgrams {
   */
 case class AdjacentPairs(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // a null token nulls its pairs (UTF8String.concat propagates null),
+  // so element nullability follows the input's — declaring
+  // containsNull=false unconditionally would lie to downstream codegen
+  // for SQL callers with nullable-element arrays
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -263,45 +263,6 @@ object CorpusOps extends QueryModule {
     // One source-keyed window ranks, one rank-keyed agg builds the
     // reference distribution (corpus/|sources| rows), and the map
     // joins back by rank. Ranks tiebreak on doc_id — deterministic.
-    // Epoch materialization with deterministic fractional upsampling —
-    // the step AFTER the mix/quality scoring: actually EMIT one
-    // training epoch at CCNet-style bucket weights (quality head
-    // upsampled 1.6×, middle kept, tail downsampled to 0.4×; the
-    // quality prior here is doc length — the cheapest Gopher signal —
-    // bucketed at global tertiles; any scored column drops in). Every
-    // doc gets floor(w) whole copies plus one more iff its seeded md5
-    // residual falls below the fractional part — reproducible across
-    // reruns/partitioning (q162's determinism contract), unbiased in
-    // expectation; zero-copy tail docs simply vanish. The tertile
-    // bounds are a 1-row broadcast; the explode is narrow — no shuffle
-    // beyond the output sort at any corpus size.
-    "q184_epoch_materialize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bounds = docs.agg(
-        expr("percentile(n_chars, 0.3333333333333333)").as("b1"),
-        expr("percentile(n_chars, 0.6666666666666666)").as("b2"))
-      val w = when(col("n_chars") >= col("b2"), 1.6)
-        .when(col("n_chars") >= col("b1"), 1.0)
-        .otherwise(0.4)
-      val resid = (TextAnalysis.md5Int(
-        concat(lit("epoch0:"), col("doc_id").cast("string"))) % 1000000)
-        .cast("double") / 1000000.0
-      docs.select(col("doc_id"), col("source"), col("n_chars"))
-        .crossJoin(broadcast(bounds))
-        .select(col("doc_id"), col("source"),
-          when(col("n_chars") >= col("b2"), "head")
-            .when(col("n_chars") >= col("b1"), "middle")
-            .otherwise("tail").as("bucket"),
-          w.as("w"),
-          (floor(w) + when(resid < w - floor(w), 1).otherwise(0))
-            .cast("int").as("n_copies"))
-        .filter(col("n_copies") >= 1)
-        .select(col("doc_id"), col("source"), col("bucket"), col("w"),
-          col("n_copies"),
-          explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
-        .orderBy(col("doc_id"), col("copy_id"))
-    }),
-
     "q181_quantile_normalize" -> ((s, d) => {
       val wr = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
@@ -314,6 +275,50 @@ object CorpusOps extends QueryModule {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("rk").cast("int").as("rk"), col("calibrated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Epoch materialization with deterministic fractional upsampling —
+    // the step AFTER the mix/quality scoring: actually EMIT one
+    // training epoch at CCNet-style bucket weights (quality head
+    // upsampled 1.6×, middle kept, tail downsampled to 0.4×; the
+    // quality prior here is doc length — the cheapest Gopher signal —
+    // bucketed at global tertiles; any scored column drops in). Every
+    // doc gets its bucket's whole-copy count plus one more iff its
+    // seeded md5 residual falls below the bucket's fractional part —
+    // reproducible across reruns/partitioning (q162's determinism
+    // contract), unbiased in expectation; zero-copy tail docs simply
+    // vanish. The residual compare is INTEGER micro-units on both
+    // engines (never `resid < w - floor(w)` in doubles: Spark's
+    // 1.6 - 1.0 and DuckDB's DECIMAL 1.6 - 1 round to different
+    // doubles, and a residual landing exactly between them would flip
+    // the copy count — the parity-rule failure mode, at ~1e-6 per head
+    // doc). The tertile bounds are a 1-row broadcast; the explode is
+    // narrow — no shuffle beyond the output sort at any corpus size.
+    "q184_epoch_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.3333333333333333)").as("b1"),
+        expr("percentile(n_chars, 0.6666666666666666)").as("b2"))
+      val isHead = col("n_chars") >= col("b2")
+      val isMiddle = !isHead && col("n_chars") >= col("b1")
+      // (whole copies, fractional part in exact millionths)
+      val base = when(isHead, 1).when(isMiddle, 1).otherwise(0)
+      val fracK = when(isHead, 600000L).when(isMiddle, 0L).otherwise(400000L)
+      val residK = TextAnalysis.md5Int(
+        concat(lit("epoch0:"), col("doc_id").cast("string"))) % 1000000
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("source"),
+          when(isHead, "head").when(isMiddle, "middle").otherwise("tail")
+            .as("bucket"),
+          when(isHead, 1.6).when(isMiddle, 1.0).otherwise(0.4).as("w"),
+          (base + when(residK < fracK, 1).otherwise(0))
+            .cast("int").as("n_copies"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"), col("bucket"), col("w"),
+          col("n_copies"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
     })
   )
 
@@ -465,9 +470,11 @@ object CorpusOps extends QueryModule {
         |FROM e, mx GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // same tertile bounds (quantile_cont twin of percentile, q142's
-    // precedent), same bucket weights, same md5 residual rule;
-    // range(1, n+1) twins sequence(1, n) and an empty unnest drops
-    // 0-copy docs just like the Spark-side filter
+    // precedent), same bucket weights, same INTEGER-millionths residual
+    // rule (see the query comment — a double-arithmetic threshold would
+    // disagree between engines at the 1e-6 boundary); range(1, n+1)
+    // twins sequence(1, n) and an empty unnest drops 0-copy docs just
+    // like the Spark-side filter
     "q184_epoch_materialize" ->
       s"""WITH b AS (
          |  SELECT quantile_cont(n_chars, 0.3333333333333333) AS b1,
@@ -481,13 +488,16 @@ object CorpusOps extends QueryModule {
          |    CASE WHEN n_chars >= b2 THEN 1.6
          |         WHEN n_chars >= b1 THEN 1.0
          |         ELSE 0.4 END AS w,
-         |    CAST(${TextAnalysis.md5IntSql(
-                 "'epoch0:' || CAST(doc_id AS VARCHAR)")} % 1000000
-         |      AS DOUBLE) / 1000000.0 AS resid
+         |    CASE WHEN n_chars >= b2 THEN 1
+         |         WHEN n_chars >= b1 THEN 1 ELSE 0 END AS base,
+         |    CASE WHEN n_chars >= b2 THEN 600000
+         |         WHEN n_chars >= b1 THEN 0 ELSE 400000 END AS frac_k,
+         |    ${TextAnalysis.md5IntSql(
+               "'epoch0:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS resid_k
          |  FROM documents, b),
          |k AS (
          |  SELECT doc_id, source, bucket, w,
-         |    CAST(FLOOR(w) + CASE WHEN resid < w - FLOOR(w)
+         |    CAST(base + CASE WHEN resid_k < frac_k
          |      THEN 1 ELSE 0 END AS INT) AS n_copies
          |  FROM c)
          |SELECT doc_id, source, bucket, w, n_copies,

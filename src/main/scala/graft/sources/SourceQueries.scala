@@ -119,10 +119,14 @@ object SourceQueries extends QueryModule {
         s.createDataFrame(
           java.util.Arrays.asList(back.collect(): _*), back.schema)
       } finally {
+        // each cleanup step isolated: a transient failure dropping one
+        // table must not leak the other registration or the staged files
+        def quietly(step: => Unit): Unit =
+          try step catch { case _: Throwable => () }
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-        s.sql(s"DROP TABLE IF EXISTS $liT")
-        s.sql(s"DROP TABLE IF EXISTS $ordT")
-        Scratch.deleteTree(stage)
+        quietly(s.sql(s"DROP TABLE IF EXISTS $liT"))
+        quietly(s.sql(s"DROP TABLE IF EXISTS $ordT"))
+        quietly(Scratch.deleteTree(stage))
       }
     }),
 

@@ -238,10 +238,13 @@ object StreamQueries extends QueryModule {
     // micro-batch and BROADCAST, so the stream side never shuffles for
     // the join and no join state is kept at all (nothing to watermark
     // — state is the dimension, not the stream). LEFT join keeps
-    // unmatched events (the dim is deliberately missing user_id 0) so
-    // the enrichment's null path is exercised, not just the happy path.
+    // unmatched events; the dimension is deliberately carved (every
+    // 17th customer dropped — q175's detectability convention) so the
+    // enrichment's null path is provably exercised, not just the happy
+    // path: carved users' events land in 'unknown'.
     "q182_stream_static_enrich" -> ((s, d) => {
       val dim = graft.Tables.customer(s, d)
+        .filter(col("c_custkey") % 17 =!= 0)
         .select(col("c_custkey"), col("c_mktsegment"))
       replay(s, d) { stream =>
         stream.join(broadcast(dim), col("user_id") === col("c_custkey"),
@@ -713,11 +716,14 @@ object StreamQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // q182: drained stream-static replay ≡ the identical batch
-    // enrichment join; the missing-dim null path lands in 'unknown'
+    // enrichment join over the same carved dimension; carved users'
+    // events land in 'unknown'
     "q182_stream_static_enrich" ->
       s"""SELECT COALESCE(c_mktsegment, 'unknown') AS seg, event_type,
          |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
-         |FROM events LEFT JOIN customer ON user_id = c_custkey
+         |FROM events LEFT JOIN (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE c_custkey % 17 <> 0) dim ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY seg, event_type""".stripMargin,
 
     // q92: duplicated replay + dedup ≡ plain distinct counts.

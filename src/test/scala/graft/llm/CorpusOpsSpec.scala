@@ -12,6 +12,37 @@ class CorpusOpsSpec extends SparkSpec {
   private def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sf001)
 
+  test("q184 epoch invariants: copy counts are exactly base+residual per " +
+    "bucket, the mix shifts toward head, every emitted doc has contiguous " +
+    "copy_ids, and two runs emit the identical epoch") {
+    val rows = run("q184_epoch_materialize").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val n = rs.head.getInt(4)
+      assert(rs.map(_.getInt(5)).sorted.sameElements(1 to n),
+        s"doc $id: copy_ids not contiguous 1..$n")
+      val bucket = rs.head.getString(2)
+      val ok = bucket match {
+        case "head" => n == 1 || n == 2
+        case "middle" => n == 1
+        case "tail" => n == 1 // 0-copy tail docs are absent entirely
+        case other => fail(s"unknown bucket $other")
+      }
+      assert(ok, s"doc $id: $bucket with $n copies")
+    }
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    val emittedDocs = byDoc.size
+    assert(emittedDocs < nDocs, "no tail doc was downsampled to zero")
+    val headDocs = byDoc.count(_._2.head.getString(2) == "head")
+    val headCopies = rows.count(_.getString(2) == "head")
+    assert(headCopies > headDocs, "no head doc was upsampled")
+    val again = run("q184_epoch_materialize").collect()
+      .map(r => (r.getLong(0), r.getInt(5))).sorted
+    assert(again.sameElements(
+      rows.map(r => (r.getLong(0), r.getInt(5))).sorted),
+      "epoch is not reproducible across runs")
+  }
+
   test("q162's shuffle is a pure function of (seed, doc_id): two runs " +
     "agree row-for-row, shards partition the corpus, positions are " +
     "dense ranks within each shard") {

@@ -61,6 +61,25 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("q185's group-aware split is leakage-safe: every user's events land " +
+    "in exactly one fold, folds are exhaustive, and all folds are populated") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q185_group_split")(spark, sf001)
+      .collect()
+    val ev = graft.Tables.events(spark, sf001)
+    assert(rows.map(_.getLong(2)).sum == ev.count(),
+      "fold rollup must cover every event exactly once")
+    // the leakage guarantee, asserted directly on the assignment rule:
+    // a user appears under exactly one fold
+    val fold = (graft.llm.TextAnalysis.md5Int(
+      concat(lit("fold:"), col("user_id").cast("string"))) % 5).cast("int")
+    val straddlers = ev.select(col("user_id"), fold.as("fold")).distinct()
+      .groupBy(col("user_id")).count().filter(col("count") > 1).count()
+    assert(straddlers == 0, s"$straddlers users straddle folds")
+    assert(rows.map(_.getInt(0)).distinct.sorted.sameElements(0 until 5),
+      "all 5 folds must be populated at this fixture size")
+  }
+
   test("q91 hash split lands near the 80/20 target and is exhaustive") {
     val out = ExtendedOps.queries("q91_train_test_split")(spark, sf001)
       .collect()

@@ -56,6 +56,20 @@ class StreamingSpec extends SparkSpec {
       s"all $nLate late rows were accepted — the drop path is untested")
   }
 
+  test("q182's stream-static enrichment exercises the missing-dimension " +
+    "null path and covers every event exactly once") {
+    val rows = StreamQueries.queries("q182_stream_static_enrich")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Tables.events(spark, sf001).count(),
+      "enrichment must be a left join — no event may vanish")
+    assert(rows.exists(_.getString(0) == "unknown"),
+      "carved users (c_custkey % 17 == 0 dropped from the dim) must " +
+        "land in 'unknown'")
+    assert(rows.map(_.getString(0)).distinct.length > 1,
+      "matched events must spread across real segments")
+  }
+
   test("tumbling window counts aggregate by 10-minute windows") {
     val ms = MemoryStream[Ev]
     val (q, sink) = startQuery(StreamingOps.tumblingCounts(toEventsDf(ms)), "complete")

@@ -154,11 +154,13 @@ object TextPipeline extends QueryModule {
       val toks = Tables.documents(s, d)
         .withColumn("ts", tokens)
         .filter(size(col("ts")) >= 2)
-      val bi = toks.select(explode(transform(
-          sequence(lit(1), size(col("ts")) - 1),
-          i => struct(element_at(col("ts"), i).as("w1"),
-            element_at(col("ts"), i + 1).as("w2")))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // codegen single-pass bigrams (q128's AdjacentPairs); the single
+      // space is an unambiguous separator for [a-z]+ tokens, so the
+      // substring_index split recovers (w1, w2) exactly
+      val bi = toks.select(explode(
+          graft.functions.exprs.graft_adjacent_pairs(col("ts"))).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"))
       val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("nw"))

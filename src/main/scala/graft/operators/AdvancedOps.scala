@@ -69,15 +69,20 @@ object AdvancedOps extends QueryModule {
 
     // End-to-end greedy DBN pre-train (64→16→8, 1 epoch per layer) —
     // the reference's whole program (driver.java:64-287) as one query.
-    // Deterministic (seeded) but RNG-dependent → rows-only gate; the
-    // layer-wise semantics are pinned by RbmGoldenSpec.
+    // The hash-draw Bernoulli sample (RBM.HashDraw) makes every layer
+    // deterministic AND SQL-expressible, so the whole two-layer
+    // pipeline — layer-1 CD-1 epoch, quantized forward propagation
+    // (floor(255σ)/255, the A11∘A4 channel), layer-2 CD-1 epoch — has
+    // a closed-form DuckDB twin; RbmGoldenSpec pins the layer kernel
+    // besides.
     "q54_dbn_pretrain" -> ((s, d) => {
       val data = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"),
           transform(col("embedding"), x => x.cast("double")).as("x"))
       val stack = graft.rbm.DBN.pretrain(s, data, Seq(64, 16, 8), epochs = 1)
       graft.rbm.RBM.weightsToDf(s, stack.last)
-        .withColumn("layer", lit(1))
+        .select(col("i"), col("j"), round(col("w"), 6).as("w"),
+          lit(1).as("layer"))
         .orderBy(col("i"), col("j"))
     }),
 
@@ -207,6 +212,30 @@ object AdvancedOps extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // Greedy DBN pre-train, both layers in one statement: layer-1
+    // CD-1 (seed 42) over the raw embeddings, quantized propagation
+    // floor(255σ)/255 into ex2, layer-2 CD-1 (seed 43, 16→8). The
+    // chain/W0 SQL is generated by graft.rbm.RbmQueries from the
+    // engine's own init + draw definitions.
+    "q54_dbn_pretrain" -> {
+      import graft.rbm.{RBM, RbmQueries}
+      val n = "(SELECT COUNT(*) FROM embeddings)"
+      s"""WITH w0a(i, j, w) AS (VALUES ${RbmQueries.w0ValuesSql(
+           RBM.Config(numdims = 64, numhid = 16, seed = 42L))}),
+         |w0b(i, j, w) AS (VALUES ${RbmQueries.w0ValuesSql(
+           RBM.Config(numdims = 16, numhid = 8, seed = 43L))}),
+         |ex AS (${RbmQueries.exSql}),
+         |${RbmQueries.cd1ChainSql("a", "ex", "w0a", n, 42L)},
+         |ex2 AS (SELECT q.id, q.j AS i,
+         |    FLOOR(255.0/(1.0+EXP(-q.dot)))/255.0 AS x
+         |  FROM (SELECT e.id, w.j, SUM(e.x*w.w) AS dot
+         |        FROM ex e JOIN aw1 w ON e.i = w.i
+         |        GROUP BY e.id, w.j) q),
+         |${RbmQueries.cd1ChainSql("b", "ex2", "w0b", n, 43L)}
+         |SELECT i, j, ROUND(w, 6) AS w, CAST(1 AS INT) AS layer
+         |FROM bw1 ORDER BY i, j""".stripMargin
+    },
+
     "q49_pivot" ->
       """SELECT l_returnflag,
         |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,

@@ -28,11 +28,12 @@ class CD1GradientAggregator(
 
   override def zero: Array[Double] = new Array[Double](numdims * numhid)
 
+  private val draw = new RBM.HashDraw(seed)
+
   override def reduce(buf: Array[Double], in: (Long, Array[Double])): Array[Double] = {
     val (id, x) = in
     require(x.length == numdims, s"arity ${x.length} != numdims $numdims")
-    RBM.accumulateGradient(buf, x, weights, numdims, numhid,
-      new RBM.ExampleRng(seed, id))
+    RBM.accumulateGradient(buf, x, weights, numdims, numhid, id, draw)
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {

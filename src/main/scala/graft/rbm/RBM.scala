@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions.col
   * the property that makes the job viable at 100 TB.
   *
   * Determinism: the reference samples hidden states with an unseeded
-  * per-record `new Random()` (`rbmmapper.java:169`). We seed per
-  * example from `(seed, rowId)`, so results are reproducible under ANY
-  * partitioning or executor count.
+  * per-record `new Random()` (`rbmmapper.java:169`) — SURVEY §7.2
+  * explicitly allows choosing a reproducible scheme. We draw each
+  * hidden unit's Bernoulli threshold as a pure hash of
+  * `(seed, exampleId, unitIndex)` — md5 truncated to 60 bits, reduced
+  * to integer millionths, the same residual technique as
+  * q184/q185/q162 — so the epoch is reproducible under ANY
+  * partitioning or executor count AND expressible in ANSI SQL
+  * (`md5(...)`), which is what lets the CD-1 family (q15/q54) be
+  * checked against the DuckDB oracle instead of a no-oracle gate.
   */
 object RBM {
 
@@ -42,20 +48,45 @@ object RBM {
 
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
-  /** Deterministic per-example RNG: SplitMix64 stream keyed by
-    * (globalSeed, exampleId). One draw per hidden unit, in unit order —
-    * the reference's sampling loop shape (`rbmmapper.java:166-182`).
+  /** Pure hash Bernoulli draw for the hidden-state sample: the
+    * threshold for (example `id`, hidden unit `j`) is
+    * `md5("cd1:<seed>:<id>:<j>")`'s first 15 hex digits (60 bits)
+    * mod 1e6, in millionths — one draw per hidden unit, keyed rather
+    * than streamed, replacing the reference's unseeded per-record
+    * `new Random()` (`rbmmapper.java:166-182`).
+    *
+    * Exactly `TextAnalysis.md5Int(s) % 1000000` on the Spark side and
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT) % 1000000` in
+    * DuckDB, so the sample — and therefore the whole CD-1 epoch — has
+    * a closed-form SQL twin. The threshold granularity is 1e-6; a
+    * probability landing within one double ulp of a millionth boundary
+    * could disagree across engines, but poshidprobs is a 64-term
+    * sigmoid — the chance is ~1e-10 per draw and the oracle has never
+    * to date produced such a boundary hit.
+    *
+    * Serializable with a transient digest: ship the tag, build the
+    * MD5 instance lazily once per executor task (MessageDigest is not
+    * thread-safe but tasks are single-threaded).
     */
-  private[graft] final class ExampleRng(seed: Long, id: Long) {
-    private var state: Long = seed ^ (id * 0x9E3779B97F4A7C15L)
-    def nextDouble(): Double = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble * 1.1102230246251565e-16 // 2^-53
+  private[graft] final class HashDraw(seed: Long) extends Serializable {
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    /** Threshold in integer millionths for (id, j). */
+    def millionths(id: Long, j: Int): Long = {
+      md.reset()
+      val bytes = md.digest(
+        s"cd1:$seed:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (bytes(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((bytes(7) & 0xf0L) >>> 4)
+      v % 1000000L
     }
+    /** Bernoulli threshold in [0,1): millionths / 1e6 (exact IEEE
+      * division on both engines).
+      */
+    def threshold(id: Long, j: Int): Double = millionths(id, j) / 1.0e6
   }
 
   /** CD-1 gradient contribution of one example: posprods − negprods
@@ -71,7 +102,8 @@ object RBM {
       w: Array[Double], // row-major [d*h]
       d: Int,
       h: Int,
-      rng: ExampleRng): Array[Double] = {
+      id: Long,
+      draw: HashDraw): Array[Double] = {
     // positive phase: poshidprobs = σ(xᵀW) (biases fixed 0)
     val poshidprobs = new Array[Double](h)
     var j = 0
@@ -82,11 +114,11 @@ object RBM {
       poshidprobs(j) = sigmoid(s)
       j += 1
     }
-    // Bernoulli sample hidden states, one draw per unit in order
+    // Bernoulli sample hidden states: keyed hash threshold per unit
     val states = new Array[Double](h)
     j = 0
     while (j < h) {
-      states(j) = if (poshidprobs(j) > rng.nextDouble()) 1.0 else 0.0
+      states(j) = if (poshidprobs(j) > draw.threshold(id, j)) 1.0 else 0.0
       j += 1
     }
     // negative phase: negdata = σ(states·Wᵀ); neghidprobs = σ(negdata·W)
@@ -152,7 +184,7 @@ object RBM {
     val d = cfg.numdims
     val h = cfg.numhid
     val bw = spark.sparkContext.broadcast(toFlat(w))
-    val seed = cfg.seed
+    val draw = new HashDraw(cfg.seed)
     val rows = data.select(col("id").cast("long"), col("x")).as[(Long, Array[Double])]
     // Buffer slot d*h carries the example count, fusing numCase into
     // the same single pass (the reference needed a separate driver-side
@@ -163,7 +195,7 @@ object RBM {
         require(x.length == d,
           s"arity ${x.length} != numdims $d") // rbmmapper.java:108-114
         acc(d * h) += 1.0
-        accumulateGradient(acc, x, bw.value, d, h, new ExampleRng(seed, id))
+        accumulateGradient(acc, x, bw.value, d, h, id, draw)
       },
       combOp = (a, b) => { var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a },
       depth = 2)

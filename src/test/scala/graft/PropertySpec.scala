@@ -111,17 +111,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("per-example RNG streams are decorrelated across ids and stable per id") {
+  test("hash Bernoulli draws are decorrelated across ids and stable per (id, j)") {
+    val draw = new rbm.RBM.HashDraw(42L)
+    val draw2 = new rbm.RBM.HashDraw(42L)
+    val drawOther = new rbm.RBM.HashDraw(43L)
     forAll(Gen.choose(0L, 1000000L)) { (id: Long) =>
-      val r1 = new rbm.RBM.ExampleRng(42L, id)
-      val r2 = new rbm.RBM.ExampleRng(42L, id)
-      val r3 = new rbm.RBM.ExampleRng(42L, id + 1)
-      val s1 = Seq.fill(8)(r1.nextDouble())
-      val s2 = Seq.fill(8)(r2.nextDouble())
-      val s3 = Seq.fill(8)(r3.nextDouble())
+      val s1 = Seq.tabulate(8)(j => draw.threshold(id, j))
+      val s2 = Seq.tabulate(8)(j => draw2.threshold(id, j))
+      val s3 = Seq.tabulate(8)(j => draw.threshold(id + 1, j))
+      val s4 = Seq.tabulate(8)(j => drawOther.threshold(id, j))
       assert(s1 == s2)
       assert(s1 != s3)
+      assert(s1 != s4)
       assert(s1.forall(v => v >= 0.0 && v < 1.0))
+      // millionths granularity at the integer layer
+      val ms = Seq.tabulate(8)(j => draw.millionths(id, j))
+      assert(ms.forall(m => m >= 0L && m < 1000000L))
+      assert(ms.map(_ / 1.0e6) == s1)
     }
   }
 

@@ -232,8 +232,9 @@ class NativeExprSpec extends SparkSpec {
     val got = spark.createDataset(examples).repartition(3)
       .select(agg.toColumn).head()
     // independent: plain sequential fold
+    val draw = new RBM.HashDraw(seed)
     val want = examples.foldLeft(new Array[Double](d * h)) { case (acc, (id, x)) =>
-      RBM.accumulateGradient(acc, x, wFlat, d, h, new RBM.ExampleRng(seed, id))
+      RBM.accumulateGradient(acc, x, wFlat, d, h, id, draw)
     }
     got.zip(want).zipWithIndex.foreach { case ((g, e), k) =>
       assert(math.abs(g - e) < 1e-12, s"grad[$k]: $g vs $e")

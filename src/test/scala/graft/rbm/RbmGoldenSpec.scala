@@ -22,6 +22,17 @@ class RbmGoldenSpec extends SparkSpec {
 
   private def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
 
+  /** Independent re-statement of the engine's hash Bernoulli draw:
+    * hex-string parse of the md5 (vs the engine's byte twiddling in
+    * `RBM.HashDraw`) — a genuine cross-check of the 60-bit reduction.
+    */
+  private def drawThreshold(seed: Long, id: Long, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"cd1:$seed:$id:$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 1000000L) / 1.0e6
+  }
+
   /** Independent scalar CD-1: one epoch, mean-of-gradients update with
     * learning rate ε — mirrors reference rbmmapper.java:144-238
     * (corrected) + driver.java:204, written with flat arrays and
@@ -30,12 +41,11 @@ class RbmGoldenSpec extends SparkSpec {
   private def scalarEpoch(w0: Array[Array[Double]]): Array[Array[Double]] = {
     val gradSum = Array.fill(d, h)(0.0)
     for ((id, x) <- examples) {
-      val rng = new RBM.ExampleRng(cfg.seed, id)
       val posprobs = Array.tabulate(h) { j =>
         sigmoid((0 until d).map(i => x(i) * w0(i)(j)).sum)
       }
       val states = Array.tabulate(h) { j =>
-        if (posprobs(j) > rng.nextDouble()) 1.0 else 0.0
+        if (posprobs(j) > drawThreshold(cfg.seed, id, j)) 1.0 else 0.0
       }
       val negdata = Array.tabulate(d) { i =>
         sigmoid((0 until h).map(j => states(j) * w0(i)(j)).sum)

@@ -177,19 +177,23 @@ object Similarity extends QueryModule {
     // SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
     // the embedding space, then look for near-duplicate pairs ONLY
     // within a cluster — the trick that turns O(N²) embedding dedup
-    // into k independent O((N/k)²) problems. Centroids are the k=8
-    // deterministic seed vectors (q145's convention); assignment is one
-    // broadcast map pass maximizing cosine (graft_vec_dot codegen, tie
-    // → lowest cid); the pair stage is an equi-join ON THE CLUSTER ID —
-    // at corpus scale k grows ~√N so cluster populations stay bounded
-    // and the join never degenerates toward all-pairs. Cosines are
+    // into k independent O((N/k)²) problems. k is ADAPTIVE:
+    // max(8, ceil(√N)) — so the expected cluster population N/k grows
+    // only as √N and the within-cluster pair join stays sub-quadratic
+    // at any corpus size (k is derived from a parquet-metadata count,
+    // one driver long; the oracle recomputes the identical k from
+    // COUNT(*)). Centroids are the first k seed vectors (q145's
+    // convention); assignment is one broadcast map pass maximizing
+    // cosine (graft_vec_dot codegen, tie → lowest cid); the pair stage
+    // is an equi-join ON THE CLUSTER ID. Cosines are
     // rounded BEFORE the duplicate threshold (τ=0.35 — sized to this
     // synthetic embedding distribution; real corpora use ~0.99+) so the
     // flag can't flip on a ulp. n_dup_vecs counts the higher-id member
     // of each dup pair — the vectors the keep-lowest-id rule drops.
     "q183_semantic_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val k = 8
+      val k = math.max(8,
+        math.ceil(math.sqrt(Tables.embeddings(s, d).count().toDouble)).toInt)
       val cents = withNorm(Tables.embeddings(s, d).filter(col("vec_id") < k))
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("cvec"), col("nrm").as("cnrm"))
@@ -325,8 +329,10 @@ object Similarity extends QueryModule {
         |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
         |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
         |  FROM embeddings),
+        |k AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS INT)) AS k
+        |      FROM embeddings),
         |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec,
-        |             nrm AS cnrm FROM n WHERE vec_id < 8),
+        |             nrm AS cnrm FROM n WHERE vec_id < (SELECT k FROM k)),
         |sc AS (
         |  SELECT n.vec_id, n.embedding, n.nrm, c.cid,
         |    (SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))

@@ -245,6 +245,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum > 0,
       "tau=0.35 found no duplicate pairs — the threshold is vacuous " +
         "on this fixture")
+    // Adaptive-k population bound: with k = max(8, ceil(sqrt(N))) the
+    // expected cluster population is N/k ~ sqrt(N); require the LARGEST
+    // cluster to stay within a constant factor of that, i.e. the
+    // within-cluster pair stage is O(N) total work, not O(N^2). The
+    // factor absorbs the fixture's label-structured skew.
+    val k = math.max(8, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    assert(rows.length <= k, s"more clusters (${rows.length}) than k=$k")
+    val maxPop = rows.map(_.getInt(1)).max
+    assert(maxPop <= 8.0 * nVecs / k,
+      s"largest cluster $maxPop exceeds 8x the expected population " +
+        s"${nVecs / k} (N=$nVecs, k=$k) — adaptive k is not bounding " +
+        "the pair stage")
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")

@@ -415,6 +415,63 @@ object TextPipeline extends QueryModule {
         .orderBy(col("rank"))
     }),
 
+    // BPE tokenizer APPLY — the missing half of q154 (trainer) +
+    // q135 (packer): greedy-encode every document against the ranked
+    // merge table q154 discovers, emitting per-doc token ids + counts.
+    // Representation trick that makes the encode a chain of CODEGEN'D
+    // string primitives on BOTH engines: a word's symbol list is one
+    // string with every symbol wrapped as '|sym|' ('abc' →
+    // '|a||b||c|'), so applying merge rule "xy" is a single literal
+    // replace('|x||y|' → '|xy|') — left-to-right, non-overlapping, the
+    // exact greedy-BPE pass order — and boundary-safe because symbols
+    // never contain '|'. Rules apply in rank order (rank 1 first), one
+    // pass per rule, 20 passes total; 2-char rules merge only
+    // single-char symbols (a merged symbol is inert: any concat with
+    // it is ≥3 chars), which is what makes pass-per-rule ≡ true BPE
+    // here. Scale shape: the merge table is a corpus agg truncated to
+    // 20 rows on the driver (bounded, like the IVF centroids); the
+    // vocab is ≤26+20 symbols, broadcast; the encode itself is a
+    // narrow whole-stage-codegen projection — no UDF, no shuffle
+    // beyond vocab agg + final per-doc regroup.
+    "q187_bpe_tokenize" -> ((s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(explode(tokens).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(
+          graft.functions.exprs.graft_byte_ngrams(col("tok"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(20)
+        .select(col("pair")).collect().map(_.getString(0))
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens).as(Seq("widx", "tok")))
+      val wrapped =
+        concat(lit("|"), array_join(split(col("tok"), ""), "||"), lit("|"))
+      val encoded = ranked.foldLeft(wrapped)((c, p) =>
+        replace(c, lit(s"|${p(0)}||${p(1)}|"), lit(s"|$p|")))
+      val syms = words
+        .select(col("doc_id"), col("widx"),
+          posexplode(split(trim(encoded, "|"), "\\|\\|"))
+            .as(Seq("sidx", "sym")))
+      // vocab ids by (freq desc, sym) — q154's sort_array/posexplode
+      // ranking (partial+final agg over a ≤46-row relation), not a
+      // SinglePartition window funnel
+      val vocab = syms.groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(struct(
+          (-col("cnt")).as("negc"), col("sym").as("sym")))).as("arr"))
+        .select(posexplode(col("arr")))
+        .select(col("col.sym").as("sym"),
+          (col("pos") + 1).cast("int").as("tid"))
+      syms.join(broadcast(vocab), "sym")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(length(col("sym")) === 2, 1L).otherwise(0L))
+            .as("n_merged"),
+          array_join(transform(sort_array(collect_list(struct(
+              col("widx"), col("sidx"), col("tid")))),
+            x => x("tid").cast("string")), ",").as("ids_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q116_stratified_sample" -> ((s, d) => {
       val h = graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -640,6 +697,62 @@ object TextPipeline extends QueryModule {
         |SELECT pair, freq,
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
         |FROM freq QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the same wrapped-string replace passes, with the merge table
+    // recomputed from the corpus (q154's discovery) and the 20 ranked
+    // passes driven by a bounded recursive CTE (step r applies rank r)
+    "q187_bpe_tokenize" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT doc_id, widx, ts[widx + 1] AS tok
+        |  FROM (SELECT doc_id, ts, CAST(unnest(range(len(ts))) AS INT) AS widx
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  t -> t != '') AS ts
+        |              FROM documents) t1) t2),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, len(cs)),
+        |    i -> cs[i] || cs[i + 1])) AS pair
+        |  FROM (SELECT string_split(tok, '') AS cs FROM words
+        |        WHERE len(tok) >= 2) tw),
+        |merges AS (
+        |  SELECT pair,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INT)
+        |      AS rank
+        |  FROM pr GROUP BY pair QUALIFY rank <= 20),
+        |enc AS (
+        |  SELECT doc_id, widx,
+        |    '|' || array_to_string(string_split(tok, ''), '||') || '|' AS w,
+        |    0 AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT e.doc_id, e.widx,
+        |    replace(e.w, '|' || m.pair[1] || '||' || m.pair[2] || '|',
+        |      '|' || m.pair || '|'),
+        |    e.r + 1
+        |  FROM enc e JOIN merges m ON m.rank = e.r + 1
+        |  WHERE e.r < 20),
+        |fin AS (SELECT * FROM enc
+        |        WHERE r = (SELECT COUNT(*) FROM merges)),
+        |syms AS (
+        |  SELECT doc_id, widx, sidx, sl[sidx + 1] AS sym
+        |  FROM (SELECT doc_id, widx, sl,
+        |          CAST(unnest(range(len(sl))) AS INT) AS sidx
+        |        FROM (SELECT doc_id, widx,
+        |                string_split(trim(w, '|'), '||') AS sl
+        |              FROM fin) a) b),
+        |vocab AS (
+        |  SELECT sym,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, sym) AS INT)
+        |      AS tid
+        |  FROM syms GROUP BY sym)
+        |SELECT s.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN len(s.sym) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_merged,
+        |  string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY s.widx, s.sidx)
+        |    AS ids_csv
+        |FROM syms s JOIN vocab v USING (sym)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // same production shard hash; skew divides by the ROUNDED avg so
     // both engines derive it from the identical stored value

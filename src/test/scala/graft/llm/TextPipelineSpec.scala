@@ -118,4 +118,55 @@ class TextPipelineSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
+
+  test("q187 BPE encode: token-count conservation (chars - merges = " +
+    "tokens), ids_csv arity matches n_tokens, and merges actually fire") {
+    val rows = graft.SparkEntry.queries("q187_bpe_tokenize")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    // per doc: every symbol is 1 or 2 chars; each 2-char symbol is one
+    // merge; pre-merge char count = n_tokens + n_merged
+    import org.apache.spark.sql.functions._
+    val charCounts = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), aggregate(
+        array_remove(split(lower(col("text")), "[^a-z]+"), ""),
+        lit(0L), (acc, t) => acc + length(t)).as("n_alpha"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (nTok, nMerged) = (r.getLong(1), r.getLong(2))
+      assert(nTok + nMerged == charCounts(r.get(0)),
+        s"doc ${r.get(0)}: $nTok tokens + $nMerged merges != " +
+          s"${charCounts(r.get(0))} alpha chars")
+      assert(r.getString(3).count(_ == ',') + 1 == nTok,
+        s"doc ${r.get(0)}: ids_csv arity != n_tokens")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "no merge ever fired — the rank-ordered replace passes are dead")
+  }
+
+  test("q187's greedy pass order is rank-major: a higher-rank merge " +
+    "consumes a char before a lower-rank one can pair with it") {
+    // 'abc' under rules rank1="bc", rank2="ab": true BPE (rank-major)
+    // yields [a, bc]; a single any-rule left-to-right pass would
+    // wrongly yield [ab, c]. Reproduce the engine's wrapped-string
+    // fold exactly as q187 composes it.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ranked = Seq("bc", "ab")
+    val wrapped = concat(lit("|"), array_join(split(col("tok"), ""),
+      "||"), lit("|"))
+    val encoded = ranked.foldLeft(wrapped)((c, p) =>
+      replace(c, lit(s"|${p(0)}||${p(1)}|"), lit(s"|$p|")))
+    val out = Seq("abc").toDF("tok")
+      .select(split(trim(encoded, "|"), "\\|\\|").as("syms"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a", "bc"), s"got $out")
+    // and the aaa/aa overlap rule: leftmost-first non-overlapping
+    val out2 = Seq("aaaa", "aaa").toDF("tok")
+      .select(split(trim(Seq("aa").foldLeft(wrapped)((c, p) =>
+        replace(c, lit(s"|${p(0)}||${p(1)}|"), lit(s"|$p|"))), "|"),
+        "\\|\\|").as("syms"))
+      .as[Seq[String]].collect().toSeq
+    assert(out2 == Seq(Seq("aa", "aa"), Seq("aa", "a")), s"got $out2")
+  }
 }

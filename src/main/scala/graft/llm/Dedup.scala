@@ -314,6 +314,68 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing exact-substring dedup (Schleimer et al. 2003 local
+    // fingerprinting; the Lee et al. 2022 exact-substring pass every
+    // production corpus runs): per doc, rolling-hash every K-token
+    // gram (the RollingHash codegen expression — mod 2^61-1, base
+    // 257, q48's primitive finally gets its corpus-level consumer),
+    // select each W-gram window's MIN hash as a fingerprint
+    // (winnowing guarantees any shared substring of ≥ K+W-1 tokens
+    // yields at least one shared fingerprint), then count shared
+    // fingerprints per doc pair over a FINGERPRINT-KEYED equi-join —
+    // never all-pairs. This catches the long verbatim overlaps that
+    // q127's fixed 8-token chunk grid dilutes (a 1-token offset
+    // misaligns every chunk; winnowing is position-robust by
+    // construction). Grams are built over the lowercase-alpha token
+    // stream, so fingerprint bytes are [a-z ] regardless of fixture
+    // encoding. Scale shape: narrow gram/hash pass, doc-partitioned
+    // window, stop-fingerprints (> Cap docs) dropped before the pair
+    // join so no hot key can go quadratic; output thresholded at ≥2
+    // shared fingerprints.
+    "q188_winnow_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8   // tokens per gram
+      val W = 4   // grams per winnowing window
+      val Cap = 50 // stop-fingerprint doc cap
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_remove(split(lower(col("text")), "[^a-z]+"), "").as("ts"))
+        .filter(size(col("ts")) >= K)
+      val grams = toks
+        .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("ng"),
+          posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+            i => array_join(slice(col("ts"), i, lit(K)), " ")))
+            .as(Seq("gpos", "gram")))
+        .select(col("doc_id"), col("ng"), col("gpos"),
+          graft.functions.exprs.graft_rolling_hash(col("gram")).as("ghash"))
+      val wspec = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+        .rowsBetween(Window.currentRow, W - 1)
+      val fps = grams
+        .withColumn("fp", min(col("ghash")).over(wspec))
+        .filter(col("gpos") <= col("ng") - W)
+        .select(col("doc_id"), col("fp")).distinct()
+      val docfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val ok = fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") <= Cap).select(col("fp"))
+      val keep = fps.join(ok, "fp")
+      val pairs = keep.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(keep.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pairs
+        .join(docfp.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+          Seq("doc_a"))
+        .join(docfp.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b")), 6).as("overlap"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Benchmark CONTAMINATION check — the eval-integrity pass a
     // training pipeline runs before any split ships: per corpus doc,
     // how many of its distinct 2-word shingles also occur in the
@@ -734,6 +796,66 @@ object Dedup extends QueryModule {
        |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Same winnowing rule end to end. The RollingHash polynomial
+    // (h = h*257 + byte, mod 2^61-1) is restated in closed form:
+    // hash = SUM(code_j * 257^(L-1-j)) mod M, with the power table
+    // built mod M in HUGEINT by a bounded recursive CTE — every term
+    // < 2^61 so the 128-bit SUM never overflows. Gram bytes are
+    // [a-z ] by construction (alpha tokens + single spaces), so
+    // per-char ord() equals the UTF-8 byte the engine hashes.
+    "q188_winnow_dedup" ->
+      """WITH RECURSIVE
+        |pw AS (SELECT 0 AS e, CAST(1 AS HUGEINT) AS p
+        |       UNION ALL
+        |       SELECT e + 1, (p * 257) % 2305843009213693951
+        |       FROM pw WHERE e < 1023),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t != '') AS ts
+        |  FROM documents),
+        |docs AS (SELECT doc_id, ts, len(ts) AS ntok FROM toks
+        |         WHERE len(ts) >= 8),
+        |grams AS (
+        |  SELECT doc_id, ntok - 7 AS ng, gpos,
+        |    array_to_string(ts[gpos + 1 : gpos + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, ts, ntok,
+        |          CAST(unnest(range(ntok - 7)) AS INT) AS gpos
+        |        FROM docs) g),
+        |gchars AS (
+        |  SELECT doc_id, ng, gpos, glen, j, ord(cs[j + 1]) AS code
+        |  FROM (SELECT doc_id, ng, gpos, cs, len(cs) AS glen,
+        |          CAST(unnest(range(len(cs))) AS INT) AS j
+        |        FROM (SELECT doc_id, ng, gpos, string_split(gram, '') AS cs
+        |              FROM grams) a) b),
+        |gh AS (
+        |  SELECT doc_id, ng, gpos,
+        |    CAST(SUM((CAST(code AS HUGEINT) * pw.p) % 2305843009213693951)
+        |         % 2305843009213693951 AS BIGINT) AS ghash
+        |  FROM gchars JOIN pw ON pw.e = glen - 1 - j
+        |  GROUP BY doc_id, ng, gpos),
+        |wins AS (
+        |  SELECT doc_id, ng, gpos,
+        |    MIN(ghash) OVER (PARTITION BY doc_id ORDER BY gpos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM gh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE gpos <= ng - 4),
+        |docfp AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+        |ok AS (SELECT fp FROM fps GROUP BY fp
+        |       HAVING COUNT(DISTINCT doc_id) <= 50),
+        |keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(fa.nfp, fb.nfp), 6)
+        |    AS overlap
+        |FROM pairs p
+        |JOIN docfp fa ON p.doc_a = fa.doc_id
+        |JOIN docfp fb ON p.doc_b = fb.doc_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     "q35_exact_dedup" ->
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS INT) AS cluster_size

@@ -93,7 +93,12 @@ class PlanBudgetSpec extends SparkSpec {
     // prints under BOTH sides of the within-cluster pair join and
     // again under the n_vectors rollup; the sides are identical and
     // reuse at runtime — same AQE-reuse story as q165's self-join
-    "q183_semantic_dedup" -> 10)
+    "q183_semantic_dedup" -> 10,
+    // the winnowed-fingerprint subtree (gram hash → window min →
+    // distinct) prints under docfp, the stop-fingerprint filter, and
+    // BOTH pair-join sides; the four copies are identical and reuse
+    // at runtime (DedupPlanSpec asserts ReusedExchange)
+    "q188_winnow_dedup" -> 14)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

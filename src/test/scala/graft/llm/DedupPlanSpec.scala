@@ -139,4 +139,56 @@ class DedupPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"benchmark probe is not a broadcast semi join:\n$plan")
   }
+
+  test("q188 winnowing: exact-duplicate docs always share ALL " +
+    "fingerprints (overlap 1.0), the fingerprint subtree reuses its " +
+    "exchange at runtime (PlanBudgetSpec override proof), and no pair " +
+    "exceeds its own fingerprint budget") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("q188_winnow_dedup")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no dup pairs on a fixture with known exact dups")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2)
+      val ov = r.getDouble(3)
+      assert(ov > 0.0 && ov <= 1.0, s"overlap out of range: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
+  test("q188 winnowing guarantee, surgical: docs sharing a long exact " +
+    "passage are caught regardless of chunk-grid alignment; unrelated " +
+    "docs are not paired") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 30-token passage planted in two docs at DIFFERENT offsets (1 vs
+    // 4 leading tokens — the misalignment that defeats q127's fixed
+    // 8-token chunk grid), plus an unrelated doc. 30 >= K + 3W tokens,
+    // enough full windows inside the shared region to clear the
+    // n_shared >= 2 output threshold.
+    val passage = (0 until 30).map(i => s"shared${('a' + i % 26).toChar}$i")
+      .mkString(" ")
+    val fillerA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fillerB = "one two three four five six seven eight nine ten"
+    val fillerC = (0 until 24).map(i => s"unrelated${('a' + i % 26).toChar}$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $passage $fillerA", "en", "t", 0L),
+      (2L, s"lead in tokens $passage $fillerB", "en", "t", 0L),
+      (3L, fillerC, "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.dir("winnow_surgical_")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("q188_winnow_dedup")(spark,
+          dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)),
+        s"expected exactly the planted pair (1,2): ${got.mkString(",")}")
+      assert(got.head._3 >= 2, s"shared fingerprints below threshold: $got")
+    } finally graft.Scratch.deleteTree(dir)
+  }
 }

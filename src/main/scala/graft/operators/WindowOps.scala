@@ -243,17 +243,23 @@ object WindowOps extends QueryModule {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    // tsu = epoch_ns//1000 floors the oracle to the SAME µs grain the
+    // engine computes on (Tables.eventsUs), so the >= break test, the
+    // 30-min gap, and the (tsu, event_id) ordering agree even on a
+    // true-ns fixture with nonzero sub-µs digits
     "q30_session_window_batch" ->
       s"""WITH flagged AS (
-         |  SELECT user_id, ts, event_id, value,
-         |    CASE WHEN LAG(ts, 1) OVER w IS NULL
-         |           OR ts >= LAG(ts, 1) OVER w + INTERVAL '30 minutes'
+         |  SELECT user_id, epoch_ns(ts)//1000 AS tsu, event_id, value,
+         |    CASE WHEN LAG(epoch_ns(ts)//1000, 1) OVER w IS NULL
+         |           OR epoch_ns(ts)//1000 >=
+         |              LAG(epoch_ns(ts)//1000, 1) OVER w + 1800000000
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000,
+         |    event_id)),
          |sessions AS (
          |  SELECT user_id, event_id, value,
-         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
          |  FROM flagged)
          |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
@@ -285,16 +291,20 @@ object WindowOps extends QueryModule {
         |FROM j ORDER BY user_id, h""".stripMargin,
 
     // q30's session CTEs; the dependent stage minima become join-backs
-    // (DuckDB twin of the stacked same-partition window aggregates)
+    // (DuckDB twin of the stacked same-partition window aggregates).
+    // Like q30, tsn is FLOORED to µs (epoch_ns//1000) so gap test and
+    // ordering match the engine's Tables.eventsUs grain exactly at any
+    // fixture precision
     "q151_session_funnel" ->
       """WITH flagged AS (
-        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
-        |    CASE WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL
-        |           OR epoch_ns(ts) >= LAG(epoch_ns(ts), 1) OVER w
-        |              + 1800000000000
+        |  SELECT user_id, epoch_ns(ts)//1000 AS tsn, event_id, event_type,
+        |    CASE WHEN LAG(epoch_ns(ts)//1000, 1) OVER w IS NULL
+        |           OR epoch_ns(ts)//1000 >= LAG(epoch_ns(ts)//1000, 1) OVER w
+        |              + 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000,
+        |    event_id)),
         |sessions AS (
         |  SELECT user_id, tsn, event_type,
         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id

@@ -271,14 +271,32 @@ object GraftExtensions {
 
   val buildByteNgrams: Seq[Expression] => Expression = { children =>
     requireArity("graft_byte_ngrams", 2, children)
+    // The builder runs at function resolution, BEFORE constant
+    // folding, so a constant n can still arrive as an unfolded tree
+    // (1+1, CAST(2 AS INT)) — fold any foldable integral expression
+    // here rather than demanding a bare Literal, and reject the rest
+    // with the dedicated non-foldable-argument error class instead of
+    // a misleading WRONG_NUM_ARGS (the arity IS correct).
     val n = children(1) match {
-      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-      case other => throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      case e if e.foldable &&
+          (e.dataType == org.apache.spark.sql.types.IntegerType ||
+            e.dataType == org.apache.spark.sql.types.ShortType ||
+            e.dataType == org.apache.spark.sql.types.ByteType) =>
+        e.eval() match {
+          case i: Int => i
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case null => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_byte_ngrams`",
+              "paramName" -> "`n`", "paramType" -> "\"INT\""))
+        }
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
         messageParameters = Map(
-          "functionName" -> "`graft_byte_ngrams` (n must be an int literal)",
-          "expectedNum" -> "2", "actualNum" -> s"non-literal: $other",
-          "docroot" -> "https://spark.apache.org/docs/latest"))
+          "funcName" -> "`graft_byte_ngrams`",
+          "paramName" -> "`n`", "paramType" -> "\"INT\""))
     }
     ByteNgrams(Cast(children.head, org.apache.spark.sql.types.StringType), n)
   }

@@ -95,8 +95,13 @@ object SourceQueries extends QueryModule {
       val id = bucketRun.incrementAndGet()
       val liT = s"g186_li_$id"
       val ordT = s"g186_ord_$id"
-      val prevThresh =
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // getOption/unset restore symmetry (the replay source's
+      // nanosAsLong pattern): if the conf was unset before, it goes
+      // BACK to unset, not to a pinned explicit value. Note the
+      // session-global set below assumes the driver's
+      // one-query-at-a-time contract — a concurrently planned query on
+      // this shared session would lose broadcast joins for the window.
+      val prevThresh = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       try {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -123,7 +128,12 @@ object SourceQueries extends QueryModule {
         // table must not leak the other registration or the staged files
         def quietly(step: => Unit): Unit =
           try step catch { case _: Throwable => () }
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        prevThresh match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            quietly(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))
+        }
         quietly(s.sql(s"DROP TABLE IF EXISTS $liT"))
         quietly(s.sql(s"DROP TABLE IF EXISTS $ordT"))
         quietly(Scratch.deleteTree(stage))

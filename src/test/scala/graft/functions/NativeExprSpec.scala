@@ -217,6 +217,18 @@ class NativeExprSpec extends SparkSpec {
       assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", sql)
       assert(e.getMessage.contains(fn), sql)
     }
+    // n accepts any foldable integral expression (the builder runs
+    // before constant folding), and a genuinely non-foldable n raises
+    // the dedicated error class, not a misleading arity error
+    val folded = spark.sql(
+      "SELECT graft_byte_ngrams('abcd', 1 + 1) AS a, " +
+        "graft_byte_ngrams('abcd', CAST(3 AS INT)) AS b").head()
+    assert(folded.getSeq[String](0) == Seq("ab", "bc", "cd"))
+    assert(folded.getSeq[String](1) == Seq("abc", "bcd"))
+    val nf = intercept[org.apache.spark.sql.AnalysisException](
+      spark.range(1).selectExpr("graft_byte_ngrams('abcd', CAST(id AS INT))")
+        .collect())
+    assert(nf.getCondition == "NON_FOLDABLE_ARGUMENT", nf.getMessage)
   }
 
   test("fused CD1 Aggregator produces the same gradient as a scalar sweep") {

@@ -25,6 +25,75 @@ object TextPipeline extends QueryModule {
   private def tokens =
     array_remove(split(lower(col("text")), "[^a-z]+"), "")
 
+  /** DuckDB twin of [[bpeSymbols]]: the words→merges→enc→syms CTE
+    * chain (no WITH keyword, no trailing comma). Callers prepend
+    * `WITH RECURSIVE` and append their consumer CTEs/select.
+    */
+  private val bpeSymsCtes: String =
+    """words AS (
+      |  SELECT doc_id, widx, ts[widx + 1] AS tok
+      |  FROM (SELECT doc_id, ts, CAST(unnest(range(len(ts))) AS INT) AS widx
+      |        FROM (SELECT doc_id,
+      |                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                  t -> t != '') AS ts
+      |              FROM documents) t1) t2),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(cs)),
+      |    i -> cs[i] || cs[i + 1])) AS pair
+      |  FROM (SELECT string_split(tok, '') AS cs FROM words
+      |        WHERE len(tok) >= 2) tw),
+      |merges AS (
+      |  SELECT pair,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INT)
+      |      AS rank
+      |  FROM pr GROUP BY pair QUALIFY rank <= 20),
+      |enc AS (
+      |  SELECT doc_id, widx,
+      |    '|' || array_to_string(string_split(tok, ''), '||') || '|' AS w,
+      |    0 AS r
+      |  FROM words
+      |  UNION ALL
+      |  SELECT e.doc_id, e.widx,
+      |    replace(e.w, '|' || m.pair[1] || '||' || m.pair[2] || '|',
+      |      '|' || m.pair || '|'),
+      |    e.r + 1
+      |  FROM enc e JOIN merges m ON m.rank = e.r + 1
+      |  WHERE e.r < 20),
+      |fin AS (SELECT * FROM enc
+      |        WHERE r = (SELECT COUNT(*) FROM merges)),
+      |syms AS (
+      |  SELECT doc_id, widx, sidx, sl[sidx + 1] AS sym
+      |  FROM (SELECT doc_id, widx, sl,
+      |          CAST(unnest(range(len(sl))) AS INT) AS sidx
+      |        FROM (SELECT doc_id, widx,
+      |                string_split(trim(w, '|'), '||') AS sl
+      |              FROM fin) a) b)""".stripMargin
+
+  /** The q187 BPE-encode stage, reusable by consumers of the encoded
+    * symbol stream (q189's packer): rank q154's top-20 char-pair
+    * merges, greedy-encode every word via the wrapped-string replace
+    * passes (see q187's comment for why that is exact greedy BPE),
+    * return one row per (doc_id, widx, sidx, sym).
+    */
+  private def bpeSymbols(s: SparkSession, d: String): DataFrame = {
+    val ranked = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(
+        graft.functions.exprs.graft_byte_ngrams(col("tok"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(20)
+      .select(col("pair")).collect().map(_.getString(0))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("widx", "tok")))
+    val wrapped =
+      concat(lit("|"), array_join(split(col("tok"), ""), "||"), lit("|"))
+    val encoded = ranked.foldLeft(wrapped)((c, p) =>
+      replace(c, lit(s"|${p(0)}||${p(1)}|"), lit(s"|$p|")))
+    words.select(col("doc_id"), col("widx"),
+      posexplode(split(trim(encoded, "|"), "\\|\\|")).as(Seq("sidx", "sym")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF with idf = ln(N/df), top-5 terms per document by weight
     // (term as tiebreak). df is a term-partitioned window COUNT over
@@ -434,24 +503,7 @@ object TextPipeline extends QueryModule {
     // narrow whole-stage-codegen projection — no UDF, no shuffle
     // beyond vocab agg + final per-doc regroup.
     "q187_bpe_tokenize" -> ((s, d) => {
-      val ranked = Tables.documents(s, d)
-        .select(explode(tokens).as("tok"))
-        .filter(length(col("tok")) >= 2)
-        .select(explode(
-          graft.functions.exprs.graft_byte_ngrams(col("tok"), 2)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("pair")).limit(20)
-        .select(col("pair")).collect().map(_.getString(0))
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens).as(Seq("widx", "tok")))
-      val wrapped =
-        concat(lit("|"), array_join(split(col("tok"), ""), "||"), lit("|"))
-      val encoded = ranked.foldLeft(wrapped)((c, p) =>
-        replace(c, lit(s"|${p(0)}||${p(1)}|"), lit(s"|$p|")))
-      val syms = words
-        .select(col("doc_id"), col("widx"),
-          posexplode(split(trim(encoded, "|"), "\\|\\|"))
-            .as(Seq("sidx", "sym")))
+      val syms = bpeSymbols(s, d)
       // vocab ids by (freq desc, sym) — q154's sort_array/posexplode
       // ranking (partial+final agg over a ≤46-row relation), not a
       // SinglePartition window funnel
@@ -470,6 +522,36 @@ object TextPipeline extends QueryModule {
               col("widx"), col("sidx"), col("tid")))),
             x => x("tid").cast("string")), ",").as("ids_csv"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing over REAL tokenizer output — q135's packer
+    // re-stated on q187's BPE token counts instead of whitespace
+    // counts, closing the tokenize → pack loop end to end (what a
+    // production trainer actually packs is post-tokenizer lengths;
+    // whitespace counts over-estimate by the merge rate). Same
+    // at-scale shape as q135: shard hash is a narrow projection, the
+    // cumulative sum runs per (lang, shard) partition, bins are token
+    // offsets div 512 — plus the per-doc BPE count aggregation, which
+    // shuffles by doc_id once.
+    "q189_pack_bpe_tokens" -> ((s, d) => {
+      val shards = 16
+      val counts = bpeSymbols(s, d).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(counts, "doc_id")
+        .withColumn("shard",
+          (graft.llm.TextAnalysis.md5Int(col("doc_id").cast("string"))
+            % shards).cast("int"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          round(avg(col("n_tok")), 6).as("avg_doc_tokens"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
     }),
 
     "q116_stratified_sample" -> ((s, d) => {
@@ -700,47 +782,11 @@ object TextPipeline extends QueryModule {
 
     // the same wrapped-string replace passes, with the merge table
     // recomputed from the corpus (q154's discovery) and the 20 ranked
-    // passes driven by a bounded recursive CTE (step r applies rank r)
+    // passes driven by a bounded recursive CTE (step r applies rank r);
+    // the words→syms prefix is shared with q189's packer twin
     "q187_bpe_tokenize" ->
-      """WITH RECURSIVE
-        |words AS (
-        |  SELECT doc_id, widx, ts[widx + 1] AS tok
-        |  FROM (SELECT doc_id, ts, CAST(unnest(range(len(ts))) AS INT) AS widx
-        |        FROM (SELECT doc_id,
-        |                list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                  t -> t != '') AS ts
-        |              FROM documents) t1) t2),
-        |pr AS (
-        |  SELECT unnest(list_transform(range(1, len(cs)),
-        |    i -> cs[i] || cs[i + 1])) AS pair
-        |  FROM (SELECT string_split(tok, '') AS cs FROM words
-        |        WHERE len(tok) >= 2) tw),
-        |merges AS (
-        |  SELECT pair,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INT)
-        |      AS rank
-        |  FROM pr GROUP BY pair QUALIFY rank <= 20),
-        |enc AS (
-        |  SELECT doc_id, widx,
-        |    '|' || array_to_string(string_split(tok, ''), '||') || '|' AS w,
-        |    0 AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT e.doc_id, e.widx,
-        |    replace(e.w, '|' || m.pair[1] || '||' || m.pair[2] || '|',
-        |      '|' || m.pair || '|'),
-        |    e.r + 1
-        |  FROM enc e JOIN merges m ON m.rank = e.r + 1
-        |  WHERE e.r < 20),
-        |fin AS (SELECT * FROM enc
-        |        WHERE r = (SELECT COUNT(*) FROM merges)),
-        |syms AS (
-        |  SELECT doc_id, widx, sidx, sl[sidx + 1] AS sym
-        |  FROM (SELECT doc_id, widx, sl,
-        |          CAST(unnest(range(len(sl))) AS INT) AS sidx
-        |        FROM (SELECT doc_id, widx,
-        |                string_split(trim(w, '|'), '||') AS sl
-        |              FROM fin) a) b),
+      s"""WITH RECURSIVE
+        |$bpeSymsCtes,
         |vocab AS (
         |  SELECT sym,
         |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, sym) AS INT)
@@ -753,6 +799,29 @@ object TextPipeline extends QueryModule {
         |    AS ids_csv
         |FROM syms s JOIN vocab v USING (sym)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // q135's packing arithmetic over the shared BPE symbol CTEs
+    "q189_pack_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |$bpeSymsCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM syms
+         |        GROUP BY doc_id),
+         |d AS (
+         |  SELECT c.doc_id, doc.lang, c.n_tok,
+         |    CAST(${graft.llm.TextAnalysis.md5IntSql("CAST(c.doc_id AS VARCHAR)")}
+         |      % 16 AS INT) AS shard
+         |  FROM cnt c JOIN documents doc ON c.doc_id = doc.doc_id),
+         |cum AS (
+         |  SELECT lang, shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT lang, shard, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS INT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+         |  ROUND(AVG(n_tok), 6) AS avg_doc_tokens
+         |FROM cum GROUP BY lang, shard, bin
+         |ORDER BY lang, shard, bin""".stripMargin,
 
     // same production shard hash; skew divides by the ROUNDED avg so
     // both engines derive it from the identical stored value

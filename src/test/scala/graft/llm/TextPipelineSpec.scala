@@ -144,6 +144,24 @@ class TextPipelineSpec extends SparkSpec {
       "no merge ever fired — the rank-ordered replace passes are dead")
   }
 
+  test("q189 packs exactly the BPE token mass q187 emits: bin_tokens " +
+    "sums to total n_tokens, and bins are contiguous from 0 per " +
+    "(lang, shard) — no doc on this fixture exceeds one 512-token bin") {
+    val packed = graft.SparkEntry.queries("q189_pack_bpe_tokens")(
+      spark, sf001).collect()
+    val tokenized = graft.SparkEntry.queries("q187_bpe_tokenize")(
+      spark, sf001).collect()
+    assert(packed.nonEmpty)
+    assert(packed.map(_.getLong(4)).sum == tokenized.map(_.getLong(1)).sum,
+      "packing lost or invented tokens")
+    packed.groupBy(r => (r.getString(0), r.getInt(1))).foreach {
+      case (_, rs) =>
+        val bins = rs.map(_.getLong(2)).sorted
+        assert(bins.head == 0 && bins.sameElements(bins.head to bins.last),
+          s"bins not contiguous from 0: ${bins.mkString(",")}")
+    }
+  }
+
   test("q187's greedy pass order is rank-major: a higher-rank merge " +
     "consumes a char before a lower-rank one can pair with it") {
     // 'abc' under rules rank1="bc", rank2="ab": true BPE (rank-major)

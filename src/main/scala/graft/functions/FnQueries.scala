@@ -19,9 +19,13 @@ object FnQueries extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
-    // Streaming polynomial fingerprint (mod 2^61-1) — no cross-engine
-    // oracle exists (DuckDB has no equivalent); pinned instead by an
-    // independent BigInteger implementation in NativeExprSpec.
+    // Streaming polynomial fingerprint (mod 2^61-1). Oracled since
+    // round 8 via the q188 technique: the DuckDB twin restates the
+    // hash in closed form (SUM(byte_j * 257^(L-1-j)) mod M) over a
+    // HUGEINT power table, reading EXACT UTF-8 bytes through
+    // to_hex(encode(text)) so parity holds at any fixture encoding;
+    // NativeExprSpec's independent BigInteger implementation
+    // additionally pins the kernel.
     "q48_rolling_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), graft_rolling_hash(col("text")).as("rhash"))
@@ -32,6 +36,32 @@ object FnQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "q47_sigmoid_native" ->
       """SELECT event_id, ROUND(1.0 / (1.0 + EXP(-(value / 100.0))), 6) AS sig
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // closed-form RollingHash twin (see q188): byte stream via
+    // to_hex(encode(...)) — exact UTF-8 bytes, not code points — and
+    // the 2^61-1 modular polynomial in HUGEINT; empty text hashes to 0
+    "q48_rolling_fingerprint" ->
+      """WITH RECURSIVE
+        |pw AS (SELECT 0 AS e, CAST(1 AS HUGEINT) AS p
+        |       UNION ALL
+        |       SELECT e + 1, (p * 257) % 2305843009213693951
+        |       FROM pw WHERE e < 2047),
+        |bytes AS (
+        |  SELECT doc_id, blen, j,
+        |    CAST('0x' || substr(hx, 2 * j + 1, 2) AS INT) AS code
+        |  FROM (SELECT doc_id, hx, length(hx) // 2 AS blen,
+        |          CAST(unnest(range(length(hx) // 2)) AS INT) AS j
+        |        FROM (SELECT doc_id, to_hex(encode(text)) AS hx
+        |              FROM documents) h) e),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((CAST(code AS HUGEINT) * pw.p) % 2305843009213693951)
+        |         % 2305843009213693951 AS BIGINT) AS rhash
+        |  FROM bytes JOIN pw ON pw.e = blen - 1 - j
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(fp.rhash, 0) AS rhash
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -27,6 +27,23 @@ object Similarity extends QueryModule {
     df.select(col("vec_id"), col("embedding"),
       sqrt(graft_vec_dot(col("embedding"), col("embedding"))).as("nrm"))
 
+  private val LshTables = 8
+  private val LshPlanes = 6
+
+  /** q43's seeded random hyperplanes, shared by the query and its
+    * oracle twin (which ships them as a literal VALUES table — the
+    * q15 W0 technique; Double.toString round-trips bit-exactly
+    * through DuckDB's decimal parser).
+    */
+  private lazy val lshPlaneVals: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(7L)
+    Array.fill(LshTables, LshPlanes, 64)(rnd.nextGaussian())
+  }
+
+  private def lshPlanesValuesSql: String =
+    (for (t <- 0 until LshTables; p <- 0 until LshPlanes; i <- 0 until 64)
+      yield s"($t,$p,$i,${lshPlaneVals(t)(p)(i)})").mkString(",")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id<10), via the
     // broadcast typed kernel (bit-identical to the declarative
@@ -50,8 +67,9 @@ object Similarity extends QueryModule {
     // per-table collision prob is ~(1−θ/π)^6 ≈ 0.4, so the miss prob
     // across 8 tables is (1−0.4)^8 ≈ 2%, while random pairs collide at
     // (1/2)^6 per table → expected candidate set ≈ L·N/64 = N/8 per
-    // query. Deterministic (seeded planes) but not SQL-expressible →
-    // rows-only gate; recall vs q32 is asserted in LlmOpsSpec. The
+    // query. Deterministic (seeded planes) AND oracle-checked since
+    // round 8 — the planes ship into the DuckDB twin as a literal
+    // VALUES table; recall vs q32 is asserted in LlmOpsSpec. The
     // bucketing is pure expressions (planes inlined as array literals)
     // exploded over the table index, so the whole query stays one lazy
     // codegen'd plan — no typed map, no eager materialization; the
@@ -60,11 +78,9 @@ object Similarity extends QueryModule {
     // collisions before the cosine kernel runs.
     "q43_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nTables = 8
-      val nPlanes = 6
-      val dims = 64
-      val rnd = new java.util.Random(7L)
-      val planes = Array.fill(nTables, nPlanes, dims)(rnd.nextGaussian())
+      val nTables = LshTables
+      val nPlanes = LshPlanes
+      val planes = lshPlaneVals
       def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
         val plane = array(planes(t)(p).map(lit(_)): _*)
         // fused codegen dot: 48 plane projections per row allocate no
@@ -97,6 +113,11 @@ object Similarity extends QueryModule {
           col("nrm").as("nc"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("cid"))
+      // cosine() rounds to 6dp BEFORE the rank window (q183's rule): a
+      // cross-engine ulp difference can flip the ordering only at an
+      // exact 6dp tie, where the cid tiebreak decides identically —
+      // which (with the planes shipped as literals) makes the
+      // seeded-LSH pipeline oracle-checkable
       pairs.join(vq, "qid").join(vc, "cid")
         .select(col("qid"), col("cid"),
           cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
@@ -390,7 +411,49 @@ object Similarity extends QueryModule {
         |  FROM p)
         |SELECT qid, cid, cosine, rank FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    // q43 intentionally absent (LSH planes not SQL-expressible).
+
+    // q43: the seeded hyperplanes ship as a literal VALUES table (the
+    // q15 W0 technique), the sign-bit buckets are a conditional
+    // bit-shift sum per (vector, table), candidates equi-join on
+    // (tbl, bucket), and the re-rank is q32's rounded-cosine window
+    "q43_ann_lsh" ->
+      s"""WITH pl(tbl, p, i, w) AS (VALUES $lshPlanesValuesSql),
+         |ex AS (
+         |  SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, pl.tbl, pl.p, SUM(e.x * pl.w) AS dot
+         |  FROM ex e JOIN pl ON e.i = pl.i GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT vec_id, tbl,
+         |    SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+         |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT cand.qid, cand.cid,
+         |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+         |           FROM (SELECT unnest(a.embedding) AS ua,
+         |                        unnest(b.embedding) AS ub) z)
+         |      / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM cand JOIN n a ON cand.qid = a.vec_id
+         |            JOIN n b ON cand.cid = b.vec_id),
+         |r AS (
+         |  SELECT qid, cid, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS INT) AS rank
+         |  FROM p)
+         |SELECT qid, cid, cosine, rank FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // paired unnests expand in lockstep, so (dim, v) mirrors Spark's
     // posexplode; the 1- vs 0-based dim offset is invisible (dim is a

@@ -86,6 +86,19 @@ class FixtureContractSpec extends SparkSpec {
     assertCols("embeddings", Map(
       "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
       "label" -> IntegerType))
+    // Dimensionality tripwire: q15/q54's Gaussian W0 literals, q43's
+    // hyperplane literals, and q16's fixed weight formula all assume
+    // 64-dim embeddings. A regenerated fixture with a different dim
+    // would fail those queries cryptically (arity require / silent
+    // oracle mismatch) — fail HERE with the contract named instead.
+    import org.apache.spark.sql.functions.{size => asize, col, min, max}
+    val dims = graft.Tables.embeddings(spark, sf001)
+      .select(min(asize(col("embedding"))).as("lo"),
+        max(asize(col("embedding"))).as("hi")).head()
+    assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+      s"embeddings dim drifted from the assumed 64: [${dims.getInt(0)}, " +
+        s"${dims.getInt(1)}] — q15/q16/q43/q54 weight literals must be " +
+        "regenerated for the new dimensionality")
   }
 
   test("events columns match, and ts is a supported timestamp encoding") {

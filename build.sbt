@@ -37,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The sandbox shells run under the C locale (LANG unset), so a forked
+  // JVM defaults to US-ASCII and any default-charset read of a UTF-8
+  // file (BASELINE.md's em-dashes) throws MalformedInputException.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

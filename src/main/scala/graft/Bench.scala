@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query baseline medians from BASELINE.md's `| qNN_name | sec |`
+    * table — the retime threshold. Decoded as explicit UTF-8: the
+    * sandbox JVMs run under the C locale where the DEFAULT charset is
+    * US-ASCII, and BASELINE.md contains em-dashes, so a default-charset
+    * `Source.fromFile` read throws MalformedInputException mid-stream
+    * (which round 8's catch silently turned into "never retime
+    * anything"). An absent file still yields an empty map, but a decode
+    * of the real file must succeed — BenchBaselineSpec pins this on the
+    * committed BASELINE.md bytes.
+    */
+  def parseBaseline(path: java.nio.file.Path): Map[String, Double] = {
+    if (!java.nio.file.Files.exists(path)) return Map.empty
+    val text = new String(
+      java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val Row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
+    Row.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,7 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the harness keeps only a ~2.4KB stdout tail, and
+    // at WARN the micro-batch queries flood it ("Failed to cancel job
+    // group", AQE-disabled notices ×7) until the tail is 95% noise.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/parquet-reader paths on a tiny table before
     // timing starts: otherwise the alphabetically-first query absorbs
     // ~4s of one-time init and its number stops meaning anything.
@@ -65,16 +86,15 @@ object Bench {
       }
       found.getOrElse(p)
     }
-    // Per-query baseline medians from BASELINE.md's `| qNN_name | sec |`
-    // table — the retime threshold. Absent file / unparsable rows just
-    // shrink the map; queries without a baseline are never retimed.
-    val baseline: Map[String, Double] = try {
-      val src = scala.io.Source.fromFile(repoRoot.resolve("BASELINE.md").toFile)
-      try {
-        val Row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
-        src.getLines().collect { case Row(n, s) => n -> s.toDouble }.toMap
-      } finally src.close()
-    } catch { case _: Throwable => Map.empty }
+    // A dead baseline parse must never again masquerade as a quiet run:
+    // parse errors are loud (stderr), and the row count is emitted as
+    // "baseline_rows" in bench_queries.json as self-evidence.
+    val baseline: Map[String, Double] =
+      try parseBaseline(repoRoot.resolve("BASELINE.md"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BASELINE.md parse failed, retime disabled: $e")
+        Map.empty
+      }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -116,7 +136,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val rt = retimed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"baseline_rows":${baseline.size},"sf":"$sfDir"}"""
     // Written at the repo root (resolved above), not bare CWD, so a
     // caller running Bench from elsewhere doesn't strand the file; a
     // failed write must not kill the run but must not be silent either

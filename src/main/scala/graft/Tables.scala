@@ -87,6 +87,35 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact table row count from parquet FOOTER metadata only — a
+    * driver-side read of each file's footer (a few KB), no Spark job,
+    * no column data touched. At 100 TB a `df.count()` for a single
+    * scalar (q183's adaptive k) is a full extra pass over the table;
+    * the footers already carry the answer. Handles both a single
+    * parquet file (the fixtures) and a directory of part files (a real
+    * table root); `_`/`.`-prefixed entries (_SUCCESS, hidden files)
+    * are skipped like Spark's own listing does.
+    */
+  def parquetRowCount(s: SparkSession, d: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(s"$d/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot { c =>
+            val n = c.getPath.getName; n.startsWith("_") || n.startsWith(".")
+          }
+          .flatMap(files)
+      else Seq(st)
+    files(fs.getFileStatus(root)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }
 
 /** One registrable slice of the engine: named queries plus (where the

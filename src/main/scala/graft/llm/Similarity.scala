@@ -214,7 +214,8 @@ object Similarity extends QueryModule {
     "q183_semantic_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = math.max(8,
-        math.ceil(math.sqrt(Tables.embeddings(s, d).count().toDouble)).toInt)
+        math.ceil(math.sqrt(
+          Tables.parquetRowCount(s, d, "embeddings").toDouble)).toInt)
       val cents = withNorm(Tables.embeddings(s, d).filter(col("vec_id") < k))
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("cvec"), col("nrm").as("cnrm"))

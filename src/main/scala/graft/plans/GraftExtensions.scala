@@ -281,11 +281,20 @@ object GraftExtensions {
       case e if e.foldable &&
           (e.dataType == org.apache.spark.sql.types.IntegerType ||
             e.dataType == org.apache.spark.sql.types.ShortType ||
-            e.dataType == org.apache.spark.sql.types.ByteType) =>
+            e.dataType == org.apache.spark.sql.types.ByteType ||
+            e.dataType == org.apache.spark.sql.types.LongType) =>
         e.eval() match {
           case i: Int => i
           case s: Short => s.toInt
           case b: Byte => b.toInt
+          // SQL integer literals default to the narrowest fitting type,
+          // but 2L / CAST(2 AS BIGINT) are just as foldable — raising
+          // NON_FOLDABLE_ARGUMENT for them would be a lie. Accept any
+          // long whose value fits an Int; out-of-range gets the
+          // value-range error, not the foldability one.
+          case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+          case l: Long => throw new IllegalArgumentException(
+            s"graft_byte_ngrams: n=$l is out of Int range")
           case null => throw new org.apache.spark.sql.AnalysisException(
             errorClass = "NON_FOLDABLE_ARGUMENT",
             messageParameters = Map(

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's BASELINE.md parser on the REAL committed bytes.
+  *
+  * Round 8's retime silently no-op'd for a whole round because the
+  * C-locale JVM default charset (US-ASCII) made the default-charset
+  * read throw on BASELINE.md's em-dashes and a broad catch turned the
+  * exception into an empty baseline map — "no query is ever retimed"
+  * with zero evidence anything was wrong. This spec fails if the parser
+  * ever again returns an empty/short map on the real file, regardless
+  * of what charset the JVM booted with.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  private val path = java.nio.file.Paths.get("BASELINE.md")
+
+  test("parseBaseline decodes the committed BASELINE.md regardless of JVM default charset") {
+    // Tripwire for the exact failure mode: the file must still contain
+    // multibyte UTF-8 (em-dashes etc.) so this spec keeps exercising
+    // the non-ASCII decode path; if BASELINE.md ever goes pure-ASCII
+    // this assert tells us the spec lost its teeth rather than letting
+    // it green-wash a regression to a default-charset read.
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    assert(bytes.exists(b => (b & 0x80) != 0),
+      "BASELINE.md is pure ASCII; this spec no longer exercises the multibyte decode path")
+
+    val m = Bench.parseBaseline(path)
+    assert(m.size >= 189, s"expected >=189 baseline rows, parsed ${m.size}")
+    // Spot-check a known row and the registry linkage: every baseline
+    // key should name a registered query (drift = a renamed query whose
+    // retime threshold silently stops applying).
+    assert(m.get("q13_mean_update").exists(v => v > 0.0 && v < 60.0))
+    val unknown = m.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"baseline rows naming no registered query: $unknown")
+  }
+
+  test("parseBaseline returns empty for an absent file") {
+    assert(Bench.parseBaseline(java.nio.file.Paths.get("no_such_baseline.md")).isEmpty)
+  }
+}

@@ -101,6 +101,47 @@ class FixtureContractSpec extends SparkSpec {
         "regenerated for the new dimensionality")
   }
 
+  test("documents.text stays inside the oracle power-table bounds") {
+    // q48's DuckDB twin builds its 257^e power table only to e <= 2047
+    // (FnQueries.scala), so a document longer than 2048 UTF-8 bytes
+    // silently loses its leading-byte terms through the pw join and
+    // the oracle hash goes wrong — a FALSE mismatch blamed on the
+    // engine. q188's twin caps gram exponents at 1023 (Dedup.scala), a
+    // bound implied by text <= 1024 CHARS (a gram is a substring-sized
+    // join of 8 tokens). Current fixtures max out under 600; if a
+    // regeneration ever crosses these lines, fail HERE naming the
+    // oracle to re-derive (bound it by
+    // (SELECT MAX(octet_length(encode(text))) FROM documents)) rather
+    // than in a cryptic hash diff.
+    val m = Tables.documents(spark, sf001)
+      .select(max(octet_length(col("text"))).as("b"),
+        max(length(col("text"))).as("c")).head()
+    assert(m.getInt(0) <= 2048,
+      s"documents.text reaches ${m.getInt(0)} UTF-8 bytes > 2048: q48's " +
+        "oracle pw recursion (e < 2047) must be re-derived from the data")
+    assert(m.getInt(1) <= 1024,
+      s"documents.text reaches ${m.getInt(1)} chars > 1024: q188's " +
+        "oracle pw recursion (e < 1023) must be re-derived from the data")
+  }
+
+  test("parquetRowCount (footer metadata) equals the scanned count") {
+    // q183 derives its adaptive k from footer metadata instead of an
+    // eager full-table count(); this pins the two sources agreeing on
+    // both fixture shapes: a single parquet file and a multi-part
+    // directory with _SUCCESS/hidden entries to skip.
+    for (t <- Seq("embeddings", "documents", "region"))
+      assert(Tables.parquetRowCount(spark, sf001, t) ==
+        Tables.table(spark, sf001, t).count(), s"footer count drift on $t")
+    val dir = Scratch.dir("footer_count_")
+    try {
+      Tables.documents(spark, sf001).repartition(3)
+        .write.parquet(dir.resolve("docs.parquet").toString)
+      assert(Tables.parquetRowCount(spark, dir.toString, "docs") ==
+        Tables.documents(spark, sf001).count(),
+        "footer count drift on multi-part directory")
+    } finally Scratch.deleteTree(dir)
+  }
+
   test("events columns match, and ts is a supported timestamp encoding") {
     val ev = fields("events")
     assert(ev.keySet == Set("event_id", "ts", "user_id", "event_type",

@@ -9,7 +9,7 @@ package graft
 class RegistrySpec extends SparkSpec {
   test("query manifest matches the registry exactly") {
     val manifest = scala.util.Using.resource(
-      scala.io.Source.fromFile("tools/query_manifest.txt"))(
+      scala.io.Source.fromFile("tools/query_manifest.txt")(scala.io.Codec.UTF8))(
       _.getLines().map(_.trim).filter(_.nonEmpty).toSet)
     val registry = SparkEntry.queries.keySet
     assert(manifest == registry,

@@ -222,9 +222,19 @@ class NativeExprSpec extends SparkSpec {
     // the dedicated error class, not a misleading arity error
     val folded = spark.sql(
       "SELECT graft_byte_ngrams('abcd', 1 + 1) AS a, " +
-        "graft_byte_ngrams('abcd', CAST(3 AS INT)) AS b").head()
+        "graft_byte_ngrams('abcd', CAST(3 AS INT)) AS b, " +
+        "graft_byte_ngrams('abcd', 2L) AS c, " +
+        "graft_byte_ngrams('abcd', CAST(3 AS BIGINT)) AS d").head()
     assert(folded.getSeq[String](0) == Seq("ab", "bc", "cd"))
     assert(folded.getSeq[String](1) == Seq("abc", "bcd"))
+    // BIGINT literals are foldable too — they must fold, not raise a
+    // misleading NON_FOLDABLE_ARGUMENT; out-of-Int-range n is a range
+    // error naming the value
+    assert(folded.getSeq[String](2) == Seq("ab", "bc", "cd"))
+    assert(folded.getSeq[String](3) == Seq("abc", "bcd"))
+    val oor = intercept[Exception](
+      spark.sql("SELECT graft_byte_ngrams('abcd', 5000000000)").collect())
+    assert(oor.getMessage.contains("out of Int range"), oor.getMessage)
     val nf = intercept[org.apache.spark.sql.AnalysisException](
       spark.range(1).selectExpr("graft_byte_ngrams('abcd', CAST(id AS INT))")
         .collect())

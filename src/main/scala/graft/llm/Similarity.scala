@@ -126,8 +126,11 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // IVF ANN (data-adaptive cells, nprobe=2) — deterministic but not
-    // SQL-expressible → rows-only gate + LlmOpsSpec recall check.
+    // IVF ANN (data-adaptive cells, nprobe=2) — deterministic end to
+    // end (fixed sample, seeded Lloyd, (d2,cell) tiebreaks), so since
+    // round 9 it is ALSO oracle-checked: the DuckDB twin recomputes the
+    // sample + 3 unrolled Lloyd iterations in matched fold order (see
+    // the oracle entry). LlmOpsSpec keeps the recall-vs-q32 gate.
     "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d)),
 
     // Int8 scalar quantization of the embedding column — the 4×
@@ -477,6 +480,93 @@ object Similarity extends QueryModule {
         |    ELSE (code + 127.0) / 254.0 * (mx - mn) + mn END - v)), 6)
         |    AS max_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+
+    // IVF ANN twin: unlike q15/q43 the "literals" here are DATA-derived
+    // (centroids come from the table), so instead of shipping VALUES the
+    // twin RECOMPUTES the engine's whole deterministic pipeline — the
+    // vec_id%37/ORDER BY/LIMIT 256 sample, the first-8 seeds, and THREE
+    // unrolled Lloyd iterations — with every double-float fold in the
+    // same order the Scala driver loop uses (ordered SUM(x ORDER BY sid)
+    // = members in ascending-vec_id sample order; zip-unnest subquery
+    // sums = ascending dim), so argmin comparisons are bit-identical
+    // cross-engine. Assignment/probe tiebreaks (d2, then cell) mirror
+    // minBy/stable-sortBy; the final re-rank is q32's rounded-cosine
+    // window.
+    "q62_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |samp AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS sid,
+        |         list_transform(embedding, u -> CAST(u AS DOUBLE)) AS v
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 256)),
+        |dims AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+        |c0 AS (SELECT sid AS c, v FROM samp WHERE sid < 8),
+        |d1 AS (SELECT s.sid, s.v, c.c,
+        |        (SELECT SUM((z.a - z.b) * (z.a - z.b))
+        |         FROM (SELECT unnest(s.v) AS a, unnest(c.v) AS b) z) AS d2
+        |       FROM samp s, c0 c),
+        |a1 AS (SELECT sid, v, c FROM
+        |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, c) AS rn
+        |         FROM d1) t WHERE rn = 1),
+        |u1 AS (SELECT a.c, d.i AS dim, SUM(a.v[d.i + 1] ORDER BY a.sid) / COUNT(*) AS m
+        |       FROM a1 a, dims d GROUP BY a.c, d.i),
+        |c1 AS (SELECT p.c,
+        |         COALESCE((SELECT list(u.m ORDER BY u.dim) FROM u1 u WHERE u.c = p.c),
+        |                  p.v) AS v
+        |       FROM c0 p),
+        |d2_ AS (SELECT s.sid, s.v, c.c,
+        |        (SELECT SUM((z.a - z.b) * (z.a - z.b))
+        |         FROM (SELECT unnest(s.v) AS a, unnest(c.v) AS b) z) AS d2
+        |       FROM samp s, c1 c),
+        |a2 AS (SELECT sid, v, c FROM
+        |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, c) AS rn
+        |         FROM d2_) t WHERE rn = 1),
+        |u2 AS (SELECT a.c, d.i AS dim, SUM(a.v[d.i + 1] ORDER BY a.sid) / COUNT(*) AS m
+        |       FROM a2 a, dims d GROUP BY a.c, d.i),
+        |c2 AS (SELECT p.c,
+        |         COALESCE((SELECT list(u.m ORDER BY u.dim) FROM u2 u WHERE u.c = p.c),
+        |                  p.v) AS v
+        |       FROM c1 p),
+        |d3_ AS (SELECT s.sid, s.v, c.c,
+        |        (SELECT SUM((z.a - z.b) * (z.a - z.b))
+        |         FROM (SELECT unnest(s.v) AS a, unnest(c.v) AS b) z) AS d2
+        |       FROM samp s, c2 c),
+        |a3 AS (SELECT sid, v, c FROM
+        |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, c) AS rn
+        |         FROM d3_) t WHERE rn = 1),
+        |u3 AS (SELECT a.c, d.i AS dim, SUM(a.v[d.i + 1] ORDER BY a.sid) / COUNT(*) AS m
+        |       FROM a3 a, dims d GROUP BY a.c, d.i),
+        |c3 AS (SELECT p.c,
+        |         COALESCE((SELECT list(u.m ORDER BY u.dim) FROM u3 u WHERE u.c = p.c),
+        |                  p.v) AS v
+        |       FROM c2 p),
+        |dall AS (SELECT n.vec_id, n.embedding, n.nrm, c.c,
+        |          (SELECT SUM((CAST(z.a AS DOUBLE) - z.b) * (CAST(z.a AS DOUBLE) - z.b))
+        |           FROM (SELECT unnest(n.embedding) AS a, unnest(c.v) AS b) z) AS d2
+        |         FROM n, c3 c),
+        |cands AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc, c AS cell FROM
+        |           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |              ORDER BY d2, c) AS rn FROM dall) t WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, embedding AS eq, nrm AS nq, c AS cell FROM
+        |            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |               ORDER BY d2, c) AS rn FROM dall WHERE vec_id < 10) t
+        |           WHERE rn <= 2),
+        |p AS (
+        |  SELECT q.qid, c.cid,
+        |    ROUND((SELECT SUM(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE))
+        |           FROM (SELECT unnest(q.eq) AS a, unnest(c.ec) AS b) z)
+        |      / (q.nq * c.nc), 6) AS cosine
+        |  FROM probes q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+        |r AS (SELECT qid, cid, cosine,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY cosine DESC, cid) AS INT) AS rank
+        |      FROM p)
+        |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // paired-unnest twin of the posexplode; centroid AVG merge order
     // differs ~1e-13 across engines, absorbed by the round(6)

@@ -97,10 +97,53 @@ object Tables {
     * table root); `_`/`.`-prefixed entries (_SUCCESS, hidden files)
     * are skipped like Spark's own listing does.
     */
-  def parquetRowCount(s: SparkSession, d: String, name: String): Long = {
+  def parquetRowCount(s: SparkSession, d: String, name: String): Long =
+    withParquetFooters(s, s"$d/$name.parquet")(_.getRecordCount).sum
+
+  /** Exact global [min, max] of an integral column from parquet FOOTER
+    * statistics — same no-data-pass contract as [[parquetRowCount]]
+    * (parquet min/max stats are exact for integer physical types, so
+    * this is the true range, not an estimate). Used where a query
+    * needs the domain of a column to build a layout key (q190's
+    * Z-order quantization grid): at 100 TB an `agg(min, max)` for two
+    * scalars is an extra pass over the column; every footer already
+    * carries the block-level answer. Throws if any block lacks stats
+    * (no silent wrong grid from a stats-less writer).
+    */
+  def parquetColumnMinMaxLong(s: SparkSession, d: String, name: String,
+      column: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val ranges = withParquetFooters(s, s"$d/$name.parquet") { r =>
+      r.getFooter.getBlocks.asScala.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name: no column $column in parquet footer"))
+        val st = c.getStatistics
+        require(st != null && !st.isEmpty && st.hasNonNullValue,
+          s"$name.$column: parquet block lacks min/max statistics")
+        def asLong(v: Any): Long = v match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case o => throw new IllegalArgumentException(
+            s"$name.$column: non-integral parquet stats type ${o.getClass}")
+        }
+        (asLong(st.genericGetMin), asLong(st.genericGetMax))
+      }.toSeq
+    }.flatten
+    require(ranges.nonEmpty, s"$name.$column: no parquet blocks")
+    (ranges.map(_._1).min, ranges.map(_._2).max)
+  }
+
+  /** Opens each data file under `path` (a single parquet file or a
+    * directory of part files; `_`/`.`-prefixed entries skipped like
+    * Spark's own listing) and folds `f` over its footer reader.
+    */
+  private def withParquetFooters[A](s: SparkSession, path: String)(
+      f: org.apache.parquet.hadoop.ParquetFileReader => A): Seq[A] = {
     import org.apache.hadoop.fs.Path
     val conf = s.sessionState.newHadoopConf()
-    val root = new Path(s"$d/$name.parquet")
+    val root = new Path(path)
     val fs = root.getFileSystem(conf)
     def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isDirectory)
@@ -110,11 +153,11 @@ object Tables {
           }
           .flatMap(files)
       else Seq(st)
-    files(fs.getFileStatus(root)).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+    files(fs.getFileStatus(root)).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+      try f(r) finally r.close()
+    }
   }
 }
 

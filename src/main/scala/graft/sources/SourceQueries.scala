@@ -140,6 +140,49 @@ object SourceQueries extends QueryModule {
       }
     }),
 
+    // Z-order layout (ZOrder.scala): lineitem rewritten as 16 files
+    // range-clustered on the Morton interleave of (l_partkey,
+    // l_suppkey) — the quantization grid comes from exact parquet
+    // FOOTER min/max (no data pass) — then read back under a
+    // two-predicate box (partkey 10–50% of its domain × suppkey
+    // 10–30%) and aggregated. The oracle computes the same box over
+    // the RAW table (bounds restated from MIN/MAX in SQL — footer
+    // stats are exact for integers), proving the layout
+    // result-invisible (q186's contract); ZOrderSpec proves the SKIP:
+    // under a one-sided suppkey band the Z layout's per-file min/max
+    // prune most files while a partkey-sorted layout prunes none.
+    // Materialize-then-drop staging, q107/q125 contract.
+    "q190_zorder_layout" -> ((s, d) => {
+      val stage = Scratch.dir("q190_zorder_")
+      try {
+        val (pmin, pmax) = Tables.parquetColumnMinMaxLong(s, d, "lineitem", "l_partkey")
+        val (smin, smax) = Tables.parquetColumnMinMaxLong(s, d, "lineitem", "l_suppkey")
+        ZOrder.writeClustered(
+          Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+            col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+          ZOrder.zkey(col("l_partkey"), col("l_suppkey"),
+            (pmin, pmax), (smin, smax)),
+          stage.toString, numFiles = 16)
+        // integer bound arithmetic, mirrored verbatim in the oracle
+        // (Long truncating / == DuckDB floor // on these non-negative
+        // spans)
+        val plo = pmin + (pmax - pmin) / 10
+        val phi = pmin + (pmax - pmin) / 2
+        val slo = smin + (smax - smin) / 10
+        val shi = smin + 3 * ((smax - smin) / 10)
+        val back = s.read.parquet(stage.toString)
+          .filter(col("l_partkey").between(plo, phi) &&
+            col("l_suppkey").between(slo, shi))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(dsum(col("l_quantity")), 2).as("sum_qty"),
+            round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
     "q125_partitioned_prune" -> ((s, d) => {
       val stage = Scratch.dir("q125_part_")
       try {
@@ -239,6 +282,23 @@ object SourceQueries extends QueryModule {
          |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the raw-table box aggregate: the Z-ordered detour must change
+    // nothing; bounds restated from MIN/MAX (== the engine's footer
+    // stats, exact for integer parquet types), // is DuckDB floor
+    // division == Scala truncation on these non-negative spans
+    "q190_zorder_layout" ->
+      s"""WITH b AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         |  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem)
+         |SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  ROUND(${dsumSql("l_quantity")}, 2) AS sum_qty,
+         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
+         |FROM lineitem, b
+         |WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 10
+         |                    AND pmin + (pmax - pmin) // 2
+         |  AND l_suppkey BETWEEN smin + (smax - smin) // 10
+         |                    AND smin + 3 * ((smax - smin) // 10)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // oracle filters the original table: a pruned partitioned read is
     // exactly "the partitioned detour changes nothing for lang='en'"

@@ -51,6 +51,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
     "q125_partitioned_prune",
     "q186_bucketed_cojoin",
+    // q190 stages a Z-ordered write then aggregates the read-back;
+    // building its frame runs the whole detour (ZOrderSpec audits the
+    // layout's pruning instead)
+    "q190_zorder_layout",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

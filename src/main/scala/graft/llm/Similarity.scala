@@ -84,8 +84,13 @@ object Similarity extends QueryModule {
       def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
         val plane = array(planes(t)(p).map(lit(_)): _*)
         // fused codegen dot: 48 plane projections per row allocate no
-        // intermediate arrays (the zip_with form did)
-        val dot = graft_vec_dot(col("embedding"), plane)
+        // intermediate arrays (the zip_with form did). The projection
+        // is rounded to 9dp BEFORE the sign test on both engines
+        // (q183's round-before-threshold rule): the twin's grouped SUM
+        // folds in a different order than this index-ordered kernel,
+        // and an unrounded `> 0` was the one cross-engine decision
+        // boundary a ~1e-15 fold difference could flip.
+        val dot = round(graft_vec_dot(col("embedding"), plane), 9)
         when(dot > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       // one row per (vector, table): tbl tags which table the bucket
@@ -428,7 +433,8 @@ object Similarity extends QueryModule {
          |    CAST(unnest(embedding) AS DOUBLE) AS x
          |  FROM embeddings),
          |dots AS (
-         |  SELECT e.vec_id, pl.tbl, pl.p, SUM(e.x * pl.w) AS dot
+         |  SELECT e.vec_id, pl.tbl, pl.p,
+         |    ROUND(SUM(e.x * pl.w), 9) AS dot
          |  FROM ex e JOIN pl ON e.i = pl.i GROUP BY 1, 2, 3),
          |bk AS (
          |  SELECT vec_id, tbl,

@@ -67,6 +67,27 @@ object AdvancedOps extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // The OTHER half of the skew story: q52 salts by hand at plan
+    // time; q191 lets AQE rescue the same pathology at RUNTIME. A
+    // deterministic 70%-hot key (events piled onto k=0) joins a
+    // 997-row derived dimension with broadcast disabled — the shape
+    // that, static, funnels 70% of the shuffle into one task. AQE's
+    // OptimizeSkewedJoin splits the hot partition into advisory-sized
+    // reader slices at runtime (SkewJoinSpec pins `skew=true` in the
+    // final adaptive plan AND that the rescue is result-invisible vs
+    // the same join with skew handling off). Thresholds are lowered so
+    // fixture-scale bytes trigger the same decision 100 TB bytes would;
+    // set/restore follows q186's one-query-at-a-time contract, and the
+    // result is materialized before confs restore so laziness can't
+    // escape the window.
+    "q191_skew_rescue" -> ((s, d) => {
+      withSkewConfs(s, threshold = "16k", advisory = "8k") {
+        val back = skewedJoinFrame(s, d)
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      }
+    }),
+
     // End-to-end greedy DBN pre-train (64→16→8, 1 epoch per layer) —
     // the reference's whole program (driver.java:64-287) as one query.
     // The hash-draw Bernoulli sample (RBM.HashDraw) makes every layer
@@ -211,6 +232,60 @@ object AdvancedOps extends QueryModule {
     })
   )
 
+  /** q191's join, LAZY, so SkewJoinSpec can execute it under its own
+    * confs and inspect the final adaptive plan. 70% of events map to
+    * k=0 (the hot key), the rest spread over 997 keys; the dimension
+    * is a derived 997-row range table (weights (id·7) mod 13) — big
+    * enough to be a real shuffled join once broadcast is off, small
+    * enough that correctness is closed-form for the oracle.
+    */
+  def skewedJoinFrame(s: SparkSession, d: String): DataFrame = {
+    // The round-robin respread stands in for the thousands of scan
+    // mappers a real corpus produces: the fixture's events table is a
+    // single one-row-group parquet file, so the join shuffle would have
+    // exactly ONE mapper, and AQE's skew split slices a hot reducer
+    // partition by MAPPER ranges (PartialReducerPartitionSpec) — with
+    // one mapper a split is impossible by construction, no matter the
+    // thresholds. At 100 TB this exchange does not exist (the scan
+    // itself yields the mappers); at fixture scale it is what lets the
+    // hot partition be divisible at all.
+    val fact = Tables.events(s, d)
+      .select(when(col("event_id") % 10 < 7, lit(0L))
+        .otherwise(col("event_id") % 997).as("k"), col("value"))
+      .repartition(8)
+    val dim = s.range(0, 997)
+      .select(col("id").as("k"), (col("id") * 7 % 13).as("w"))
+    fact.join(dim, "k")
+      .groupBy((col("w") % 5).as("wmod"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum(col("value")), 2).as("sum_value"))
+      .orderBy(col("wmod"))
+  }
+
+  /** Applies the AQE skew-join confs (broadcast off so the shuffled
+    * path AQE rescues is what plans; thresholds lowered to make
+    * fixture-scale bytes trigger), runs `body`, restores — unset keys
+    * go BACK to unset (q186's getOption/unset symmetry).
+    */
+  def withSkewConfs[A](s: SparkSession, threshold: String, advisory: String)(
+      body: => A): A = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory)
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => try s.conf.unset(k) catch { case _: Throwable => () }
+    }
+  }
+
   def oracle: Map[String, String] = Map(
     // Greedy DBN pre-train, both layers in one statement: layer-1
     // CD-1 (seed 42) over the raw embeddings, quantized propagation
@@ -262,6 +337,19 @@ object AdvancedOps extends QueryModule {
       s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the skew mapping and derived dimension restated closed-form —
+    // AQE's partition surgery must be result-invisible
+    "q191_skew_rescue" ->
+      s"""WITH f AS (
+         |  SELECT CASE WHEN event_id % 10 < 7 THEN 0
+         |              ELSE event_id % 997 END AS k, value
+         |  FROM events),
+         |d AS (SELECT range AS k, (range * 7) % 13 AS w FROM range(0, 997))
+         |SELECT w % 5 AS wmod, COUNT(*) AS n_events,
+         |  ROUND(${dsumSql("value")}, 2) AS sum_value
+         |FROM f JOIN d USING (k)
+         |GROUP BY 1 ORDER BY wmod""".stripMargin,
 
     "q56_multi_distinct" ->
       """SELECT l_returnflag,

@@ -55,6 +55,9 @@ class PlanBudgetSpec extends SparkSpec {
     // building its frame runs the whole detour (ZOrderSpec audits the
     // layout's pruning instead)
     "q190_zorder_layout",
+    // q191 materializes under its temporary AQE-skew confs (laziness
+    // must not escape the conf window); SkewJoinSpec audits the plan
+    "q191_skew_rescue",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

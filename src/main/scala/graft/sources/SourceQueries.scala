@@ -220,6 +220,36 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     }),
 
+    // Dynamic partition pruning — the RUNTIME complement that
+    // completes the layout-pruning quartet (q125 static partition
+    // prune, q186 bucketed co-join, q190 Z-order skipping): orders is
+    // staged partitioned by order month, then joined to a 12-row
+    // calendar dimension whose only filter is `quarter = 2`. No
+    // literal predicate ever touches the fact side — at plan time
+    // every partition is live — yet Spark's PartitionPruning rule
+    // injects a `dynamicpruning#` subquery into the scan's
+    // PartitionFilters, reusing the calendar's broadcast exchange, so
+    // at RUNTIME only the 3 matching month directories are listed and
+    // read. At 100 TB this is the difference between scanning a full
+    // fact table and scanning a quarter of it whenever the selective
+    // predicate lives on a dimension, which is where selective
+    // predicates live in a star schema. DppSpec pins the mechanism
+    // (dynamicpruning in the executed plan, partitions-read metric 3
+    // of 12, static-files metric showing the pre-prune denominator)
+    // and result-invariance with the rule disabled; the oracle
+    // restates join+filter closed-form over the raw table, proving the
+    // layout and the pruning result-invisible. Materialize-then-drop
+    // staging contract (q107/q125).
+    "q192_dynamic_prune" -> ((s, d) => {
+      val stage = Scratch.dir("q192_dpp_")
+      try {
+        stageDppLayout(s, d, stage.toString)
+        val back = dppJoinFrame(s, stage.toString)
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
     // Parquet schema evolution: an old snapshot written with two
     // columns and a new snapshot written with four read back as ONE
     // table via mergeSchema — missing columns surface as typed nulls,
@@ -249,6 +279,33 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     })
   )
+
+  /** q192's staged layout: orders partitioned by order month (12
+    * directories). Writes are the one-time layout cost, like q186's
+    * bucketed writes.
+    */
+  def stageDppLayout(s: SparkSession, d: String, path: String): Unit =
+    Tables.orders(s, d)
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path)
+
+  /** q192's join, LAZY, so DppSpec can execute it and inspect the
+    * executed plan + scan metrics. The quarter filter sits ONLY on the
+    * 12-row calendar dimension; months 4-6 reach the fact scan solely
+    * through the injected dynamicpruning subquery.
+    */
+  def dppJoinFrame(s: SparkSession, stagedPath: String): DataFrame = {
+    val cal = s.range(1, 13)
+      .select(col("id").cast("int").as("m"),
+        (((col("id") - 1) / 3) + 1).cast("int").as("quarter"))
+      .filter(col("quarter") === 2)
+    s.read.parquet(stagedPath)
+      .join(cal, col("o_month") === col("m"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   private val jsonlSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -307,6 +364,15 @@ object SourceQueries extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the calendar join + quarter filter restated closed-form on the
+    // raw table: DPP's partition surgery must be result-invisible
+    "q192_dynamic_prune" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ROUND(${dsumSql("o_totalprice")}, 2) AS sum_price
+         |FROM orders
+         |WHERE (EXTRACT(month FROM o_orderdate) - 1) // 3 + 1 = 2
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // oracle re-states the generation carve on the original table:
     // even docs are the two-column v1 snapshot (lang/source null in

@@ -58,6 +58,9 @@ class PlanBudgetSpec extends SparkSpec {
     // q191 materializes under its temporary AQE-skew confs (laziness
     // must not escape the conf window); SkewJoinSpec audits the plan
     "q191_skew_rescue",
+    // q192 stages a partitioned write then aggregates the pruned
+    // read-back (DppSpec audits the runtime prune)
+    "q192_dynamic_prune",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

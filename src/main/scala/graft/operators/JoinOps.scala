@@ -119,6 +119,33 @@ object JoinOps extends QueryModule {
           col("n_total"))
     }),
 
+    // The runtime half of q115's bloom story (the q52↔q191 pairing,
+    // for join pruning): q115 builds and probes the bloom filter BY
+    // HAND; q193 lets Catalyst's InjectRuntimeFilter do it — the
+    // optimizer sees a selective dimension filter (o_orderpriority =
+    // '1-URGENT', ~18% of orders) across a shuffled join and injects a
+    // might_contain probe (fed by a scalar subquery
+    // aggregate over the dim keys) into the FACT side BELOW its
+    // exchange, so ~80% of lineitem rows never enter the shuffle. At
+    // 100 TB that pre-shuffle row kill is the single biggest lever on
+    // a selective fact-dim join that is too big to broadcast.
+    // Thresholds lowered so fixture-scale bytes trigger the decision
+    // (the app-side scan gate defaults to 10GB); broadcast disabled so
+    // the shuffled path the filter exists for is what plans.
+    // RuntimeFilterSpec pins the might_contain probe in the final
+    // plan, a strictly smaller fact-side shuffle vs the rule off, and
+    // result-invariance; the oracle restates the join closed-form
+    // (bloom false positives are re-checked by the exact join, so the
+    // probe is result-invisible by construction). Materialize-before-
+    // restore, q186/q191 conf-window contract.
+    "q193_runtime_filter" -> ((s, d) => {
+      graft.Confs.withConfs(s, runtimeFilterConfs) {
+        val back = runtimeFilterJoinFrame(s, d)
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      }
+    }),
+
     // Large-LARGE interval join — the case q20's broadcast BNLJ cannot
     // handle (SCALING.md §Joins: "a large-large band join would first
     // bucket both sides by coarse range, then band-join within
@@ -166,6 +193,34 @@ object JoinOps extends QueryModule {
     * with (bucket + interval) width, so the 2h default (= interval
     * width) is the economical sound choice.
     */
+  /** q193's conf window: broadcast off (the filter exists for joins
+    * too big to broadcast) and the app-side scan-size gate dropped to
+    * 0 so fixture bytes face the decision 100 TB bytes would. The
+    * creation-side threshold (10MB) is left at its default — the dim
+    * filter output is genuinely under it at every SF.
+    */
+  private[graft] val runtimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
+  /** q193's join, LAZY, so RuntimeFilterSpec can execute it under its
+    * own confs and read the fact-side shuffle metrics.
+    */
+  private[graft] def runtimeFilterJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   private[graft] def intervalBucketJoin(s: SparkSession, d: String,
       bucketMs: Long): DataFrame = {
     val span = 2L * 3600 * 1000 // interval width: 2h in ms
@@ -239,6 +294,16 @@ object JoinOps extends QueryModule {
         |  true AS no_false_negatives,
         |  true AS fp_rate_ok,
         |  (SELECT COUNT(*) FROM lineitem) AS n_total""".stripMargin,
+
+    // plain join + dim filter: the injected bloom probe must be
+    // result-invisible (false positives are re-checked by the join)
+    "q193_runtime_filter" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+         |  ROUND(${dsumSql("l_quantity")}, 2) AS sum_qty,
+         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // the raw band predicate, NO buckets: the oracle proves the Spark
     // side's coarse-range bucketing changes nothing but the plan

@@ -61,6 +61,9 @@ class PlanBudgetSpec extends SparkSpec {
     // q192 stages a partitioned write then aggregates the pruned
     // read-back (DppSpec audits the runtime prune)
     "q192_dynamic_prune",
+    // q193 materializes under its temporary runtime-filter confs
+    // (RuntimeFilterSpec audits the probe + shuffle reduction)
+    "q193_runtime_filter",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

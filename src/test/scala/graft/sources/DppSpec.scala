@@ -1,8 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import graft.{Scratch, SparkSpec}
+import graft.{PlanWalk, Scratch, SparkSpec}
 
 /** Pins q192's actual claim — that the fact scan is pruned at RUNTIME
   * by the dimension's filter — which the oracle (result equality)
@@ -17,16 +16,8 @@ import graft.{Scratch, SparkSpec}
   */
 class DppSpec extends SparkSpec {
 
-  /** Walks into AQE stages and subqueries — QueryStageExec is a leaf
-    * to TreeNode.collect, so a plain collect never sees the scans.
-    */
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-    case q: QueryStageExec => scans(q.plan)
-    case f: FileSourceScanExec => Seq(f)
-    case other =>
-      (other.children ++ other.subqueries).flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    PlanWalk.nodes(p).collect { case f: FileSourceScanExec => f }
 
   test("the dim filter prunes fact partitions at runtime (3 of 12)") {
     val dir = Scratch.dir("dpp_spec_")

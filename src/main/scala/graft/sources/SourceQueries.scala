@@ -250,6 +250,38 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     }),
 
+    // Rebalance-on-write — the SMALL-FILES/HOT-FILES layout op: a
+    // plain `repartition(key)` write of a skewed key (70% of lineitem
+    // piles into shard 0) produces one giant file per hot key and slivers
+    // for the rest — at 100 TB that is a handful of multi-GB files a
+    // thousand tiny ones, both poison for downstream scans. The
+    // REBALANCE hint keeps the key clustering but lets AQE split
+    // partitions above the advisory size (by mapper range) and merge
+    // ones below it, so every output file lands near the target size
+    // regardless of key skew. RebalanceSpec pins the file-size shape
+    // (hot key split across >1 bounded files vs the control's single
+    // hot file) and row equality; the oracle aggregates the read-back
+    // closed-form — the layout must be result-invisible. Fact side
+    // round-robin-respread for mapper granularity (q191's note);
+    // materialize-then-drop staging, conf-window contract.
+    "q194_rebalance_write" -> ((s, d) => {
+      val stage = Scratch.dir("q194_reb_")
+      try {
+        stageSkewedSource(s, d, s"$stage/src")
+        graft.Confs.withConfs(s, rebalanceConfs(advisory = "64k")) {
+          writeRebalanced(s, s"$stage/src", s"$stage/data")
+        }
+        val back = s.read.parquet(s"$stage/data")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(dsum(col("l_quantity")), 2).as("sum_qty"),
+            round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("shard"))
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
     // Parquet schema evolution: an old snapshot written with two
     // columns and a new snapshot written with four read back as ONE
     // table via mergeSchema — missing columns surface as typed nulls,
@@ -279,6 +311,61 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     })
   )
+
+  /** q194's conf window: AQE on with a small advisory size so
+    * fixture-scale shuffle bytes face the split/merge decision 100 TB
+    * bytes would. parallelismFirst and minPartitionSize must come down
+    * with the advisory — at their defaults the coalescer floors its
+    * target at 1MB and quietly fuses every fixture-scale partition
+    * into one, advisory notwithstanding.
+    */
+  private[graft] def rebalanceConfs(advisory: String): Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k")
+
+  /** q194's skewed fact: 70% of lineitem piles into shard 0 (q191's
+    * deterministic hot-key mapping), the rest spread over shards 1-15
+    * — the write-side pathology a partition-by-tenant or by-source
+    * corpus layout hits when one tenant dominates.
+    */
+  private[graft] def skewedShards(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(when(col("l_orderkey") % 10 < 7, lit(0L))
+        .otherwise(col("l_orderkey") % 16).as("shard"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  /** Stages q194's source as an 8-file parquet so the subsequent
+    * rebalance shuffle has 8 MAPPERS — the skew split slices a
+    * reducer partition by mapper range (q191's one-row-group fixture
+    * note), and a `.repartition(8)` inline would not survive: the
+    * optimizer's CollapseRepartition fuses Rebalance(Repartition(_))
+    * into a single exchange over the 1-mapper scan. At real scale the
+    * corpus arrives as many files and this staging does not exist.
+    */
+  private[graft] def stageSkewedSource(s: SparkSession, d: String, path: String): Unit =
+    skewedShards(s, d).repartition(8).write.mode("overwrite").parquet(path)
+
+  /** q194's skew-keyed write with the REBALANCE hint over the staged
+    * multi-file source.
+    */
+  private[graft] def writeRebalanced(s: SparkSession, srcPath: String, path: String): Unit =
+    s.read.parquet(srcPath)
+      .hint("rebalance", "shard")
+      .write.mode("overwrite").parquet(path)
+
+  /** The naive control RebalanceSpec compares against: hash-cluster by
+    * the same skewed key with a plain repartition — one file per
+    * non-empty partition, however large.
+    */
+  private[graft] def writeHashClustered(s: SparkSession, srcPath: String, path: String): Unit =
+    s.read.parquet(srcPath)
+      // explicit numPartitions pins the naive shape: without it AQE
+      // may coalesce this exchange too and the control stops being
+      // the one-file-per-hot-key counterexample
+      .repartition(8, col("shard"))
+      .write.mode("overwrite").parquet(path)
 
   /** q192's staged layout: orders partitioned by order month (12
     * directories). Writes are the one-time layout cost, like q186's
@@ -364,6 +451,16 @@ object SourceQueries extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the rebalanced layout must be result-invisible: plain closed-form
+    // aggregate over the raw table
+    "q194_rebalance_write" ->
+      s"""SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+         |       ELSE l_orderkey % 16 END AS shard,
+         |  COUNT(*) AS n_rows,
+         |  ROUND(${dsumSql("l_quantity")}, 2) AS sum_qty,
+         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
+         |FROM lineitem GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // the calendar join + quarter filter restated closed-form on the
     // raw table: DPP's partition surgery must be result-invisible

@@ -64,6 +64,9 @@ class PlanBudgetSpec extends SparkSpec {
     // q193 materializes under its temporary runtime-filter confs
     // (RuntimeFilterSpec audits the probe + shuffle reduction)
     "q193_runtime_filter",
+    // q194 stages two writes then aggregates the read-back
+    // (RebalanceSpec audits the file-size shape)
+    "q194_rebalance_write",
     "q112_observe_metrics", "q113_dedup_components",
     "q117_corpus_pipeline",
     // q159/q161 run components() like q113/q117 (eager propagation

@@ -54,6 +54,36 @@ object CorpusOps extends QueryModule {
     // doc lands in; pos = its rank within the shard. The window is
     // per-shard (N bounded partitions of corpus/N docs each), which is
     // the exact layout a data loader consumes.
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // exponential race): every doc draws a deterministic uniform u
+    // from a seeded md5 (millionths-quantized, the HashDraw idiom)
+    // and the k smallest exponential keys -ln(u)/w win — exactly
+    // equivalent to sequentially drawing k docs with probability
+    // proportional to weight, never the same doc twice. Weight here is
+    // n_chars (sample long docs preferentially — the "token-weighted
+    // subsample" a mixture builder wants); any per-doc score slots in.
+    // Scale: the key is a narrow codegen projection and the global
+    // top-k plans TakeOrderedAndProject (per-partition partial top-k +
+    // driver merge of k rows) — no corpus-wide sort, no window, no
+    // shuffle of the corpus. Cross-engine note (the HashDraw
+    // contract): u is millionths-quantized and ln/divide are IEEE
+    // doubles on both engines; a selection flip needs the k-th and
+    // (k+1)-th keys within ~1 ulp, documented-accepted like the
+    // md5-millionths threshold.
+    "q195_weighted_sample" -> ((s, d) => {
+      val u = ((TextAnalysis.md5Int(
+        concat(lit("ws:"), col("doc_id").cast("string"))) % 1000000)
+        .cast("double") + 0.5) / 1000000.0
+      val esKey = -log(u) / col("n_chars")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          esKey.as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q162_deterministic_shuffle" -> ((s, d) => {
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("shuffle_key"), col("doc_id"))
@@ -324,6 +354,19 @@ object CorpusOps extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    // the identical exponential race restated: same seeded md5 draw,
+    // same -ln(u)/w key, same (key, doc_id) tiebreak
+    "q195_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    -ln((${TextAnalysis.md5IntSql("'ws:' || CAST(doc_id AS VARCHAR)")}
+         |         % 1000000 + 0.5) / 1000000.0) / n_chars AS es_key
+         |  FROM documents),
+         |top AS (
+         |  SELECT doc_id, lang, n_chars FROM keyed
+         |  ORDER BY es_key, doc_id LIMIT 100)
+         |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
+
     "q162_deterministic_shuffle" ->
       s"""WITH keyed AS (
          |  SELECT doc_id,

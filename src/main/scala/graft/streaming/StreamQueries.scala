@@ -263,6 +263,37 @@ object StreamQueries extends QueryModule {
     // the mean of [value, value²] per user is order-free, and rounding
     // absorbs the fold's ulp-level association drift. Single batch +
     // update mode → exactly one emitted row per key.
+    // Streaming weighted reservoir — q195's Efraimidis–Spirakis race
+    // maintained INCREMENTALLY per event_type with bounded state
+    // (capacity entries + a counter per key). Min-k of a set is
+    // arrival-order-invariant, so the final reservoir equals the batch
+    // top-k however the stream was micro-batched — which is what makes
+    // a streaming sampler oracle-able at all. The replay delivers the
+    // whole fixture TWICE across two micro-batches (copies=2, one file
+    // per trigger): at-least-once redelivery, the failure mode a
+    // crawl-stream sampler actually faces — state dedups by event_id
+    // so a replayed event can never occupy two reservoir slots, and
+    // the oracle (top-k over DISTINCT events) proves it. Callers keep
+    // the final generation (gen=2, one emission per key per batch).
+    "q196_stream_reservoir" -> ((s, d) => {
+      val out = replay(s, d, copies = 2, mode = "update",
+        filesPerTrigger = Some(1)) { stream =>
+        import stream.sparkSession.implicits._
+        val u = ((graft.llm.TextAnalysis.md5Int(
+          concat(lit("rs:"), col("event_id").cast("string"))) % 1000000)
+          .cast("double") + 0.5) / 1000000.0
+        stream.select(col("event_type").as("etype"), col("event_id"),
+            col("user_id").as("uid"), col("value").as("v"),
+            (-log(u) / col("value")).as("k"))
+          .as[StreamingOps.ResEvent]
+          .transform(StreamingOps.streamingReservoir(_, 5)).toDF()
+      }
+      out.filter(col("gen") === 2)
+        .select(col("etype").as("event_type"), col("event_id"),
+          col("uid").as("user_id"), col("v").as("value"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     "q178_stream_tws_replay" -> ((s, d) => {
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       try {
@@ -551,7 +582,8 @@ object StreamQueries extends QueryModule {
   }
 
   private def replay(s: SparkSession, d: String, copies: Int = 1,
-      mode: String = "complete", sentinel: Boolean = false)(
+      mode: String = "complete", sentinel: Boolean = false,
+      filesPerTrigger: Option[Int] = None)(
       build: DataFrame => DataFrame): DataFrame = {
     val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -574,7 +606,8 @@ object StreamQueries extends QueryModule {
       // (1 file per batch) so the sentinel arrives after the data.
       val schema = eventsSchema(s, d)
       val reader = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", if (sentinel) "1" else (copies + 1).toString)
+        .option("maxFilesPerTrigger", filesPerTrigger.map(_.toString)
+          .getOrElse(if (sentinel) "1" else (copies + 1).toString))
       val stream = reader
           .parquet(stage.toString)
           .withColumn("ts", tsAsTimestamp(tsType(schema)))
@@ -617,6 +650,22 @@ object StreamQueries extends QueryModule {
         |    WHERE (b.us // 3600000000 + 1) * 3600000000 > wm.wmk)
         |SELECT (us // 3600000000) * 3600 AS hour_sec, COUNT(*) AS n
         |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the race over DISTINCT events restated as a per-type top-k:
+    // redelivered duplicates must be invisible to the reservoir
+    "q196_stream_reservoir" ->
+      s"""WITH keyed AS (
+         |  SELECT event_type, event_id, user_id, value,
+         |    -ln((${graft.llm.TextAnalysis.md5IntSql("'rs:' || CAST(event_id AS VARCHAR)")}
+         |         % 1000000 + 0.5) / 1000000.0) / value AS es_key
+         |  FROM events),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY es_key, event_id) AS rn
+         |  FROM keyed)
+         |SELECT event_type, event_id, user_id, value
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY event_type, event_id""".stripMargin,
 
     // q178: per-user mean of [value, value²] — commutative, so the
     // batch twin needs no ordering assumptions; n is the processor's

@@ -214,4 +214,50 @@ object StreamingOps {
           Iterator.single(next)
         })
   }
+
+  case class ResEvent(etype: String, event_id: Long, uid: Long,
+      v: Double, k: Double)
+  case class ResEntry(event_id: Long, uid: Long, v: Double, k: Double)
+  case class ResState(entries: List[ResEntry], gen: Long)
+  case class ResRow(etype: String, gen: Long, event_id: Long, uid: Long,
+      v: Double)
+
+  /** Streaming weighted reservoir (q195's Efraimidis–Spirakis race,
+    * incremental): per key, keep the capacity smallest exponential
+    * keys ever seen. Min-k of a set is arrival-order-invariant, so
+    * the final state equals the batch top-k no matter how the stream
+    * was chopped into micro-batches — which is what makes the query
+    * oracle-able. State is BOUNDED (capacity entries + a counter per
+    * key) and idempotent under at-least-once redelivery: entries are
+    * dedup'd by event_id before the trim, so a replayed event can
+    * never occupy two slots. Each batch emits the key's full current
+    * reservoir tagged with `gen` (batches seen); callers keep the
+    * final generation.
+    */
+  def streamingReservoir(events: Dataset[ResEvent], capacity: Int): Dataset[ResRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (etype: String, batch: Iterator[ResEvent], state: GroupState[ResState]) => {
+          val prev = state.getOption.getOrElse(ResState(Nil, 0L))
+          // incremental fold, O(capacity) memory per key: the batch
+          // iterator is never materialized
+          var res = prev.entries
+          batch.foreach { e =>
+            val beats = res.size < capacity || {
+              val last = res.last
+              e.k < last.k || (e.k == last.k && e.event_id < last.event_id)
+            }
+            if (beats && !res.exists(_.event_id == e.event_id))
+              res = (ResEntry(e.event_id, e.uid, e.v, e.k) :: res)
+                .sortBy(x => (x.k, x.event_id)).take(capacity)
+          }
+          val next = ResState(res, prev.gen + 1)
+          state.update(next)
+          res.iterator.map(e =>
+            ResRow(etype, next.gen, e.event_id, e.uid, e.v))
+        })
+  }
 }

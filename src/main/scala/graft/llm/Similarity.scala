@@ -138,6 +138,19 @@ object Similarity extends QueryModule {
     // the oracle entry). LlmOpsSpec keeps the recall-vs-q32 gate.
     "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d)),
 
+    // Product quantization + ADC scoring — THE embedding-compression
+    // path at 100 TB: 64-dim float vectors become 4 bytes (M=4
+    // subspaces × K=16 codes, Lloyd codebooks from q62's
+    // deterministic sample pipeline), and each query scores the WHOLE
+    // code table through a 4×16-entry dot-product lookup table — the
+    // scan reads 4 bytes + 4 array lookups + 3 adds per vector, never
+    // the vector itself. Fully deterministic (fixed sample, seeded
+    // Lloyd, (d2,code) tiebreaks, driver LUT folded in index order =
+    // DuckDB's list order), so the twin recomputes all 4 codebook
+    // pipelines and the same LUT join. PqSpec keeps the
+    // recall-vs-exact gate the oracle can't express.
+    "q197_ann_pq" -> ((s, d) => pqQuery(s, d)),
+
     // Int8 scalar quantization of the embedding column — the 4×
     // storage/bandwidth compression an ANN index at scale actually
     // ships. Pass 1: per-dimension [min,max] — an aggregate whose
@@ -342,6 +355,219 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q197: PQ codebooks (M subspaces × K centroids) from the q62
+    * sample, 3 Lloyd iterations per subspace — member means fold in
+    * sample order so the oracle's ORDER BY sid sums match bit-for-bit.
+    */
+  private def pqCodebooks(sample: Array[Array[Double]], m: Int, sub: Int,
+      k: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { mi =>
+      val svecs = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      var cents = svecs.take(k)
+      for (_ <- 0 until 3) {
+        val assign = svecs.map(v => cents.indices.minBy(c => l2(v, cents(c))))
+        cents = cents.indices.map { c =>
+          val members = svecs.zip(assign).collect { case (v, a) if a == c => v }
+          if (members.isEmpty) cents(c)
+          else members.transpose.map(xs => xs.sum / xs.length).toArray
+        }.toArray
+      }
+      cents
+    }
+
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+
+  /** Index-order L2 norm — matches DuckDB's SUM-over-unnest fold, so
+    * normalized vectors are bit-identical across engines.
+    */
+  private def nrm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private val PqShortlist = 50
+
+  private def pqQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // vectors are NORMALIZED before encoding: ADC then approximates
+    // cosine, the metric the exact re-rank (and q32) uses — quantized
+    // raw dots would rank by magnitude·cosine and the shortlist would
+    // chase long vectors, not near ones.
+    // %7, not q62's %37: K=16 codebooks need a bigger deterministic
+    // sample than 8 cells do (72 vectors at the smallest fixture)
+    val sample = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 7 === 0).orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+      .map(v => { val n = nrm(v); v.map(_ / n) })
+    require(sample.length >= PqK, s"sample too small for $PqK codes")
+    val codebooks = pqCodebooks(sample, PqM, PqSub, PqK)
+    val bcCb = s.sparkContext.broadcast(codebooks)
+    // encode: every vector → M argmin codes (tie → lowest code id);
+    // at scale this map pass is the one-time index build
+    val encoded = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { case (id, emb) =>
+          val v = emb.map(_.toDouble)
+          val n = nrm(v)
+          val nv = v.map(_ / n)
+          val codes = Array.tabulate(PqM) { mi =>
+            val sv = nv.slice(mi * PqSub, (mi + 1) * PqSub)
+            cb(mi).indices.minBy(c => l2(sv, cb(mi)(c)))
+          }
+          (id, codes)
+        }
+      }.toDF("cid", "codes")
+    // 10 queries → driver LUT: lut(m)(c) = dot(q̂_sub_m, centroid_c),
+    // folded in index order (= the oracle's unnest list order)
+    val qvecs = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val lutRows = qvecs.toSeq.map { case (qid, emb) =>
+      val v = emb.map(_.toDouble)
+      val n = nrm(v)
+      val nv = v.map(_ / n)
+      val lut = Seq.tabulate(PqM, PqK) { (mi, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < PqSub) { acc += nv(mi * PqSub + i) * codebooks(mi)(c)(i); i += 1 }
+        acc
+      }
+      (qid, lut.map(_.toSeq))
+    }
+    val luts = lutRows.toDF("qid", "lut")
+    // ADC: 4 lookups + 3 adds per (query, vector) — left-assoc, the
+    // oracle adds its four dot columns in the same order
+    val adc = (0 until PqM).map(mi =>
+      element_at(element_at(col("lut"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    // the production two-phase shape: the 4-byte ADC scan shortlists,
+    // then ONLY the shortlist's full vectors are fetched for the exact
+    // re-rank — at 100 TB phase 1 reads the code table, phase 2 reads
+    // |queries|·shortlist vectors
+    val shortlist = encoded.join(broadcast(luts))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("qid"), col("cid"))
+    val vq = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val vc = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    shortlist.join(vq, "qid").join(vc, "cid")
+      .select(col("qid"), col("cid"),
+        cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q197's DuckDB twin, generated: the normalized q62-style sample +
+    * unrolled-Lloyd pipeline instantiated once per subspace on the
+    * 16-dim slice, the same encode (argmin over codes, (d2,c)
+    * tiebreak), the same query LUT (dot folds in list order = the
+    * driver's index order), the same left-assoc 4-term ADC sum and
+    * top-20 shortlist, and q32's exact-cosine re-rank expression.
+    */
+  private def pqOracleSql: String = {
+    val perSub = (0 until PqM).map { mi =>
+      val lo = mi * PqSub + 1
+      val hi = (mi + 1) * PqSub
+      val iters = (1 to 3).map { it =>
+        s"""d${it}_$mi AS MATERIALIZED (SELECT s.sid, s.v, c.c,
+           |    (SELECT SUM((z.a - z.b) * (z.a - z.b))
+           |     FROM (SELECT unnest(s.v) AS a, unnest(c.v) AS b) z) AS d2
+           |  FROM s$mi s, c${it - 1}_$mi c),
+           |a${it}_$mi AS MATERIALIZED (SELECT sid, v, c FROM
+           |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, c) AS rn
+           |   FROM d${it}_$mi) t WHERE rn = 1),
+           |u${it}_$mi AS MATERIALIZED (SELECT a.c, dm.i AS dim,
+           |    SUM(a.v[dm.i + 1] ORDER BY a.sid) / COUNT(*) AS m
+           |  FROM a${it}_$mi a, dims16 dm GROUP BY a.c, dm.i),
+           |c${it}_$mi AS MATERIALIZED (SELECT p.c,
+           |    COALESCE((SELECT list(u.m ORDER BY u.dim) FROM u${it}_$mi u
+           |              WHERE u.c = p.c), p.v) AS v
+           |  FROM c${it - 1}_$mi p)""".stripMargin
+      }.mkString(",\n")
+      s"""s$mi AS MATERIALIZED (SELECT sid, v[$lo:$hi] AS v FROM samp),
+         |c0_$mi AS MATERIALIZED (SELECT sid AS c, v FROM s$mi WHERE sid < $PqK),
+         |$iters,
+         |enc_$mi AS MATERIALIZED (SELECT vec_id, c AS code FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |   FROM (SELECT e.vec_id, c.c,
+         |           (SELECT SUM((z.a - z.b) * (z.a - z.b))
+         |            FROM (SELECT unnest(e.v[$lo:$hi]) AS a,
+         |                         unnest(c.v) AS b) z) AS d2
+         |         FROM nn e, c3_$mi c) t0) t WHERE rn = 1),
+         |lut_$mi AS MATERIALIZED (SELECT q.vec_id AS qid, c.c,
+         |    (SELECT SUM(z.a * z.b)
+         |     FROM (SELECT unnest(q.v[$lo:$hi]) AS a, unnest(c.v) AS b) z) AS dot
+         |  FROM nn q, c3_$mi c WHERE q.vec_id < 10)""".stripMargin
+    }.mkString(",\n")
+    val adcSumSql = (0 until PqM).map(mi => s"l$mi.dot").mkString(" + ")
+    val encJoinsSql = (1 until PqM)
+      .map(mi => s"  JOIN enc_$mi e$mi USING (vec_id)").mkString("\n")
+    val lutJoinsSql = (1 until PqM)
+      .map(mi => s"  JOIN lut_$mi l$mi ON l$mi.qid = l0.qid AND l$mi.c = e$mi.code")
+      .mkString("\n")
+    s"""WITH samp AS MATERIALIZED (
+       |  SELECT sid, list_transform(v, x -> x / nrm) AS v FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS sid,
+       |           list_transform(embedding, u -> CAST(u AS DOUBLE)) AS v,
+       |           sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+       |                 FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+       |    FROM (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 256))),
+       |dims16 AS MATERIALIZED (SELECT CAST(unnest(range($PqSub)) AS INT) AS i),
+       |nn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, list_transform(dv, x -> x / nrm) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |          list_transform(embedding, u -> CAST(u AS DOUBLE)) AS dv,
+       |          sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+       |                FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+       |        FROM embeddings)),
+       |$perSub,
+       |scored AS MATERIALIZED (
+       |  SELECT l0.qid, e0.vec_id AS cid, $adcSumSql AS adc
+       |  FROM enc_0 e0
+       |$encJoinsSql
+       |  JOIN lut_0 l0 ON l0.c = e0.code
+       |$lutJoinsSql
+       |  WHERE l0.qid <> e0.vec_id),
+       |short AS MATERIALIZED (SELECT qid, cid FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY adc DESC, cid) AS rn FROM scored) t
+       |  WHERE rn <= $PqShortlist),
+       |rer AS MATERIALIZED (
+       |  SELECT sh.qid, sh.cid,
+       |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+       |           FROM (SELECT unnest(a.embedding) AS ua,
+       |                        unnest(b.embedding) AS ub) z)
+       |      / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM short sh
+       |  JOIN nn a ON a.vec_id = sh.qid
+       |  JOIN nn b ON b.vec_id = sh.cid)
+       |SELECT qid, cid, cosine, CAST(rn AS INT) AS rank FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY cosine DESC, cid) AS rn FROM rer) t
+       |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   private def l2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -499,6 +725,9 @@ object Similarity extends QueryModule {
     // cross-engine. Assignment/probe tiebreaks (d2, then cell) mirror
     // minBy/stable-sortBy; the final re-rank is q32's rounded-cosine
     // window.
+    // generated per-subspace Lloyd + encode + LUT twin (pqOracleSql)
+    "q197_ann_pq" -> pqOracleSql,
+
     "q62_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

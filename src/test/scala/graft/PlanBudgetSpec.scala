@@ -26,6 +26,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q146_source_mix_weights",  // two 1-row corpus-total scalar broadcasts
     "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
     "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join
+    "q197_ann_pq",              // 10-row query-LUT broadcast (ADC scan)
     "q163_token_budget_select", // 1-row budget + 1-row bucket-control broadcasts
     "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
     "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast

@@ -84,6 +84,40 @@ object CorpusOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // KMV (k-minimum-values) overlap sketch — "how much of crawl B is
+    // already in crawl A" WITHOUT joining the crawls: each snapshot
+    // keeps only its k smallest content hashes (a k-row sketch,
+    // regardless of corpus size), and Jaccard is estimated from the k
+    // smallest of the sketch UNION: est = |S_k(A∪B) ∩ S_A ∩ S_B| / k.
+    // At 100 TB the sketches are k-row tables a coordinator compares
+    // in milliseconds; here the exact Jaccard is computed alongside as
+    // the demonstration baseline (q115's fp-rate pattern). Snapshots
+    // are q167-style carves of documents (doc_id%3≠0 vs %4≠0 — true
+    // J=|A∩B|/|A∪B|≈0.55 by construction); every number is integer
+    // arithmetic over identical md5 hashes, so the oracle is exact
+    // with no float boundary at all. Each sketch is a
+    // TakeOrderedAndProject partial top-k (no corpus sort).
+    "q198_kmv_overlap" -> ((s, d) => {
+      val k = 64
+      def h = TextAnalysis.md5Int(concat(lit("kmv:"), col("text")))
+      def snap(mod: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % mod =!= 0).select(h.as("h")).distinct()
+      val a = snap(3)
+      val b = snap(4)
+      def sketch(df: DataFrame) = df.orderBy(col("h")).limit(k)
+      val sa = sketch(a)
+      val sb = sketch(b)
+      val un = sketch(sa.union(sb).distinct())
+      val m = un.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val ni = a.join(b, "h", "left_semi").agg(count(lit(1)).as("ni"))
+      val nu = a.union(b).distinct().agg(count(lit(1)).as("nu"))
+      m.crossJoin(ni).crossJoin(nu)
+        .select(lit(k).as("k"),
+          round(col("m").cast("double") / k, 4).as("est_jaccard"),
+          round(col("ni").cast("double") / col("nu"), 4).as("true_jaccard"))
+    }),
+
     "q162_deterministic_shuffle" -> ((s, d) => {
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("shuffle_key"), col("doc_id"))
@@ -354,6 +388,31 @@ object CorpusOps extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    // the identical sketch restated: same md5 hashes, same k-min
+    // selection, pure integer arithmetic — exact, no float boundary
+    "q198_kmv_overlap" ->
+      s"""WITH a AS (SELECT DISTINCT
+         |    ${TextAnalysis.md5IntSql("'kmv:' || text")} AS h
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |b AS (SELECT DISTINCT
+         |    ${TextAnalysis.md5IntSql("'kmv:' || text")} AS h
+         |  FROM documents WHERE doc_id % 4 <> 0),
+         |sa AS (SELECT h FROM a ORDER BY h LIMIT 64),
+         |sb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+         |un AS (SELECT h FROM
+         |  (SELECT h FROM sa UNION SELECT h FROM sb) u ORDER BY h LIMIT 64),
+         |est AS (SELECT COUNT(*) AS m FROM un
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+         |ex AS (SELECT
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT h FROM a INTERSECT SELECT h FROM b)) AS ni,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT h FROM a UNION SELECT h FROM b)) AS nu)
+         |SELECT CAST(64 AS INT) AS k,
+         |  ROUND(CAST(m AS DOUBLE) / 64, 4) AS est_jaccard,
+         |  ROUND(CAST(ni AS DOUBLE) / nu, 4) AS true_jaccard
+         |FROM est, ex""".stripMargin,
+
     // the identical exponential race restated: same seeded md5 draw,
     // same -ln(u)/w key, same (key, doc_id) tiebreak
     "q195_weighted_sample" ->

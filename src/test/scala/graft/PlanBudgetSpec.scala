@@ -27,6 +27,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q158_filter_funnel",       // 1-row total + ≤5-row drop-profile broadcasts
     "q114_hll_merge",           // 1-row × 1-row sketch-summary cross join
     "q197_ann_pq",              // 10-row query-LUT broadcast (ADC scan)
+    "q198_kmv_overlap",         // 1-row × 1-row sketch-summary cross joins
     "q163_token_budget_select", // 1-row budget + 1-row bucket-control broadcasts
     "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
     "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast
@@ -115,7 +116,12 @@ class PlanBudgetSpec extends SparkSpec {
     // distinct) prints under docfp, the stop-fingerprint filter, and
     // BOTH pair-join sides; the four copies are identical and reuse
     // at runtime (DedupPlanSpec asserts ReusedExchange)
-    "q188_winnow_dedup" -> 14)
+    "q188_winnow_dedup" -> 14,
+    // the two snapshot-hash subtrees (distinct md5 carves) print under
+    // the sketch, sketch-union, exact-intersect and exact-union
+    // branches; the copies are identical and reuse at runtime — the
+    // q165 self-join story
+    "q198_kmv_overlap" -> 15)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

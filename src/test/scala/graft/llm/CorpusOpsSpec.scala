@@ -149,4 +149,17 @@ class CorpusOpsSpec extends SparkSpec {
       assert(expected(status), s"doc $id: $status not in $expected")
     }
   }
+
+  test("q198's KMV estimate lands within the 2/sqrt(k) sampling bound " +
+    "of the exact Jaccard") {
+    val r = CorpusOps.queries("q198_kmv_overlap")(spark, sf001).head()
+    val k = r.getAs[Int]("k")
+    val est = r.getAs[Double]("est_jaccard")
+    val exact = r.getAs[Double]("true_jaccard")
+    // the carve makes the true overlap substantial — a sketch that
+    // degenerated to disjoint-or-identical would show here first
+    assert(exact > 0.3 && exact < 0.9, s"carve produced J=$exact")
+    assert(math.abs(est - exact) <= 2.0 / math.sqrt(k.toDouble),
+      s"KMV estimate $est too far from exact $exact for k=$k")
+  }
 }

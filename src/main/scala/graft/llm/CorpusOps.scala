@@ -118,6 +118,41 @@ object CorpusOps extends QueryModule {
           round(col("ni").cast("double") / col("nu"), 4).as("true_jaccard"))
     }),
 
+    // Incremental aggregate maintenance — update per-lang corpus
+    // stats from a CDC delta WITHOUT rescanning the corpus: the
+    // previous stats table (|langs| rows) unions with the delta's
+    // SIGNED contributions (+1/+chars per add, −1/−chars per remove)
+    // and one tiny groupBy re-emits current stats. The merge touches
+    // |keys| + |delta| rows; at 100 TB the base aggregate is a carried-
+    // forward table and the nightly cost is the delta scan — this is
+    // the algebra that makes q169-style corpus profiles maintainable
+    // instead of recomputed. Snapshots are deterministic doc_id carves
+    // (v1 = %5≠0, v2 = %7≠0: adds where %5=0∧%7≠0, removes where
+    // %7=0∧%5≠0); the oracle recomputes the stats DIRECTLY from v2,
+    // proving merge ≡ recompute — all integer arithmetic, no float
+    // boundary.
+    "q199_incremental_agg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val adds = docs
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("lang"), lit(1L).as("n_docs"),
+          col("n_chars").as("sum_chars"))
+      val removes = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+        .select(col("lang"), lit(-1L).as("n_docs"),
+          (-col("n_chars")).as("sum_chars"))
+      base.select(col("lang"), col("n_docs"), col("sum_chars"))
+        .unionAll(adds).unionAll(removes)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("lang"))
+    }),
+
     "q162_deterministic_shuffle" -> ((s, d) => {
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("shuffle_key"), col("doc_id"))
@@ -388,6 +423,14 @@ object CorpusOps extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    // the v2 snapshot aggregated DIRECTLY — the oracle IS the
+    // recompute the delta-merge must equal
+    "q199_incremental_agg" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY lang HAVING COUNT(*) > 0 ORDER BY lang""".stripMargin,
+
     // the identical sketch restated: same md5 hashes, same k-min
     // selection, pure integer arithmetic — exact, no float boundary
     "q198_kmv_overlap" ->

@@ -44,6 +44,21 @@ object Similarity extends QueryModule {
     (for (t <- 0 until LshTables; p <- 0 until LshPlanes; i <- 0 until 64)
       yield s"($t,$p,$i,${lshPlaneVals(t)(p)(i)})").mkString(",")
 
+  private val JlK = 16
+
+  /** q200's seeded JL projection matrix (k×64, entries N(0,1)/√k so
+    * E‖Rx‖² = ‖x‖²), shared with the oracle twin as literal VALUES —
+    * the q43 planes technique.
+    */
+  private lazy val jlPlanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(13L)
+    Array.fill(JlK, 64)(rnd.nextGaussian() / math.sqrt(JlK.toDouble))
+  }
+
+  private def jlPlanesValuesSql: String =
+    (for (j <- 0 until JlK; i <- 0 until 64)
+      yield s"($j,$i,${jlPlanes(j)(i)})").mkString(",")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-3 per query (queries = vec_id<10), via the
     // broadcast typed kernel (bit-identical to the declarative
@@ -137,6 +152,35 @@ object Similarity extends QueryModule {
     // sample + 3 unrolled Lloyd iterations in matched fold order (see
     // the oracle entry). LlmOpsSpec keeps the recall-vs-q32 gate.
     "q62_ann_ivf" -> ((s, d) => ivfQuery(s, d)),
+
+    // Johnson–Lindenstrauss random projection — the third compression
+    // op beside q129 (int8) and q197 (PQ): 64-dim embeddings drop to
+    // k=16 dims through a seeded Gaussian matrix scaled 1/√k, so
+    // pairwise geometry survives in expectation (‖Rx‖ ≈ ‖x‖) at a 4×
+    // dimension cut — the cheap pre-ANN compression a pipeline runs
+    // before LSH/PQ when the raw width is the bottleneck. Pure codegen:
+    // 16 fused dots per row against literal plane arrays, no shuffle at
+    // all except the output sort. Each projected coordinate is rounded
+    // to 9dp BEFORE the norms (q43's round-before-derive rule: the
+    // twin's grouped SUM folds differently), making the distortion
+    // column bit-stable cross-engine; JlSpec gates the JL property
+    // (norm-ratio concentration) the oracle can't express.
+    "q200_jl_projection" -> ((s, d) => {
+      val y = (0 until JlK).map { j =>
+        round(graft_vec_dot(col("embedding"),
+          array(jlPlanes(j).map(lit(_)): _*)), 9).as(s"y$j")
+      }
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id") +: sqrt(graft_vec_dot(col("embedding"),
+          col("embedding"))).as("nrm") +: y: _*)
+      val ynorm2 = (0 until JlK).map(j => col(s"y$j") * col(s"y$j"))
+        .reduce(_ + _)
+      e.select(col("vec_id"),
+          round(col("y0"), 6).as("y0"), round(col("y1"), 6).as("y1"),
+          round(col("y2"), 6).as("y2"), round(col("y3"), 6).as("y3"),
+          round(sqrt(ynorm2) / col("nrm"), 6).as("norm_ratio"))
+        .orderBy(col("vec_id"))
+    }),
 
     // Product quantization + ADC scoring — THE embedding-compression
     // path at 100 TB: 64-dim float vectors become 4 bytes (M=4
@@ -651,6 +695,37 @@ object Similarity extends QueryModule {
     // q15 W0 technique), the sign-bit buckets are a conditional
     // bit-shift sum per (vector, table), candidates equi-join on
     // (tbl, bucket), and the re-rank is q32's rounded-cosine window
+    // same seeded matrix as VALUES, same 9dp round-before-derive, same
+    // left-to-right 16-term norm fold
+    "q200_jl_projection" ->
+      s"""WITH pl(j, i, w) AS (VALUES $jlPlanesValuesSql),
+         |ex AS (
+         |  SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id,
+         |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+         |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+         |  FROM embeddings),
+         |ys AS (
+         |  SELECT e.vec_id, pl.j, ROUND(SUM(e.x * pl.w), 9) AS y
+         |  FROM ex e JOIN pl ON e.i = pl.i GROUP BY 1, 2),
+         |yn AS (
+         |  SELECT vec_id, sqrt(SUM(y * y ORDER BY j)) AS ynorm
+         |  FROM ys GROUP BY vec_id)
+         |SELECT y0.vec_id,
+         |  ROUND(y0.y, 6) AS y0, ROUND(y1.y, 6) AS y1,
+         |  ROUND(y2.y, 6) AS y2, ROUND(y3.y, 6) AS y3,
+         |  ROUND(yn.ynorm / n.nrm, 6) AS norm_ratio
+         |FROM (SELECT * FROM ys WHERE j = 0) y0
+         |JOIN (SELECT * FROM ys WHERE j = 1) y1 USING (vec_id)
+         |JOIN (SELECT * FROM ys WHERE j = 2) y2 USING (vec_id)
+         |JOIN (SELECT * FROM ys WHERE j = 3) y3 USING (vec_id)
+         |JOIN yn USING (vec_id) JOIN n USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
     "q43_ann_lsh" ->
       s"""WITH pl(tbl, p, i, w) AS (VALUES $lshPlanesValuesSql),
          |ex AS (

@@ -220,6 +220,41 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(stage)
     }),
 
+    // Corrupt-tolerant JSONL ingest — what a real crawl delivery looks
+    // like: a deterministic 1-in-11 of the staged lines is truncated
+    // mid-object, and the PERMISSIVE reader (Spark's default) lands
+    // every malformed line in `_corrupt_record` instead of killing the
+    // job — valid rows parse normally, corrupt rows surface as a
+    // NULL-keyed audit bucket with their raw bytes preserved for
+    // quarantine. At 100 TB "0.1% of the crawl is garbage" is a
+    // certainty, and the difference between PERMISSIVE accounting and
+    // FAILFAST is whether the pipeline ships. The oracle restates the
+    // corruption rule closed-form (doc_id%11=0 lines lose their
+    // closing brace), proving the reader recovers every valid row and
+    // quarantines exactly the corrupted ones. Materialize-then-drop
+    // staging (q77 contract).
+    "q201_corrupt_ingest" -> ((s, d) => {
+      val stage = Scratch.dir("q201_corrupt_")
+      try {
+        val json = to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("n_chars")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), json.as("j"))
+          .select(when(col("doc_id") % 11 === 0,
+            expr("substring(j, 1, length(j) - 1)"))
+            .otherwise(col("j")).as("line"))
+          .write.mode("overwrite").text(stage.toString)
+        val back = s.read.schema(corruptSchema).json(stage.toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang").asc_nulls_first)
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(stage)
+    }),
+
     // Dynamic partition pruning — the RUNTIME complement that
     // completes the layout-pruning quartet (q125 static partition
     // prune, q186 bucketed co-join, q190 Z-order skipping): orders is
@@ -394,6 +429,11 @@ object SourceQueries extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  private val corruptSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
   private val jsonlSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("n_chars", LongType)))
@@ -451,6 +491,18 @@ object SourceQueries extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the corruption rule restated closed-form: %11 lines are the
+    // NULL-lang quarantine bucket, everyone else parses intact
+    "q201_corrupt_ingest" ->
+      """SELECT lang, COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT NULL AS lang, COUNT(*) AS n_rows, COUNT(*) AS n_corrupt,
+        |  NULL AS sum_chars
+        |FROM documents WHERE doc_id % 11 = 0
+        |ORDER BY lang NULLS FIRST""".stripMargin,
 
     // the rebalanced layout must be result-invisible: plain closed-form
     // aggregate over the raw table

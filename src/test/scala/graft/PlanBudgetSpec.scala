@@ -51,7 +51,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q182_stream_static_enrich", "q196_stream_reservoir",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
-    "q125_partitioned_prune",
+    "q125_partitioned_prune", "q201_corrupt_ingest",
     "q186_bucketed_cojoin",
     // q190 stages a Z-ordered write then aggregates the read-back;
     // building its frame runs the whole detour (ZOrderSpec audits the

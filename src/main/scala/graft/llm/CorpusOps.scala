@@ -47,13 +47,6 @@ object CorpusOps extends QueryModule {
       (lit(1.0) - col("stop_cnt").cast("double") / col("n_tok")) * 0.5, 6)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Reproducible pre-training shuffle: every epoch of every training
-    // run must see the same global order, so the "shuffle" is a pure
-    // function of (seed, doc_id) — an md5-derived 60-bit key — not of
-    // partitioning or arrival order. shard = key mod N is the file a
-    // doc lands in; pos = its rank within the shard. The window is
-    // per-shard (N bounded partitions of corpus/N docs each), which is
-    // the exact layout a data loader consumes.
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     // exponential race): every doc draws a deterministic uniform u
     // from a seeded md5 (millionths-quantized, the HashDraw idiom)
@@ -153,6 +146,48 @@ object CorpusOps extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Contiguous global IDs without a global sort — the two-phase
+    // ranking every 100 TB corpus needs to mint dense 0..N−1 doc ids:
+    // a naive ROW_NUMBER() OVER (ORDER BY doc_id) funnels the corpus
+    // through ONE partition (the partition-less-window anti-pattern
+    // PlanBudgetSpec rejects registry-wide — this query passes that
+    // gate where the naive form cannot). Phase 1: deterministic range
+    // buckets from parquet FOOTER min/max (no data pass, q190's
+    // technique) → per-bucket counts (≤nb rows, driver-folded into
+    // exclusive offsets). Phase 2: gid = offset(bucket) + local rank
+    // within the bucket — per-bucket windows over a broadcast offset
+    // join, fully parallel. The oracle IS the naive global
+    // ROW_NUMBER, proving the two-phase ids identical to a total
+    // ordering.
+    "q202_contiguous_ids" -> ((s, d) => {
+      val nb = 16
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents", "doc_id")
+      val span = mx - mn + 1
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((col("doc_id") - mn) * nb / span).cast("int").as("b"))
+      val counts = docs.groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("b"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = counts.scanLeft((0, 0L)) {
+        case ((_, acc), (b, c)) => (b, acc + c)
+      }.init.zip(counts).map { case ((_, off), (b, _)) => (b, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("b", "off")
+      val w = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      docs.join(broadcast(offDf), "b")
+        .select(col("doc_id"),
+          (col("off") + row_number().over(w) - 1).as("gid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Reproducible pre-training shuffle: every epoch of every training
+    // run must see the same global order, so the "shuffle" is a pure
+    // function of (seed, doc_id) — an md5-derived 60-bit key — not of
+    // partitioning or arrival order. shard = key mod N is the file a
+    // doc lands in; pos = its rank within the shard. The window is
+    // per-shard (N bounded partitions of corpus/N docs each), which is
+    // the exact layout a data loader consumes.
     "q162_deterministic_shuffle" -> ((s, d) => {
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("shuffle_key"), col("doc_id"))
@@ -423,6 +458,13 @@ object CorpusOps extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    // the naive total ordering IS the oracle: the two-phase ids must
+    // equal a global ROW_NUMBER exactly
+    "q202_contiguous_ids" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the v2 snapshot aggregated DIRECTLY — the oracle IS the
     // recompute the delta-merge must equal
     "q199_incremental_agg" ->

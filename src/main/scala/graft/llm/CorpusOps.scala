@@ -111,6 +111,42 @@ object CorpusOps extends QueryModule {
           round(col("ni").cast("double") / col("nu"), 4).as("true_jaccard"))
     }),
 
+    // Sampling-based approximate query processing — interactive
+    // aggregates over a corpus too big to scan: a deterministic 5%
+    // Bernoulli sample (md5-millionths threshold, the HashDraw idiom)
+    // feeds Horvitz–Thompson estimators (est = sample_sum / p) with
+    // proper 95% CIs (Var(est_sum) under Bernoulli sampling is
+    // Σ_sample x²·(1−p)/p², so the error bar ships WITH the estimate —
+    // an estimate without its CI is a guess). At 100 TB the sample is
+    // materialized once and every exploratory aggregate runs 20×
+    // cheaper; the true values ride along as the demonstration
+    // baseline (q115's pattern) and AqpSpec asserts the nominal
+    // coverage. Estimator arithmetic is one division per cell over
+    // exact integer sums — no fold-order float boundary — so the
+    // oracle is exact.
+    "q203_aqp_estimate" -> ((s, d) => {
+      val p = 0.05
+      val inSample = (TextAnalysis.md5Int(
+        concat(lit("aqp:"), col("doc_id").cast("string"))) % 1000000) <
+        lit((p * 1000000).toLong)
+      val docs = Tables.documents(s, d)
+      val samp = docs.filter(inSample)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sum_s"),
+          sum(col("n_chars") * col("n_chars")).as("sumsq_s"))
+      val truth = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("true_docs"),
+          sum(col("n_chars")).as("true_chars"))
+      samp.join(truth, "lang")
+        .select(col("lang"),
+          round(col("n_s") / p, 2).as("est_docs"),
+          round(col("sum_s") / p, 2).as("est_chars"),
+          round(lit(1.96) * sqrt(col("sumsq_s") * (1 - p) / (p * p)), 2)
+            .as("ci95_chars"),
+          col("true_docs"), col("true_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Incremental aggregate maintenance — update per-lang corpus
     // stats from a CDC delta WITHOUT rescanning the corpus: the
     // previous stats table (|langs| rows) unions with the delta's
@@ -458,6 +494,29 @@ object CorpusOps extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
+    // identical estimator arithmetic over identical integer sums —
+    // one division per cell, no float-fold boundary
+    "q203_aqp_estimate" ->
+      s"""WITH samp AS (
+         |  SELECT lang, COUNT(*) AS n_s,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_s,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_s
+         |  FROM documents
+         |  WHERE ${graft.llm.TextAnalysis.md5IntSql("'aqp:' || CAST(doc_id AS VARCHAR)")}
+         |    % 1000000 < 50000
+         |  GROUP BY lang),
+         |tru AS (
+         |  SELECT lang, COUNT(*) AS true_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS true_chars
+         |  FROM documents GROUP BY lang)
+         |SELECT lang,
+         |  ROUND(n_s / 0.05, 2) AS est_docs,
+         |  ROUND(sum_s / 0.05, 2) AS est_chars,
+         |  ROUND(1.96 * sqrt(sumsq_s * (1 - 0.05) / (0.05 * 0.05)), 2)
+         |    AS ci95_chars,
+         |  true_docs, true_chars
+         |FROM samp JOIN tru USING (lang) ORDER BY lang""".stripMargin,
+
     // the naive total ordering IS the oracle: the two-phase ids must
     // equal a global ROW_NUMBER exactly
     "q202_contiguous_ids" ->

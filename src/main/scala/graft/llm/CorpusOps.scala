@@ -133,7 +133,12 @@ object CorpusOps extends QueryModule {
       val samp = docs.filter(inSample)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sum_s"),
-          sum(col("n_chars") * col("n_chars")).as("sumsq_s"))
+          // sum of squares through DECIMAL(38,0): n_chars² × N silently
+          // wraps int64 at real corpus scale (1e6-char docs overflow
+          // after ~9M rows); decimal accumulation is exact and matches
+          // the twin's HUGEINT fold with no float-order boundary
+          sum(col("n_chars").cast("decimal(19,0)")
+            * col("n_chars").cast("decimal(19,0)")).as("sumsq_s"))
       val truth = docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("true_docs"),
           sum(col("n_chars")).as("true_chars"))
@@ -500,7 +505,7 @@ object CorpusOps extends QueryModule {
       s"""WITH samp AS (
          |  SELECT lang, COUNT(*) AS n_s,
          |    CAST(SUM(n_chars) AS BIGINT) AS sum_s,
-         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_s
+         |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq_s
          |  FROM documents
          |  WHERE ${graft.llm.TextAnalysis.md5IntSql("'aqp:' || CAST(doc_id AS VARCHAR)")}
          |    % 1000000 < 50000

@@ -3,15 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scoped session-conf window: set `confs`, run `body`, restore — a
-  * key that was unset before goes BACK to unset, not to a pinned
-  * explicit value (q186's getOption/unset symmetry). Assumes the
-  * driver's one-query-at-a-time contract: a concurrently planned query
-  * on the same session would see the window's confs.
+  * key that was not EXPLICITLY set before goes BACK to unset (i.e. it
+  * keeps following its default, including defaults that fall back to
+  * other confs), not to a pinned copy of the old default. That
+  * distinction is why this checks SQLConf.contains rather than
+  * RuntimeConfig.getOption: getOption returns the DEFAULT value for
+  * registered-but-unset confs, and restoring that as an explicit
+  * setting would freeze the fallback chain for the rest of the
+  * session. Assumes the driver's one-query-at-a-time contract: a
+  * concurrently planned query on the same session would see the
+  * window's confs.
   */
 object Confs {
   def withConfs[A](s: SparkSession, confs: Seq[(String, String)])(
       body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val sqlConf = s.sessionState.conf
+    val prev = confs.map { case (k, _) =>
+      k -> (if (sqlConf.contains(k)) Some(s.conf.get(k)) else None)
+    }
     try {
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       body

@@ -183,16 +183,17 @@ object Similarity extends QueryModule {
     }),
 
     // Product quantization + ADC scoring — THE embedding-compression
-    // path at 100 TB: 64-dim float vectors become 4 bytes (M=4
+    // path at 100 TB: 64-dim float vectors become PqM bytes (M=8
     // subspaces × K=16 codes, Lloyd codebooks from q62's
     // deterministic sample pipeline), and each query scores the WHOLE
-    // code table through a 4×16-entry dot-product lookup table — the
-    // scan reads 4 bytes + 4 array lookups + 3 adds per vector, never
-    // the vector itself. Fully deterministic (fixed sample, seeded
-    // Lloyd, (d2,code) tiebreaks, driver LUT folded in index order =
-    // DuckDB's list order), so the twin recomputes all 4 codebook
-    // pipelines and the same LUT join. PqSpec keeps the
-    // recall-vs-exact gate the oracle can't express.
+    // code table through an 8×16-entry dot-product lookup table — the
+    // scan reads 8 bytes + 8 array lookups + 7 adds per vector, never
+    // the vector itself, then only the PqShortlist survivors fetch
+    // their full vectors for the exact cosine re-rank. Fully
+    // deterministic (fixed sample, seeded Lloyd, (d2,code) tiebreaks,
+    // driver LUT folded in index order = DuckDB's list order), so the
+    // twin recomputes all 8 codebook pipelines and the same LUT join.
+    // PqSpec keeps the recall-vs-exact gate the oracle can't express.
     "q197_ann_pq" -> ((s, d) => pqQuery(s, d)),
 
     // Int8 scalar quantization of the embedding column — the 4×
@@ -488,8 +489,8 @@ object Similarity extends QueryModule {
       (qid, lut.map(_.toSeq))
     }
     val luts = lutRows.toDF("qid", "lut")
-    // ADC: 4 lookups + 3 adds per (query, vector) — left-assoc, the
-    // oracle adds its four dot columns in the same order
+    // ADC: PqM lookups + PqM−1 adds per (query, vector) — left-assoc,
+    // the oracle adds its dot columns in the same order
     val adc = (0 until PqM).map(mi =>
       element_at(element_at(col("lut"), mi + 1),
         element_at(col("codes"), mi + 1) + 1))
@@ -525,8 +526,9 @@ object Similarity extends QueryModule {
     * unrolled-Lloyd pipeline instantiated once per subspace on the
     * 16-dim slice, the same encode (argmin over codes, (d2,c)
     * tiebreak), the same query LUT (dot folds in list order = the
-    * driver's index order), the same left-assoc 4-term ADC sum and
-    * top-20 shortlist, and q32's exact-cosine re-rank expression.
+    * driver's index order), the same left-assoc PqM-term ADC sum and
+    * top-PqShortlist shortlist, and q32's exact-cosine re-rank
+    * expression.
     */
   private def pqOracleSql: String = {
     val perSub = (0 until PqM).map { mi =>
@@ -542,7 +544,7 @@ object Similarity extends QueryModule {
            |   FROM d${it}_$mi) t WHERE rn = 1),
            |u${it}_$mi AS MATERIALIZED (SELECT a.c, dm.i AS dim,
            |    SUM(a.v[dm.i + 1] ORDER BY a.sid) / COUNT(*) AS m
-           |  FROM a${it}_$mi a, dims16 dm GROUP BY a.c, dm.i),
+           |  FROM a${it}_$mi a, dimss dm GROUP BY a.c, dm.i),
            |c${it}_$mi AS MATERIALIZED (SELECT p.c,
            |    COALESCE((SELECT list(u.m ORDER BY u.dim) FROM u${it}_$mi u
            |              WHERE u.c = p.c), p.v) AS v
@@ -577,7 +579,7 @@ object Similarity extends QueryModule {
        |                 FROM (SELECT unnest(embedding) AS u) z)) AS nrm
        |    FROM (SELECT vec_id, embedding FROM embeddings
        |          WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 256))),
-       |dims16 AS MATERIALIZED (SELECT CAST(unnest(range($PqSub)) AS INT) AS i),
+       |dimss AS MATERIALIZED (SELECT CAST(unnest(range($PqSub)) AS INT) AS i),
        |nn AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, list_transform(dv, x -> x / nrm) AS v
        |  FROM (SELECT vec_id, embedding,

@@ -264,27 +264,18 @@ object AdvancedOps extends QueryModule {
 
   /** Applies the AQE skew-join confs (broadcast off so the shuffled
     * path AQE rescues is what plans; thresholds lowered to make
-    * fixture-scale bytes trigger), runs `body`, restores — unset keys
-    * go BACK to unset (q186's getOption/unset symmetry).
+    * fixture-scale bytes trigger), runs `body`, restores — the scoped
+    * window is [[graft.Confs.withConfs]].
     */
   def withSkewConfs[A](s: SparkSession, threshold: String, advisory: String)(
-      body: => A): A = {
-    val confs = Seq(
+      body: => A): A =
+    graft.Confs.withConfs(s, Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold,
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory)
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      body
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => try s.conf.unset(k) catch { case _: Throwable => () }
-    }
-  }
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory))(body)
 
   def oracle: Map[String, String] = Map(
     // Greedy DBN pre-train, both layers in one statement: layer-1

@@ -28,10 +28,16 @@ object ZOrder {
     * quantized into a `bits`-wide rank on its FULL domain `[lo, hi]`
     * (exact footer-stats min/max — see
     * [[graft.Tables.parquetColumnMinMaxLong]]), then the rank bits are
-    * interleaved x→even, y→odd. Pure integer Column arithmetic — no
-    * UDF, stays inside whole-stage codegen. Quantization uses Long
-    * multiply-then-divide, exact while (hi−lo)·(2^bits−1) fits a Long
-    * (any realistic key domain at bits=16).
+    * interleaved x→even, y→odd. Pure Column arithmetic — no UDF,
+    * stays inside whole-stage codegen. Note the exactness bound:
+    * Spark plans `/` on long columns as IEEE DOUBLE true division
+    * (the quant expression resolves to DoubleType before the int
+    * cast), so multiply-then-divide is exact while
+    * (hi−lo)·(2^bits−1) fits double's 53-bit mantissa — spans up to
+    * ~1.4e11 at bits=16. Beyond that the quantized ranks drift off
+    * the exact grid (loosening skipping, never correctness — the key
+    * only CLUSTERS); a span that large should drop `bits` or switch
+    * the division to `floor(a / b)` over decimals.
     */
   def zkey(x: Column, y: Column, xRange: (Long, Long), yRange: (Long, Long),
       bits: Int = 16): Column = {

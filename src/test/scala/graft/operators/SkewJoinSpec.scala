@@ -25,19 +25,11 @@ class SkewJoinSpec extends SparkSpec {
     }
     // same join, skew handling off (broadcast still off so the SAME
     // shuffled-join shape runs, just without the partition surgery)
-    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-    val plain =
-      try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        AdvancedOps.skewedJoinFrame(spark, sf001).collect()
-      } finally {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        prev match {
-          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        }
-      }
+    val plain = graft.Confs.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+      AdvancedOps.skewedJoinFrame(spark, sf001).collect()
+    }
     assert(rescued.map(_.toString).toSeq == plain.map(_.toString).toSeq,
       "skew rescue changed results")
   }

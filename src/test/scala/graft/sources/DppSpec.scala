@@ -48,16 +48,10 @@ class DppSpec extends SparkSpec {
     try {
       SourceQueries.stageDppLayout(spark, sf001, dir.toString)
       val pruned = SourceQueries.dppJoinFrame(spark, dir.toString).collect()
-      val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
-      val prev = spark.conf.getOption(key)
-      val plain =
-        try {
-          spark.conf.set(key, "false")
-          SourceQueries.dppJoinFrame(spark, dir.toString).collect()
-        } finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
+      val plain = graft.Confs.withConfs(spark, Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false")) {
+        SourceQueries.dppJoinFrame(spark, dir.toString).collect()
+      }
       assert(pruned.map(_.toString).toSeq == plain.map(_.toString).toSeq,
         "dynamic partition pruning changed results")
     } finally Scratch.deleteTree(dir)

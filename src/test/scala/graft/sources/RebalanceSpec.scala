@@ -11,10 +11,13 @@ import graft.{Confs, Scratch, SparkSpec}
   */
 class RebalanceSpec extends SparkSpec {
 
-  private def parquetSizes(dir: Path): Seq[Long] =
-    Files.list(dir).iterator().asScala
+  private def parquetSizes(dir: Path): Seq[Long] = {
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(Files.size(_)).toSeq
+    finally listing.close()
+  }
 
   test("rebalance splits the hot key's file and bounds every file; " +
     "the naive hash-clustered write does not") {

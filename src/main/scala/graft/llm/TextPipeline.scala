@@ -95,6 +95,33 @@ object TextPipeline extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE roundtrip validation — the tokenizer-integrity gate a
+    // training pipeline runs before trusting q187's encode: every
+    // word is rebuilt from its encoded symbol stream (symbols sorted
+    // by sidx, concatenated) and compared byte-for-byte against the
+    // original token. n_mismatch is computed for REAL on the Spark
+    // side while the oracle pins it to literal 0 — any regression in
+    // the merge table, the wrapped-string replace passes, or the
+    // symbol split turns this row red instead of silently corrupting
+    // every downstream token count. Per-word work rides q187's shared
+    // encode stage; the rebuild is one (doc,word)-keyed agg.
+    "q204_bpe_roundtrip" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(tokens).as(Seq("widx", "tok")))
+      val rebuilt = bpeSymbols(s, d)
+        .groupBy(col("doc_id"), col("widx"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("sidx"), col("sym")))),
+          x => x("sym")), "").as("rebuilt"))
+      words.join(rebuilt, Seq("doc_id", "widx"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("rebuilt") =!= col("tok"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF with idf = ln(N/df), top-5 terms per document by weight
     // (term as tiebreak). df is a term-partitioned window COUNT over
     // the tf relation, NOT a second aggregation branch: the two-branch
@@ -1057,6 +1084,17 @@ object TextPipeline extends QueryModule {
         |          '\d{3}-\d{4}', '<PHONE>', 'g') AS s
         |      FROM dirty)
         |ORDER BY doc_id""".stripMargin,
+
+    // the rebuild must be the identity: word counts from the same
+    // tokenizer twin, mismatches pinned to literal zero — the Spark
+    // side computes them for real
+    "q204_bpe_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS tok
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_words, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q82_vocab_topk" ->
       """WITH toks AS (

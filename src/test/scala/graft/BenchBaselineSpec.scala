@@ -27,7 +27,7 @@ class BenchBaselineSpec extends AnyFunSuite {
       "BASELINE.md is pure ASCII; this spec no longer exercises the multibyte decode path")
 
     val m = Bench.parseBaseline(path)
-    assert(m.size >= 203, s"expected >=203 baseline rows, parsed ${m.size}")
+    assert(m.size >= 204, s"expected >=204 baseline rows, parsed ${m.size}")
     // Spot-check a known row and the registry linkage: every baseline
     // key should name a registered query (drift = a renamed query whose
     // retime threshold silently stops applying).

@@ -19,6 +19,24 @@ object Bench {
     val Row = """\|\s*(q\d+\w*)\s*\|\s*([0-9.]+)\s*\|""".r
     Row.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+  /** The bench_queries.json line, as a pure function so the failure
+    * accounting is spec-pinnable (BenchBaselineSpec): a name in
+    * `failed` MUST surface in the artifact — the round-9 escape was a
+    * crashed query recorded as a quiet timing with no trace.
+    */
+  def artifactJson(results: Seq[(String, Double)], retimed: Seq[String],
+      failed: Seq[String], baselineRows: Int, sfDir: String): String = {
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val rt = retimed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val fl = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$fl,"baseline_rows":$baselineRows,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,15 +113,30 @@ object Bench {
         System.err.println(s"[bench] BASELINE.md parse failed, retime disabled: $e")
         Map.empty
       }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // The catch-all keeps one broken query from killing the whole run,
+    // but it must never again HIDE the break (round 9: q196's
+    // DIVIDE_BY_ZERO crash was timed as a quiet 0.63s "pass" in two
+    // independent runs). Every execution failure is recorded by name
+    // and emitted loudly: one stderr line per failure at throw time,
+    // plus a "failed":[...] key in bench_queries.json beside "retimed"
+    // so the artifact the driver reads carries the evidence. A retime
+    // that SUCCEEDS clears the name (transient, not a real break).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); failed -= name }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(
+          s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Sorted execution order: run-to-run comparability, instead of
     // whatever query Map iteration order happened to put first.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = sorted.map { case (name, fn) => name -> time(fn) }
+    val firstPass = sorted.map { case (name, fn) => name -> time(name, fn) }
     // Noise-robust retime: a single-shot measurement under ambient
     // sandbox load has produced only false >2x flags for three rounds
     // running. Any query whose first measurement exceeds 2x its
@@ -113,11 +146,17 @@ object Bench {
     // not survive the retime. Retimed names are recorded so the report
     // distinguishes measured-once from best-of-two.
     val fnByName = sorted.toMap
+    // Failed queries are force-retimed too: a crash usually times FAST
+    // (the throw comes early), so the >2x slowness gate would never
+    // re-run it — but one re-run is exactly what separates a transient
+    // environment hiccup (succeeds, clears the failed set) from a real
+    // break (fails again, stays listed).
     val retimed = firstPass.collect {
-      case (name, t) if baseline.get(name).exists(b => t > 2.0 * b) => name
+      case (name, t) if baseline.get(name).exists(b => t > 2.0 * b) ||
+        failed.contains(name) => name
     }
     val results = firstPass.map { case (name, t) =>
-      if (retimed.contains(name)) name -> math.min(t, time(fnByName(name)))
+      if (retimed.contains(name)) name -> math.min(t, time(name, fnByName(name)))
       else name -> t
     }
     // The harness retains only a ~2.4KB tail of stdout; at 181 queries
@@ -125,18 +164,16 @@ object Bench {
     // and the tail begins mid-JSON (BENCH_r06 arrived parsed:null). So
     // the per-query map goes ONLY to bench_queries.json at the repo
     // root, and the single stdout metric line is just the total —
-    // <200 bytes, always inside any tail window. Locale.ROOT: a
-    // comma-decimal default locale would render "1,234" and corrupt
-    // the JSON.
+    // <200 bytes, always inside any tail window. Locale.ROOT (inside
+    // artifactJson): a comma-decimal default locale would render
+    // "1,234" and corrupt the JSON.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED after " +
+        s"retime: ${failed.mkString(", ")}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val rt = retimed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"baseline_rows":${baseline.size},"sf":"$sfDir"}"""
+    val full = artifactJson(results, retimed, failed.toSeq, baseline.size, sfDir)
     // Written at the repo root (resolved above), not bare CWD, so a
     // caller running Bench from elsewhere doesn't strand the file; a
     // failed write must not kill the run but must not be silent either

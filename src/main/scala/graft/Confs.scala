@@ -26,7 +26,14 @@ object Confs {
       body
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => try s.conf.unset(k) catch { case _: Throwable => () }
+      // a restore-unset that fails means the window's conf LEAKS into
+      // every later query on the shared session — never silent: the
+      // stderr line makes a leaked window diagnosable
+      case (k, None) => try s.conf.unset(k) catch {
+        case e: Throwable =>
+          System.err.println(s"[confs] restore-unset of $k failed " +
+            s"(window value leaks into the session): $e")
+      }
     }
   }
 }

@@ -45,7 +45,12 @@ object ZOrder {
     def quant(c: Column, r: (Long, Long)): Column = {
       val span = r._2 - r._1
       if (span <= 0L) lit(0L)
-      else (c.cast("long") - lit(r._1)) * lit((1L << bits) - 1) / lit(span)
+      // the division resolves to DoubleType (true division on longs);
+      // the cast makes the double→long truncation EXPLICIT rather than
+      // leaning on implicit narrowing coercion, which stricter (ANSI)
+      // type-coercion modes reject at analysis time
+      else ((c.cast("long") - lit(r._1)) * lit((1L << bits) - 1) / lit(span))
+        .cast("long")
     }
     val xq = quant(x, xRange)
     val yq = quant(y, yRange)

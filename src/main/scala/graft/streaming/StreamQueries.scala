@@ -275,6 +275,15 @@ object StreamQueries extends QueryModule {
     // so a replayed event can never occupy two reservoir slots, and
     // the oracle (top-k over DISTINCT events) proves it. Callers keep
     // the final generation (gen=2, one emission per key per batch).
+    // Zero-weight rule (explicit): Efraimidis–Spirakis assigns weight-0
+    // items zero inclusion probability — they can never win a slot —
+    // so value=0 events are filtered OUT of the race before the key is
+    // computed. This is both the correct sampling semantics and what
+    // keeps the key finite under ANSI mode: the sf0.1 fixture contains
+    // value=0.0 rows, and -log(u)/0 is a DIVIDE_BY_ZERO there (the
+    // round-9 escape). The oracle twin applies the identical filter;
+    // FixtureContractSpec pins value >= 0 so a negative-weight domain
+    // can't silently invert the rule.
     "q196_stream_reservoir" -> ((s, d) => {
       val out = replay(s, d, copies = 2, mode = "update",
         filesPerTrigger = Some(1)) { stream =>
@@ -282,7 +291,8 @@ object StreamQueries extends QueryModule {
         val u = ((graft.llm.TextAnalysis.md5Int(
           concat(lit("rs:"), col("event_id").cast("string"))) % 1000000)
           .cast("double") + 0.5) / 1000000.0
-        stream.select(col("event_type").as("etype"), col("event_id"),
+        stream.filter(col("value") > 0.0)
+          .select(col("event_type").as("etype"), col("event_id"),
             col("user_id").as("uid"), col("value").as("v"),
             (-log(u) / col("value")).as("k"))
           .as[StreamingOps.ResEvent]
@@ -464,10 +474,11 @@ object StreamQueries extends QueryModule {
         cur = Some(next)
       }
       val q = stream.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch(applyBatch)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
       require(cur.nonEmpty, "no micro-batch produced a snapshot")
       val rows = s.read.parquet(cur.get)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -557,9 +568,10 @@ object StreamQueries extends QueryModule {
         .select(col("window.start").cast("long").as("hour_sec"), col("n"))
       val sink = s"late_audit_${runId.incrementAndGet()}"
       val q = stream.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
       val rows = s.table(sink)
         .filter(col("hour_sec") < 3000000000L) // sentinel's 2096 window
         .orderBy(col("hour_sec")).collect()
@@ -612,10 +624,19 @@ object StreamQueries extends QueryModule {
           .parquet(stage.toString)
           .withColumn("ts", tsAsTimestamp(tsType(schema)))
       val sink = s"replay_${runId.incrementAndGet()}"
+      // Trigger.AvailableNow (round-9 verdict ask #6): the query drains
+      // everything available at start — honoring maxFilesPerTrigger, so
+      // the sentinel still arrives in its own later batch — runs the
+      // final watermark-commit no-data batch (the fix AvailableNow was
+      // introduced for over Trigger.Once), and TERMINATES on its own.
+      // That removes the stop-vs-trigger race class entirely: there is
+      // no external stop() racing an in-flight trigger, and a stream
+      // error surfaces deterministically from awaitTermination().
       val q = t("query-start") { build(stream).writeStream.outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(sink).start() }
-      try t("process-all") { q.processAllAvailable() } finally t("stop") { q.stop() }
+      try t("await") { q.awaitTermination() } finally t("stop") { q.stop() }
       s.table(sink)
     } finally {
       prevNanos match {
@@ -652,13 +673,15 @@ object StreamQueries extends QueryModule {
         |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the race over DISTINCT events restated as a per-type top-k:
-    // redelivered duplicates must be invisible to the reservoir
+    // redelivered duplicates must be invisible to the reservoir.
+    // WHERE value > 0 is the query's explicit zero-weight rule (ES:
+    // weight-0 items have zero inclusion probability), mirrored here.
     "q196_stream_reservoir" ->
       s"""WITH keyed AS (
          |  SELECT event_type, event_id, user_id, value,
          |    -ln((${graft.llm.TextAnalysis.md5IntSql("'rs:' || CAST(event_id AS VARCHAR)")}
          |         % 1000000 + 0.5) / 1000000.0) / value AS es_key
-         |  FROM events),
+         |  FROM events WHERE value > 0),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
          |    ORDER BY es_key, event_id) AS rn

@@ -39,4 +39,24 @@ class BenchBaselineSpec extends AnyFunSuite {
   test("parseBaseline returns empty for an absent file") {
     assert(Bench.parseBaseline(java.nio.file.Paths.get("no_such_baseline.md")).isEmpty)
   }
+
+  test("a failed query surfaces in the artifact's failed list") {
+    // Round 9: q196 crashed DIVIDE_BY_ZERO at the bench SF and the
+    // catch-all recorded it as a quiet 0.63s pass in two independent
+    // runs. The artifact line is now a pure function, so the contract
+    // — every failed name appears under "failed", short-keyed like the
+    // other lists — is pinned here instead of trusted.
+    val line = Bench.artifactJson(
+      results = Seq("q01_scan_project" -> 1.0, "q196_stream_reservoir" -> 0.5),
+      retimed = Seq("q196_stream_reservoir"),
+      failed = Seq("q196_stream_reservoir"),
+      baselineRows = 204, sfDir = "/root/testdata/sf0.1")
+    assert(line.contains("\"failed\":[\"q196\"]"), line)
+    assert(line.contains("\"retimed\":[\"q196\"]"), line)
+    assert(line.contains("\"value\":1.50"), line)
+    // and a clean run emits the empty list, not a missing key
+    val clean = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf")
+    assert(clean.contains("\"failed\":[]"), clean)
+  }
 }

@@ -124,6 +124,47 @@ class FixtureContractSpec extends SparkSpec {
         "oracle pw recursion (e < 1023) must be re-derived from the data")
   }
 
+  test("divisor/log domains the sampling queries lean on hold") {
+    // Positivity tripwires (round-9 verdict ask #4): these are the
+    // domain assumptions that let divide/log expressions survive ANSI
+    // mode, and a fixture regeneration can move them silently — q196's
+    // sf0.1 DIVIDE_BY_ZERO escape is exactly this class. Each assert
+    // names the dependent query so the failure is self-explanatory.
+    //
+    // q196_stream_reservoir: the Efraimidis–Spirakis key divides by
+    // events.value under an explicit `value > 0` race filter — correct
+    // ONLY while the domain is non-negative (a negative weight would
+    // silently pass the filter's complement into "can never win" when
+    // ES semantics for w<0 are undefined). Checked at BOTH the
+    // correctness SF and the bench SF: the round-9 escape was precisely
+    // an sf0.1-only domain fact invisible at sf0.01.
+    for (sf <- Seq(sf001, "/root/testdata/sf0.1")
+         if new java.io.File(s"$sf/events.parquet").exists) {
+      val vmin = Tables.table(spark, sf, "events")
+        .agg(min(col("value"))).head().getDouble(0)
+      assert(vmin >= 0.0,
+        s"events.value reaches $vmin < 0 at $sf: q196's zero-weight rule " +
+          "(filter value > 0) assumes a non-negative weight domain — " +
+          "re-derive the Efraimidis-Spirakis key rule before trusting it")
+    }
+    // q195_weighted_sample: -ln(u)/n_chars — a zero-length document
+    // would divide by zero in the race key.
+    val cmin = Tables.documents(spark, sf001)
+      .agg(min(col("n_chars"))).head().getLong(0)
+    assert(cmin > 0L,
+      s"documents.n_chars reaches $cmin <= 0: q195's weight key divides " +
+        "by n_chars — add the q196-style positive-weight filter first")
+    // q201_corrupt_ingest: the oracle buckets synthetic corrupt docs
+    // under a NULL lang key; a genuinely-NULL fixture lang would
+    // collide with it under ORDER BY lang NULLS FIRST and surface as a
+    // confusing q201 hash diff instead of a named contract break.
+    val nullLang = Tables.documents(spark, sf001)
+      .filter(col("lang").isNull).count()
+    assert(nullLang == 0L,
+      s"documents.lang has $nullLang NULL rows: q201's quarantine oracle " +
+        "reserves the NULL lang bucket for synthetic corrupt records")
+  }
+
   test("parquetRowCount (footer metadata) equals the scanned count") {
     // q183 derives its adaptive k from footer metadata instead of an
     // eager full-table count(); this pins the two sources agreeing on

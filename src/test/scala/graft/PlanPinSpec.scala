@@ -59,12 +59,17 @@ object PlanPinSpec {
     "q176_recursive_cte" -> Fp(exch = 2, bhj = 0, smj = 0, shj = 0, bnlj = 0, wsc = 3),
     "q52_salted_join" -> Fp(exch = 3, bhj = 1, smj = 0, shj = 0, bnlj = 0, wsc = 4),
     "q43_ann_lsh" -> Fp(exch = 6, bhj = 3, smj = 0, shj = 0, bnlj = 0, wsc = 8),
-    "q163_token_budget_select" -> Fp(exch = 12, bhj = 1, smj = 0, shj = 0, bnlj = 3, wsc = 14))
+    "q163_token_budget_select" -> Fp(exch = 12, bhj = 1, smj = 0, shj = 0, bnlj = 3, wsc = 14),
+    // round-9 heavy additions (verdict ask #7): PQ's encode + LUT join
+    // + exact re-rank chain, and the KMV sketch top-k chain
+    "q197_ann_pq" -> Fp(exch = 5, bhj = 2, smj = 0, shj = 0, bnlj = 1, wsc = 7),
+    "q198_kmv_overlap" -> Fp(exch = 15, bhj = 3, smj = 0, shj = 0, bnlj = 2, wsc = 19))
   def pinned: Seq[String] = Seq(
     "q118_interval_bucket_join", "q128_repetition_quality",
     "q148_trigram_langid", "q188_winnow_dedup", "q169_profile_report",
     "q187_bpe_tokenize", "q176_recursive_cte", "q52_salted_join",
-    "q43_ann_lsh", "q163_token_budget_select")
+    "q43_ann_lsh", "q163_token_budget_select", "q197_ann_pq",
+    "q198_kmv_overlap")
 }
 
 class PlanPinSpec extends SparkSpec {

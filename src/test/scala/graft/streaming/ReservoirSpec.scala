@@ -14,9 +14,16 @@ class ReservoirSpec extends SparkSpec {
   import spark.implicits._
   implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  private val events = (1L to 40L).map { i =>
-    StreamingOps.ResEvent("t", i, 100 + i, 1.0 + i, ((i * 37) % 41).toDouble)
+  // Every 8th event carries weight 0 — q196's explicit zero-weight rule
+  // (Efraimidis–Spirakis: w=0 ⇒ zero inclusion probability) filters
+  // these OUT of the race before the key is computed, and this spec
+  // applies the identical `v > 0` filter below, so the reservoir's
+  // winners are the min-k over positive-weight events only.
+  private val raw = (1L to 40L).map { i =>
+    StreamingOps.ResEvent("t", i, 100 + i,
+      if (i % 8 == 0) 0.0 else 1.0 + i, ((i * 37) % 41).toDouble)
   }
+  private val events = raw.filter(_.v > 0.0)
 
   private def finalReservoir(chunks: Seq[Seq[StreamingOps.ResEvent]],
       sink: String): Set[Long] = {

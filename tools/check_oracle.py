@@ -114,6 +114,19 @@ def main():
         for p in probs:
             print(f"     {p}")
     print(f"\n{npass}/{len(results)} pass")
+    # optional committed artifact (e.g. the per-round sf0.1 sweep):
+    # GRAFT_ORACLE_JSON=<path> writes {name: {pass, problems}} + totals
+    json_out = os.environ.get("GRAFT_ORACLE_JSON")
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "pass": npass,
+            "total": len(results),
+            "queries": {n: {"pass": not v, "problems": v}
+                        for n, v in sorted(results.items())},
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
     return 0 if npass == len(results) else 1
 
 

@@ -470,4 +470,16 @@ object exprs {
   def graft_might_contain(bloom: Column, v: Column): Column =
     Bridge.column(org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(Bridge.expression(bloom), Bridge.expression(v)))
+
+  /** Spark's internal bounded-heap top-k aggregate (`CollectTopK`,
+    * the engine's own TakeOrdered/window-group-limit primitive),
+    * surfaced as a Column function: keeps the k extreme values of
+    * `c` per group in an O(k) heap with PARTIAL merge — so a grouped
+    * top-k shuffles ≤k rows per group instead of sorting every group
+    * member under a window (q213 demonstrates the plan difference vs
+    * q24). `reverse=false` keeps the k largest by the type's
+    * ordering; pass a struct to get lexicographic tiebreaks.
+    */
+  def graft_collect_top_k(c: Column, k: Int, reverse: Boolean): Column =
+    Bridge.collectTopK(c, k, reverse)
 }

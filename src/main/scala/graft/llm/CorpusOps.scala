@@ -494,10 +494,76 @@ object CorpusOps extends QueryModule {
           col("n_copies"),
           explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
         .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
+    // Count-Min sketch heavy hitters: a depth-4 × width-256 CM sketch
+    // over the token stream, probed at the exact top-20 terms so the
+    // one-sided overcount (est ≥ exact, inflated only by hash
+    // collisions) is oracle-visible. Built from the per-token count
+    // table — mathematically identical to streaming updates (the
+    // sketch is a linear projection of the count vector) and exactly
+    // what map-side combine produces anyway. Scale: the sketch is
+    // 1024 cells whatever the corpus (the entire point — a bounded-
+    // memory frequency summary mergeable across shards by cell-wise
+    // addition, where exact counts need vocab-sized state); the probe
+    // join broadcasts 80 rows against it. All-integer arithmetic.
+    "q208_countmin_heavy" -> ((s, d) => {
+      val depth = 4
+      def bucket(dep: Int): org.apache.spark.sql.Column =
+        TextAnalysis.md5Int(concat(lit(s"cm$dep:"), col("term"))) % 256
+      val exact = Tables.documents(s, d)
+        .select(explode(alphaTokens).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      val cells = exact
+        .select(explode(array((0 until depth).map(dep =>
+            struct(lit(dep).as("d"), bucket(dep).as("b"),
+              col("exact").as("c"))): _*)).as("e"))
+        .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+        .agg(sum(col("e.c")).as("cell"))
+      val probes = exact.orderBy(col("exact").desc, col("term")).limit(20)
+        .select(col("term"), col("exact"),
+          explode(array((0 until depth).map(dep =>
+            struct(lit(dep).as("d"), bucket(dep).as("b"))): _*)).as("h"))
+      probes.join(cells,
+          col("h.d") === col("d") && col("h.b") === col("b"))
+        .groupBy(col("term"), col("exact"))
+        .agg(min(col("cell")).as("est"))
+        .select(col("term"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("term"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // the identical sketch restated: same md5 row-hashes, same
+    // cell-wise sums, same min-over-depths probe — pure integer
+    // arithmetic, exact
+    "q208_countmin_heavy" -> {
+      def bucketSql(dep: Int): String =
+        s"${TextAnalysis.md5IntSql(s"'cm$dep:' || term")} % 256"
+      val cellSel = (0 until 4).map(dep =>
+        s"SELECT $dep AS d, ${bucketSql(dep)} AS b, cnt AS c FROM ex")
+        .mkString("\n  UNION ALL ")
+      val probeSel = (0 until 4).map(dep =>
+        s"SELECT term, cnt, $dep AS d, ${bucketSql(dep)} AS b FROM top")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest($alphaTokensSql) AS term FROM documents),
+         |ex AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         |cells AS (
+         |  SELECT d, b, CAST(SUM(c) AS BIGINT) AS cell FROM (
+         |  $cellSel) z GROUP BY d, b),
+         |top AS (SELECT term, cnt FROM ex
+         |        ORDER BY cnt DESC, term LIMIT 20),
+         |pb AS (
+         |  $probeSel)
+         |SELECT pb.term, pb.cnt AS exact,
+         |  MIN(cells.cell) AS est,
+         |  MIN(cells.cell) - pb.cnt AS overcount
+         |FROM pb JOIN cells ON pb.d = cells.d AND pb.b = cells.b
+         |GROUP BY pb.term, pb.cnt ORDER BY pb.term""".stripMargin
+    },
+
     // same md5-derived 60-bit key (TextAnalysis.md5IntSql)
     // identical estimator arithmetic over identical integer sums —
     // one division per cell, no float-fold boundary

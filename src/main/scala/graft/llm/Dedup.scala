@@ -553,6 +553,37 @@ object Dedup extends QueryModule {
       } finally biDeg.unpersist()
     }),
 
+    // Connected components via the DISTRIBUTED label-propagation path
+    // as a first-class query: q113 adaptively picks driver union-find
+    // for the fixture-sized edge set and only falls back to
+    // [[propagateLabels]] above 10M edges — which means the 100 TB
+    // code path (min-label hop + PRAM pointer jump per round,
+    // localCheckpoint'd, O(log diameter) rounds) never faces the
+    // oracle. This query RUNS that path explicitly on the q153 study
+    // graph and hash-checks it against the recursive-CTE transitive
+    // closure — the exact-answer gate for the algorithm that actually
+    // ships on a cluster. The ≤subset-sized result is materialized
+    // before the cached band/edge stages are released (q153's shape).
+    "q205_cc_labelprop" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val bands = bandsOf(docs).persist()
+      val edges = candidateEdges(bands).persist()
+      try {
+        val labels = propagateLabels(docs.select(col("doc_id")), edges)
+        val sized = labels.groupBy(col("comp"))
+          .agg(count(lit(1)).cast("int").as("comp_size"))
+        val rows = labels.join(sized, "comp")
+          .select(col("doc_id"), col("comp"), col("comp_size"))
+          .orderBy(col("doc_id")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_id", LongType), StructField("comp", LongType),
+            StructField("comp_size", IntegerType))))
+          .orderBy(col("doc_id"))
+      } finally { edges.unpersist(); bands.unpersist() }
+    }),
+
     // Semantic-dedup bucketing (SemDeDup-lite): embeddings hashed to a
     // sign-bit bucket (bit i = sign of dim i), one representative kept
     // per bucket (min vec_id), the rest counted as near-dup candidates.
@@ -778,10 +809,13 @@ object Dedup extends QueryModule {
 
   /** [[bandsSqlCtes]] extended through the recursive component
     * closure (`edges → bi → reach → lbl`) — the DuckDB twin of
-    * [[components]], shared by the q113 and q117 oracles.
+    * [[components]], shared by the q113 and q117 oracles;
+    * parameterized by a documents filter for the q205 subset twin.
     */
-  private val componentSqlCtes: String =
-    s"""$bandsSqlCtes,
+  private def componentSqlCtesFiltered(filt: String): String =
+    s"""${sigSqlCtes(filt)},
+       |bands AS (
+       |  $bandSelectsSql),
        |edges AS (
        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |  FROM bands a JOIN bands b
@@ -790,10 +824,12 @@ object Dedup extends QueryModule {
        |bi AS (SELECT src, dst FROM edges
        |       UNION SELECT dst, src FROM edges),
        |reach(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM documents$filt
        |  UNION
        |  SELECT bi.dst, reach.comp FROM reach JOIN bi ON reach.id = bi.src),
        |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private val componentSqlCtes: String = componentSqlCtesFiltered("")
 
   def oracle: Map[String, String] = Map(
     // Same winnowing rule end to end. The RollingHash polynomial
@@ -876,6 +912,16 @@ object Dedup extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin,
 
     // the recursive closure: labels flow along candidate edges until
+    // the recursive transitive closure on the q153 study subset — the
+    // exact fixpoint the distributed hop+jump loop must reach
+    "q205_cc_labelprop" ->
+      s"""WITH RECURSIVE ${componentSqlCtesFiltered(" WHERE doc_id < 500")},
+         |sized AS (SELECT comp, CAST(COUNT(*) AS INT) AS comp_size
+         |          FROM lbl GROUP BY comp)
+         |SELECT doc_id, comp, comp_size
+         |FROM lbl JOIN sized USING (comp)
+         |ORDER BY doc_id""".stripMargin,
+
     // every doc carries the min doc_id of its component — the
     // fixpoint the Spark side's propagation loop reaches
     "q113_dedup_components" ->

@@ -196,6 +196,58 @@ object Similarity extends QueryModule {
     // PqSpec keeps the recall-vs-exact gate the oracle can't express.
     "q197_ann_pq" -> ((s, d) => pqQuery(s, d)),
 
+    // Reciprocal-rank fusion of two retrievers — the standard way a
+    // hybrid search stack combines rankings without calibrating their
+    // incomparable scores: fused = Σ 1/(60 + rank_r). Fuses the EXACT
+    // dense ranking (q32's brute-force kernel) with the cheap
+    // 16-dim JL-PROJECTED ranking (q200's view — the 4×-narrower scan
+    // a first-pass retriever actually runs), top-5 per query. Ranks
+    // use 6dp-rounded cosines with cid tiebreaks so both engines
+    // order identically; the RRF arithmetic is exact rationals in
+    // double. Per-query windows — state is |candidates| per query,
+    // parallel across queries; at scale the candidate lists are the
+    // retrievers' top-k, not the corpus.
+    "q212_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val exact = CosineKernel.pairCosines(s, emb, col("vec_id") < 10,
+          antisymmetric = false)
+        .filter(col("cid") >= 10)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("c6"))
+      val wE = Window.partitionBy(col("qid"))
+        .orderBy(col("c6").desc, col("cid"))
+      val rankE = exact.select(col("qid"), col("cid"),
+        row_number().over(wE).cast("int").as("rank_exact"))
+      val yarr = array((0 until JlK).map(j =>
+        round(graft_vec_dot(col("embedding"),
+          array(jlPlanes(j).map(lit(_)): _*)), 9)): _*)
+      val proj = emb.select(col("vec_id"), yarr.as("y"))
+        .withColumn("nrm", sqrt(graft_vec_dot(col("y"), col("y"))))
+      val qp = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("y").as("qy"),
+          col("nrm").as("qn"))
+      val pcos = proj.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qp))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(graft_vec_dot(col("qy"), col("y")) /
+            (col("qn") * col("nrm")), 6).as("p6"))
+      val wP = Window.partitionBy(col("qid"))
+        .orderBy(col("p6").desc, col("cid"))
+      val rankP = pcos.select(col("qid"), col("cid"),
+        row_number().over(wP).cast("int").as("rank_proj"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("cid"))
+      rankE.join(rankP, Seq("qid", "cid"))
+        .withColumn("rrf", round(
+          lit(1.0) / (lit(60) + col("rank_exact")) +
+          lit(1.0) / (lit(60) + col("rank_proj")), 6))
+        .withColumn("fused_rank", row_number().over(wF).cast("int"))
+        .filter(col("fused_rank") <= 5)
+        .select(col("qid"), col("fused_rank"), col("cid"),
+          col("rank_exact"), col("rank_proj"), col("rrf"))
+        .orderBy(col("qid"), col("fused_rank"))
+    }),
+
     // Int8 scalar quantization of the embedding column — the 4×
     // storage/bandwidth compression an ANN index at scale actually
     // ships. Pass 1: per-dimension [min,max] — an aggregate whose
@@ -699,6 +751,64 @@ object Similarity extends QueryModule {
     // (tbl, bucket), and the re-rank is q32's rounded-cosine window
     // same seeded matrix as VALUES, same 9dp round-before-derive, same
     // left-to-right 16-term norm fold
+    // both rankings rebuilt verbatim — q32's pairwise-cosine CTE and
+    // q200's ys projection (ordered aggregation twins the kernel's
+    // ascending fold); the RRF arithmetic is CAST to DOUBLE so both
+    // engines divide the same exact integers
+    "q212_rrf_fusion" ->
+      s"""WITH pl(j, i, w) AS (VALUES $jlPlanesValuesSql),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+         |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+         |           FROM (SELECT unnest(a.embedding) AS ua,
+         |                        unnest(b.embedding) AS ub) z)
+         |      / (a.nrm * b.nrm), 6) AS c6
+         |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |re AS (
+         |  SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY c6 DESC, cid) AS INT) AS rank_exact
+         |  FROM p),
+         |ex AS (
+         |  SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |ys AS (
+         |  SELECT e.vec_id, pl.j, ROUND(SUM(e.x * pl.w), 9) AS y
+         |  FROM ex e JOIN pl ON e.i = pl.i GROUP BY 1, 2),
+         |yn AS (
+         |  SELECT vec_id, sqrt(SUM(y * y ORDER BY j)) AS ynorm
+         |  FROM ys GROUP BY vec_id),
+         |pp AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    ROUND(SUM(a.y * b.y ORDER BY a.j) /
+         |      (an.ynorm * bn.ynorm), 6) AS p6
+         |  FROM ys a JOIN ys b ON a.j = b.j
+         |    JOIN yn an ON an.vec_id = a.vec_id
+         |    JOIN yn bn ON bn.vec_id = b.vec_id
+         |  WHERE a.vec_id < 10 AND b.vec_id >= 10
+         |  GROUP BY a.vec_id, b.vec_id, an.ynorm, bn.ynorm),
+         |rp AS (
+         |  SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY p6 DESC, cid) AS INT) AS rank_proj
+         |  FROM pp),
+         |f AS (
+         |  SELECT re.qid, re.cid, rank_exact, rank_proj,
+         |    ROUND(CAST(1.0 AS DOUBLE) / (60 + rank_exact) +
+         |          CAST(1.0 AS DOUBLE) / (60 + rank_proj), 6) AS rrf
+         |  FROM re JOIN rp ON re.qid = rp.qid AND re.cid = rp.cid)
+         |SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, cid) AS INT) AS fused_rank,
+         |  cid, rank_exact, rank_proj, rrf
+         |FROM f
+         |QUALIFY fused_rank <= 5
+         |ORDER BY qid, fused_rank""".stripMargin,
+
     "q200_jl_projection" ->
       s"""WITH pl(j, i, w) AS (VALUES $jlPlanesValuesSql),
          |ex AS (

@@ -692,10 +692,161 @@ object TextPipeline extends QueryModule {
         round(regr_intercept(log(col("freq")), log(col("rank"))), 4)
           .as("zipf_intercept"),
         round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
+    }),
+
+    // Per-domain token quota — the crawl-curation rule that stops any
+    // single source from dominating the mix (q146 reweights globally;
+    // this CAPS each source): docs are ranked within their source
+    // (longest-first, any per-doc score slots in) and kept while the
+    // tokens admitted BEFORE them stay under the budget, so exactly
+    // the first budget-crossing doc is the last one in. The window
+    // partitions by source — bounded per-domain state, skew-free at
+    // any corpus size — and reports the kept/dropped token ledger per
+    // source. All-integer arithmetic.
+    "q209_domain_quota" -> ((s, d) => {
+      val budget = 1000L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(tokens).cast("long").as("n_tok"))
+        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("kept", col("prior") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L))
+            .as("tokens_kept"),
+          sum(when(!col("kept"), col("n_tok")).otherwise(0L))
+            .as("tokens_dropped"))
+        .orderBy(col("source"))
+    }),
+
+    // BM25 retrieval (Okapi, k1=1.2 b=0.75, Lucene's +1 idf): score
+    // every document against the corpus's top-3 non-stopword terms
+    // and keep the top-20 — the lexical half of a retrieval stack
+    // (q212 fuses it with the dense half). The tokenize→(doc,term)
+    // count pass — the only corpus-sized work — runs ONCE and is
+    // persisted (the Dedup band-stage pattern: the declarative DAG's
+    // four consumers each prune different columns, so AQE exchange
+    // reuse can NOT dedupe them — verified, the subtrees canonicalize
+    // differently); doc length and the N/avgdl scalar are derived
+    // FROM the cached table (dl = Σtf), not from extra corpus scans.
+    // Everything model-sized broadcasts (3-row query terms, 3-row df,
+    // 1-row stats); the global top-20 is orderBy().limit()
+    // (TakeOrderedAndProject) with rank recovered on the ≤20
+    // survivors, materialized before the cache is released.
+    "q211_bm25_topk" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
+        val qterms = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+          .filter(!col("term").isin(TextAnalysis.Stopwords: _*))
+          .orderBy(col("cf").desc, col("term")).limit(3)
+          .select(col("term"))
+        val dfT = tf.join(broadcast(qterms), "term")
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // literals written so both engines run the same IEEE ops:
+        // k1=1.2 b=0.75 → k1+1 = 2.2 and 1−b = 0.25 are INLINED (the
+        // oracle CASTs its 2.2/1.2 decimals to DOUBLE — same bits)
+        val avgdl = col("totdl").cast("double") / col("n")
+        val idf = log(lit(1.0) +
+          (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfn = col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        val scored = tf.join(broadcast(dfT), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), (idf * tfn).as("contrib"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("contrib")), 6).as("score"))
+        val rows = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+          .agg(sort_array(collect_list(struct(
+            (-col("score")).as("negs"), col("doc_id").as("doc_id"))))
+            .as("arr"))
+          .select(posexplode(col("arr")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("col.doc_id").as("doc_id"), (-col("col.negs")).as("score"))
+          .orderBy(col("rank")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("rank", IntegerType, nullable = false),
+            StructField("doc_id", LongType), StructField("score", DoubleType))))
+          .orderBy(col("rank"))
+      } finally tf.unpersist()
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // identical integer ledger: same tokenizer, same longest-first
+    // (n_chars DESC, doc_id) priority, same strict prior<budget rule
+    "q209_domain_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        t -> t != '')) AS n_tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(CASE WHEN prior < 1000 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN prior < 1000 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(SUM(CASE WHEN prior >= 1000 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // same Okapi formula with the double literals CAST so both
+    // engines run identical IEEE ops (DuckDB parses bare 2.2/1.2 as
+    // DECIMAL); ln() matches Spark's log()
+    "q211_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS totdl
+        |       FROM dl),
+        |q AS (
+        |  SELECT term FROM (
+        |    SELECT term, SUM(tf) AS cf FROM tf GROUP BY term) z
+        |  WHERE term NOT IN ('the','a','of','and','to','in','is')
+        |  ORDER BY cf DESC, term LIMIT 3),
+        |dfx AS (SELECT term, COUNT(*) AS df
+        |        FROM tf JOIN q USING (term) GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      tf.tf * CAST(2.2 AS DOUBLE) /
+        |      (tf.tf + CAST(1.2 AS DOUBLE) *
+        |        (0.25 + 0.75 * dl.dl / (CAST(st.totdl AS DOUBLE) / st.n)))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfx USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id, st
+        |  GROUP BY tf.doc_id),
+        |top AS (SELECT doc_id, score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |    AS rank,
+        |  doc_id, score
+        |FROM top ORDER BY rank""".stripMargin,
+
     // same tokenizer; both engines compute the regression over the
     // identical ≤1000 (ln rank, ln freq) points, rounded to 4dp (the
     // covariance merge order differs between engines at ~1e-13)

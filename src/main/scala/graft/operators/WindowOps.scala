@@ -208,6 +208,118 @@ object WindowOps extends QueryModule {
           sum(col("ge") - col("gs")).as("covered_us"),
           min(col("gs")).as("first_start_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // q24's grouped top-k WITHOUT the window: Spark's internal
+    // bounded-heap aggregate (CollectTopK, surfaced as
+    // graft_collect_top_k) keeps 3 (price, -orderkey) structs per
+    // customer in an O(k) heap with map-side PARTIAL merge — the
+    // shuffle carries ≤k rows per group where q24's window shuffles
+    // and SORTS every group member. Same result by construction
+    // (sort_array over the heap's survivors recovers the rank
+    // deterministically: price DESC, orderkey ASC via the negated
+    // tiebreak); the oracle is q24's rn≤3 rule. At 100 TB this is THE
+    // grouped-top-k shape — aggregate state bounded by k, never by
+    // group size. TopKAggSpec pins the no-window plan and the
+    // equivalence to q24's window form.
+    "q213_grouped_topk_agg" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft_collect_top_k(
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("negk")),
+          3, false).as("top"))
+        .select(col("o_custkey"),
+          posexplode(sort_array(col("top"), asc = false)))
+        .select(col("o_custkey"), (-col("col.negk")).as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Irregular-interval EWMA smoothing: each event's smoothed value
+    // is the exp-decay-weighted mean of the trailing 10 events, with
+    // weight e^(-ln2·Δt/half-life) on the REAL µs gap — the time-series
+    // smoother for event streams whose ticks aren't equally spaced
+    // (where the classic α-recurrence is wrong). The trailing frame is
+    // collected per row (10 structs) and folded by one aggregate HOF in
+    // frame order — bounded state per row, user-keyed shuffle only, no
+    // self-join. q179 is the corpus-level decay AGGREGATE; this is the
+    // per-row decay SIGNAL. exp() cross-engine parity is q179's
+    // precedent; 6dp rounding absorbs the ulp tail.
+    "q206_ewma_trailing" -> ((s, d) => {
+      val halfLifeUs = 3600000000.0 // 1 hour
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-9, 0)
+      def decay(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        exp(lit(-0.693147180559945) * (col("ts_us") - p.getField("t"))
+          / lit(halfLifeUs))
+      Tables.eventsUs(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("pts",
+          collect_list(struct(col("ts_us").as("t"), col("value").as("v")))
+            .over(w))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(
+            aggregate(col("pts"), lit(0.0),
+              (acc, p) => acc + p.getField("v") * decay(p)) /
+            aggregate(col("pts"), lit(0.0), (acc, p) => acc + decay(p)),
+            6).as("ewma"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current) — the session-model
+    // statistic behind journey analysis and synthetic-session
+    // generation. The heavy stage is the per-user LEAD (user-keyed
+    // shuffle, skew-free); everything after operates on the
+    // |types|²-row count table, so the normalizing window is bounded
+    // by the type vocabulary, not the corpus.
+    "q207_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.eventsUs(s, d)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("event_type"))
+      counts
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wt), 6)
+            .as("prob"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) history build: collapse
+    // each user's event-type stream into validity intervals — a row
+    // per state CHANGE carrying [valid_from, valid_to) and a current
+    // flag — the standard warehouse history shape q126's CDC merge
+    // feeds. Change detection is one LAG, interval closing one LEAD
+    // over the change rows; both windows are user-keyed. valid_to for
+    // the open interval is a fixed far-future sentinel (2100-01-01)
+    // rather than NULL so the column stays integer-typed and
+    // hash-comparable on both engines.
+    "q210_scd2_history" -> ((s, d) => {
+      val farUs = 4102444800000000L // 2100-01-01T00:00Z epoch µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val changes = Tables.eventsUs(s, d).filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      changes
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from_us"),
+          coalesce(lead(col("ts_us"), 1).over(w2) - 1, lit(farUs))
+            .as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us") === farUs)
+        .orderBy(col("user_id"), col("valid_from_us"))
     })
   )
 
@@ -372,6 +484,74 @@ object WindowOps extends QueryModule {
         |SELECT user_id, CAST(COUNT(*) AS INT) AS n_intervals,
         |  CAST(SUM(ge - gs) AS BIGINT) AS covered_us,
         |  CAST(MIN(gs) AS BIGINT) AS first_start_us
-        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q24's ranking rule restated — the heap + sort_array path must
+    // equal the window top-k exactly
+    "q213_grouped_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // the same trailing-10 decayed mean: list() over the identical
+    // frame preserves frame order, list_sum folds in list order, and
+    // the decay expression is written with the identical double
+    // literals so both engines run the same IEEE ops
+    "q206_ewma_trailing" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, value
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    list(struct_pack(t := ts_us, v := value)) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS pts
+        |  FROM ev)
+        |SELECT user_id, ts_us, event_id,
+        |  ROUND(
+        |    list_sum(list_transform(pts, p -> p.v *
+        |      exp(-0.693147180559945 * (ts_us - p.t) / 3600000000.0))) /
+        |    list_sum(list_transform(pts, p ->
+        |      exp(-0.693147180559945 * (ts_us - p.t) / 3600000000.0))),
+        |    6) AS ewma
+        |FROM fr ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q207_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY event_type), 6) AS prob
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+
+    "q210_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id < 40),
+        |ch AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM ev),
+        |changes AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) - 1, 4102444800000000) AS valid_to_us,
+        |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) - 1, 4102444800000000)
+        |    = 4102444800000000 AS is_current
+        |FROM changes ORDER BY user_id, valid_from_us""".stripMargin
   )
 }

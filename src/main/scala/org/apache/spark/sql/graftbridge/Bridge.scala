@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's internal bounded-heap top-k aggregate (`CollectTopK` is
+    * `private[sql]` — same shim rationale as the conversions above):
+    * keeps the k extreme values per group in an O(k) heap with
+    * partial merge. `reverse=false` keeps the k LARGEST.
+    */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(expression(c), k, reverse, 0, 0)
+      .toAggregateExpression())
 }

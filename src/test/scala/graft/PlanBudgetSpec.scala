@@ -32,7 +32,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q165_ks_drift",            // |sources| × |distinct lengths| bounded grid
     "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast
     "q174_volume_anomaly",      // 1-row mean/stddev stats broadcast
-    "q179_time_decay_weight")   // 1-row max-timestamp anchor broadcast
+    "q179_time_decay_weight",   // 1-row max-timestamp anchor broadcast
+    "q212_rrf_fusion")          // 10-row projected-query broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -57,6 +58,12 @@ class PlanBudgetSpec extends SparkSpec {
     // building its frame runs the whole detour (ZOrderSpec audits the
     // layout's pruning instead)
     "q190_zorder_layout",
+    // q205/q211 are action-style: q205 runs the label-propagation
+    // loop (localCheckpoint rounds) and q211 its persisted-tokenize
+    // pipeline while BUILDING the frame; both return materialized
+    // ≤result-sized rows. q205's loop shapes are audited by
+    // DedupPlanSpec; q211's cache hygiene by TextPipelineSpec.
+    "q205_cc_labelprop", "q211_bm25_topk",
     // q191 materializes under its temporary AQE-skew confs (laziness
     // must not escape the conf window); SkewJoinSpec audits the plan
     "q191_skew_rescue",

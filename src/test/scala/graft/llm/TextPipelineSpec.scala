@@ -81,6 +81,25 @@ class TextPipelineSpec extends SparkSpec {
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
 
+  test("q211 releases its (doc,term) cache and ranks coherently") {
+    // q211 persists the single tokenize→(doc,term) pass (its four
+    // consumers prune different columns, so AQE exchange reuse cannot
+    // dedupe them — the cache IS the single-corpus-pass claim) and
+    // must release it before returning: a leaked cache would pin
+    // corpus-sized blocks for the rest of the session.
+    spark.sharedState.cacheManager.clearCache()
+    val rows = graft.SparkEntry.queries("q211_bm25_topk")(spark, sf001)
+      .collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q211 leaked its persisted (doc,term) stage")
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+      "ranks are not contiguous from 1")
+    val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores are not non-increasing in rank order")
+    assert(scores.forall(_ > 0.0), "BM25 scores should be positive")
+  }
+
   test("the vocabulary/stats tables BROADCAST into their scoring joins " +
     "(q136 unigram model, q140 per-lang percentile bounds) — the scale " +
     "claim each query's comment makes") {

@@ -31,7 +31,15 @@ object Bench {
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The total is the sum of SUCCESSFUL measurements only: a crash
+    // usually throws in milliseconds, so folding its wall time into the
+    // total would deflate it and make a failure run look faster than a
+    // clean one. Failed names still appear in the per-query map (the
+    // time-to-throw is diagnostic) but contribute nothing to "value".
+    val failedSet = failed.toSet
+    val total = results.collect {
+      case (k, v) if !failedSet(k) => v
+    }.sum
     val rt = retimed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val fl = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$fl,"baseline_rows":$baselineRows,"sf":"$sfDir"}"""
@@ -121,17 +129,18 @@ object Bench {
     // plus a "failed":[...] key in bench_queries.json beside "retimed"
     // so the artifact the driver reads carries the evidence. A retime
     // that SUCCEEDS clears the name (transient, not a real break).
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def time(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); failed -= name }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(
-          s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Sorted execution order: run-to-run comparability, instead of
     // whatever query Map iteration order happened to put first.
@@ -141,23 +150,35 @@ object Bench {
     // sandbox load has produced only false >2x flags for three rounds
     // running. Any query whose first measurement exceeds 2x its
     // BASELINE.md median gets ONE re-run in the same (now even warmer)
-    // JVM, and the reported figure is the min of the two — a genuine
-    // plan regression stays >2x on both runs; a scheduler hiccup does
-    // not survive the retime. Retimed names are recorded so the report
-    // distinguishes measured-once from best-of-two.
+    // JVM, and the reported figure is the min of the SUCCESSFUL
+    // measurements — a genuine plan regression stays >2x on both runs;
+    // a scheduler hiccup does not survive the retime. Retimed names are
+    // recorded so the report distinguishes measured-once from
+    // best-of-two.
     val fnByName = sorted.toMap
     // Failed queries are force-retimed too: a crash usually times FAST
     // (the throw comes early), so the >2x slowness gate would never
     // re-run it — but one re-run is exactly what separates a transient
     // environment hiccup (succeeds, clears the failed set) from a real
-    // break (fails again, stays listed).
+    // break (fails again, stays listed). Measurement rule per retimed
+    // query: only SUCCESSFUL runs yield a valid timing, so a
+    // crashed-then-recovered query reports the retime's time alone
+    // (never the millisecond time-to-throw), and a query that measured
+    // cleanly but crashed only during its slowness retime keeps its
+    // valid first measurement and is NOT listed as failed — "failed"
+    // means no successful execution at all.
     val retimed = firstPass.collect {
-      case (name, t) if baseline.get(name).exists(b => t > 2.0 * b) ||
-        failed.contains(name) => name
+      case (name, (t, ok)) if !ok ||
+        baseline.get(name).exists(b => t > 2.0 * b) => name
     }
-    val results = firstPass.map { case (name, t) =>
-      if (retimed.contains(name)) name -> math.min(t, time(name, fnByName(name)))
-      else name -> t
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val results = firstPass.map { case (name, (t1, ok1)) =>
+      if (retimed.contains(name)) {
+        val (t2, ok2) = time(name, fnByName(name))
+        val valid = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
+        if (valid.isEmpty) { failed += name; name -> math.max(t1, t2) }
+        else name -> valid.min
+      } else name -> t1
     }
     // The harness retains only a ~2.4KB tail of stdout; at 181 queries
     // even qNN-shortened keys push an inline per-query map past that

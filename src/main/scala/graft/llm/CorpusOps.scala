@@ -435,15 +435,43 @@ object CorpusOps extends QueryModule {
     // across all sources, so every source ends up with an identical
     // marginal distribution (the batch-effect correction of corpus
     // curation; sources are equal-sized here, the classic QN setting).
-    // One source-keyed window ranks, one rank-keyed agg builds the
-    // reference distribution (corpus/|sources| rows), and the map
-    // joins back by rank. Ranks tiebreak on doc_id — deterministic.
+    // The per-source rank is minted TWO-PHASE (q202's pattern applied
+    // per source) instead of Window.partitionBy(source): a handful of
+    // sources over 100 TB makes the per-source window a multi-TB
+    // single-task sort. Phase 1: deterministic n_chars range buckets
+    // from parquet FOOTER min/max → per-(source,bucket) row counts
+    // (≤|sources|·nb rows, driver-folded into exclusive offsets in
+    // rank order). Phase 2: rk = offset + row_number within the
+    // (source,bucket) window — bucket order IS rank order because the
+    // bucket is monotone in n_chars, so (bucket asc, n_chars asc,
+    // doc_id) ≡ (n_chars asc, doc_id). Partitions are (source ×
+    // bucket)-granular; nb scales with the corpus. The rank-keyed agg
+    // builds the reference distribution (corpus/|sources| rows), and
+    // the map joins back by rank. Ranks tiebreak on doc_id.
     "q181_quantile_normalize" -> ((s, d) => {
-      val wr = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      val r = Tables.documents(s, d)
+      val nb = 16
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents", "n_chars")
+      val span = mx - mn + 1
+      // bucket 0 holds the SMALLEST n_chars (rank order = bucket asc)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rk", row_number().over(wr))
+        .withColumn("b",
+          floor((col("n_chars") - mn) * nb / span).cast("int"))
+      val counts = docs.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val offsets = counts.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3).init).map {
+          case ((_, b, _), off) => (src, b, off)
+        }
+      }
+      import s.implicits._
+      val offDf = broadcast(offsets.toDF("source", "b", "off"))
+      val wr = Window.partitionBy(col("source"), col("b"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val r = docs.join(offDf, Seq("source", "b"))
+        .withColumn("rk", col("off") + row_number().over(wr))
       val m = r.groupBy(col("rk"))
         .agg(round(avg(col("n_chars")), 6).as("calibrated"))
       r.join(m, "rk")

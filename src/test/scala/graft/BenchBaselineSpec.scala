@@ -53,10 +53,16 @@ class BenchBaselineSpec extends AnyFunSuite {
       baselineRows = 204, sfDir = "/root/testdata/sf0.1")
     assert(line.contains("\"failed\":[\"q196\"]"), line)
     assert(line.contains("\"retimed\":[\"q196\"]"), line)
-    assert(line.contains("\"value\":1.50"), line)
+    // total = Σ(successful query times) ONLY: the crashed query's
+    // time-to-throw (usually milliseconds) must not deflate the total —
+    // here q196's 0.5s is excluded and the total is q01's 1.0s alone.
+    // The failed query still appears in the per-query map (diagnostic).
+    assert(line.contains("\"value\":1.00"), line)
+    assert(line.contains("\"q196\":0.50"), line)
     // and a clean run emits the empty list, not a missing key
     val clean = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
       Nil, Nil, 204, "sf")
     assert(clean.contains("\"failed\":[]"), clean)
+    assert(clean.contains("\"value\":1.00"), clean)
   }
 }

@@ -138,8 +138,20 @@ class FixtureContractSpec extends SparkSpec {
     // ES semantics for w<0 are undefined). Checked at BOTH the
     // correctness SF and the bench SF: the round-9 escape was precisely
     // an sf0.1-only domain fact invisible at sf0.01.
-    for (sf <- Seq(sf001, "/root/testdata/sf0.1")
-         if new java.io.File(s"$sf/events.parquet").exists) {
+    // The bench SF leg resolves the SAME way Bench does
+    // (SPARK_GRAFT_SF_DIR, falling back to /root/testdata/sf0.1): a
+    // relocated bench fixture must not silently disable exactly the
+    // bench-SF domain check this test exists to provide. If the bench
+    // fixture is genuinely absent the skip is LOUD (a named assert
+    // message via info + a hard fail would block sf-less dev boxes, so
+    // this logs the skip where the suite output shows it).
+    val benchSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val legs = Seq(sf001, benchSf)
+      .filter(sf => new java.io.File(s"$sf/events.parquet").exists)
+    if (!legs.contains(benchSf))
+      info(s"SKIPPED bench-SF positivity leg: $benchSf/events.parquet absent " +
+        "— q196's value>0 domain is verified at the correctness SF only")
+    for (sf <- legs) {
       val vmin = Tables.table(spark, sf, "events")
         .agg(min(col("value"))).head().getDouble(0)
       assert(vmin >= 0.0,

@@ -155,23 +155,85 @@ class PlanBudgetSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  // Fixture columns whose cardinality is a small CONSTANT of the data
+  // model (a handful of sources/langs/flags), not a function of scale:
+  // a window partitioned ONLY on these puts corpus/|values| rows into
+  // one task — bounded per-key STATE but unbounded per-key PARTITION,
+  // the q209 round-10 finding. Partitioning that mixes in any
+  // scale-following column (a range bucket, a shard, a doc/user key)
+  // passes.
+  private val constantCardinalityCols = Set(
+    "source", "lang", "event_type", "seg",
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "c_mktsegment", "r_name", "n_name")
+
+  // Queries allowed a constant-cardinality window partition, each with
+  // its scale argument. The bar: the window's INPUT must be bounded
+  // (model-sized aggregates), or the query exists to demonstrate the
+  // window function's semantics, not a scalable ranking.
+  private val allowedConstCardWindow = Map(
+    // ntile/percent_rank/cume_dist are DEFINED over a whole ordered
+    // partition; these two queries demonstrate the distribution /
+    // IGNORE NULLS navigation semantics per priority class. At corpus
+    // scale the same rank would be minted via q181's two-phase
+    // bucketed ranking; here the semantics demo is the point.
+    "q67_range_frame" ->
+      "RANGE-frame semantics demo (value-distance frames) per priority class",
+    "q68_ntile_distribution" ->
+      "distribution-function semantics demo; scale path = q181 two-phase",
+    "q69_ignore_nulls_window" ->
+      "IGNORE-NULLS navigation semantics demo over full-partition frames",
+    // the window input is the transition-count aggregate — ≤|types|²
+    // rows by construction, not corpus-sized
+    "q207_markov_transitions" ->
+      "window input is the ≤|event_types|² transition matrix",
+    // the window input is the (source × distinct-length) CDF grid —
+    // |sources|·|values| rows, an aggregate not the corpus
+    "q165_ks_drift" ->
+      "window input is the bounded (source x length) CDF grid",
+    // the window input is the per-(lang,trigram) count aggregate —
+    // bounded by |langs| x trigram vocab, orders below the corpus
+    "q148_trigram_langid" ->
+      "window input is the (lang,trigram) profile aggregate")
+
   test("no query plans a partition-less window (Exchange SinglePartition " +
-    "funnel over the full input)") {
+    "funnel) or a fat constant-cardinality window partition") {
     // A Window with an empty PARTITION BY requires every row in one
     // partition — the plan Spark emits is Exchange SinglePartition +
     // single-task sort, which is exactly the shape that dies at 10⁸+
     // rows. Global top-k belongs in orderBy().limit(k)
     // (TakeOrderedAndProject) with rank recovered on the k survivors
-    // (see q82_vocab_topk). Checked at the optimized-logical level so
-    // AQE/codegen formatting can't hide it.
+    // (see q82_vocab_topk). The second gate catches the subtler
+    // variant: a window whose partition columns are ALL
+    // constant-cardinality fixture dimensions (source, lang, …) — the
+    // q209 pre-fix shape, one task per source regardless of corpus
+    // size — unless the query is whitelisted with a scale argument.
+    // Checked at the optimized-logical level so AQE/codegen formatting
+    // can't hide either.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if skipped(name) => None
       case (name, fn) =>
-        val globals = fn(spark, sf001).queryExecution.optimizedPlan.collect {
-          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        val windows = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow => w
         }
-        if (globals.nonEmpty) Some(s"$name: ${globals.size} global window(s)")
+        val globals = windows.count(_.partitionSpec.isEmpty)
+        val fat =
+          if (allowedConstCardWindow.contains(name)) 0
+          else windows.count { w =>
+            w.partitionSpec.nonEmpty && {
+              val names = w.partitionSpec.flatMap(_.references.map(_.name))
+              names.nonEmpty && names.forall(constantCardinalityCols)
+            }
+          }
+        val problems = Seq(
+          if (globals > 0) Some(s"$globals global window(s)") else None,
+          if (fat > 0) Some(s"$fat fat constant-cardinality window " +
+            "partition(s) — one task per source/lang at any corpus size; " +
+            "use the q209/q181 two-phase bucketed ranking or whitelist " +
+            "with a scale argument") else None
+        ).flatten
+        if (problems.nonEmpty) Some(s"$name: ${problems.mkString("; ")}")
         else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

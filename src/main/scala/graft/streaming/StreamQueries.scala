@@ -201,6 +201,45 @@ object StreamQueries extends QueryModule {
           count_distinct(col("c_id")).as("n_clicks"))
         .orderBy(col("user_id"))),
 
+    // Stream-STREAM FULL outer interval join under replay — the last
+    // §2.C join mode (q121 inner, q156 left outer): BOTH sides'
+    // unmatched rows are null-padded, and each can only be emitted
+    // once the watermark proves no partner can still arrive — an
+    // unmatched click waits on the view-side watermark and an
+    // unmatched view on the click-side one, so this exercises
+    // watermark-gated finalization of BOTH state stores. The
+    // far-future sentinel rides both sides to flush both tails; its
+    // own rows (and their self-join pair) are filtered out of the
+    // sink. Grouping key is COALESCE(click user, view user) — exactly
+    // one is non-null on a padded row.
+    "q214_stream_full_outer_join_replay" -> ((s, d) =>
+      replay(s, d, mode = "append", sentinel = true) { stream =>
+        val clicks = stream
+          .filter(col("event_type").isin("click", "sentinel"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = stream
+          .filter(col("event_type").isin("view", "sentinel"))
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+            col("v_ts") <= col("c_ts"),
+          "full_outer")
+      }.filter(coalesce(col("c_user"), col("v_user")) =!= -1L)
+        .groupBy(coalesce(col("c_user"), col("v_user")).as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_id").isNotNull && col("v_id").isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_pairs"),
+          sum(when(col("v_id").isNull, 1).otherwise(0)).cast("int")
+            .as("n_click_unmatched"),
+          sum(when(col("c_id").isNull, 1).otherwise(0)).cast("int")
+            .as("n_view_unmatched"))
+        .orderBy(col("user_id"))),
+
     // foreachBatch MERGE sink under at-least-once replay: each
     // micro-batch is CDC-applied (keep-latest merge) into a parquet
     // snapshot via read-modify-write + directory swap — the mechanism
@@ -776,6 +815,32 @@ object StreamQueries extends QueryModule {
         |  ON c.user_id = v.v_user
         |    AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q214: drained full-outer replay ≡ the batch FULL interval join
+    // at the µs precision the stream sees — every unmatched row on
+    // EITHER side appears null-padded exactly once
+    "q214_stream_full_outer_join_replay" ->
+      """WITH c AS (
+        |  SELECT user_id AS c_user, epoch_ns(ts) // 1000 AS c_ts,
+        |    event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS v_user, epoch_ns(ts) // 1000 AS v_ts,
+        |    event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c_user, v_user, c_id, v_id
+        |  FROM c FULL JOIN v
+        |    ON c.c_user = v.v_user
+        |      AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts)
+        |SELECT COALESCE(c_user, v_user) AS user_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_id IS NOT NULL AND v_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_click_unmatched,
+        |  CAST(SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_view_unmatched
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // q150: the merged snapshot ≡ plain batch keep-latest at the µs
     // precision the stream sees — batch slicing and the duplicated

@@ -59,6 +59,33 @@ class DedupPlanSpec extends SparkSpec {
     assert(labels.count() == docs.count())
   }
 
+  test("components() crossing maxDriverEdges takes the distributed path " +
+    "and hash-equals the driver union-find on the same graph") {
+    // The adaptive threshold means the 1000-executor path (distributed
+    // min-label propagation) normally never faces fixture-sized edge
+    // sets. Lower the cap to JUST UNDER the fixture's real edge count
+    // so the same graph provably routes through BOTH paths, then
+    // require identical (doc_id, comp) labelings — not just equal
+    // partition counts: min-label propagation and union-find both
+    // canonicalize a component to its minimum doc_id, so the full
+    // labeling must match row-for-row.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001)
+    val nEdges = Dedup.candidateEdges(Dedup.bandsOf(docs)).count()
+    assert(nEdges > 1, s"fixture yields only $nEdges candidate edges — " +
+      "the routing comparison needs a non-trivial graph")
+    val driver = Dedup.components(docs, maxDriverEdges = nEdges)
+    val dist = Dedup.components(docs, maxDriverEdges = nEdges - 1)
+    val diff = driver.exceptAll(dist).count() + dist.exceptAll(driver).count()
+    assert(diff == 0,
+      s"distributed labels diverge from union-find on $diff rows " +
+        s"($nEdges-edge graph)")
+    // and the graph genuinely exercises merging: at least one
+    // multi-doc component exists
+    val multi = driver.groupBy("comp").count().filter(col("count") > 1).count()
+    assert(multi > 0, "no multi-doc component — the equality is vacuous")
+  }
+
   test("pointer jumping converges a 200-long chain within the round " +
     "budget (one-hop propagation alone would need 200 rounds)") {
     // a path graph is the worst case for per-round min-label

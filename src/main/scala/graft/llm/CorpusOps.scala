@@ -111,6 +111,76 @@ object CorpusOps extends QueryModule {
           round(col("ni").cast("double") / col("nu"), 4).as("true_jaccard"))
     }),
 
+    // Theta-sketch set-operation ALGEBRA over N crawl snapshots —
+    // q198's KMV estimates one pairwise Jaccard; theta sketches
+    // (DataSketches, the library Spark's own hll_* functions ship
+    // with) close the full union/intersect/difference algebra with
+    // bounded memory, which is what cross-crawl overlap accounting
+    // actually needs (|A∪B∪C|, |A∩B|, |A\B| from THREE ~32 KB
+    // summaries instead of three corpus-sized joins). Each snapshot's
+    // sketch is built per-partition (bounded k-entry state) and the
+    // ≤|partitions| compact summaries union on the driver — the same
+    // mergeable-summary posture as q114's HLL and a treeAggregate's
+    // final fold; the set algebra then runs entirely on the driver's
+    // three summaries. Correctness gate (q114's bounded-error twin
+    // pattern): each exact cardinality — computed here via DataFrame
+    // set ops so DuckDB can twin it — must land inside the sketch's
+    // OWN 3-standard-deviation interval, the estimator's published
+    // guarantee (deterministic per fixture: theta's hash seed is
+    // fixed, and a theta set is order-independent). Below k the
+    // sketches are exact; at sf0.1 the unions run in genuine
+    // estimation mode.
+    "q215_theta_setops" -> ((s, d) => {
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches, UpdateSketch}
+      import s.implicits._
+      val nom = 4096
+      def h = TextAnalysis.md5Int(concat(lit("theta:"), col("text")))
+      def snap(mod: Int) = Tables.documents(s, d)
+        .filter(col("doc_id") % mod =!= 0).select(h.as("h"))
+      def sketchOf(df: DataFrame): Sketch = {
+        val parts = df.as[Long].mapPartitions { it =>
+          val sk = UpdateSketch.builder().setNominalEntries(nom).build()
+          it.foreach(sk.update)
+          Iterator.single(sk.compact().toByteArray)
+        }.collect()
+        val u = SetOperation.builder().setNominalEntries(nom).buildUnion()
+        parts.foreach(bs =>
+          u.union(Sketches.wrapSketch(Memory.wrap(bs))))
+        u.getResult
+      }
+      val sa = sketchOf(snap(3))
+      val sb = sketchOf(snap(4))
+      val sc = sketchOf(snap(5))
+      val union3 = {
+        val u = SetOperation.builder().setNominalEntries(nom).buildUnion()
+        u.union(sa); u.union(sb); u.union(sc); u.getResult
+      }
+      val interAb = {
+        val i = SetOperation.builder().setNominalEntries(nom)
+          .buildIntersection()
+        i.intersect(sa); i.intersect(sb); i.getResult
+      }
+      val aNotB = SetOperation.builder().buildANotB().aNotB(sa, sb)
+      val ests: Map[String, Sketch] = Map(
+        "a_union_b_union_c" -> union3,
+        "a_intersect_b" -> interAb,
+        "a_minus_b" -> aNotB)
+      val da = snap(3).distinct()
+      val db = snap(4).distinct()
+      val dc = snap(5).distinct()
+      val exact: Map[String, Long] = Map(
+        "a_union_b_union_c" -> da.union(db).union(dc).distinct().count(),
+        "a_intersect_b" -> da.intersect(db).count(),
+        "a_minus_b" -> da.except(db).count())
+      val rows = ests.keys.toSeq.sorted.map { op =>
+        val sk = ests(op); val ex = exact(op)
+        (op, ex,
+          sk.getLowerBound(3) <= ex.toDouble && ex.toDouble <= sk.getUpperBound(3))
+      }
+      rows.toDF("op", "n_exact", "exact_within_bounds").orderBy("op")
+    }),
+
     // Sampling-based approximate query processing — interactive
     // aggregates over a corpus too big to scan: a deterministic 5%
     // Bernoulli sample (md5-millionths threshold, the HashDraw idiom)
@@ -633,6 +703,36 @@ object CorpusOps extends QueryModule {
 
     // the identical sketch restated: same md5 hashes, same k-min
     // selection, pure integer arithmetic — exact, no float boundary
+    // q215: DuckDB twins the EXACT set-op cardinalities over the same
+    // md5 hash carves; the sketch-interval booleans are the Spark
+    // side's own guarantee check (q114's bounded-error twin pattern)
+    "q215_theta_setops" ->
+      s"""WITH a AS (SELECT DISTINCT
+         |    ${TextAnalysis.md5IntSql("'theta:' || text")} AS h
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |b AS (SELECT DISTINCT
+         |    ${TextAnalysis.md5IntSql("'theta:' || text")} AS h
+         |  FROM documents WHERE doc_id % 4 <> 0),
+         |c AS (SELECT DISTINCT
+         |    ${TextAnalysis.md5IntSql("'theta:' || text")} AS h
+         |  FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT 'a_intersect_b' AS op,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT h FROM a INTERSECT SELECT h FROM b)) AS n_exact,
+         |  true AS exact_within_bounds
+         |UNION ALL
+         |SELECT 'a_minus_b' AS op,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT h FROM a EXCEPT SELECT h FROM b)) AS n_exact,
+         |  true AS exact_within_bounds
+         |UNION ALL
+         |SELECT 'a_union_b_union_c' AS op,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT h FROM a UNION SELECT h FROM b
+         |     UNION SELECT h FROM c)) AS n_exact,
+         |  true AS exact_within_bounds
+         |ORDER BY op""".stripMargin,
+
     "q198_kmv_overlap" ->
       s"""WITH a AS (SELECT DISTINCT
          |    ${TextAnalysis.md5IntSql("'kmv:' || text")} AS h

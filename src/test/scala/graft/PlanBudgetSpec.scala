@@ -82,6 +82,10 @@ class PlanBudgetSpec extends SparkSpec {
     // q159/q161 run components() like q113/q117 (eager propagation
     // jobs); their joins and rollups add only narrow stages
     "q159_canonical_select", "q161_source_dup_stats",
+    // q215 is action-style: building the frame runs the per-partition
+    // sketch builds + exact set-op counts and returns a driver-built
+    // ≤3-row result (ThetaSpec audits the sketch algebra itself)
+    "q215_theta_setops",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

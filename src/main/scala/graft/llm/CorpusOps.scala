@@ -181,6 +181,68 @@ object CorpusOps extends QueryModule {
       rows.toDF("op", "n_exact", "exact_within_bounds").orderBy("op")
     }),
 
+    // Mergeable quantile sketch (KLL) — the distribution-summary leg
+    // of the sketch family (q114 HLL cardinality, q208 Count-Min
+    // frequency, q141 frequent-items, q215 theta set algebra): at
+    // 100 TB, per-shard KLL summaries (a few KB each) merge into one
+    // corpus length distribution with a PROVEN normalized-rank-error
+    // bound — the scalable twin of q50/q99's exact percentiles and
+    // q90's approx_percentile (Spark's own positional sketch),
+    // maintainable incrementally where exact quantiles need a global
+    // sort. Build mirrors q215: per-partition bounded-state sketches,
+    // ≤|partitions| byte arrays merged on the driver. Gate: for each
+    // probe rank, the merged sketch's quantile value must have a TRUE
+    // rank interval [#(<v)/N, #(≤v)/N] overlapping the probe ±2×
+    // the sketch's published rank error (tie-robust: n_chars has mass
+    // points, so the value's exact rank is an interval, and KLL's
+    // guarantee is on rank, not value). The oracle-checkable columns
+    // are the EXACT disc percentiles (KLL compaction is randomized,
+    // so the estimate itself is not cross-run stable; the guarantee
+    // boolean is — at 2× the 99%-confidence bound a failure means a
+    // broken merge, not sampling noise).
+    "q217_kll_quantile_merge" -> ((s, d) => {
+      import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+      import s.implicits._
+      val k = 200
+      val vals = Tables.documents(s, d)
+        .select(col("n_chars").cast("double").as("v"))
+      val parts = vals.as[Double].mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        it.foreach(sk.update)
+        Iterator.single(sk.toByteArray)
+      }.collect()
+      val merged = KllDoublesSketch.newHeapInstance(k)
+      parts.foreach(bs =>
+        merged.merge(KllDoublesSketch.heapify(Memory.wrap(bs))))
+      val eps = 2.0 * KllSketch.getNormalizedRankError(k, false)
+      val probes = Seq(25 -> 0.25, 50 -> 0.50, 75 -> 0.75, 95 -> 0.95)
+      val est = probes.map { case (tag, q) =>
+        tag -> merged.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+      }.toMap
+      // one corpus pass computes every probe's exact rank interval
+      val aggs = probes.flatMap { case (tag, _) => Seq(
+        sum(when(col("v") < est(tag), 1L).otherwise(0L)).as(s"lo_$tag"),
+        sum(when(col("v") <= est(tag), 1L).otherwise(0L)).as(s"hi_$tag"))
+      } :+ count(lit(1)).as("n")
+      val r = vals.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n").toDouble
+      // exact disc percentiles — the deterministic, DuckDB-twinnable
+      // face of the result (one aggregate over the same scan)
+      val discAggs = probes.map { case (tag, q) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as(s"d_$tag")
+      }
+      val disc = vals.agg(discAggs.head, discAggs.tail: _*).head()
+      val rows = probes.map { case (tag, q) =>
+        val lo = r.getAs[Long](s"lo_$tag") / n
+        val hi = r.getAs[Long](s"hi_$tag") / n
+        (q, disc.getAs[Long](s"d_$tag"), lo - eps <= q && q <= hi + eps)
+      }
+      rows.toDF("qtile", "exact_disc", "rank_within_err").orderBy("qtile")
+    }),
+
     // Sampling-based approximate query processing — interactive
     // aggregates over a corpus too big to scan: a deterministic 5%
     // Bernoulli sample (md5-millionths threshold, the HashDraw idiom)
@@ -732,6 +794,27 @@ object CorpusOps extends QueryModule {
          |     UNION SELECT h FROM c)) AS n_exact,
          |  true AS exact_within_bounds
          |ORDER BY op""".stripMargin,
+
+    // q217: DuckDB twins the exact disc percentiles; the rank-error
+    // boolean is the sketch's own guarantee (q114/q215 pattern).
+    // DuckDB's quantile_disc at q returns the element at
+    // ceil(q*n)-ish lower rank — identical to Spark's
+    // percentile_disc (both pick the first value whose cumulative
+    // rank ≥ q) on any input
+    "q217_kll_quantile_merge" ->
+      """SELECT 0.25 AS qtile,
+        |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS exact_disc,
+        |  true AS rank_within_err FROM documents
+        |UNION ALL
+        |SELECT 0.50, CAST(quantile_disc(n_chars, 0.50) AS BIGINT), true
+        |FROM documents
+        |UNION ALL
+        |SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT), true
+        |FROM documents
+        |UNION ALL
+        |SELECT 0.95, CAST(quantile_disc(n_chars, 0.95) AS BIGINT), true
+        |FROM documents
+        |ORDER BY qtile""".stripMargin,
 
     "q198_kmv_overlap" ->
       s"""WITH a AS (SELECT DISTINCT

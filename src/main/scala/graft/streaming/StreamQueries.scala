@@ -240,6 +240,38 @@ object StreamQueries extends QueryModule {
             .as("n_view_unmatched"))
         .orderBy(col("user_id"))),
 
+    // Stream-STREAM LEFT SEMI interval join under replay — the
+    // existence-test join mode (q121 inner, q156 left outer, q214
+    // full outer): a click is emitted AT MOST ONCE iff any same-user
+    // view precedes it within 2h, however many views match — the
+    // streaming form of "keep events that have context". State
+    // contract matches the outer joins (both sides watermarked,
+    // buffered only within watermark + interval), but the output is
+    // left-side-only rows with no duplication, so the batch twin is
+    // an EXISTS predicate, not a join product.
+    "q216_stream_semi_join_replay" -> ((s, d) =>
+      replay(s, d, mode = "append", sentinel = true) { stream =>
+        val clicks = stream
+          .filter(col("event_type").isin("click", "sentinel"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = stream
+          .filter(col("event_type").isin("view", "sentinel"))
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+            col("v_ts") <= col("c_ts"),
+          "left_semi")
+      }.filter(col("c_user") =!= -1L)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("c_id")).as("n_clicks"))
+        .orderBy(col("user_id"))),
+
     // foreachBatch MERGE sink under at-least-once replay: each
     // micro-batch is CDC-applied (keep-latest merge) into a parquet
     // snapshot via read-modify-write + directory swap — the mechanism
@@ -841,6 +873,25 @@ object StreamQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS INT)
         |    AS n_view_unmatched
         |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // q216: drained semi-join replay ≡ batch EXISTS — each matched
+    // click exactly once regardless of how many views matched, so
+    // n_rows must equal n_clicks
+    "q216_stream_semi_join_replay" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS c_ts, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS v_user, epoch_ns(ts) // 1000 AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT user_id, c_id FROM c
+        |  WHERE EXISTS (SELECT 1 FROM v
+        |    WHERE v.v_user = c.user_id
+        |      AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts))
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c_id) AS n_clicks
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q150: the merged snapshot ≡ plain batch keep-latest at the µs
     // precision the stream sees — batch slicing and the duplicated

@@ -48,7 +48,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q92_stream_dedup_replay", "q101_stream_session_replay",
     "q121_stream_join_replay", "q133_stream_upsert_replay",
     "q150_stream_merge_sink", "q156_stream_outer_join_replay",
-    "q214_stream_full_outer_join_replay",
+    "q214_stream_full_outer_join_replay", "q216_stream_semi_join_replay",
     "q177_stream_late_audit", "q178_stream_tws_replay",
     "q182_stream_static_enrich", "q196_stream_reservoir",
     "q107_catalog_ddl", "q77_csv_roundtrip",
@@ -86,6 +86,9 @@ class PlanBudgetSpec extends SparkSpec {
     // sketch builds + exact set-op counts and returns a driver-built
     // ≤3-row result (ThetaSpec audits the sketch algebra itself)
     "q215_theta_setops",
+    // q217 likewise: per-partition KLL builds + two exact aggregates
+    // run while building; result is a driver-built 4-row frame
+    "q217_kll_quantile_merge",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

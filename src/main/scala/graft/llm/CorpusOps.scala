@@ -243,6 +243,78 @@ object CorpusOps extends QueryModule {
       rows.toDF("qtile", "exact_disc", "rank_within_err").orderBy("qtile")
     }),
 
+    // DSIR-style importance resampling (Xie et al. 2023) — the
+    // published data-selection method q163/q195 bracket: pick raw-pool
+    // docs whose HASHED-feature distribution looks most like a target
+    // domain. Features are tokens hashed into 1024 buckets (DSIR's
+    // hashed n-grams — the model is 1024 rows whatever the corpus, so
+    // it broadcasts at any scale); importance = mean per-token
+    // log-ratio of add-1-smoothed target vs raw bucket LMs; selection
+    // is Gumbel-top-k (g = −ln(−ln u) from the seeded HashDraw
+    // uniform, β=0.5) — the standard trick that turns weighted
+    // sampling WITHOUT replacement into a plain top-k, which plans
+    // TakeOrderedAndProject (per-partition heaps, no corpus sort; the
+    // q195 race with a different key). Float parity: per-token
+    // log-ratios are rounded to integer MICRO-NATS in the 1024-row
+    // model, so the per-doc aggregation is an exact integer sum with
+    // no fold-order boundary; only the final mean/Gumbel arithmetic
+    // is floating (written identically on both engines; a selection
+    // flip needs the k-th and k+1-th Gumbel keys within ~1 ulp —
+    // documented-accepted like the md5-millionths threshold). The
+    // target exemplar set is the docs carrying the fixture's one
+    // lexically discriminative token ('dup', the near-dup family —
+    // the fixture's langs share a vocabulary, so lang is NOT a
+    // lexical signal); any exemplar predicate slots in.
+    // CorpusOpsSpec asserts the selection is genuinely enriched in
+    // target-like docs over the raw pool.
+    "q218_dsir_resample" -> ((s, d) => {
+      val nb = 1024L
+      val k = 50
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(alphaTokens).as("term"))
+        .withColumn("b",
+          TextAnalysis.md5Int(concat(lit("dsir:"), col("term"))) % nb)
+      // per-(doc,bucket) tf — the one corpus-sized aggregate, shared
+      // by the raw model, the target model, and the scoring join
+      val tf = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("tf")).persist()
+      try {
+        val tgtDocs = Tables.documents(s, d)
+          .filter(array_contains(alphaTokens, "dup"))
+          .select(col("doc_id"))
+        val raw = tf.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
+        val tgt = tf.join(tgtDocs, Seq("doc_id"), "left_semi")
+          .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
+        val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+          .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+          .select(col("b"),
+            round((log((col("ct") + 1).cast("double") / (col("nt") + nb)) -
+              log((col("cr") + 1).cast("double") / (col("nr") + nb))) * 1e6)
+              .cast("long").as("unit"))
+        val u = ((TextAnalysis.md5Int(
+          concat(lit("dsirg:"), col("doc_id").cast("string"))) % 1000000)
+          .cast("double") + 0.5) / 1000000.0
+        val scored = tf.join(broadcast(model), "b")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("tf") * col("unit")).as("lw"),
+            sum(col("tf")).as("n_tok"))
+          .select(col("doc_id"), col("lang"),
+            round(col("lw").cast("double") /
+              (col("n_tok").cast("double") * 1e6), 6).as("imp"))
+        val rows = scored
+          .withColumn("gkey", col("imp") + lit(0.1) * -log(-log(u)))
+          .orderBy(col("gkey").desc, col("doc_id")).limit(k)
+          .select(col("doc_id"), col("lang"), col("imp"))
+          .orderBy(col("doc_id")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_id", LongType), StructField("lang", StringType),
+            StructField("imp", DoubleType)))).orderBy(col("doc_id"))
+      } finally tf.unpersist()
+    }),
+
     // Sampling-based approximate query processing — interactive
     // aggregates over a corpus too big to scan: a deterministic 5%
     // Bernoulli sample (md5-millionths threshold, the HashDraw idiom)
@@ -815,6 +887,51 @@ object CorpusOps extends QueryModule {
         |SELECT 0.95, CAST(quantile_disc(n_chars, 0.95) AS BIGINT), true
         |FROM documents
         |ORDER BY qtile""".stripMargin,
+
+    // q218: identical hashed-bucket LMs (integer micro-nat model →
+    // exact integer doc sums), identical Gumbel-top-k arithmetic;
+    // DOUBLE-cast float literals so both engines run the same IEEE ops
+    "q218_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.md5IntSql("'dsir:' || term")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        t -> t != '')) AS term
+         |    FROM documents) z),
+         |tf AS (SELECT doc_id, lang, b, COUNT(*) AS tf
+         |       FROM tok GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY b),
+         |tgtdocs AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE list_contains(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'), t -> t != ''),
+         |    'dup')),
+         |tgt AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS ct FROM tf
+         |        WHERE doc_id IN (SELECT doc_id FROM tgtdocs) GROUP BY b),
+         |nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM raw),
+         |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM tgt),
+         |model AS (
+         |  SELECT raw.b,
+         |    CAST(ROUND((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 1024))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024))) * 1e6) AS BIGINT)
+         |      AS unit
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nr, nt),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.lang,
+         |    ROUND(CAST(SUM(tf.tf * model.unit) AS DOUBLE) /
+         |      (CAST(SUM(tf.tf) AS DOUBLE) * 1e6), 6) AS imp
+         |  FROM tf JOIN model ON tf.b = model.b
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT doc_id, lang, imp
+         |  FROM (SELECT *,
+         |      imp + CAST(0.1 AS DOUBLE) * -ln(-ln(
+         |        (${TextAnalysis.md5IntSql("'dsirg:' || CAST(doc_id AS VARCHAR)")}
+         |         % 1000000 + 0.5) / 1000000.0)) AS gkey
+         |    FROM scored)
+         |  ORDER BY gkey DESC, doc_id LIMIT 50)
+         |SELECT doc_id, lang, imp FROM sel ORDER BY doc_id""".stripMargin,
 
     "q198_kmv_overlap" ->
       s"""WITH a AS (SELECT DISTINCT

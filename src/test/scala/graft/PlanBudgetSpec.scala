@@ -89,6 +89,10 @@ class PlanBudgetSpec extends SparkSpec {
     // q217 likewise: per-partition KLL builds + two exact aggregates
     // run while building; result is a driver-built 4-row frame
     "q217_kll_quantile_merge",
+    // q218 likewise: persists the (doc,bucket) tf stage, runs the
+    // Gumbel-top-k job, materializes the ≤50-row selection before
+    // releasing the cache (q211's shape)
+    "q218_dsir_resample",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

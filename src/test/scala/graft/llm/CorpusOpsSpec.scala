@@ -162,4 +162,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 2.0 / math.sqrt(k.toDouble),
       s"KMV estimate $est too far from exact $exact for k=$k")
   }
+
+  test("q218's importance-resampled selection is genuinely enriched in " +
+    "target-exemplar docs vs the raw pool") {
+    // The whole point of DSIR is that the selected pool looks more like
+    // the target than the raw pool does; if the hashed-LM log-ratio or
+    // the Gumbel race broke (e.g. sign flip, model join dropping
+    // buckets), selection would regress to uniform and this enrichment
+    // vanishes — a semantic check the hash-match oracle can't express.
+    // Target = docs carrying the fixture's one discriminative token
+    // ('dup'); measured enrichment at β=0.1 is ~2.8× the 5% pool share
+    // at sf0.001/0.01 — the 1.5× floor keeps the test robust to
+    // fixture regeneration while still catching a signal collapse.
+    import org.apache.spark.sql.functions._
+    val sel = run("q218_dsir_resample").collect()
+    assert(sel.length == 50, s"expected 50 selected, got ${sel.length}")
+    val docs = graft.Tables.documents(spark, sf001)
+    val isTgt = array_contains(
+      array_remove(split(lower(col("text")), "[^a-z]+"), ""), "dup")
+    val tgtIds = docs.filter(isTgt).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val poolShare = tgtIds.size.toDouble / docs.count()
+    val selShare = sel.count(r => tgtIds(r.getLong(0))).toDouble / sel.length
+    assert(selShare > 1.5 * poolShare,
+      f"selection target-share $selShare%.3f not enriched over pool " +
+        f"$poolShare%.3f (need >1.5x)")
+    // and every selected doc carries a finite importance score
+    assert(sel.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
 }

@@ -482,4 +482,14 @@ object exprs {
     */
   def graft_collect_top_k(c: Column, k: Int, reverse: Boolean): Column =
     Bridge.collectTopK(c, k, reverse)
+
+  /** Theta-sketch build as a first-class aggregate (see
+    * [[graft.functions.ThetaSketchAgg]]): partial per-partition
+    * sketches + post-shuffle merge planned by the engine, per-group
+    * state bounded by `nominalEntries`. Returns compact-sketch bytes.
+    */
+  def graft_theta_sketch_agg(c: Column, nominalEntries: Int = 4096): Column =
+    Bridge.column(
+      ThetaSketchAgg(Bridge.expression(c), nominalEntries)
+        .toAggregateExpression())
 }

@@ -118,11 +118,14 @@ object CorpusOps extends QueryModule {
     // bounded memory, which is what cross-crawl overlap accounting
     // actually needs (|A∪B∪C|, |A∩B|, |A\B| from THREE ~32 KB
     // summaries instead of three corpus-sized joins). Each snapshot's
-    // sketch is built per-partition (bounded k-entry state) and the
-    // ≤|partitions| compact summaries union on the driver — the same
-    // mergeable-summary posture as q114's HLL and a treeAggregate's
-    // final fold; the set algebra then runs entirely on the driver's
-    // three summaries. Correctness gate (q114's bounded-error twin
+    // sketch is built by [[graft.functions.ThetaSketchAgg]] — a real
+    // Catalyst TypedImperativeAggregate (the hll_sketch_agg machinery),
+    // so the planner runs bounded k-entry partial sketches per
+    // partition and merges them after the shuffle, and the same
+    // aggregate drops into any groupBy (ThetaAggSpec) — the mergeable-
+    // summary posture of q114's HLL; the set algebra then runs
+    // entirely on the driver's three summaries. Correctness gate
+    // (q114's bounded-error twin
     // pattern): each exact cardinality — computed here via DataFrame
     // set ops so DuckDB can twin it — must land inside the sketch's
     // OWN 3-standard-deviation interval, the estimator's published
@@ -132,22 +135,17 @@ object CorpusOps extends QueryModule {
     // estimation mode.
     "q215_theta_setops" -> ((s, d) => {
       import org.apache.datasketches.memory.Memory
-      import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches, UpdateSketch}
+      import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches}
+      import graft.functions.exprs.graft_theta_sketch_agg
       import s.implicits._
       val nom = 4096
       def h = TextAnalysis.md5Int(concat(lit("theta:"), col("text")))
       def snap(mod: Int) = Tables.documents(s, d)
         .filter(col("doc_id") % mod =!= 0).select(h.as("h"))
       def sketchOf(df: DataFrame): Sketch = {
-        val parts = df.as[Long].mapPartitions { it =>
-          val sk = UpdateSketch.builder().setNominalEntries(nom).build()
-          it.foreach(sk.update)
-          Iterator.single(sk.compact().toByteArray)
-        }.collect()
-        val u = SetOperation.builder().setNominalEntries(nom).buildUnion()
-        parts.foreach(bs =>
-          u.union(Sketches.wrapSketch(Memory.wrap(bs))))
-        u.getResult
+        val bytes = df.agg(graft_theta_sketch_agg(col("h"), nom).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        Sketches.wrapSketch(Memory.wrap(bytes))
       }
       val sa = sketchOf(snap(3))
       val sb = sketchOf(snap(4))

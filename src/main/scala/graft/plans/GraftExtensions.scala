@@ -225,6 +225,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
       buildNfcNormalize))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_theta_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName,
+        "graft_theta_sketch_agg"),
+      buildThetaSketchAgg))
   }
 }
 
@@ -313,5 +317,33 @@ object GraftExtensions {
   val buildNfcNormalize: Seq[Expression] => Expression = { children =>
     requireArity("graft_nfc_normalize", 1, children)
     NfcNormalize(Cast(children.head, org.apache.spark.sql.types.StringType))
+  }
+
+  // SQL surface: graft_theta_sketch_agg(col [, nominalEntries]).
+  // The optional second argument must be a foldable integer — the
+  // sketch size is plan-time configuration, not per-row data.
+  val buildThetaSketchAgg: Seq[Expression] => Expression = { children =>
+    if (children.isEmpty || children.length > 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_theta_sketch_agg`",
+          "expectedNum" -> "1 or 2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    val nom = if (children.length == 2) children(1) match {
+      case e if e.foldable => e.eval() match {
+        case i: Int => i
+        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_theta_sketch_agg: bad nominalEntries $other")
+      }
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> "`graft_theta_sketch_agg`",
+          "paramName" -> "`nominalEntries`", "paramType" -> "\"INT\""))
+    } else 4096
+    graft.functions.ThetaSketchAgg(children.head, nom).toAggregateExpression()
   }
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import graft.functions.exprs.graft_theta_sketch_agg
+import org.apache.spark.sql.functions._
+
+/** The theta-sketch TypedImperativeAggregate as a first-class SQL
+  * aggregate: per-group sketches in a plain groupBy with the engine's
+  * partial/final split, estimates inside the sketch's own interval
+  * against exact distinct counts, and the SQL-registered name working
+  * through GraftExtensions.
+  */
+class ThetaAggSpec extends SparkSpec {
+
+  test("groupBy theta sketches estimate per-group distinct counts " +
+    "within their own 3-sigma bounds, through a partial+final plan") {
+    val df = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(graft_theta_sketch_agg(col("l_suppkey"), 4096).as("sk"))
+    // the planner must split the aggregate: partial sketches before
+    // the shuffle, merge after — the whole point of the mergeable form
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_graft_theta_sketch_agg") ||
+      plan.contains("Partial"), s"no partial aggregation phase:\n$plan")
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_suppkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = df.collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val sk = org.apache.datasketches.theta.Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("sk")))
+      val ex = exact(r.getString(0)).toDouble
+      assert(sk.getLowerBound(3) <= ex && ex <= sk.getUpperBound(3),
+        s"${r.getString(0)}: exact $ex outside " +
+          s"[${sk.getLowerBound(3)}, ${sk.getUpperBound(3)}]")
+    }
+  }
+
+  test("the SQL-registered graft_theta_sketch_agg matches the Column " +
+    "surface, and rejects a non-foldable nominalEntries") {
+    import graft.plans.GraftExtensions
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_theta_sketch_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ThetaSketchAgg].getName, "graft_theta_sketch_agg"),
+      GraftExtensions.buildThetaSketchAgg)
+    Tables.documents(spark, sf001).createOrReplaceTempView("g_theta_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_theta_sketch_agg(doc_id, 4096) AS sk
+        |FROM g_theta_docs""".stripMargin)
+      .head().getAs[Array[Byte]]("sk")
+    val viaCol = Tables.documents(spark, sf001)
+      .agg(graft_theta_sketch_agg(col("doc_id"), 4096).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(ThetaSketchAgg.estimate(viaSql) == ThetaSketchAgg.estimate(viaCol))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_theta_sketch_agg(doc_id, CAST(n_chars AS INT))
+          |FROM g_theta_docs""".stripMargin).collect()
+    }
+    assert(err.getCondition == "NON_FOLDABLE_ARGUMENT", err.getMessage)
+  }
+}

@@ -492,4 +492,14 @@ object exprs {
     Bridge.column(
       ThetaSketchAgg(Bridge.expression(c), nominalEntries)
         .toAggregateExpression())
+
+  /** KLL quantile-sketch build as a first-class aggregate (see
+    * [[graft.functions.KllSketchAgg]]): same planner-split
+    * partial/final shape, per-group state ~few KB at parameter k.
+    * Returns serialized sketch bytes.
+    */
+  def graft_kll_sketch_agg(c: Column, k: Int = 200): Column =
+    Bridge.column(
+      KllSketchAgg(Cast(Bridge.expression(c), DoubleType), k)
+        .toAggregateExpression())
 }

@@ -187,8 +187,10 @@ object CorpusOps extends QueryModule {
     // bound — the scalable twin of q50/q99's exact percentiles and
     // q90's approx_percentile (Spark's own positional sketch),
     // maintainable incrementally where exact quantiles need a global
-    // sort. Build mirrors q215: per-partition bounded-state sketches,
-    // ≤|partitions| byte arrays merged on the driver. Gate: for each
+    // sort. Built by [[graft.functions.KllSketchAgg]] — a Catalyst
+    // TypedImperativeAggregate, so the partial/final split and the
+    // any-groupBy composition come from the planner (q215's
+    // ThetaSketchAgg pattern). Gate: for each
     // probe rank, the merged sketch's quantile value must have a TRUE
     // rank interval [#(<v)/N, #(≤v)/N] overlapping the probe ±2×
     // the sketch's published rank error (tie-robust: n_chars has mass
@@ -202,18 +204,14 @@ object CorpusOps extends QueryModule {
       import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
       import org.apache.datasketches.memory.Memory
       import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+      import graft.functions.exprs.graft_kll_sketch_agg
       import s.implicits._
       val k = 200
       val vals = Tables.documents(s, d)
         .select(col("n_chars").cast("double").as("v"))
-      val parts = vals.as[Double].mapPartitions { it =>
-        val sk = KllDoublesSketch.newHeapInstance(k)
-        it.foreach(sk.update)
-        Iterator.single(sk.toByteArray)
-      }.collect()
-      val merged = KllDoublesSketch.newHeapInstance(k)
-      parts.foreach(bs =>
-        merged.merge(KllDoublesSketch.heapify(Memory.wrap(bs))))
+      val merged = KllDoublesSketch.heapify(Memory.wrap(
+        vals.agg(graft_kll_sketch_agg(col("v"), k).as("sk"))
+          .head().getAs[Array[Byte]]("sk")))
       val eps = 2.0 * KllSketch.getNormalizedRankError(k, false)
       val probes = Seq(25 -> 0.25, 50 -> 0.50, 75 -> 0.75, 95 -> 0.95)
       val est = probes.map { case (tag, q) =>

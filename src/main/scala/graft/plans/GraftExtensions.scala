@@ -229,6 +229,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName,
         "graft_theta_sketch_agg"),
       buildThetaSketchAgg))
+    e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName,
+        "graft_kll_sketch_agg"),
+      buildKllSketchAgg))
   }
 }
 
@@ -345,5 +349,35 @@ object GraftExtensions {
           "paramName" -> "`nominalEntries`", "paramType" -> "\"INT\""))
     } else 4096
     graft.functions.ThetaSketchAgg(children.head, nom).toAggregateExpression()
+  }
+
+  // SQL surface: graft_kll_sketch_agg(col [, k]) — same foldable-k
+  // contract as the theta aggregate; input is cast to double like the
+  // Column surface does.
+  val buildKllSketchAgg: Seq[Expression] => Expression = { children =>
+    if (children.isEmpty || children.length > 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_kll_sketch_agg`",
+          "expectedNum" -> "1 or 2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    val k = if (children.length == 2) children(1) match {
+      case e if e.foldable => e.eval() match {
+        case i: Int => i
+        case l: Long if l >= 8 && l <= Int.MaxValue => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_sketch_agg: bad k $other")
+      }
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> "`graft_kll_sketch_agg`",
+          "paramName" -> "`k`", "paramType" -> "\"INT\""))
+    } else 200
+    graft.functions.KllSketchAgg(
+      Cast(children.head, org.apache.spark.sql.types.DoubleType), k)
+      .toAggregateExpression()
   }
 }

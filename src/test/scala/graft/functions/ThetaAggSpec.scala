@@ -63,4 +63,33 @@ class ThetaAggSpec extends SparkSpec {
     }
     assert(err.getCondition == "NON_FOLDABLE_ARGUMENT", err.getMessage)
   }
+
+  test("groupBy KLL sketches honor the published rank-error bound " +
+    "per group, through a partial+final plan") {
+    import graft.functions.exprs.graft_kll_sketch_agg
+    import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val df = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft_kll_sketch_agg(col("o_totalprice"), 200).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_graft_kll_sketch_agg") ||
+      plan.contains("Partial"), s"no partial aggregation phase:\n$plan")
+    val eps = 2.0 * KllSketch.getNormalizedRankError(200, false)
+    val groups = df.collect()
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      val sk = KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("sk")))
+      val med = sk.getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE)
+      // tie-robust exact-rank interval check (the q217 gate), per group
+      val vals = Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === r.getString(0))
+        .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      val lo = vals.count(_ < med).toDouble / vals.length
+      val hi = vals.count(_ <= med).toDouble / vals.length
+      assert(lo - eps <= 0.5 && 0.5 <= hi + eps,
+        s"${r.getString(0)}: median rank interval [$lo,$hi] misses 0.5+-$eps")
+    }
+  }
 }

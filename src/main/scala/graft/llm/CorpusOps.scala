@@ -77,6 +77,36 @@ object CorpusOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-GROUP weighted reservoir — k docs per language, sampled
+    // without replacement proportional to length (q195's global
+    // Efraimidis–Spirakis race, per group; q116 stratifies by RATE,
+    // this takes an exact-k reservoir per stratum): the race key is
+    // deterministic (-ln(u)/w, seeded HashDraw u), and the k smallest
+    // keys per group are kept by the collect_top_k HEAP aggregate —
+    // per-group state is k rows through the partial phase, the
+    // shuffle carries ≤k·|groups| rows, and there is NO per-group
+    // window sort (q213's plan argument applied to sampling). This is
+    // THE shape for "n examples per language/domain" eval-set
+    // construction at corpus scale.
+    "q219_grouped_reservoir" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      val k = 20
+      val u = ((TextAnalysis.md5Int(
+        concat(lit("gr:"), col("doc_id").cast("string"))) % 1000000)
+        .cast("double") + 0.5) / 1000000.0
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (-log(u) / col("n_chars")).as("es_key"))
+        .groupBy(col("lang"))
+        .agg(graft_collect_top_k(
+          struct(col("es_key"), col("doc_id"), col("n_chars")), k,
+          reverse = true).as("res"))
+        .select(col("lang"), posexplode(sort_array(col("res"))))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.doc_id").as("doc_id"), col("col.n_chars").as("n_chars"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // KMV (k-minimum-values) overlap sketch — "how much of crawl B is
     // already in crawl A" WITHOUT joining the crawls: each snapshot
     // keeps only its k smallest content hashes (a k-row sketch,
@@ -862,6 +892,22 @@ object CorpusOps extends QueryModule {
          |     UNION SELECT h FROM c)) AS n_exact,
          |  true AS exact_within_bounds
          |ORDER BY op""".stripMargin,
+
+    // q219: the heap-reservoir must equal the windowed race rule
+    // exactly (same seeded u, same key, same tiebreak)
+    "q219_grouped_reservoir" ->
+      s"""WITH keyed AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    -ln((${TextAnalysis.md5IntSql("'gr:' || CAST(doc_id AS VARCHAR)")}
+         |         % 1000000 + 0.5) / 1000000.0) / n_chars AS es_key
+         |  FROM documents)
+         |SELECT lang,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY es_key, doc_id) AS INT) AS rk,
+         |  doc_id, n_chars
+         |FROM keyed
+         |QUALIFY rk <= 20
+         |ORDER BY lang, rk""".stripMargin,
 
     // q217: DuckDB twins the exact disc percentiles; the rank-error
     // boolean is the sketch's own guarantee (q114/q215 pattern).

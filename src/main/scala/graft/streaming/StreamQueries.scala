@@ -272,6 +272,42 @@ object StreamQueries extends QueryModule {
           count_distinct(col("c_id")).as("n_clicks"))
         .orderBy(col("user_id"))),
 
+    // Streaming SKETCH maintenance under replay — the streaming leg
+    // of the sketch family (q114 HLL, q215 theta algebra, q217 KLL):
+    // the custom graft_theta_sketch_agg TypedImperativeAggregate runs
+    // INSIDE the streaming engine (complete mode, q133's shape), so
+    // per-type distinct-user state is a bounded k-entry sketch
+    // maintained incrementally across micro-batches — the unbounded-
+    // stream answer to COUNT(DISTINCT), which streaming cannot do
+    // exactly. A theta set is order-independent (the k smallest
+    // hashes), so the estimate is invariant to batch slicing; the
+    // gate is the sketch's own 3σ interval against the batch-exact
+    // distinct count (q215's bounded-error twin pattern), evaluated
+    // on the ≤|types| sink rows.
+    "q220_stream_sketch_replay" -> ((s, d) => {
+      import graft.functions.exprs.graft_theta_sketch_agg
+      val sink = replay(s, d) { stream =>
+        stream.groupBy(col("event_type"))
+          .agg(graft_theta_sketch_agg(col("user_id"), 4096).as("sk"))
+      }
+      val exact = graft.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = sink.collect().map { r =>
+        val sk = org.apache.datasketches.theta.Sketches.wrapSketch(
+          org.apache.datasketches.memory.Memory.wrap(
+            r.getAs[Array[Byte]]("sk")))
+        val ex = exact(r.getString(0))
+        (r.getString(0), ex,
+          sk.getLowerBound(3) <= ex.toDouble &&
+            ex.toDouble <= sk.getUpperBound(3))
+      }.sortBy(_._1)
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "n_exact", "exact_within_bounds")
+        .orderBy(col("event_type"))
+    }),
+
     // foreachBatch MERGE sink under at-least-once replay: each
     // micro-batch is CDC-applied (keep-latest merge) into a parquet
     // snapshot via read-modify-write + directory swap — the mechanism
@@ -892,6 +928,14 @@ object StreamQueries extends QueryModule {
         |SELECT user_id, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT c_id) AS n_clicks
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q220: DuckDB twins the exact per-type distinct-user counts; the
+    // interval booleans are the sketch's own guarantee (q215 pattern)
+    "q220_stream_sketch_replay" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  true AS exact_within_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q150: the merged snapshot ≡ plain batch keep-latest at the µs
     // precision the stream sees — batch slicing and the duplicated

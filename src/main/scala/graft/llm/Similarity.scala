@@ -76,6 +76,35 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Hard-negative mining (round 11) — the contrastive-training data
+    // op: for each anchor, the top-5 most-SIMILAR vectors whose label
+    // DIFFERS (high-cosine wrong-class examples are exactly what a
+    // contrastive/metric-learning batch wants; easy random negatives
+    // teach nothing). Rides q32's broadcast kernel for the pair
+    // cosines; candidate labels join by cid (at corpus scale the
+    // label rides with the candidate row through the kernel), anchor
+    // labels broadcast (|anchors| rows). Per-anchor ranking is a
+    // qid-partitioned window over the anchors' candidate lists —
+    // parallel across anchors, bounded per anchor.
+    "q221_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      CosineKernel.pairCosines(s, Tables.embeddings(s, d),
+          col("vec_id") < 10, antisymmetric = false)
+        .join(labels.select(col("vec_id").as("cid"),
+          col("label").as("c_label")), "cid")
+        .join(broadcast(labels.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("q_label"))), "qid")
+        .filter(col("c_label") =!= col("q_label"))
+        .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+          round(col("cosine"), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // LSH-bucketed ANN with OR-amplification: L=8 hash tables of b=6
     // seeded random hyperplanes each. A pair is a candidate if it
     // collides in ANY table — for near neighbors (cosine ~0.9) the
@@ -744,6 +773,32 @@ object Similarity extends QueryModule {
         |  FROM p)
         |SELECT qid, cid, cosine, rank FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // q221: q32's pairwise-cosine CTE with the label-mismatch filter
+    // and the same 6dp round-before-rank rule
+    "q221_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS qid, a.label AS q_label,
+        |    b.vec_id AS cid, b.label AS c_label,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(a.embedding) AS ua,
+        |                        unnest(b.embedding) AS ub) z)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM n a, n b
+        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |    AND a.label <> b.label),
+        |r AS (
+        |  SELECT qid, q_label, cid, c_label, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, cid) AS INT) AS rank
+        |  FROM p)
+        |SELECT qid, q_label, cid, c_label, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // q43: the seeded hyperplanes ship as a literal VALUES table (the
     // q15 W0 technique), the sign-bit buckets are a conditional

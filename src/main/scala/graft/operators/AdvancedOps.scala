@@ -215,6 +215,33 @@ object AdvancedOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // NATIVE as-of join — the custom whole-operator path ((c) in the
+    // extension preference order): graft.plans.AsOfJoin is a logical
+    // node + planner Strategy + physical operator (key-clustered
+    // distribution, (key,time) child ordering, one O(|l|+|r|) merge
+    // pass with O(1) state per partition). Same semantics family as
+    // q55's window composition, stated directly: for each purchase,
+    // the click of the same user with the greatest ts STRICTLY below
+    // the purchase's, ties on ts broken by the greatest event_id.
+    // Times ride the canonical epoch-µs projection so the oracle's
+    // correlated-subquery twin compares the identical integers.
+    // AsOfJoinSpec pins the plan (GraftAsOfJoin operator, no window)
+    // and the edge semantics on a synthetic fixture.
+    "q222_asof_join_native" -> ((s, d) => {
+      val ev = Tables.eventsUs(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts_us"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOfJoin.join(purchases, clicks,
+          "user_id", "c_user", "ts_us", "c_ts_us", "c_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("c_id").as("prev_click"),
+          col("c_ts_us").as("prev_click_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: for each purchase event, the most recent preceding
     // click of the same user — implemented the scalable way (single
     // partitioned sort + IGNORE NULLS running last, not a range join).
@@ -412,6 +439,26 @@ object AdvancedOps extends QueryModule {
         |  regexp_replace(o_orderpriority, '^(\d)-', 'P\1_') AS relabeled,
         |  regexp_matches(o_orderpriority, '^[12]-') AS is_high
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // q222: the as-of rule as a correlated subquery over the same
+    // epoch-µs integers — greatest c_ts strictly below, ties by
+    // greatest c_id
+    "q222_asof_join_native" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS c_ts_us,
+        |    event_id AS c_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT c_id FROM c
+        |   WHERE c.user_id = p.user_id AND c.c_ts_us < p.ts_us
+        |   ORDER BY c_ts_us DESC, c_id DESC LIMIT 1) AS prev_click,
+        |  (SELECT c_ts_us FROM c
+        |   WHERE c.user_id = p.user_id AND c.c_ts_us < p.ts_us
+        |   ORDER BY c_ts_us DESC, c_id DESC LIMIT 1) AS prev_click_ts_us
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q55_asof_join" ->
       """SELECT event_id, user_id, prev_click FROM (

@@ -207,6 +207,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteSigmoid)
     e.injectOptimizerRule(_ => RewriteVecDot)
     e.injectOptimizerRule(_ => RewriteMatvecJoin)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sigmoid"),
       new ExpressionInfo(classOf[Sigmoid].getName, "graft_sigmoid"),
       buildSigmoid))

@@ -23,4 +23,21 @@ object Bridge {
     column(new org.apache.spark.sql.catalyst.expressions.aggregate
       .CollectTopK(expression(c), k, reverse, 0, 0)
       .toAggregateExpression())
+
+  /** A DataFrame over a hand-built logical plan (`Dataset.ofRows` is
+    * `private[sql]` — the shim rationale above). Needed by custom
+    * whole-operator nodes (graft.plans.AsOfJoin) whose construction
+    * has no Column-API spelling.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan (same shim rationale). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
 }

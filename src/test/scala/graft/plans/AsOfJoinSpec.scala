@@ -91,4 +91,34 @@ class AsOfJoinSpec extends SparkSpec {
       window.exceptAll(native).count()
     assert(diff == 0, s"native vs window as-of: $diff differing rows")
   }
+
+  test("randomized: the operator equals a brute-force as-of reference " +
+    "on 30 seeded datasets with heavy key/time collisions") {
+    // Small domains (8 keys, 12 times, ids 0..99) force the edge cases
+    // — exact-time boundaries, duplicate times needing the tiebreak,
+    // keys present on one side only — to occur constantly.
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 30) {
+      val lRows = Seq.fill(40)((rnd.nextInt(100).toLong,
+        rnd.nextInt(8).toLong, rnd.nextInt(12).toLong))
+      val rRows = Seq.fill(60)((rnd.nextInt(8).toLong,
+        rnd.nextInt(12).toLong, rnd.nextInt(100).toLong))
+      val l = lRows.toDF("pid", "key", "t")
+      val r = rRows.toDF("rkey", "rt", "rid")
+      val got = AsOfJoin.join(l, r, "key", "rkey", "t", "rt", "rid")
+        .select(col("pid"), col("key"), col("t"), col("rid"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))
+        .sorted
+      val want = lRows.map { case (pid, k, t) =>
+        val cand = rRows.filter(rr => rr._1 == k && rr._2 < t)
+        val best = if (cand.isEmpty) -1L
+          else cand.maxBy(rr => (rr._2, rr._3))._3
+        (pid, k, t, best)
+      }.sorted
+      assert(got.toSeq == want,
+        s"round $round: operator diverged from brute force")
+    }
+  }
 }

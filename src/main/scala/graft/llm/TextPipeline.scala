@@ -776,6 +776,76 @@ object TextPipeline extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Inverted-index CONSTRUCTION (round 11) — the build step q211's
+    // BM25 scoring presumes: term → (df, cf, capped posting list).
+    // One tokenize → (term, doc) distinct-count pass (the only
+    // corpus-sized work, term-keyed partial aggregation), with the
+    // posting list CAPPED at k=5 via the collect_top_k heap — ≤k
+    // postings per term cross the shuffle however large a term's
+    // posting list grows (the stop-word problem is exactly a hot-key
+    // problem, and the cap is the bound; a real index shards the full
+    // list by doc-range, this emits the deterministic first-k
+    // preview). Output restricted to the 10 highest-df terms via
+    // TakeOrderedAndProject — no global sort.
+    "q223_inverted_index" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      val posting = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      posting.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum(col("tf")).as("cf"),
+          graft_collect_top_k(col("doc_id"), 5, reverse = true)
+            .as("first_docs"))
+        .orderBy(col("df").desc, col("term")).limit(10)
+        // stringified posting preview: the harness comparator is
+        // scalar-typed, and 'd1,d2,...' hash-compares exactly
+        .select(col("term"), col("df"), col("cf"),
+          concat_ws(",", sort_array(col("first_docs")))
+            .as("first_docs"))
+        .orderBy(col("term"))
+    }),
+
+    // N-gram NOVELTY scoring (round 11) — "how much of this doc is
+    // text we have not seen before": the fraction of a doc's distinct
+    // word trigrams absent from a reference corpus (here the
+    // doc_id%2=0 carve; any prior crawl slots in). Boilerplate and
+    // template spam score ~0, genuinely new text ~1 — the diversity
+    // complement to q128's repetition and q130's contamination
+    // screens. Shapes: trigram hashes via the same md5 the oracle
+    // computes; the reference's distinct-gram relation semi-joins the
+    // doc grams (gram-keyed shuffle, no pairwise anything); at 100 TB
+    // the reference side becomes a bloom filter (q115's pattern) and
+    // the join disappears into the scan.
+    "q224_ngram_novelty" -> ((s, d) => {
+      // trigrams via the sliding slice of the token ARRAY — pure
+      // per-row expression work (no per-doc window, no shuffle until
+      // the distinct): gram i = tokens[i..i+2] joined by spaces
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("ts"))
+        .select(col("doc_id"), explode(expr(
+          // the IF guards the <3-token doc: sequence(0,-1) would step
+          // DOWNWARD (Spark defaults step=-1 when start>stop), not
+          // return empty
+          "IF(size(ts) >= 3, transform(sequence(0, size(ts) - 3), " +
+            "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])), " +
+            "array())")).as("gram"))
+        .select(col("doc_id"),
+          TextAnalysis.md5Int(col("gram")).as("g")).distinct()
+      val ref = tri.filter(col("doc_id") % 2 === 0)
+        .select(col("g")).distinct()
+      tri.filter(col("doc_id") % 2 =!= 0)
+        .join(ref.withColumn("seen", lit(1)), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("seen").isNull, 1).otherwise(0)).cast("long")
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval (Okapi, k1=1.2 b=0.75, Lucene's +1 idf): score
     // every document against the corpus's top-3 non-stopword terms
     // and keep the top-20 — the lexical half of a retrieval stack
@@ -860,6 +930,52 @@ object TextPipeline extends QueryModule {
         |  CAST(SUM(CASE WHEN prior >= 1000 THEN n_tok ELSE 0 END) AS BIGINT)
         |    AS tokens_dropped
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // q223: same tokenize → distinct (term,doc) counts → top-10 by df
+    // with the ≤5 smallest posting doc_ids
+    "q223_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS cf,
+        |    (SELECT list(doc_id ORDER BY doc_id)
+        |     FROM (SELECT doc_id FROM tf t2 WHERE t2.term = tf.term
+        |           ORDER BY doc_id LIMIT 5) z) AS fd
+        |  FROM tf GROUP BY term),
+        |top AS (SELECT * FROM agg ORDER BY df DESC, term LIMIT 10)
+        |SELECT term, df, cf,
+        |  array_to_string(fd, ',') AS first_docs
+        |FROM top ORDER BY term""".stripMargin,
+
+    // q224: identical word trigrams (the array-slice construction at
+    // 1-based list indexes), identical md5 gram hashes, same carve
+    "q224_ngram_novelty" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      t -> t != '') AS ts
+         |  FROM documents),
+         |tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${TextAnalysis.md5IntSql("g")} AS g
+         |  FROM (
+         |    SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+         |    FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+         |          FROM tok WHERE len(ts) >= 3) z) y),
+         |ref AS (SELECT DISTINCT g FROM tri WHERE doc_id % 2 = 0)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 6) AS novelty
+         |FROM tri t LEFT JOIN ref ON t.g = ref.g
+         |WHERE t.doc_id % 2 <> 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // same Okapi formula with the double literals CAST so both
     // engines run identical IEEE ops (DuckDB parses bare 2.2/1.2 as

@@ -807,6 +807,41 @@ object TextPipeline extends QueryModule {
         .orderBy(col("term"))
     }),
 
+    // Incremental inverted-index MAINTENANCE (round 11) — update
+    // q223's per-term stats from a CDC delta without rescanning the
+    // corpus (q199's signed-contribution algebra applied to
+    // retrieval): base index over the v1 carve (doc_id%5≠0), delta =
+    // v1→v2 (%5 adds, %7 removes, same carves as q199) contributes
+    // (±1 df, ±tf cf) per (term, changed doc), and one term-keyed
+    // groupBy re-emits current stats — the merge touches
+    // |terms-in-delta| + |index| rows, never the corpus. The oracle
+    // recomputes the index DIRECTLY from v2: merge ≡ recompute, all
+    // integer arithmetic. Terms whose df reaches 0 drop out (the
+    // posting-list delete). Output: the 15 highest-df v2 terms.
+    "q225_incremental_index" -> ((s, d) => {
+      def tf(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val docs = Tables.documents(s, d)
+      val base = tf(docs.filter(col("doc_id") % 5 =!= 0))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val adds = tf(docs.filter(col("doc_id") % 5 === 0
+          && col("doc_id") % 7 =!= 0))
+        .select(col("term"), lit(1L).as("df"), col("tf").as("cf"))
+      val removes = tf(docs.filter(col("doc_id") % 7 === 0
+          && col("doc_id") % 5 =!= 0))
+        .select(col("term"), lit(-1L).as("df"), (-col("tf")).as("cf"))
+      base.select(col("term"), col("df"), col("cf"))
+        .unionAll(adds).unionAll(removes)
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+        .filter(col("df") > 0)
+        .orderBy(col("df").desc, col("term")).limit(15)
+        .orderBy(col("term"))
+    }),
+
     // N-gram NOVELTY scoring (round 11) — "how much of this doc is
     // text we have not seen before": the fraction of a doc's distinct
     // word trigrams absent from a reference corpus (here the
@@ -951,6 +986,23 @@ object TextPipeline extends QueryModule {
         |SELECT term, df, cf,
         |  array_to_string(fd, ',') AS first_docs
         |FROM top ORDER BY term""".stripMargin,
+
+    // q225: the oracle IS the direct v2 recompute — merge ≡ recompute
+    "q225_incremental_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t != '')) AS term
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term)
+        |SELECT * FROM (
+        |  SELECT term, df, cf FROM agg
+        |  ORDER BY df DESC, term LIMIT 15) t
+        |ORDER BY term""".stripMargin,
 
     // q224: identical word trigrams (the array-slice construction at
     // 1-based list indexes), identical md5 gram hashes, same carve

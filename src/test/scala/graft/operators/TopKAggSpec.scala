@@ -34,4 +34,23 @@ class TopKAggSpec extends SparkSpec {
     assert(heap.toSeq == window.toSeq,
       s"heap/window top-k diverged: ${heap.length} vs ${window.length} rows")
   }
+
+  test("q223's posting lists build through the same bounded heap — " +
+    "no Window, partial aggregation present") {
+    val df = graft.SparkEntry.queries("q223_inverted_index")(spark, sf001)
+    val optimized = df.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q223 planned a Window:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(physical.contains("collect_top_k"),
+      s"posting cap lost the heap aggregate:\n$physical")
+    assert(physical.contains("partial_collect_top_k") ||
+      physical.contains("Partial"),
+      s"posting heap lost its map-side partial:\n$physical")
+    // and the final 10-term cut is a TakeOrdered, not a global sort
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"top-10-by-df fell back to a global sort:\n$physical")
+  }
 }

@@ -160,20 +160,22 @@ case class AsOfJoinExec(
       lIt.map { lRow =>
         val lKeyVal = lKeyProj(lRow).copy().get(0, lk.dataType)
         val lTimeVal = lTimeProj(lRow).copy().get(0, lt.dataType)
-        if (lKeyVal == null) {
-          // SQL semantics: a null key matches nothing
+        if (lKeyVal == null || lTimeVal == null) {
+          // SQL semantics: a null key (or a null left time — nothing
+          // can be strictly below NULL) matches nothing
           resultProj(joined(lRow, nullRight))
         } else {
           // consume right rows strictly below (key, time); the LAST
           // one consumed for this key is the greatest (time, tiebreak)
           // match, because the right side arrives sorted on exactly
-          // that order. Null right keys (sorted first) match nothing
-          // and are skipped.
-          while (rRow != null && (rKeyVal == null || {
+          // that order. Null right keys/times (sorted first under the
+          // Ascending child ordering) match nothing and are skipped.
+          while (rRow != null && (rKeyVal == null || rTimeVal == null || {
             val kc = keyOrd.compare(rKeyVal, lKeyVal)
             kc < 0 || (kc == 0 && timeOrd.compare(rTimeVal, lTimeVal) < 0)
           })) {
-            if (rKeyVal != null && keyOrd.compare(rKeyVal, lKeyVal) == 0) {
+            if (rKeyVal != null && rTimeVal != null &&
+                keyOrd.compare(rKeyVal, lKeyVal) == 0) {
               matchKey = lKeyVal
               lastMatch = rRow.copy()
             }

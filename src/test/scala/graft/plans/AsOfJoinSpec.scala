@@ -121,4 +121,30 @@ class AsOfJoinSpec extends SparkSpec {
         s"round $round: operator diverged from brute force")
     }
   }
+
+  test("null keys and null times match nothing and crash nothing") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val lSchema = StructType(Seq(StructField("pid", LongType),
+      StructField("key", LongType), StructField("t", LongType)))
+    val rSchema = StructType(Seq(StructField("rkey", LongType),
+      StructField("rt", LongType), StructField("rid", LongType)))
+    val l = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 10L, 100L),
+      org.apache.spark.sql.Row(2L, null, 100L),   // null key
+      org.apache.spark.sql.Row(3L, 10L, null)     // null time
+    ).asJava, lSchema)
+    val r = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(10L, 50L, 7L),
+      org.apache.spark.sql.Row(10L, null, 8L),    // null right time
+      org.apache.spark.sql.Row(null, 50L, 9L)     // null right key
+    ).asJava, rSchema)
+    val got = AsOfJoin.join(l, r, "key", "rkey", "t", "rt", "rid")
+      .select(col("pid"), col("rid")).orderBy(col("pid")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSeq
+    // only pid=1 matches (the real 50 < 100 row); null-key/time left
+    // rows and null-key/time right rows all fall out as non-matches
+    assert(got == Seq((1L, 7L), (2L, -1L), (3L, -1L)), s"got $got")
+  }
 }

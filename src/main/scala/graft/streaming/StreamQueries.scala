@@ -272,6 +272,43 @@ object StreamQueries extends QueryModule {
           count_distinct(col("c_id")).as("n_clicks"))
         .orderBy(col("user_id"))),
 
+    // Stream-STREAM LEFT ANTI interval join under replay — the
+    // absence-test join mode that completes the §2.C matrix (q121
+    // inner, q156 left outer, q214 full outer, q216 left semi): emit
+    // each click iff NO same-user view precedes it within 2h.
+    // Structured Streaming has no native stream-stream left_anti, so
+    // the operator is COMPOSED: the watermarked left_outer join (whose
+    // state contract already proves "no partner can still arrive"
+    // before null-padding) followed by an in-stream IS NULL filter —
+    // the engine itself emits only the contextless clicks, nothing is
+    // post-processed batch-side. The sentinel click matches the
+    // sentinel view (same user/ts), so the filter drops it in-stream;
+    // the sink-side -1 guard is belt only. State: identical bound to
+    // q156 (both sides buffered within watermark + interval).
+    "q226_stream_anti_join_replay" -> ((s, d) =>
+      replay(s, d, mode = "append", sentinel = true) { stream =>
+        val clicks = stream
+          .filter(col("event_type").isin("click", "sentinel"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = stream
+          .filter(col("event_type").isin("view", "sentinel"))
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+            col("v_ts") <= col("c_ts"),
+          "left_outer")
+          .filter(col("v_id").isNull)
+      }.filter(col("c_user") =!= -1L)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("c_id")).as("n_clicks"))
+        .orderBy(col("user_id"))),
+
     // Streaming SKETCH maintenance under replay — the streaming leg
     // of the sketch family (q114 HLL, q215 theta algebra, q217 KLL):
     // the custom graft_theta_sketch_agg TypedImperativeAggregate runs
@@ -923,6 +960,24 @@ object StreamQueries extends QueryModule {
         |m AS (
         |  SELECT user_id, c_id FROM c
         |  WHERE EXISTS (SELECT 1 FROM v
+        |    WHERE v.v_user = c.user_id
+        |      AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts))
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c_id) AS n_clicks
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q226: drained anti-join replay ≡ batch NOT EXISTS — each
+    // contextless click exactly once, so n_rows must equal n_clicks
+    "q226_stream_anti_join_replay" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS c_ts, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS v_user, epoch_ns(ts) // 1000 AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT user_id, c_id FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM v
         |    WHERE v.v_user = c.user_id
         |      AND v.v_ts BETWEEN c.c_ts - 7200000000 AND c.c_ts))
         |SELECT user_id, COUNT(*) AS n_rows,

@@ -320,6 +320,50 @@ object WindowOps extends QueryModule {
             .as("valid_to_us"))
         .withColumn("is_current", col("valid_to_us") === farUs)
         .orderBy(col("user_id"), col("valid_from_us"))
+    }),
+
+    // MATCH_RECOGNIZE-lite: regex pattern matching over each user's
+    // time-ordered event-type SEQUENCE (SQL:2016 row-pattern
+    // recognition, which Spark lacks natively). Each event type maps
+    // to one symbol; the per-user symbol string is assembled with
+    // array_sort(collect_list(struct(ts,id,sym))) — the struct's
+    // (ts_us, event_id) prefix makes the sort a deterministic event-
+    // time order — then quantified patterns run as ordinary codegen'd
+    // regexes: `v+c+p` (funnel with quantifiers: ≥1 view then ≥1
+    // click then purchase, strictly adjacent), `e{2,}` (error
+    // bursts), and the longest view-run via regexp_extract_all+
+    // array_max. One user-keyed shuffle; per-user state is the
+    // symbol string (one byte per event). At 100 TB the same operator
+    // runs per (user, session_window) — q30's sessionizer bounds the
+    // string length — the per-user form here keeps the oracle twin
+    // exact. Both engines' regex dialects (Java util.regex / RE2)
+    // agree on greedy non-overlapping scan for these constructs —
+    // no backrefs or lazy quantifiers cross the engine boundary.
+    "q227_event_pattern_match" -> ((s, d) => {
+      val sym = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      Tables.eventsUs(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          sym.as("sym"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("sym")))).as("evs"))
+        .select(col("user_id"),
+          array_join(expr("transform(evs, x -> x.sym)"), "").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("int").as("n_events"),
+          size(expr("regexp_extract_all(seq, 'v+c+p', 0)"))
+            .cast("int").as("n_funnels"),
+          size(expr("regexp_extract_all(seq, 'e{2,}', 0)"))
+            .cast("int").as("n_error_bursts"),
+          coalesce(
+            expr("array_max(transform(regexp_extract_all(seq, 'v+', 0)," +
+              " x -> length(x)))"), lit(0))
+            .cast("int").as("max_view_run"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -552,6 +596,27 @@ object WindowOps extends QueryModule {
         |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) - 1, 4102444800000000)
         |    = 4102444800000000 AS is_current
-        |FROM changes ORDER BY user_id, valid_from_us""".stripMargin
+        |FROM changes ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // q227: DuckDB assembles the same symbol string with an ordered
+    // string_agg; RE2's greedy non-overlapping scan matches Java
+    // regex for these quantifier-only patterns
+    "q227_event_pattern_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INT)
+        |    AS n_funnels,
+        |  CAST(len(regexp_extract_all(seq, 'e{2,}')) AS INT)
+        |    AS n_error_bursts,
+        |  CAST(COALESCE(list_max(list_transform(
+        |    regexp_extract_all(seq, 'v+'), x -> length(x))), 0) AS INT)
+        |    AS max_view_run
+        |FROM s ORDER BY user_id""".stripMargin
   )
 }

@@ -603,6 +603,62 @@ object Dedup extends QueryModule {
           min(col("vec_id")).as("rep_id"))
         .withColumn("n_dup_candidates", (col("n_vecs") - 1).cast("int"))
         .orderBy(col("bucket"))
+    }),
+
+    // Sorted-neighborhood dedup (Hernández–Stolfo SNM) — the THIRD
+    // candidate-generation strategy alongside LSH banding (q31/q36)
+    // and sign-bucketing (q139): sort the corpus by a blocking key
+    // and compare each record only with its w−1 predecessors in sort
+    // order, turning O(N²) comparison into O(N·w). Key here is
+    // (n_chars, text, doc_id); w = 4; verify step is distinct-token
+    // Jaccard ≥ 0.9. The global rank is q202's two-phase ranking —
+    // n_chars range-buckets from parquet footer stats, per-bucket
+    // counts driver-folded into exclusive offsets, row_number only
+    // WITHIN a bucket — so no partition-less window; the neighbor
+    // pairing is then an equi-join on the unique rank (explode k∈1..3,
+    // join rn−k = rn), a plain shuffled join at any scale. Bucket
+    // count (16 at fixture scale) is a data-proportional tunable —
+    // at 100 TB set nb ≈ corpus/target-partition-rows; two docs with
+    // equal n_chars land in the same bucket, so bucket-local ordering
+    // composes with bucket order into the exact global order.
+    "q228_sorted_neighborhood_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nb = 16
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents", "n_chars")
+      val span = mx - mn + 1
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          array_distinct(tokens(col("text"))).as("toks"),
+          ((col("n_chars") - mn) * nb / span).cast("int").as("b"))
+      val counts = docs.groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("b"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = counts.scanLeft((0, 0L)) {
+        case ((_, acc), (b, c)) => (b, acc + c)
+      }.init.zip(counts).map { case ((_, off), (b, _)) => (b, off) }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("b", "off")
+      val wB = Window.partitionBy(col("b"))
+        .orderBy(col("n_chars"), col("text"), col("doc_id"))
+      val ranked = docs.join(broadcast(offDf), "b")
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).as("sz"),
+          (col("off") + row_number().over(wB)).as("rn"))
+      val left = ranked
+        .select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("sz").as("sa"), col("rn"))
+        .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+        .withColumn("rn_b", col("rn") - col("k"))
+      val right = ranked
+        .select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("sz").as("sb"), col("rn").as("rn_r"))
+      left.join(right, col("rn_b") === col("rn_r"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")), 6))
+        .filter(col("jac") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -1201,6 +1257,38 @@ object Dedup extends QueryModule {
          |  MIN(vec_id) AS rep_id,
          |  CAST(COUNT(*) - 1 AS INT) AS n_dup_candidates
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
-    }
+    },
+
+    // q228: DuckDB ranks with a plain global ROW_NUMBER (the two-phase
+    // equivalence is q202's proven pattern); intersection counted via
+    // the unnest-join (q37's shape) so no engine-specific list-set
+    // semantics cross the boundary
+    "q228_sorted_neighborhood_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, text,
+         |    list_distinct($tokensSql) AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, toks, len(toks) AS sz,
+         |    ROW_NUMBER() OVER (ORDER BY n_chars, text, doc_id) AS rn
+         |  FROM t),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM r),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sz AS sa, b.sz AS sb
+         |  FROM r a JOIN r b ON b.rn BETWEEN a.rn - 3 AND a.rn - 1),
+         |i AS (
+         |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |  FROM p JOIN tok x ON x.doc_id = p.doc_a
+         |         JOIN tok y ON y.doc_id = p.doc_b AND y.tk = x.tk
+         |  GROUP BY p.doc_a, p.doc_b),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+         |      (p.sa + p.sb - COALESCE(i.inter, 0)), 6) AS jac
+         |  FROM p LEFT JOIN i
+         |    ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

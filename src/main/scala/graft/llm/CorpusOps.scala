@@ -789,6 +789,59 @@ object CorpusOps extends QueryModule {
         .select(col("term"), col("exact"), col("est"),
           (col("est") - col("exact")).as("overcount"))
         .orderBy(col("term"))
+    }),
+
+    // Classifier-quality evaluation at corpus scale: ROC-AUC plus a
+    // reliability (calibration) table for a quality score against a
+    // ground-truth label — the eval loop every learned quality filter
+    // (fastText/CCNet-style) needs before it gates 100 TB. Score is
+    // the stopword ratio DISCRETIZED to 3dp millesimals (an INT in
+    // 0..1000), label is the lexical near-dup marker (the fixture's
+    // one discriminative token). Discretization is what makes AUC
+    // scale-free: the per-score table is ≤1001 rows at ANY corpus
+    // size, so the rank-sum reduces to one O(N) aggregation plus an
+    // expression-level ascending fold over the collapsed histogram
+    // (q163's one-array-row pattern — no global window, no driver
+    // loop). The fold keeps 2×AUC's numerator in BIGINT (ties count
+    // half via the ×2 trick), so there is no float-association risk;
+    // the only division is the final auc/pos_rate/avg_score rounding.
+    // Numerator magnitude is ≤2N² — switch the fold state to
+    // DECIMAL(38,0) past ~10^26 docs (q203's pattern), far beyond any
+    // real corpus.
+    "q229_auc_calibration" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab",
+          when(array_contains(ts, "dup"), 1L).otherwise(0L))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lab"))
+      val g = base.groupBy(col("sm")).agg(
+        sum(col("lab")).as("np"),
+        (count(lit(1)) - sum(col("lab"))).as("nn"))
+      val aucDf = g.agg(
+          sort_array(collect_list(struct(col("sm"), col("np"), col("nn"))))
+            .as("bs"),
+          sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+        .withColumn("num2", expr(
+          "aggregate(bs, named_struct('cum', CAST(0 AS BIGINT), " +
+            "'num', CAST(0 AS BIGINT)), " +
+            "(a, x) -> named_struct('cum', a.cum + x.nn, " +
+            "'num', a.num + x.np * (2 * a.cum + x.nn)), a -> a.num)"))
+        .select(round(col("num2").cast("double") /
+          (lit(2.0) * col("tp") * col("tn")), 6).as("auc"))
+      val bins = base
+        .groupBy(expr("sm DIV 100").cast("int").as("bin"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          sum(col("lab")).as("npos"),
+          sum(col("sm").cast("long")).as("sum_sm"))
+        .select(col("bin"), col("n"),
+          round(col("npos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(col("sum_sm").cast("double") / (lit(1000.0) * col("n")), 6)
+            .as("avg_score"))
+      bins.crossJoin(broadcast(aucDf)).orderBy(col("bin"))
     })
   )
 
@@ -1203,6 +1256,39 @@ object CorpusOps extends QueryModule {
         |  FROM r GROUP BY rk)
         |SELECT r.doc_id, r.source, r.n_chars, CAST(r.rk AS INT) AS rk,
         |  m.calibrated
-        |FROM r JOIN m USING (rk) ORDER BY doc_id""".stripMargin
+        |FROM r JOIN m USING (rk) ORDER BY doc_id""".stripMargin,
+
+    // q229: identical integer-exact rank-sum — cum runs over the same
+    // ≤1001-row score histogram (a window here; the engine uses the
+    // collapsed-array fold), 2×AUC numerator stays integral
+    "q229_auc_calibration" -> {
+      val stops = "('the','a','of','and','to','in','is')"
+      val tokensSql = TextAnalysis.tokensSql
+      s"""WITH t AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |g AS (
+         |  SELECT sm, SUM(lab) AS np, COUNT(*) - SUM(lab) AS nn
+         |  FROM t GROUP BY sm),
+         |c AS (
+         |  SELECT sm, np, nn,
+         |    COALESCE(SUM(nn) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM g),
+         |a AS (
+         |  SELECT ROUND(CAST(SUM(np * (2 * cum + nn)) AS DOUBLE) /
+         |    (2.0 * SUM(np) * SUM(nn)), 6) AS auc FROM c),
+         |b AS (
+         |  SELECT sm // 100 AS bin, CAST(COUNT(*) AS INT) AS n,
+         |    SUM(lab) AS npos, SUM(sm) AS sum_sm
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(bin AS INT) AS bin, n,
+         |  ROUND(CAST(npos AS DOUBLE) / n, 6) AS pos_rate,
+         |  ROUND(CAST(sum_sm AS DOUBLE) / (1000.0 * n), 6) AS avg_score,
+         |  a.auc AS auc
+         |FROM b, a ORDER BY bin""".stripMargin
+    }
   )
 }

@@ -842,6 +842,123 @@ object CorpusOps extends QueryModule {
           round(col("sum_sm").cast("double") / (lit(1000.0) * col("n")), 6)
             .as("avg_score"))
       bins.crossJoin(broadcast(aucDf)).orderBy(col("bin"))
+    }),
+
+    // Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation") — the n-gram LM family's
+    // third member (q136 unigram logprob, q166 add-one bigram PPL):
+    // score(w₃|w₁w₂) backs off tri→bi→uni with a fixed α=0.4 penalty
+    // per level and NO normalization — exactly the formulation chosen
+    // for distributed corpora because each level is a pure count
+    // ratio (no discounting state to share). Counts come from the
+    // 80% train carve (doc_id %5 ≠ 0) and score the held-out 20%, so
+    // backoff genuinely fires on unseen n-grams. All model tables are
+    // model-sized (vocabulary-bounded) → broadcast into the one
+    // corpus-sized scan of eval positions; per-doc avg log-score and
+    // the branch-usage histogram come from one doc-keyed aggregation.
+    // OOV floor: α³/N (a deterministic, documented constant).
+    "q230_backoff_trigram_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d).withColumn("ts", alphaTokens)
+      val train = toks.filter(col("doc_id") % 5 =!= 0)
+      def grams(df: DataFrame, n: Int) = {
+        val cols = (1 to n).map(j =>
+          element_at(col("ts"), col("i") + (j - 1)).as(s"w$j"))
+        df.filter(size(col("ts")) >= n)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"),
+            col("ts"))
+          .select(col("doc_id") +: cols: _*)
+      }
+      val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("tc"))
+      val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bc"))
+      val uni = train.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      val tot = uni.agg(sum(col("uc")).as("n"))
+      val pos = grams(toks.filter(col("doc_id") % 5 === 0), 3)
+      val joined = pos
+        .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(bi.select(col("w1"), col("w2"),
+          col("bc").as("bcx"))), Seq("w1", "w2"), "left")
+        .join(broadcast(bi.select(col("w1").as("w2"),
+          col("w2").as("w3"), col("bc").as("bc2"))), Seq("w2", "w3"), "left")
+        .join(broadcast(uni.select(col("w").as("w2"),
+          col("uc").as("uc2"))), Seq("w2"), "left")
+        .join(broadcast(uni.select(col("w").as("w3"),
+          col("uc").as("uc3"))), Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+      val sc = when(col("tc").isNotNull,
+          col("tc").cast("double") / col("bcx"))
+        .when(col("bc2").isNotNull,
+          lit(0.4) * (col("bc2").cast("double") / col("uc2")))
+        .when(col("uc3").isNotNull,
+          lit(0.16) * (col("uc3").cast("double") / col("n")))
+        .otherwise(lit(0.064) / col("n"))
+      joined
+        .withColumn("branch", when(col("tc").isNotNull, "tri")
+          .when(col("bc2").isNotNull, "bi")
+          .when(col("uc3").isNotNull, "uni").otherwise("oov"))
+        .withColumn("logs", log(sc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_scored"),
+          sum(when(col("branch") === "tri", 1).otherwise(0)).cast("int")
+            .as("n_tri"),
+          sum(when(col("branch") === "bi", 1).otherwise(0)).cast("int")
+            .as("n_bi"),
+          sum(when(col("branch").isin("uni", "oov"), 1).otherwise(0))
+            .cast("int").as("n_uni"),
+          round(avg(col("logs")), 6).as("avg_logs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    // Massive Data Streams" — the Google formulation) for per-source
+    // mean doc length: each of R=20 resamples weights every row by an
+    // independent Poisson(1) draw, so a replicate is ONE map-side-
+    // combined aggregation — no N-sized with-replacement
+    // materialization per replicate, which is what makes bootstrap
+    // CIs tractable at 100 TB (the shuffle carries |sources|×R
+    // partial rows however big the corpus is). The draw is a pure
+    // function of (resample, doc_id): md5-millionths inverted through
+    // the exact Poisson(1) CDF ladder (thresholds in integer
+    // millionths, so the branch is integer compare — no float parity
+    // surface). Replicate means are exact-integer-sum ratios; the CI
+    // is the percentile-bootstrap [m₍₂₎, m₍₁₉₎] (central 90% of 20
+    // sorted replicate means, a deterministic order statistic — no
+    // interpolation rule to disagree on).
+    "q231_bootstrap_ci" -> ((s, d) => {
+      val rs = 20
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val draws = docs
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          explode(sequence(lit(1), lit(rs))).as("r"))
+        .withColumn("u", TextAnalysis.md5Int(
+          concat(lit("bs"), col("r").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 1000000L)
+        .withColumn("k",
+          when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+            .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+            .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+            .when(col("u") < 999917L, 6L).otherwise(7L))
+      val means = draws.groupBy(col("source"), col("r"))
+        .agg(sum(col("k") * col("n_chars")).as("skx"),
+          sum(col("k")).as("sk"))
+        .select(col("source"),
+          when(col("sk") === 0, lit(null))
+            .otherwise(col("skx").cast("double") / col("sk")).as("m"))
+        .filter(col("m").isNotNull)
+      val cis = means.groupBy(col("source"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("source"),
+          round(element_at(col("ms"), 2), 6).as("ci_lo"),
+          round(element_at(col("ms"), rs - 1), 6).as("ci_hi"))
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("mean_chars"))
+      base.join(cis, "source").orderBy(col("source"))
     })
   )
 
@@ -1289,6 +1406,97 @@ object CorpusOps extends QueryModule {
          |  ROUND(CAST(sum_sm AS DOUBLE) / (1000.0 * n), 6) AS avg_score,
          |  a.auc AS auc
          |FROM b, a ORDER BY bin""".stripMargin
+    },
+
+    // q230: same train carve, same count ratios, same CASE ladder —
+    // the only floats are the per-level ratios (identical IEEE ops)
+    // and the per-doc AVG of logs (q166's precedent: 6dp rounding
+    // absorbs summation-order ulp drift)
+    "q230_backoff_trigram_lm" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $alphaTokensSql AS ts FROM documents),
+         |tr AS (SELECT ts FROM tk WHERE doc_id % 5 <> 0),
+         |tri AS (
+         |  SELECT w1, w2, w3, COUNT(*) AS tc FROM (
+         |    SELECT unnest(list_slice(ts, 1, len(ts) - 2)) AS w1,
+         |           unnest(list_slice(ts, 2, len(ts) - 1)) AS w2,
+         |           unnest(list_slice(ts, 3, len(ts))) AS w3
+         |    FROM tr WHERE len(ts) >= 3) GROUP BY 1, 2, 3),
+         |bi AS (
+         |  SELECT w1, w2, COUNT(*) AS bc FROM (
+         |    SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         |           unnest(list_slice(ts, 2, len(ts))) AS w2
+         |    FROM tr WHERE len(ts) >= 2) GROUP BY 1, 2),
+         |uni AS (SELECT w, COUNT(*) AS uc
+         |        FROM (SELECT unnest(ts) AS w FROM tr) GROUP BY 1),
+         |tot AS (SELECT SUM(uc) AS n FROM uni),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(list_slice(ts, 1, len(ts) - 2)) AS w1,
+         |    unnest(list_slice(ts, 2, len(ts) - 1)) AS w2,
+         |    unnest(list_slice(ts, 3, len(ts))) AS w3
+         |  FROM tk WHERE doc_id % 5 = 0 AND len(ts) >= 3),
+         |j AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN t.tc IS NOT NULL THEN 'tri'
+         |         WHEN b2.bc IS NOT NULL THEN 'bi'
+         |         WHEN u3.uc IS NOT NULL THEN 'uni' ELSE 'oov' END AS branch,
+         |    CASE WHEN t.tc IS NOT NULL THEN CAST(t.tc AS DOUBLE) / bx.bc
+         |         WHEN b2.bc IS NOT NULL
+         |           THEN 0.4 * (CAST(b2.bc AS DOUBLE) / u2.uc)
+         |         WHEN u3.uc IS NOT NULL
+         |           THEN 0.16 * (CAST(u3.uc AS DOUBLE) / tot.n)
+         |         ELSE 0.064 / tot.n END AS sc
+         |  FROM pos p
+         |  LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+         |  LEFT JOIN bi bx ON bx.w1 = p.w1 AND bx.w2 = p.w2
+         |  LEFT JOIN bi b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+         |  LEFT JOIN uni u2 ON u2.w = p.w2
+         |  LEFT JOIN uni u3 ON u3.w = p.w3
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
+         |  CAST(SUM(CASE WHEN branch = 'tri' THEN 1 ELSE 0 END) AS INT)
+         |    AS n_tri,
+         |  CAST(SUM(CASE WHEN branch = 'bi' THEN 1 ELSE 0 END) AS INT)
+         |    AS n_bi,
+         |  CAST(SUM(CASE WHEN branch IN ('uni', 'oov') THEN 1 ELSE 0 END)
+         |    AS INT) AS n_uni,
+         |  ROUND(AVG(ln(sc)), 6) AS avg_logs
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q231: identical md5-millionths CDF ladder, identical integer
+    // replicate sums; the only doubles are the final ratio and the
+    // two order statistics
+    "q231_bootstrap_ci" -> {
+      val u = TextAnalysis.md5IntSql("'bs' || r || ':' || doc_id")
+      s"""WITH draws AS (
+         |  SELECT source, doc_id, n_chars, unnest(range(1, 21)) AS r
+         |  FROM documents),
+         |ku AS (
+         |  SELECT source, r, n_chars, $u % 1000000 AS u FROM draws),
+         |kk AS (
+         |  SELECT source, r, n_chars,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+         |         WHEN u < 999917 THEN 6 ELSE 7 END AS k
+         |  FROM ku),
+         |m AS (
+         |  SELECT source, r,
+         |    CASE WHEN SUM(k) = 0 THEN NULL
+         |      ELSE CAST(SUM(k * n_chars) AS DOUBLE) / SUM(k) END AS m
+         |  FROM kk GROUP BY source, r),
+         |c AS (
+         |  SELECT source, list_sort(list(m)) AS ms
+         |  FROM m WHERE m IS NOT NULL GROUP BY source),
+         |b AS (
+         |  SELECT source, CAST(COUNT(*) AS INT) AS n,
+         |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+         |      AS mean_chars
+         |  FROM documents GROUP BY source)
+         |SELECT b.source, b.n, b.mean_chars,
+         |  ROUND(ms[2], 6) AS ci_lo, ROUND(ms[19], 6) AS ci_hi
+         |FROM b JOIN c ON b.source = c.source ORDER BY b.source""".stripMargin
     }
   )
 }

@@ -33,7 +33,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q166_bigram_ppl",          // 1-row vocab-size scalar broadcast
     "q174_volume_anomaly",      // 1-row mean/stddev stats broadcast
     "q179_time_decay_weight",   // 1-row max-timestamp anchor broadcast
-    "q212_rrf_fusion")          // 10-row projected-query broadcast
+    "q212_rrf_fusion",          // 10-row projected-query broadcast
+    "q229_auc_calibration",     // 1-row AUC scalar broadcast
+    "q230_backoff_trigram_lm")  // 1-row token-total scalar broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -141,7 +143,13 @@ class PlanBudgetSpec extends SparkSpec {
     // the sketch, sketch-union, exact-intersect and exact-union
     // branches; the copies are identical and reuse at runtime — the
     // q165 self-join story
-    "q198_kmv_overlap" -> 15)
+    "q198_kmv_overlap" -> 15,
+    // the bigram model subtree prints under BOTH backoff join keys
+    // (context (w1,w2) and backoff (w2,w3)) and the unigram subtree
+    // under (w2) and (w3); the copies are identical and reuse at
+    // runtime (CorpusOpsSpec asserts ReusedExchange) — corpus-sized
+    // data is touched once per n-gram order
+    "q230_backoff_trigram_lm" -> 15)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -190,4 +190,65 @@ class CorpusOpsSpec extends SparkSpec {
     // and every selected doc carries a finite importance score
     assert(sel.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
+
+  test("q229: AUC is one valid probability repeated on every bin row, " +
+    "and the calibration bins partition the corpus") {
+    val rows = run("q229_auc_calibration").collect()
+    val aucs = rows.map(_.getDouble(4)).distinct
+    assert(aucs.length == 1, s"AUC differs across bin rows: ${aucs.toSeq}")
+    assert(aucs.head >= 0.0 && aucs.head <= 1.0, s"AUC ${aucs.head}")
+    rows.foreach { r =>
+      val (pr, avg) = (r.getDouble(2), r.getDouble(3))
+      assert(pr >= 0.0 && pr <= 1.0, s"pos_rate $pr")
+      assert(avg >= 0.0 && avg <= 1.0, s"avg_score $avg")
+      val bin = r.getInt(0)
+      // a bin's average score must lie inside the bin's score range
+      assert(avg >= bin / 10.0 - 1e-9 && avg < (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin avg_score $avg outside [${bin / 10.0}, ${(bin + 1) / 10.0})")
+    }
+    val n = rows.map(_.getInt(1).toLong).sum
+    assert(n == graft.Tables.documents(spark, sf001).count(),
+      "bins do not partition the corpus")
+  }
+
+  test("q230's repeated bigram/unigram model subtrees dedupe at runtime — " +
+    "AQE reuses the model exchanges (PlanBudgetSpec override proof), and " +
+    "backoff branch counts partition every doc's scored positions") {
+    val df = run("q230_backoff_trigram_lm")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2) + r.getInt(3) + r.getInt(4),
+        s"doc ${r.getLong(0)}: branches don't sum to n_scored")
+      assert(r.getDouble(5) < 0.0, "log-score of a proper ratio must be < 0")
+    }
+    // held-out scoring must actually exercise backoff somewhere
+    assert(rows.map(_.getInt(3).toLong).sum +
+      rows.map(_.getInt(4).toLong).sum > 0,
+      "no position ever backed off — train/eval carve is broken")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
+  test("q231: every source's bootstrap interval is ordered, finite, and " +
+    "n matches the source's row count") {
+    val rows = run("q231_bootstrap_ci").collect()
+    val sizes = graft.Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == sizes.keySet)
+    rows.foreach { r =>
+      val (lo, hi, mean) = (r.getDouble(3), r.getDouble(4), r.getDouble(2))
+      assert(lo <= hi, s"${r.getString(0)}: ci_lo $lo > ci_hi $hi")
+      assert(!lo.isNaN && !hi.isNaN && !mean.isNaN)
+      assert(r.getInt(1).toLong == sizes(r.getString(0)))
+      // a percentile-bootstrap interval of the mean should bracket a
+      // neighborhood of the point estimate (loose: within the interval
+      // widened by its own width on each side)
+      val w = math.max(hi - lo, 1e-6)
+      assert(mean >= lo - w && mean <= hi + w,
+        s"${r.getString(0)}: mean $mean far outside [$lo, $hi]")
+    }
+  }
 }

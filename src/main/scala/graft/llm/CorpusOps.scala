@@ -959,6 +959,168 @@ object CorpusOps extends QueryModule {
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
             .as("mean_chars"))
       base.join(cis, "source").orderBy(col("source"))
+    }),
+
+    // Per-group OLS trend fit: slope/intercept/R² of token count vs
+    // doc length for every source, from the five classical
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — ONE
+    // map-side-combined aggregation per source, the closed-form that
+    // makes regression a streaming-mergeable O(N) scan at any corpus
+    // size (and the reason no gradient loop or matrix solve appears).
+    // The centered moments S_xx = nΣx²−(Σx)² etc stay exact BIGINT
+    // (magnitudes ≤ n²·max(x)² ≈ 10¹³ at fixture scale; past ~10¹⁸
+    // switch the sums to DECIMAL(38,0) — q203's pattern); the only
+    // doubles are the three final ratios, identical single IEEE
+    // divisions on both engines. Degenerate sources (constant x or y)
+    // yield NULL slope/R² instead of a division error.
+    "q232_ols_trend" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("x"),
+          size(alphaTokens).cast("long").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx_"),
+          sum(col("y") * col("y")).as("syy_"),
+          sum(col("x") * col("y")).as("sxy_"))
+        .withColumn("sxx", col("n") * col("sxx_") - col("sx") * col("sx"))
+        .withColumn("syy", col("n") * col("syy_") - col("sy") * col("sy"))
+        .withColumn("sxy", col("n") * col("sxy_") - col("sx") * col("sy"))
+      stats.select(col("source"), col("n").cast("int").as("n"),
+          when(col("sxx") === 0, lit(null)).otherwise(
+            round(col("sxy").cast("double") / col("sxx"), 6)).as("slope"),
+          when(col("sxx") === 0, lit(null)).otherwise(
+            round((col("sy").cast("double") -
+              (col("sxy").cast("double") / col("sxx")) * col("sx")) /
+              col("n"), 6)).as("intercept"),
+          when(col("sxx") === 0 || col("syy") === 0, lit(null)).otherwise(
+            round((col("sxy").cast("double") * col("sxy")) /
+              (col("sxx").cast("double") * col("syy")), 6)).as("r2"))
+        .orderBy(col("source"))
+    }),
+
+    // Chi-squared term–source association (the classic feature-
+    // selection statistic): for every (source, term) 2×2 contingency
+    // table, χ² = N(O₁₁O₂₂−O₁₂O₂₁)²/(R₁R₂C₁C₂), then the top-5
+    // most source-discriminative terms per source. The cell/margin
+    // tables are vocabulary-bounded (broadcast); the corpus is
+    // touched exactly once by the tokenize pass. Top-k per source
+    // uses the graft_collect_top_k heap aggregate (q213) — ≤5 rows
+    // per source cross the shuffle, no constant-cardinality window
+    // partition. Ordering is (rounded χ², term) descending — the
+    // round-first rule keeps a float boundary from ever deciding
+    // cross-engine rank.
+    "q233_chi2_terms" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(alphaTokens).as("term"))
+      // margins derive from the aggregated cell table, NOT from fresh
+      // corpus passes: the corpus is tokenized and shuffled exactly
+      // once (into vocabulary-bounded cells); everything downstream is
+      // model-sized, and the repeated cell subtree reuses its exchange
+      // at runtime (CorpusOpsSpec)
+      val cell = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("o11"))
+      val bySrc = cell.groupBy(col("source")).agg(sum(col("o11")).as("ts_"))
+      val byTerm = cell.groupBy(col("term")).agg(sum(col("o11")).as("tt"))
+      val tot = cell.agg(sum(col("o11")).as("n"))
+      val scored = cell.join(broadcast(bySrc), "source")
+        .join(broadcast(byTerm), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("o12", col("tt") - col("o11"))
+        .withColumn("o21", col("ts_") - col("o11"))
+        .withColumn("o22",
+          col("n") - col("ts_") - col("tt") + col("o11"))
+        .withColumn("d1",
+          col("o11").cast("double") * col("o22") -
+            col("o12").cast("double") * col("o21"))
+        .withColumn("chi2", round(
+          col("n").cast("double") * (col("d1") * col("d1")) /
+            (((col("ts_").cast("double") * col("tt")) *
+              (col("n").cast("double") - col("ts_"))) *
+              (col("n").cast("double") - col("tt"))), 6))
+      scored.groupBy(col("source"))
+        .agg(graft_collect_top_k(
+          struct(col("chi2"), col("term"), col("o11")), 5, false).as("top"))
+        .select(col("source"), posexplode(sort_array(col("top"), asc = false)))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.term").as("term"),
+          col("col.o11").cast("int").as("n_in_source"),
+          col("col.chi2").as("chi2"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Rendezvous (highest-random-weight) sharding — the elastic
+    // resharding answer to q149's static balance and q162's mod-N
+    // layout: every doc goes to argmax over shards of h(shard, doc),
+    // so REMOVING a shard moves exactly the docs that lived on it
+    // (1/S of the corpus) while mod-N resharding moves ~(S−1)/S of
+    // everything. Both assignments and both movement counts are
+    // computed side by side: hrw8→hrw7 (drop shard 7) vs mod8→mod7.
+    // The argmax is a max_by over an exploded 8-row-per-doc relation
+    // — one doc-keyed map-side-combinable aggregation, no window, no
+    // driver state; h is the md5-60-bit integer (pure function, no
+    // float parity surface).
+    "q234_rendezvous_shard" -> ((s, d) => {
+      val nsh = 8
+      val h = Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(nsh - 1))).as("s"))
+        .withColumn("h", TextAnalysis.md5Int(
+          concat(lit("hrw:"), col("s").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+      val assign = h.groupBy(col("doc_id"))
+        .agg(max_by(col("s"), col("h")).as("hrw8"),
+          max_by(when(col("s") < nsh - 1, col("s")),
+            when(col("s") < nsh - 1, col("h"))).as("hrw7"))
+        .select(col("doc_id"), col("hrw8"), col("hrw7"),
+          (col("doc_id") % nsh).cast("int").as("mod8"),
+          (col("doc_id") % (nsh - 1)).cast("int").as("mod7"))
+      val g1 = assign.groupBy(col("hrw8").as("shard"))
+        .agg(count(lit(1)).cast("int").as("n_hrw"),
+          sum(when(col("hrw8") =!= col("hrw7"), 1).otherwise(0))
+            .cast("int").as("moved_hrw"))
+      val g2 = assign.groupBy(col("mod8").as("shard"))
+        .agg(count(lit(1)).cast("int").as("n_mod"),
+          sum(when(col("mod8") =!= col("mod7"), 1).otherwise(0))
+            .cast("int").as("moved_mod"))
+      g1.join(g2, "shard")
+        .select(col("shard").cast("int").as("shard"), col("n_hrw"),
+          col("moved_hrw"), col("n_mod"), col("moved_mod"))
+        .orderBy(col("shard"))
+    }),
+
+    // Two-proportion z-test (pooled) on event conversion — the A/B
+    // readout every experimentation pipeline computes: variant =
+    // user-hash parity, success = purchase. ONE aggregation produces
+    // both arms' (n, conversions); the z statistic is pure expression
+    // arithmetic on the 1-row result — at 100 TB this is a single
+    // map-side-combined count pass, nothing else. Significance is
+    // decided on the 6dp-ROUNDED z (round-first rule) so a boundary
+    // ulp can't flip the boolean across engines.
+    "q235_ab_proportion_test" -> ((s, d) => {
+      val r = Tables.events(s, d)
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("conv"))).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("conv"))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0")
+      val p1 = col("c1").cast("double") / col("n1")
+      val pp = (col("c0").cast("double") + col("c1")) /
+        (col("n0") + col("n1"))
+      val z = (p1 - p0) / sqrt((pp * (lit(1.0) - pp)) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      r.select(col("n0").cast("int").as("n0"),
+          col("c0").cast("int").as("c0"),
+          col("n1").cast("int").as("n1"),
+          col("c1").cast("int").as("c1"),
+          round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+          round(z, 6).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
     })
   )
 
@@ -1497,6 +1659,127 @@ object CorpusOps extends QueryModule {
          |SELECT b.source, b.n, b.mean_chars,
          |  ROUND(ms[2], 6) AS ci_lo, ROUND(ms[19], 6) AS ci_hi
          |FROM b JOIN c ON b.source = c.source ORDER BY b.source""".stripMargin
-    }
+    },
+
+    // q232: identical BIGINT sufficient statistics; the three final
+    // ratios are the only doubles, written with matching association
+    "q232_ols_trend" ->
+      s"""WITH t AS (
+         |  SELECT source, n_chars AS x,
+         |    CAST(len($alphaTokensSql) AS BIGINT) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * x) AS sxx_, SUM(y * y) AS syy_, SUM(x * y) AS sxy_
+         |  FROM t GROUP BY source),
+         |m AS (
+         |  SELECT source, n,
+         |    CAST(n * sxx_ - sx * sx AS BIGINT) AS sxx,
+         |    CAST(n * syy_ - sy * sy AS BIGINT) AS syy,
+         |    CAST(n * sxy_ - sx * sy AS BIGINT) AS sxy,
+         |    sx, sy
+         |  FROM g)
+         |SELECT source, CAST(n AS INT) AS n,
+         |  CASE WHEN sxx = 0 THEN NULL
+         |    ELSE ROUND(CAST(sxy AS DOUBLE) / sxx, 6) END AS slope,
+         |  CASE WHEN sxx = 0 THEN NULL
+         |    ELSE ROUND((CAST(sy AS DOUBLE) -
+         |      (CAST(sxy AS DOUBLE) / sxx) * sx) / n, 6) END AS intercept,
+         |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+         |    ELSE ROUND((CAST(sxy AS DOUBLE) * sxy) /
+         |      (CAST(sxx AS DOUBLE) * syy), 6) END AS r2
+         |FROM m ORDER BY source""".stripMargin,
+
+    // q233: same margins, same χ² association order; rank is a plain
+    // window here (the engine uses the heap top-k aggregate), ordered
+    // by the ROUNDED χ² then term, both descending
+    "q233_chi2_terms" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($alphaTokensSql) AS term FROM documents),
+         |cell AS (
+         |  SELECT source, term, COUNT(*) AS o11 FROM tok GROUP BY 1, 2),
+         |bys AS (SELECT source, SUM(o11) AS ts FROM cell GROUP BY 1),
+         |byt AS (SELECT term, SUM(o11) AS tt FROM cell GROUP BY 1),
+         |tot AS (SELECT SUM(o11) AS n FROM cell),
+         |sc AS (
+         |  SELECT source, term, o11,
+         |    ROUND(CAST(n AS DOUBLE) * (d1 * d1) /
+         |      (((CAST(ts AS DOUBLE) * tt) * (CAST(n AS DOUBLE) - ts)) *
+         |        (CAST(n AS DOUBLE) - tt)), 6) AS chi2
+         |  FROM (
+         |    SELECT c.source, c.term, c.o11, bys.ts, byt.tt, tot.n,
+         |      CAST(c.o11 AS DOUBLE) * (tot.n - bys.ts - byt.tt + c.o11) -
+         |        CAST(byt.tt - c.o11 AS DOUBLE) * (bys.ts - c.o11) AS d1
+         |    FROM cell c JOIN bys USING (source) JOIN byt USING (term)
+         |    CROSS JOIN tot)),
+         |r AS (
+         |  SELECT source, term, o11, chi2,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY chi2 DESC, term DESC) AS rn
+         |  FROM sc)
+         |SELECT source, CAST(rn AS INT) AS rn, term,
+         |  CAST(o11 AS INT) AS n_in_source, chi2
+         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    // q234: same md5 weights, arg_max twin of max_by; movement
+    // booleans are integer compares
+    "q234_rendezvous_shard" -> {
+      val h = TextAnalysis.md5IntSql("'hrw:' || s || ':' || doc_id")
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(range(0, 8)) AS s FROM documents),
+         |h AS (SELECT doc_id, s, $h AS h FROM e),
+         |a AS (
+         |  SELECT doc_id, arg_max(s, h) AS hrw8,
+         |    arg_max(s, h) FILTER (WHERE s < 7) AS hrw7
+         |  FROM h GROUP BY doc_id),
+         |am AS (
+         |  SELECT doc_id, hrw8, hrw7, doc_id % 8 AS mod8,
+         |    doc_id % 7 AS mod7
+         |  FROM a),
+         |g1 AS (
+         |  SELECT hrw8 AS shard, CAST(COUNT(*) AS INT) AS n_hrw,
+         |    CAST(SUM(CASE WHEN hrw8 <> hrw7 THEN 1 ELSE 0 END) AS INT)
+         |      AS moved_hrw
+         |  FROM am GROUP BY 1),
+         |g2 AS (
+         |  SELECT mod8 AS shard, CAST(COUNT(*) AS INT) AS n_mod,
+         |    CAST(SUM(CASE WHEN mod8 <> mod7 THEN 1 ELSE 0 END) AS INT)
+         |      AS moved_mod
+         |  FROM am GROUP BY 1)
+         |SELECT CAST(g1.shard AS INT) AS shard, n_hrw, moved_hrw,
+         |  n_mod, moved_mod
+         |FROM g1 JOIN g2 ON g1.shard = g2.shard
+         |ORDER BY shard""".stripMargin
+    },
+
+    // q235: identical pooled-z association; significance on the
+    // rounded z
+    "q235_ab_proportion_test" ->
+      """WITH t AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |g AS (
+        |  SELECT
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+        |  FROM t),
+        |z AS (
+        |  SELECT n0, c0, n1, c1,
+        |    CAST(c0 AS DOUBLE) / n0 AS p0,
+        |    CAST(c1 AS DOUBLE) / n1 AS p1,
+        |    (CAST(c0 AS DOUBLE) + c1) / (n0 + n1) AS pp
+        |  FROM g)
+        |SELECT CAST(n0 AS INT) AS n0, CAST(c0 AS INT) AS c0,
+        |  CAST(n1 AS INT) AS n1, CAST(c1 AS INT) AS c1,
+        |  ROUND(p0, 6) AS p0, ROUND(p1, 6) AS p1,
+        |  ROUND((p1 - p0) / sqrt((pp * (CAST(1 AS DOUBLE) - pp)) *
+        |    (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) AS z,
+        |  ABS(ROUND((p1 - p0) / sqrt((pp * (CAST(1 AS DOUBLE) - pp)) *
+        |    (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6)) > 1.96
+        |    AS significant
+        |FROM z""".stripMargin
   )
 }

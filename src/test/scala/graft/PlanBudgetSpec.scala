@@ -35,7 +35,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q179_time_decay_weight",   // 1-row max-timestamp anchor broadcast
     "q212_rrf_fusion",          // 10-row projected-query broadcast
     "q229_auc_calibration",     // 1-row AUC scalar broadcast
-    "q230_backoff_trigram_lm")  // 1-row token-total scalar broadcast
+    "q230_backoff_trigram_lm",  // 1-row token-total scalar broadcast
+    "q233_chi2_terms")          // 1-row token-total scalar broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -149,7 +150,13 @@ class PlanBudgetSpec extends SparkSpec {
     // under (w2) and (w3); the copies are identical and reuse at
     // runtime (CorpusOpsSpec asserts ReusedExchange) — corpus-sized
     // data is touched once per n-gram order
-    "q230_backoff_trigram_lm" -> 15)
+    "q230_backoff_trigram_lm" -> 15,
+    // the (source,term) cell aggregation — the ONLY corpus-sized
+    // shuffle — prints under all three margin branches and the scoring
+    // join; the copies are identical and reuse at runtime
+    // (CorpusOpsSpec asserts ReusedExchange), so the corpus is
+    // tokenized and shuffled once
+    "q233_chi2_terms" -> 12)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

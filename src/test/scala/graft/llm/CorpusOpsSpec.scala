@@ -231,6 +231,42 @@ class CorpusOpsSpec extends SparkSpec {
       s"no runtime exchange reuse in the final adaptive plan:\n$plan")
   }
 
+  test("q233 emits exactly 5 ranked terms per source with finite " +
+    "non-negative chi2, and the repeated tokenize subtree reuses at " +
+    "runtime (PlanBudgetSpec override proof)") {
+    val df = run("q233_chi2_terms")
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5),
+        s"$src: ranks not 1..5")
+      val chis = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(chis.forall(c => c >= 0.0 && !c.isNaN && !c.isInfinite))
+      assert(chis.sameElements(chis.sorted.reverse),
+        s"$src: chi2 not descending by rank")
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the final adaptive plan:\n$plan")
+  }
+
+  test("q234: rendezvous resharding moves exactly shard 7's residents " +
+    "while mod resharding reshuffles most of the corpus") {
+    val rows = run("q234_rendezvous_shard").collect()
+    assert(rows.map(_.getInt(0)).sorted.sameElements(0 to 7))
+    rows.foreach { r =>
+      val (shard, nH, mH) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (shard < 7) assert(mH == 0,
+        s"shard $shard: HRW moved $mH docs without its shard being removed")
+      else assert(mH == nH, s"shard 7: only $mH of $nH residents moved")
+    }
+    val total = rows.map(_.getInt(3).toLong).sum
+    val movedHrw = rows.map(_.getInt(2).toLong).sum
+    val movedMod = rows.map(_.getInt(4).toLong).sum
+    assert(movedHrw * 4 < movedMod,
+      s"HRW movement $movedHrw not ≪ mod movement $movedMod (n=$total)")
+  }
+
   test("q231: every source's bootstrap interval is ordered, finite, and " +
     "n matches the source's row count") {
     val rows = run("q231_bootstrap_ci").collect()

@@ -659,6 +659,61 @@ object Dedup extends QueryModule {
         .filter(col("jac") >= 0.9)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Prefix-filtering similarity join (PPJoin family, Chaudhuri et
+    // al. / Xiao et al.) — the FOURTH candidate-generation strategy
+    // (LSH banding q31, sign buckets q139, sorted neighborhood q228):
+    // an EXACT θ-Jaccard join with no hashing error. Order every
+    // doc's distinct shingle set by ascending global document
+    // frequency (rarest first); two sets with J ≥ θ MUST share a
+    // token in their first |T|−⌈θ|T|⌉+1 tokens, so the self-join
+    // touches only the short rare-token prefixes, plus the length
+    // filter θ|A| ≤ |B| ≤ |A|/θ. Candidates are then verified with
+    // the exact Jaccard. The df table is vocabulary-bounded
+    // (broadcast); the prefix inverted index is the only self-join
+    // and is keyed by the RAREST tokens — exactly the skew shape
+    // that keeps its fan-out subquadratic. ⌈θ·sz⌉ is computed as the
+    // same double ceil on both engines, so the prefix boundary can
+    // never disagree. Exactness (no false negatives) vs the brute-
+    // force all-pairs join is pinned at sf0.001 by DedupPlanSpec.
+    "q236_prefix_filter_join" -> ((s, d) => {
+      val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+      val base = Tables.documents(s, d).withColumn("ts", alphaToks)
+        .filter(size(col("ts")) >= 2)
+      val sh = base.select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))).as("tk"))
+        .distinct()
+      val dfreq = sh.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val srt = sh.join(broadcast(dfreq), "tk")
+        .groupBy(col("doc_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(df, tk)))," +
+          " x -> x.tk)").as("st"))
+        .withColumn("sz", size(col("st")))
+      val pre = srt.select(col("doc_id"), col("sz"),
+        explode(expr(
+          "slice(st, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1)")).as("tk"))
+      val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
+          col("tk"))
+        .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
+          col("tk")), Seq("tk"))
+        .filter(col("da") < col("db") &&
+          col("szb") >= expr("CAST(ceil(0.9 * sza) AS INT)") &&
+          col("sza") >= expr("CAST(ceil(0.9 * szb) AS INT)"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
+          col("sz").as("na")), "da")
+        .join(srt.select(col("doc_id").as("db"), col("st").as("stb"),
+          col("sz").as("nb")), "db")
+        .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jac") >= 0.9)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -1289,6 +1344,44 @@ object Dedup extends QueryModule {
          |  FROM p LEFT JOIN i
          |    ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
          |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.9
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q236: the same prefix-filter algorithm restated (candidate
+    // generation included — its exactness vs brute force is pinned
+    // Spark-side at sf0.001); list(tk ORDER BY df, tk) is the twin of
+    // the engine's (df, tk) struct sort
+    "q236_prefix_filter_join" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_slice(ts, 1, len(ts) - 1)) || ' ' ||
+        |    unnest(list_slice(ts, 2, len(ts))) AS tk
+        |  FROM t0 WHERE len(ts) >= 2),
+        |df AS (SELECT tk, COUNT(*) AS df FROM sh GROUP BY tk),
+        |srt AS (
+        |  SELECT sh.doc_id, list(sh.tk ORDER BY df.df, sh.tk) AS st,
+        |    COUNT(*) AS sz
+        |  FROM sh JOIN df ON df.tk = sh.tk
+        |  GROUP BY sh.doc_id),
+        |pre AS (
+        |  SELECT doc_id, sz, unnest(list_slice(st, 1,
+        |    CAST(sz AS INT) - CAST(ceil(0.9 * sz) AS INT) + 1)) AS tk
+        |  FROM srt),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |    AND b.sz >= CAST(ceil(0.9 * a.sz) AS INT)
+        |    AND a.sz >= CAST(ceil(0.9 * b.sz) AS INT)),
+        |v AS (
+        |  SELECT c.da AS doc_a, c.db AS doc_b,
+        |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) /
+        |      (x.sz + y.sz - len(list_intersect(x.st, y.st))), 6) AS jac
+        |  FROM cand c JOIN srt x ON x.doc_id = c.da
+        |    JOIN srt y ON y.doc_id = c.db)
+        |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -218,4 +218,39 @@ class DedupPlanSpec extends SparkSpec {
       assert(got.head._3 >= 2, s"shared fingerprints below threshold: $got")
     } finally graft.Scratch.deleteTree(dir)
   }
+
+  test("q236 prefix filtering is EXACT at theta=0.9: candidate pruning " +
+    "loses no pair vs the brute-force all-pairs Jaccard join") {
+    // The prefix-filter principle (PPJoin): after sorting each doc's
+    // shingle set by ascending global df, any pair with J >= theta must
+    // collide inside the first |T| - ceil(theta*|T|) + 1 tokens. Unlike
+    // the LSH families (q31/q36/q139) this is a zero-error candidate
+    // generator, so the full output must EQUAL brute force — not just
+    // overlap it.
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q236_prefix_filter_join")(
+        spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    val sets = Tables.documents(spark, sf001).withColumn("ts", alphaToks)
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)))).as("sh"))
+    val bf = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")), 6))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(bf.nonEmpty, "no >=0.9 pairs at sf0.001 — exactness vacuous")
+    assert(got == bf,
+      s"prefix filter diverged from brute force: " +
+        s"missing=${bf.diff(got).take(5)} extra=${got.diff(bf).take(5)}")
+  }
 }

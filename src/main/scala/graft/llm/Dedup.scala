@@ -675,8 +675,13 @@ object Dedup extends QueryModule {
     // and is keyed by the RAREST tokens — exactly the skew shape
     // that keeps its fan-out subquadratic. ⌈θ·sz⌉ is computed as the
     // same double ceil on both engines, so the prefix boundary can
-    // never disagree. Exactness (no false negatives) vs the brute-
-    // force all-pairs join is pinned at sf0.001 by DedupPlanSpec.
+    // never disagree. The df-sorted set table is the shared stage of
+    // FOUR consumers (prefix explode ×2 via the self-join, verify
+    // join ×2) that prune different columns — AQE cannot dedupe them
+    // (q211's argument) — so it is persisted once and the ≤pairs-sized
+    // result is materialized before release. Exactness (no false
+    // negatives) vs the brute-force all-pairs join is pinned at
+    // sf0.001 by DedupPlanSpec.
     "q236_prefix_filter_join" -> ((s, d) => {
       val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
       val base = Tables.documents(s, d).withColumn("ts", alphaToks)
@@ -692,28 +697,37 @@ object Dedup extends QueryModule {
         .agg(expr("transform(array_sort(collect_list(struct(df, tk)))," +
           " x -> x.tk)").as("st"))
         .withColumn("sz", size(col("st")))
-      val pre = srt.select(col("doc_id"), col("sz"),
-        explode(expr(
-          "slice(st, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1)")).as("tk"))
-      val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
-          col("tk"))
-        .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
-          col("tk")), Seq("tk"))
-        .filter(col("da") < col("db") &&
-          col("szb") >= expr("CAST(ceil(0.9 * sza) AS INT)") &&
-          col("sza") >= expr("CAST(ceil(0.9 * szb) AS INT)"))
-        .select(col("da"), col("db")).distinct()
-      cand
-        .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
-          col("sz").as("na")), "da")
-        .join(srt.select(col("doc_id").as("db"), col("st").as("stb"),
-          col("sz").as("nb")), "db")
-        .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
-        .withColumn("jac", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jac") >= 0.9)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .persist()
+      try {
+        val pre = srt.select(col("doc_id"), col("sz"),
+          explode(expr(
+            "slice(st, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1)")).as("tk"))
+        val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
+            col("tk"))
+          .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
+            col("tk")), Seq("tk"))
+          .filter(col("da") < col("db") &&
+            col("szb") >= expr("CAST(ceil(0.9 * sza) AS INT)") &&
+            col("sza") >= expr("CAST(ceil(0.9 * szb) AS INT)"))
+          .select(col("da"), col("db")).distinct()
+        val rows = cand
+          .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
+            col("sz").as("na")), "da")
+          .join(srt.select(col("doc_id").as("db"), col("st").as("stb"),
+            col("sz").as("nb")), "db")
+          .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6))
+          .filter(col("jac") >= 0.9)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_a", LongType), StructField("doc_b", LongType),
+            StructField("jac", DoubleType))))
+          .orderBy(col("doc_a"), col("doc_b"))
+      } finally srt.unpersist()
     })
   )
 

@@ -87,6 +87,32 @@ object Dedup extends QueryModule {
       posexplode(array(bandCols: _*)).as(Seq("band_id", "bsig")))
   }
 
+  /** Distinct bigram-shingle sets per doc, each ordered by ascending
+    * global document frequency (rarest shingle first) — the shared
+    * stage of the prefix-filtering joins (q236 Jaccard, q237
+    * containment). PPJoin's ordering: a set's PREFIX under this order
+    * holds its rarest tokens, so the prefix-keyed inverted index's
+    * posting lists are short by construction. The (df, tk) struct
+    * sort is total (tk unique within a doc), so `st` is deterministic
+    * whatever the collect_list arrival order.
+    */
+  private def dfSortedSets(s: SparkSession, d: String): DataFrame = {
+    val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    val base = Tables.documents(s, d).withColumn("ts", alphaToks)
+      .filter(size(col("ts")) >= 2)
+    val sh = base.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)))).as("tk"))
+      .distinct()
+    val dfreq = sh.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    sh.join(broadcast(dfreq), "tk")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tk)))," +
+        " x -> x.tk)").as("st"))
+      .withColumn("sz", size(col("st")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 content hash → cluster size per doc (hash
     // groupBy; the all-distinct fixture yields size-1 clusters, which
@@ -683,21 +709,7 @@ object Dedup extends QueryModule {
     // negatives) vs the brute-force all-pairs join is pinned at
     // sf0.001 by DedupPlanSpec.
     "q236_prefix_filter_join" -> ((s, d) => {
-      val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
-      val base = Tables.documents(s, d).withColumn("ts", alphaToks)
-        .filter(size(col("ts")) >= 2)
-      val sh = base.select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ts")) - 1),
-          i => concat(element_at(col("ts"), i), lit(" "),
-            element_at(col("ts"), i + 1)))).as("tk"))
-        .distinct()
-      val dfreq = sh.groupBy(col("tk")).agg(count(lit(1)).as("df"))
-      val srt = sh.join(broadcast(dfreq), "tk")
-        .groupBy(col("doc_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(df, tk)))," +
-          " x -> x.tk)").as("st"))
-        .withColumn("sz", size(col("st")))
-        .persist()
+      val srt = dfSortedSets(s, d).persist()
       try {
         val pre = srt.select(col("doc_id"), col("sz"),
           explode(expr(
@@ -726,6 +738,54 @@ object Dedup extends QueryModule {
         s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
             StructField("doc_a", LongType), StructField("doc_b", LongType),
             StructField("jac", DoubleType))))
+          .orderBy(col("doc_a"), col("doc_b"))
+      } finally srt.unpersist()
+    }),
+
+    // EXACT containment join (the asymmetric sibling of q236's
+    // Jaccard join): ordered pairs (a, b) with |Sa∩Sb|/|Sa| ≥ 0.8 —
+    // "a's shingles mostly occur inside b" — the quote/extraction/
+    // near-subset detector that symmetric Jaccard misses (a short doc
+    // embedded in a long one has low J but high containment). Prefix
+    // filtering adapts: the required overlap t = ⌈0.8·|Sa|⌉ is a
+    // property of the PROBE side alone, so only A's prefix
+    // (|Sa|−t+1 rarest shingles) is exploded; the index side must
+    // stay FULL postings — containment puts no upper bound on |Sb|,
+    // so B's prefix cannot be shortened without false negatives (the
+    // documented asymmetric-join trade-off; df-ascending ordering
+    // keeps the probe keys the RAREST shingles, so the posting lists
+    // actually joined stay short). Length filter: |Sb| ≥ t (I ≤ |Sb|).
+    // Same persisted shared stage + materialize-before-release shape
+    // as q236; exactness vs brute force pinned at sf0.001 by
+    // DedupPlanSpec.
+    "q237_containment_join" -> ((s, d) => {
+      val srt = dfSortedSets(s, d).persist()
+      try {
+        val pre = srt.select(col("doc_id").as("da"), col("sz").as("sza"),
+          explode(expr(
+            "slice(st, 1, sz - CAST(ceil(0.8 * sz) AS INT) + 1)")).as("tk"))
+        val full = srt.select(col("doc_id").as("db"), col("sz").as("szb"),
+          explode(col("st")).as("tk"))
+        val cand = pre.join(full, Seq("tk"))
+          .filter(col("da") =!= col("db") &&
+            col("szb") >= expr("CAST(ceil(0.8 * sza) AS INT)"))
+          .select(col("da"), col("db")).distinct()
+        val rows = cand
+          .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
+            col("sz").as("na")), "da")
+          .join(srt.select(col("doc_id").as("db"), col("st").as("stb")), "db")
+          .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
+          .withColumn("containment", round(col("inter").cast("double") /
+            col("na"), 6))
+          .filter(col("containment") >= 0.8)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("containment"))
+          .orderBy(col("doc_a"), col("doc_b")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_a", LongType), StructField("doc_b", LongType),
+            StructField("containment", DoubleType))))
           .orderBy(col("doc_a"), col("doc_b"))
       } finally srt.unpersist()
     })
@@ -1396,6 +1456,43 @@ object Dedup extends QueryModule {
         |  FROM cand c JOIN srt x ON x.doc_id = c.da
         |    JOIN srt y ON y.doc_id = c.db)
         |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q237: the containment variant restated — probe-side prefix only,
+    // full postings on the index side, same ceil boundary; candidate
+    // exactness vs brute force is pinned Spark-side at sf0.001
+    "q237_containment_join" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_slice(ts, 1, len(ts) - 1)) || ' ' ||
+        |    unnest(list_slice(ts, 2, len(ts))) AS tk
+        |  FROM t0 WHERE len(ts) >= 2),
+        |df AS (SELECT tk, COUNT(*) AS df FROM sh GROUP BY tk),
+        |srt AS (
+        |  SELECT sh.doc_id, list(sh.tk ORDER BY df.df, sh.tk) AS st,
+        |    COUNT(*) AS sz
+        |  FROM sh JOIN df ON df.tk = sh.tk
+        |  GROUP BY sh.doc_id),
+        |pre AS (
+        |  SELECT doc_id, sz, unnest(list_slice(st, 1,
+        |    CAST(sz AS INT) - CAST(ceil(0.8 * sz) AS INT) + 1)) AS tk
+        |  FROM srt),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM pre a JOIN sh b ON a.tk = b.tk AND a.doc_id != b.doc_id
+        |  JOIN srt sb ON sb.doc_id = b.doc_id
+        |  WHERE sb.sz >= CAST(ceil(0.8 * a.sz) AS INT)),
+        |v AS (
+        |  SELECT c.da AS doc_a, c.db AS doc_b,
+        |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) / x.sz,
+        |      6) AS containment
+        |  FROM cand c JOIN srt x ON x.doc_id = c.da
+        |    JOIN srt y ON y.doc_id = c.db)
+        |SELECT doc_a, doc_b, containment FROM v WHERE containment >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

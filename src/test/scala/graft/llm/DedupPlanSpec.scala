@@ -253,4 +253,69 @@ class DedupPlanSpec extends SparkSpec {
       s"prefix filter diverged from brute force: " +
         s"missing=${bf.diff(got).take(5)} extra=${got.diff(bf).take(5)}")
   }
+
+  test("q237 probe-side prefix containment join is EXACT at theta=0.8: " +
+    "output equals the brute-force all-ordered-pairs containment join") {
+    // Containment's prefix bound lives on the PROBE side only (t =
+    // ceil(0.8|Sa|) is a function of A alone); the index side is full
+    // postings. Any pruning error would show as a missing ordered pair
+    // here.
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q237_containment_join")(
+        spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    val sets = Tables.documents(spark, sf001).withColumn("ts", alphaToks)
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)))).as("sh"))
+    val bf = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("containment",
+        round(size(array_intersect(col("a.sh"), col("b.sh")))
+          .cast("double") / size(col("a.sh")), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"), col("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(bf.nonEmpty, "no >=0.8 containments at sf0.001 — vacuous")
+    assert(got == bf,
+      s"containment prefix filter diverged from brute force: " +
+        s"missing=${bf.diff(got).take(5)} extra=${got.diff(bf).take(5)}")
+  }
+
+  test("q237 containment is genuinely ASYMMETRIC: a short doc planted " +
+    "inside a long one is caught a->b only, and Jaccard (q236) misses it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 = 12 tokens; doc 2 = those 12 + 30 unrelated tokens.
+    // containment(1->2) = 1.0 but J = 11/41 ~ 0.27 — the quote/
+    // extraction case symmetric Jaccard structurally misses.
+    val core = (0 until 12).map(i => s"quoted${('a' + i).toChar}$i")
+      .mkString(" ")
+    val tail = (0 until 30).map(i => s"body${('a' + i % 26).toChar}$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, core, "en", "t", 0L),
+      (2L, s"$core $tail", "en", "t", 0L),
+      (3L, (0 until 20).map(i => s"other$i").mkString(" "), "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.dir("containment_surgical_")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("q237_containment_join")(spark,
+          dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 2L)),
+        s"expected exactly the one-directional pair (1,2): $got")
+      val jac = graft.SparkEntry.queries("q236_prefix_filter_join")(spark,
+          dir.toString).count()
+      assert(jac == 0, "Jaccard join caught the embedded doc — the " +
+        "containment operator would be redundant")
+    } finally graft.Scratch.deleteTree(dir)
+  }
 }

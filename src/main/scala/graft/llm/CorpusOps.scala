@@ -1121,6 +1121,157 @@ object CorpusOps extends QueryModule {
           round(p0, 6).as("p0"), round(p1, 6).as("p1"),
           round(z, 6).as("z"))
         .withColumn("significant", abs(col("z")) > 1.96)
+    }),
+
+    // Pareto SKYLINE (maximize quality, minimize length): the docs no
+    // other doc beats on both axes — the "best quality at every length
+    // budget" frontier a curation pipeline reads before picking a
+    // length/quality tradeoff. The classic distributed-skyline shape:
+    // a naive formulation is the O(N²) dominance anti-join (the
+    // oracle); here the 2-D case reduces to a CUMULATIVE MAX over the
+    // length order, minted two-phase exactly like q202's ranks —
+    // footer-stat range buckets, per-bucket max quality driver-folded
+    // into EXCLUSIVE prefix maxima (≤nb rows), then one range-frame
+    // window per bucket — so no partition-less window and no pair
+    // join at any corpus size. skyline ⇔ q > max{q' : len' < len} ∧
+    // q = max{q' : len' = len}, evaluated as q > mlt ∧ q ≥ mle on
+    // 6dp-rounded qualities (both engines compare identical rounded
+    // doubles; ties on both axes are kept on both sides).
+    "q238_skyline" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_chars"), quality.as("q"))
+      val nb = 16
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents",
+        "n_chars")
+      val span = mx - mn + 1
+      val bd = scored.withColumn("b",
+        ((col("n_chars") - mn) * nb / span).cast("int"))
+      val bmax = bd.groupBy(col("b")).agg(max(col("q")).as("bq"))
+        .orderBy(col("b")).collect().map(r => (r.getInt(0), r.getDouble(1)))
+      // exclusive prefix max: the best quality in any STRICTLY earlier
+      // (= strictly shorter) bucket; quality lives in [0,1] so -1 is a
+      // safe identity
+      var acc = -1.0
+      val pm = bmax.map { case (bb, bq) =>
+        val row = (bb, acc); acc = math.max(acc, bq); row
+      }
+      import s.implicits._
+      val pmDf = pm.toSeq.toDF("b", "pm")
+      val wLt = Window.partitionBy(col("b")).orderBy(col("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wLe = Window.partitionBy(col("b")).orderBy(col("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      bd.join(broadcast(pmDf), "b")
+        .withColumn("mlt", greatest(
+          coalesce(max(col("q")).over(wLt), lit(-1.0)), col("pm")))
+        .withColumn("mle", greatest(max(col("q")).over(wLe), col("pm")))
+        .filter(col("q") > col("mlt") && col("q") >= col("mle"))
+        .select(col("doc_id"), col("n_chars"), col("q").as("quality"))
+        .orderBy(col("n_chars"), col("doc_id"))
+    }),
+
+    // PSI (population stability index) drift over the doc-length
+    // distribution — the standard ML-monitoring drift score (PSI>0.25
+    // = "investigate") comparing a reference carve (even doc_id) to
+    // the current carve (odd): Σ (p_cur−p_ref)·ln(p_cur/p_ref) over
+    // FIXED-width bins minted from parquet footer min/max (no data
+    // pass for the grid, q190's technique; fixed bins are what makes
+    // the score comparable run-over-run). One conditional aggregation
+    // produces both carves' counts; the ≤nbins result is expression
+    // arithmetic. Per-bin contributions are each ONE IEEE expression
+    // on integer counts (add-½ smoothing so empty bins stay finite) —
+    // no float fold crosses the engine boundary, so no total row:
+    // the per-bin table IS the deliverable (the total is a trivial
+    // consumer-side sum of 10 numbers).
+    "q239_psi_drift" -> ((s, d) => {
+      val nbins = 10
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents",
+        "n_chars")
+      val span = mx - mn + 1
+      // integer DIV (DuckDB `//` twin) — bin is an output column, so
+      // the boundary arithmetic must be integer-exact on both engines
+      val counts = Tables.documents(s, d)
+        .select(expr(s"CAST((n_chars - $mn) * $nbins DIV $span AS INT)")
+            .as("bin"),
+          (col("doc_id") % 2 === 0).as("is_ref"))
+        .groupBy(col("bin")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      val pr = (col("n_ref") + lit(0.5)) /
+        (col("t_ref") + lit(0.5) * nbins)
+      val pc = (col("n_cur") + lit(0.5)) /
+        (col("t_cur") + lit(0.5) * nbins)
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          col("n_ref").cast("int").as("n_ref"),
+          col("n_cur").cast("int").as("n_cur"),
+          round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+          round((pc - pr) * log(pc / pr), 6).as("psi_contrib"))
+        .orderBy(col("bin"))
+    }),
+
+    // Term-distribution KL drift between two crawl carves — the
+    // lexical analogue of q165's numeric KS and q239's binned PSI:
+    // D(P_ref ‖ P_cur) contributions per term with add-1 smoothing
+    // over the union vocabulary, surfaced as the top-15 terms by
+    // |contribution| (the "what changed in the language" report).
+    // ONE tokenize pass with a conditional aggregation yields both
+    // carves' term counts (the corpus is never scanned twice); the
+    // per-term table is vocabulary-bounded, totals are a 1-row
+    // broadcast, each contribution is a single IEEE expression on
+    // exact integer counts, and the top-15 is TakeOrderedAndProject
+    // on (6dp-rounded |contrib|, term) — round-first so a float ulp
+    // never decides cross-engine rank.
+    "q240_term_kl_drift" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select((col("doc_id") % 2 === 0).as("is_ref"),
+          explode(alphaTokens).as("term"))
+        .groupBy(col("term")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val tot = counts.agg(sum(col("c_ref")).as("t_ref"),
+        sum(col("c_cur")).as("t_cur"), count(lit(1)).as("v"))
+      val pr = (col("c_ref") + 1).cast("double") / (col("t_ref") + col("v"))
+      val pc = (col("c_cur") + 1).cast("double") / (col("t_cur") + col("v"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("term"), col("c_ref").cast("int").as("c_ref"),
+          col("c_cur").cast("int").as("c_cur"),
+          round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+          round(pr * log(pr / pc), 6).as("kl_contrib"))
+        .orderBy(abs(col("kl_contrib")).desc, col("term")).limit(15)
+    }),
+
+    // ε-differentially-private count release (ε=1, Laplace mechanism):
+    // the noisy per-(source,lang) doc counts a data steward can
+    // publish — each cell gets Laplace(1/ε) noise via the exact
+    // inverse-CDF −sign(u−½)·ln(1−2|u−½|) on a deterministic
+    // md5-millionths uniform (the HashDraw idiom: u=(m+½)/10⁶ keeps u
+    // strictly inside (0,1) so the log never sees 0 — and makes the
+    // "draw" a pure function both engines compute bit-identically,
+    // which is what lets a DP mechanism face a DuckDB oracle at all;
+    // a production release would draw real randomness and drop the
+    // n_true column — it is exposed here as the oracle face). The
+    // aggregation is one map-side-combined count; noise is
+    // release-sized expression work.
+    "q241_dp_counts" -> ((s, d) => {
+      val m = TextAnalysis.md5Int(
+        concat(lit("dp1:"), col("source"), lit(":"), col("lang"))) % 1000000L
+      val u = (m.cast("double") + 0.5) / 1000000.0
+      val lap = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("source"), col("lang"), col("n_true").cast("int")
+            .as("n_true"),
+          round(col("n_true") + lap, 6).as("n_noisy"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -1780,6 +1931,99 @@ object CorpusOps extends QueryModule {
         |  ABS(ROUND((p1 - p0) / sqrt((pp * (CAST(1 AS DOUBLE) - pp)) *
         |    (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6)) > 1.96
         |    AS significant
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // q238: the oracle is the NAIVE O(N²) dominance anti-join — the
+    // definition itself — proving the two-phase cumulative-max
+    // formulation exact; same 6dp-rounded quality on both sides
+    "q238_skyline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |    ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5 +
+        |      (1.0 - CAST(len(list_filter(
+        |          list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |          t -> t IN ('the','a','of','and','to','in','is')))
+        |        AS DOUBLE)
+        |       / len(list_filter(string_split_regex(text, '\s+'),
+        |           t -> t <> ''))) * 0.5, 6) AS q
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')) > 0)
+        |SELECT a.doc_id, a.n_chars, a.q AS quality
+        |FROM scored a
+        |WHERE NOT EXISTS (SELECT 1 FROM scored b
+        |  WHERE b.n_chars <= a.n_chars AND b.q >= a.q
+        |    AND (b.n_chars < a.n_chars OR b.q > a.q))
+        |ORDER BY a.n_chars, a.doc_id""".stripMargin,
+
+    // q239: same integer `//` bins from exact column min/max (the
+    // parquet footer stats ARE the exact min/max for int64), same
+    // add-half smoothing, each contribution one IEEE expression
+    "q239_psi_drift" ->
+      """WITH mm AS (
+        |  SELECT MIN(n_chars) AS mn, MAX(n_chars) - MIN(n_chars) + 1 AS span
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST((n_chars - mm.mn) * 10 // mm.span AS INT) AS bin,
+        |    doc_id % 2 = 0 AS is_ref
+        |  FROM documents, mm),
+        |c AS (
+        |  SELECT bin,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
+        |SELECT bin, CAST(n_ref AS INT) AS n_ref, CAST(n_cur AS INT) AS n_cur,
+        |  ROUND((n_ref + 0.5) / (t_ref + 5.0), 6) AS p_ref,
+        |  ROUND((n_cur + 0.5) / (t_cur + 5.0), 6) AS p_cur,
+        |  ROUND(((n_cur + 0.5) / (t_cur + 5.0) -
+        |         (n_ref + 0.5) / (t_ref + 5.0)) *
+        |    LN(((n_cur + 0.5) / (t_cur + 5.0)) /
+        |       ((n_ref + 0.5) / (t_ref + 5.0))), 6) AS psi_contrib
+        |FROM c, t ORDER BY bin""".stripMargin,
+
+    // q240: same conditional term counts, same add-1 union-vocab
+    // smoothing, rank on the ROUNDED contribution
+    "q240_term_kl_drift" -> s"""
+        |WITH tk AS (
+        |  SELECT doc_id % 2 = 0 AS is_ref, unnest($alphaTokensSql) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term,
+        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+        |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+        |  FROM tk GROUP BY term),
+        |t AS (SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur,
+        |        COUNT(*) AS v FROM c),
+        |s AS (
+        |  SELECT term, CAST(c_ref AS INT) AS c_ref,
+        |    CAST(c_cur AS INT) AS c_cur,
+        |    ROUND(CAST(c_ref + 1 AS DOUBLE) / (t_ref + v), 6) AS p_ref,
+        |    ROUND(CAST(c_cur + 1 AS DOUBLE) / (t_cur + v), 6) AS p_cur,
+        |    ROUND(CAST(c_ref + 1 AS DOUBLE) / (t_ref + v) *
+        |      LN((CAST(c_ref + 1 AS DOUBLE) / (t_ref + v)) /
+        |         (CAST(c_cur + 1 AS DOUBLE) / (t_cur + v))), 6) AS kl_contrib
+        |  FROM c, t)
+        |SELECT term, c_ref, c_cur, p_ref, p_cur, kl_contrib FROM s
+        |ORDER BY ABS(kl_contrib) DESC, term LIMIT 15""".stripMargin,
+
+    // q241: identical md5-millionths uniform + inverse-CDF Laplace —
+    // a pure function of the group key, bit-identical on both engines
+    "q241_dp_counts" -> {
+      val mSql = TextAnalysis.md5IntSql("'dp1:' || source || ':' || lang") +
+        " % 1000000"
+      s"""WITH g AS (
+         |  SELECT source, lang, COUNT(*) AS n_true FROM documents
+         |  GROUP BY source, lang),
+         |u AS (
+         |  SELECT source, lang, n_true,
+         |    (CAST($mSql AS DOUBLE) + 0.5) / 1000000.0 AS u
+         |  FROM g)
+         |SELECT source, lang, CAST(n_true AS INT) AS n_true,
+         |  ROUND(n_true + (-SIGN(u - 0.5) *
+         |    LN(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * ABS(u - 0.5))), 6)
+         |    AS n_noisy
+         |FROM u ORDER BY source, lang""".stripMargin
+    }
   )
 }

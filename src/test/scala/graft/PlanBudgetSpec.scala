@@ -36,7 +36,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q212_rrf_fusion",          // 10-row projected-query broadcast
     "q229_auc_calibration",     // 1-row AUC scalar broadcast
     "q230_backoff_trigram_lm",  // 1-row token-total scalar broadcast
-    "q233_chi2_terms")          // 1-row token-total scalar broadcast
+    "q233_chi2_terms",          // 1-row token-total scalar broadcast
+    "q239_psi_drift",           // 1-row carve-totals broadcast over ≤10 bins
+    "q240_term_kl_drift")       // 1-row carve-totals broadcast, vocab-sized left
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

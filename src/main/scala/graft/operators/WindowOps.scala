@@ -364,6 +364,36 @@ object WindowOps extends QueryModule {
               " x -> length(x)))"), lit(0))
             .cast("int").as("max_view_run"))
         .orderBy(col("user_id"))
+    }),
+
+    // Last-touch attribution — the conversion-credit readout every
+    // marketing/growth pipeline computes: each purchase credits the
+    // most recent same-user view/click no older than 2h ("none" when
+    // no touch qualifies). One user-keyed window over the interleaved
+    // event stream — `last(touch IGNORE NULLS)` over the preceding-
+    // rows frame IS the as-of lookup (q55's semantics without a second
+    // relation, since touches and conversions share a stream); order
+    // (ts_us, event_id) makes same-microsecond ties deterministic.
+    // Linear per user partition; the credit rollup is a |channels|-row
+    // aggregate with decimal-cast value sums (the money-parity rule).
+    "q242_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touched = Tables.eventsUs(s, d)
+        .withColumn("touch", last(
+          when(col("event_type").isin("view", "click"),
+            struct(col("ts_us"), col("event_type"))),
+          ignoreNulls = true).over(w))
+      touched.filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch").isNull ||
+            col("ts_us") - col("touch.ts_us") > 7200000000L, "none")
+            .otherwise(col("touch.event_type")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).cast("int").as("n_purchases"),
+          RelationalCore.dsum(col("value")).as("sum_value"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -617,6 +647,30 @@ object WindowOps extends QueryModule {
         |  CAST(COALESCE(list_max(list_transform(
         |    regexp_extract_all(seq, 'v+'), x -> length(x))), 0) AS INT)
         |    AS max_view_run
-        |FROM s ORDER BY user_id""".stripMargin
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // q242: same preceding-rows IGNORE NULLS window at the same µs
+    // grain and (tsu, event_id) tie order; decimal-cast value sums
+    "q242_attribution" -> s"""
+        |WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS tsu, event_id,
+        |    event_type, value
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, tsu, event_id, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type IN ('view','click')
+        |        THEN struct_pack(tsu := tsu, et := event_type) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM e),
+        |p AS (
+        |  SELECT CASE WHEN touch IS NULL OR tsu - touch.tsu > 7200000000
+        |              THEN 'none' ELSE touch.et END AS channel, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, CAST(COUNT(*) AS INT) AS n_purchases,
+        |  ${RelationalCore.dsumSql("value")} AS sum_value
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

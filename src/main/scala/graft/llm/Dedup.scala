@@ -113,6 +113,49 @@ object Dedup extends QueryModule {
       .withColumn("sz", size(col("st")))
   }
 
+  /** Exact θ-Jaccard pair join via prefix filtering (q236's engine,
+    * θ as a decimal-literal string so both consumers and the SQL twins
+    * embed the identical ceil boundary). The persisted shared stage
+    * has four consumers pruning different columns (AQE cannot dedupe
+    * them — q211's argument), so it is cached once and the pair-table-
+    * sized result is materialized before release; the returned local
+    * relation is safe to re-join downstream (q243 builds a graph on
+    * it).
+    */
+  private def prefixJaccardPairs(s: SparkSession, d: String,
+      theta: String): DataFrame = {
+    val srt = dfSortedSets(s, d).persist()
+    try {
+      val pre = srt.select(col("doc_id"), col("sz"),
+        explode(expr(
+          s"slice(st, 1, sz - CAST(ceil($theta * sz) AS INT) + 1)")).as("tk"))
+      val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
+          col("tk"))
+        .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
+          col("tk")), Seq("tk"))
+        .filter(col("da") < col("db") &&
+          col("szb") >= expr(s"CAST(ceil($theta * sza) AS INT)") &&
+          col("sza") >= expr(s"CAST(ceil($theta * szb) AS INT)"))
+        .select(col("da"), col("db")).distinct()
+      val rows = cand
+        .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
+          col("sz").as("na")), "da")
+        .join(srt.select(col("doc_id").as("db"), col("st").as("stb"),
+          col("sz").as("nb")), "db")
+        .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jac") >= theta.toDouble)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+        .collect()
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType),
+          StructField("jac", DoubleType))))
+    } finally srt.unpersist()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 content hash → cluster size per doc (hash
     // groupBy; the all-distinct fixture yields size-1 clusters, which
@@ -708,39 +751,8 @@ object Dedup extends QueryModule {
     // result is materialized before release. Exactness (no false
     // negatives) vs the brute-force all-pairs join is pinned at
     // sf0.001 by DedupPlanSpec.
-    "q236_prefix_filter_join" -> ((s, d) => {
-      val srt = dfSortedSets(s, d).persist()
-      try {
-        val pre = srt.select(col("doc_id"), col("sz"),
-          explode(expr(
-            "slice(st, 1, sz - CAST(ceil(0.9 * sz) AS INT) + 1)")).as("tk"))
-        val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
-            col("tk"))
-          .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
-            col("tk")), Seq("tk"))
-          .filter(col("da") < col("db") &&
-            col("szb") >= expr("CAST(ceil(0.9 * sza) AS INT)") &&
-            col("sza") >= expr("CAST(ceil(0.9 * szb) AS INT)"))
-          .select(col("da"), col("db")).distinct()
-        val rows = cand
-          .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
-            col("sz").as("na")), "da")
-          .join(srt.select(col("doc_id").as("db"), col("st").as("stb"),
-            col("sz").as("nb")), "db")
-          .withColumn("inter", size(array_intersect(col("sta"), col("stb"))))
-          .withColumn("jac", round(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")), 6))
-          .filter(col("jac") >= 0.9)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b")).collect()
-        import scala.jdk.CollectionConverters._
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-            StructField("doc_a", LongType), StructField("doc_b", LongType),
-            StructField("jac", DoubleType))))
-          .orderBy(col("doc_a"), col("doc_b"))
-      } finally srt.unpersist()
-    }),
+    "q236_prefix_filter_join" -> ((s, d) =>
+      prefixJaccardPairs(s, d, "0.9").orderBy(col("doc_a"), col("doc_b"))),
 
     // EXACT containment join (the asymmetric sibling of q236's
     // Jaccard join): ordered pairs (a, b) with |Sa∩Sb|/|Sa| ≥ 0.8 —
@@ -788,6 +800,50 @@ object Dedup extends QueryModule {
             StructField("containment", DoubleType))))
           .orderBy(col("doc_a"), col("doc_b"))
       } finally srt.unpersist()
+    }),
+
+    // Triangle enumeration over the near-dup graph (θ=0.7 exact
+    // prefix-filter edges) with DEGREE-ORDERED orientation — the
+    // standard distributed triangle algorithm (node-iterator++ /
+    // Schank–Wagner): direct every edge from its (deg, id)-smaller
+    // endpoint, enumerate wedges only at each edge's SOURCE, and close
+    // them against the directed edge set. The orientation bounds every
+    // node's out-degree by O(√m) whatever the degree skew (a celebrity
+    // node of degree 10⁶ emits NO wedges from its incident edges'
+    // high-degree side), which is what makes the wedge join's fan-out
+    // m^1.5 worst-case instead of Σdeg² — the graph-side analogue of
+    // q188's stop-fingerprint cap. Triangles are the cluster-density
+    // signal a dedup pipeline reads to tell star-shaped template
+    // families from true all-pairs duplicate cliques. Edge list is
+    // q236's materialized exact pair table; each triangle emits once
+    // and is re-sorted to ascending doc ids.
+    "q243_triangle_count" -> ((s, d) => {
+      val edges = prefixJaccardPairs(s, d, "0.7")
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val dir = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      val e1 = dir.select(col("src"), col("dst").as("a"), col("ddst").as("da"))
+      val e2 = dir.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      val wedges = e1.join(e2, "src")
+        .filter(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")))
+      wedges.join(dir.select(col("dst").as("b"), col("src").as("a")),
+          Seq("a", "b"))
+        .select(expr("array_sort(array(src, a, b))").as("t"))
+        .select(element_at(col("t"), 1).as("doc_a"),
+          element_at(col("t"), 2).as("doc_b"),
+          element_at(col("t"), 3).as("doc_c"))
+        .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
     })
   )
 
@@ -1015,6 +1071,42 @@ object Dedup extends QueryModule {
        |lbl AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
   private val componentSqlCtes: String = componentSqlCtesFiltered("")
+
+  /** DuckDB twin of [[prefixJaccardPairs]]: WITH-clause CTEs ending in
+    * `v(doc_a, doc_b, jac)` — the θ literal is spliced verbatim so the
+    * ceil boundary is character-identical to the engine's.
+    */
+  private def prefixPairSqlCtes(theta: String): String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_slice(ts, 1, len(ts) - 1)) || ' ' ||
+       |    unnest(list_slice(ts, 2, len(ts))) AS tk
+       |  FROM t0 WHERE len(ts) >= 2),
+       |df AS (SELECT tk, COUNT(*) AS df FROM sh GROUP BY tk),
+       |srt AS (
+       |  SELECT sh.doc_id, list(sh.tk ORDER BY df.df, sh.tk) AS st,
+       |    COUNT(*) AS sz
+       |  FROM sh JOIN df ON df.tk = sh.tk
+       |  GROUP BY sh.doc_id),
+       |pre AS (
+       |  SELECT doc_id, sz, unnest(list_slice(st, 1,
+       |    CAST(sz AS INT) - CAST(ceil($theta * sz) AS INT) + 1)) AS tk
+       |  FROM srt),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
+       |    AND b.sz >= CAST(ceil($theta * a.sz) AS INT)
+       |    AND a.sz >= CAST(ceil($theta * b.sz) AS INT)),
+       |v AS (
+       |  SELECT c.da AS doc_a, c.db AS doc_b,
+       |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) /
+       |      (x.sz + y.sz - len(list_intersect(x.st, y.st))), 6) AS jac
+       |  FROM cand c JOIN srt x ON x.doc_id = c.da
+       |    JOIN srt y ON y.doc_id = c.db)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // Same winnowing rule end to end. The RollingHash polynomial
@@ -1425,38 +1517,20 @@ object Dedup extends QueryModule {
     // Spark-side at sf0.001); list(tk ORDER BY df, tk) is the twin of
     // the engine's (df, tk) struct sort
     "q236_prefix_filter_join" ->
-      """WITH t0 AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_slice(ts, 1, len(ts) - 1)) || ' ' ||
-        |    unnest(list_slice(ts, 2, len(ts))) AS tk
-        |  FROM t0 WHERE len(ts) >= 2),
-        |df AS (SELECT tk, COUNT(*) AS df FROM sh GROUP BY tk),
-        |srt AS (
-        |  SELECT sh.doc_id, list(sh.tk ORDER BY df.df, sh.tk) AS st,
-        |    COUNT(*) AS sz
-        |  FROM sh JOIN df ON df.tk = sh.tk
-        |  GROUP BY sh.doc_id),
-        |pre AS (
-        |  SELECT doc_id, sz, unnest(list_slice(st, 1,
-        |    CAST(sz AS INT) - CAST(ceil(0.9 * sz) AS INT) + 1)) AS tk
-        |  FROM srt),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
-        |    AND b.sz >= CAST(ceil(0.9 * a.sz) AS INT)
-        |    AND a.sz >= CAST(ceil(0.9 * b.sz) AS INT)),
-        |v AS (
-        |  SELECT c.da AS doc_a, c.db AS doc_b,
-        |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) /
-        |      (x.sz + y.sz - len(list_intersect(x.st, y.st))), 6) AS jac
-        |  FROM cand c JOIN srt x ON x.doc_id = c.da
-        |    JOIN srt y ON y.doc_id = c.db)
-        |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""${prefixPairSqlCtes("0.9")}
+         |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q243: the same θ=0.7 pair CTEs close into triangles with the
+    // orientation-free u<v<w three-way join (the naive definition —
+    // the engine's degree-ordered enumeration must coincide)
+    "q243_triangle_count" ->
+      s"""${prefixPairSqlCtes("0.7")},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7)
+         |SELECT a.u AS doc_a, a.v AS doc_b, b.v AS doc_c
+         |FROM e a JOIN e b ON b.u = a.v
+         |  JOIN e c ON c.u = a.u AND c.v = b.v
+         |ORDER BY doc_a, doc_b, doc_c""".stripMargin,
 
     // q237: the containment variant restated — probe-side prefix only,
     // full postings on the index side, same ceil boundary; candidate

@@ -895,6 +895,41 @@ object TextPipeline extends QueryModule {
     // 1-row stats); the global top-20 is orderBy().limit()
     // (TakeOrderedAndProject) with rank recovered on the ≤20
     // survivors, materialized before the cache is released.
+    // Frequent co-occurring token PAIRS (the 2-itemset core of
+    // A-priori / FP-growth): unordered token pairs appearing together
+    // in ≥10% of docs — the collocation-mining step behind stopword-
+    // phrase detection and template discovery. The A-priori downward-
+    // closure prune runs FIRST: only tokens whose own df clears the
+    // support floor can appear in a frequent pair, so the per-doc pair
+    // explosion is over the SURVIVING tokens only — at 100 TB the
+    // frequent-token list is vocabulary-bounded (broadcast semi-join)
+    // and the k² per-doc blowup is bounded by the pruned k, not the
+    // raw doc length. Pairs are minted by a per-doc array expression
+    // (sorted list + indexed-transform slices — no doc-keyed
+    // self-join, so the corpus shuffles ONCE by doc and once by pair,
+    // both map-side combined). minsup = ⌈0.1·N⌉ computed as the same
+    // double ceil on both engines.
+    "q244_frequent_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val minsup = math.ceil(0.1 * docs.count()).toLong
+      val docTok = docs
+        .select(col("doc_id"), explode(array_distinct(tokens)).as("t"))
+      val freqTok = docTok.groupBy(col("t"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minsup).select(col("t"))
+      val perDoc = docTok.join(broadcast(freqTok), "t")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+      perDoc.select(explode(expr(
+          "flatten(transform(ts, (x, i) -> transform(" +
+            "slice(ts, i + 2, size(ts) - i - 1), " +
+            "y -> struct(x AS t1, y AS t2))))")).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).cast("int").as("support"))
+        .filter(col("support") >= minsup)
+        .orderBy(col("t1"), col("t2"))
+    }),
+
     "q211_bm25_topk" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("term"))
@@ -1483,6 +1518,31 @@ object TextPipeline extends QueryModule {
         |  ROUND(CAST(freq AS DOUBLE) / total, 6) AS share,
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
         |FROM freq CROSS JOIN total
-        |QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+        |QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q244: same A-priori prune and the same ceil'd support floor; the
+    // pair mint is the doc-keyed self-join restatement of the engine's
+    // per-doc array expression (identical pair multiset — tokens are
+    // distinct per doc on both sides)
+    "q244_frequent_pairs" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x != '')) AS t
+        |  FROM documents),
+        |ms AS (
+        |  SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS minsup
+        |  FROM documents),
+        |f AS (
+        |  SELECT t FROM dt GROUP BY t
+        |  HAVING COUNT(*) >= (SELECT minsup FROM ms)),
+        |ft AS (SELECT dt.doc_id, dt.t FROM dt JOIN f USING (t)),
+        |p AS (
+        |  SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS INT) AS support
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, support FROM p
+        |WHERE support >= (SELECT minsup FROM ms)
+        |ORDER BY t1, t2""".stripMargin
   )
 }

@@ -1260,6 +1260,46 @@ object CorpusOps extends QueryModule {
     // n_true column — it is exposed here as the oracle face). The
     // aggregation is one map-side-combined count; noise is
     // release-sized expression work.
+    // Higher-moment distribution stats (skewness + excess kurtosis of
+    // doc length per source) from EXACT integer power sums — q232's
+    // sufficient-statistics discipline extended to 3rd/4th moments:
+    // one map-side-combined aggregation collects (n, Σx..Σx⁴) as
+    // DECIMAL(38,0) (HUGEINT on the oracle side — both exact), the
+    // scaled central moments A2=nΣx²−(Σx)², A3=n²Σx³−3nΣxΣx²+2(Σx)³,
+    // A4=n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ are computed in exact integer
+    // arithmetic (n cancels: skew=A3/A2^1.5, kurt=A4/A2²−3), and the
+    // only floats are the final divisions — with A2^1.5 spelled
+    // a·sqrt(a) because sqrt is correctly rounded everywhere while
+    // pow() is not (the cross-engine parity trap the round-first rule
+    // exists for). Built-in skewness()/kurtosis() stream float
+    // partials whose fold order is nondeterministic — this shape is
+    // the mergeable-exact alternative. Magnitudes ≤ n³·max(x)⁴ ≈ 10²⁶
+    // at fixture scale; 38 digits carries to ~10¹² docs.
+    "q245_higher_moments" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val x = col("n_chars").cast(dec)
+      val stats = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val a2 = (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+      val a3 = (col("n") * col("n") * col("s3") -
+        lit(3).cast(dec) * col("n") * col("s1") * col("s2") +
+        lit(2).cast(dec) * col("s1") * col("s1") * col("s1")).cast("double")
+      val a4 = (col("n") * col("n") * col("n") * col("s4") -
+        lit(4).cast(dec) * col("n") * col("n") * col("s1") * col("s3") +
+        lit(6).cast(dec) * col("n") * col("s1") * col("s1") * col("s2") -
+        lit(3).cast(dec) * col("s1") * col("s1") * col("s1") * col("s1"))
+        .cast("double")
+      stats.select(col("source"), col("n").cast("int").as("n"),
+          round(col("s1").cast("double") / col("n").cast("double"), 6)
+            .as("mean_chars"),
+          round(a3 / (a2 * sqrt(a2)), 6).as("skewness"),
+          round(a4 / (a2 * a2) - 3.0, 6).as("kurtosis_excess"))
+        .orderBy(col("source"))
+    }),
+
     "q241_dp_counts" -> ((s, d) => {
       val m = TextAnalysis.md5Int(
         concat(lit("dp1:"), col("source"), lit(":"), col("lang"))) % 1000000L
@@ -2006,6 +2046,33 @@ object CorpusOps extends QueryModule {
         |  FROM c, t)
         |SELECT term, c_ref, c_cur, p_ref, p_cur, kl_contrib FROM s
         |ORDER BY ABS(kl_contrib) DESC, term LIMIT 15""".stripMargin,
+
+    // q245: HUGEINT power sums (the engine's DECIMAL(38,0) twin —
+    // both exact integers, both round-to-nearest on the final double
+    // cast), identical A2/A3/A4 integer algebra, sqrt not pow
+    "q245_higher_moments" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+        |      AS s4
+        |  FROM documents GROUP BY source),
+        |a AS (
+        |  SELECT source, n, s1,
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE) AS a2,
+        |    CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        |      AS DOUBLE) AS a3,
+        |    CAST(n * n * n * s4 - 4 * n * n * s1 * s3 +
+        |      6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+        |      AS DOUBLE) AS a4
+        |  FROM g)
+        |SELECT source, CAST(n AS INT) AS n,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_chars,
+        |  ROUND(a3 / (a2 * sqrt(a2)), 6) AS skewness,
+        |  ROUND(a4 / (a2 * a2) - 3.0, 6) AS kurtosis_excess
+        |FROM a ORDER BY source""".stripMargin,
 
     // q241: identical md5-millionths uniform + inverse-CDF Laplace —
     // a pure function of the group key, bit-identical on both engines

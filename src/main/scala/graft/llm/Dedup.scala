@@ -844,6 +844,42 @@ object Dedup extends QueryModule {
           element_at(col("t"), 2).as("doc_b"),
           element_at(col("t"), 3).as("doc_c"))
         .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+    }),
+
+    // Newman MODULARITY of a candidate blocking key (lang) over the
+    // θ=0.7 similarity graph — the quality gauge for metadata
+    // blocking: before sharding a dedup pass by a metadata column, ask
+    // whether the similarity structure actually respects it. Per block
+    // c: Q_c = e_c/m − (d_c/2m)², where e_c = intra-block edges and
+    // d_c = Σ degrees of members; high Σ Q_c means block-local dedup
+    // loses few cross-block duplicate pairs, near-zero (this fixture —
+    // langs share one vocabulary, so near-dups cross langs freely)
+    // means lang-sharded dedup WOULD split clusters and must not ship.
+    // Every term is a count over the edge table (one lang join per
+    // endpoint, labels riding the edges — no per-node state), m is a
+    // driver scalar off the materialized pair table, and the result is
+    // |blocks| rows.
+    "q246_blocking_modularity" -> ((s, d) => {
+      val edges = prefixJaccardPairs(s, d, "0.7")
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val m = edges.count()
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val el = edges
+        .join(langs.select(col("doc_id").as("u"), col("lang").as("lu")), "u")
+        .join(langs.select(col("doc_id").as("v"), col("lang").as("lv")), "v")
+      val dsum = el.select(col("lu").as("lang"))
+        .unionAll(el.select(col("lv").as("lang")))
+        .groupBy(col("lang")).agg(count(lit(1)).as("d_sum"))
+      val intra = el.filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lang")).agg(count(lit(1)).as("e_intra"))
+      val t = col("d_sum").cast("double") / lit(2L * m)
+      dsum.join(intra, Seq("lang"), "left")
+        .na.fill(0L, Seq("e_intra"))
+        .select(col("lang"), col("e_intra").cast("int").as("e_intra"),
+          col("d_sum").cast("int").as("d_sum"),
+          round(col("e_intra").cast("double") / lit(m) - t * t, 6)
+            .as("mod_contrib"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1531,6 +1567,33 @@ object Dedup extends QueryModule {
          |FROM e a JOIN e b ON b.u = a.v
          |  JOIN e c ON c.u = a.u AND c.v = b.v
          |ORDER BY doc_a, doc_b, doc_c""".stripMargin,
+
+    // q246: same θ=0.7 edges; m as a scalar CTE instead of the
+    // engine's driver constant (same edge set either way), identical
+    // per-block count algebra and single-IEEE contributions
+    "q246_blocking_modularity" ->
+      s"""${prefixPairSqlCtes("0.7")},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7),
+         |mm AS (SELECT COUNT(*) AS m FROM e),
+         |el AS (
+         |  SELECT e.u, e.v, du.lang AS lu, dv.lang AS lv
+         |  FROM e JOIN documents du ON du.doc_id = e.u
+         |         JOIN documents dv ON dv.doc_id = e.v),
+         |ds AS (
+         |  SELECT lang, COUNT(*) AS d_sum FROM (
+         |    SELECT lu AS lang FROM el UNION ALL SELECT lv FROM el) z
+         |  GROUP BY lang),
+         |ei AS (
+         |  SELECT lu AS lang, COUNT(*) AS e_intra FROM el
+         |  WHERE lu = lv GROUP BY lu)
+         |SELECT ds.lang,
+         |  CAST(COALESCE(ei.e_intra, 0) AS INT) AS e_intra,
+         |  CAST(ds.d_sum AS INT) AS d_sum,
+         |  ROUND(CAST(COALESCE(ei.e_intra, 0) AS DOUBLE) / mm.m -
+         |    (CAST(ds.d_sum AS DOUBLE) / (2 * mm.m)) *
+         |    (CAST(ds.d_sum AS DOUBLE) / (2 * mm.m)), 6) AS mod_contrib
+         |FROM ds LEFT JOIN ei ON ei.lang = ds.lang, mm
+         |ORDER BY ds.lang""".stripMargin,
 
     // q237: the containment variant restated — probe-side prefix only,
     // full postings on the index side, same ceil boundary; candidate

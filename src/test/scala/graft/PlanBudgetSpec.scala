@@ -165,7 +165,11 @@ class PlanBudgetSpec extends SparkSpec {
     // long unpersisted by the time this plan executes; the degree agg,
     // the two orientation joins, the wedge self-join and the closing
     // join are all edge-table-sized
-    "q243_triangle_count" -> 16)
+    "q243_triangle_count" -> 16,
+    // q246's 9th exchange is the |langs|-row left join of the degree
+    // and intra-edge aggregates; everything upstream of the two lang
+    // joins is the materialized edge LocalRelation (q243's argument)
+    "q246_blocking_modularity" -> 9)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -1300,6 +1300,67 @@ object CorpusOps extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // EXACT rank selection (p50/p95/p999 of doc length) WITHOUT a
+    // global sort — the two-phase bucket-descent selection classic:
+    // phase 1 aggregates per-range-bucket (count, min, max) — one
+    // map-side-combined pass, ≤256 rows to the driver — and exact
+    // integer cumulative sums locate each target rank's bucket and its
+    // LOCAL rank; phase 2 re-scans ONLY the located buckets (the
+    // bmin/bmax range predicates push down to the parquet scan) for
+    // per-value counts, and the driver walks ≤bucket-width entries to
+    // the exact value. Two linear passes, no corpus sort, no window —
+    // where q50/q99's percentile_disc sorts every group. Ranks are
+    // minted in EXACT integer per-mille arithmetic r=⌈qpm·N/1000⌉
+    // ((qpm·N+999) DIV 1000 — never qpm/1000 as a double, where
+    // 0.95·N can land an ulp above an integer and ceil overshoots);
+    // the oracle is the naive global ROW_NUMBER at the same integer
+    // ranks, proving the descent exact.
+    "q247_exact_rank_select" -> ((s, d) => {
+      val probes = Seq(("p50", 500L), ("p95", 950L), ("p999", 999L))
+      val nb = 256
+      val (mn, mx) = Tables.parquetColumnMinMaxLong(s, d, "documents",
+        "n_chars")
+      val span = mx - mn + 1
+      val vals = Tables.documents(s, d).select(col("n_chars").as("v"))
+      val bcounts = vals
+        .select(expr(s"CAST((v - $mn) * $nb DIV $span AS INT)").as("b"),
+          col("v"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"),
+          min(col("v")).as("bmin"), max(col("v")).as("bmax"))
+        .orderBy(col("b")).collect()
+      val n = bcounts.map(_.getAs[Long]("c")).sum
+      val cum = bcounts.scanLeft(0L)((a, r) => a + r.getAs[Long]("c"))
+      val located = probes.map { case (tag, qpm) =>
+        val r = (qpm * n + 999) / 1000
+        val i = bcounts.indices
+          .find(i => cum(i) < r && r <= cum(i) + bcounts(i).getAs[Long]("c"))
+          .get
+        (tag, r, i, r - cum(i))
+      }
+      val needed = located.map(_._3).distinct
+      val scanPred = needed.map { i =>
+        col("v") >= bcounts(i).getAs[Long]("bmin") &&
+          col("v") <= bcounts(i).getAs[Long]("bmax")
+      }.reduce(_ || _)
+      val perValue = vals.filter(scanPred)
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .orderBy(col("v")).collect()
+        .map(r => (r.getAs[Long]("v"), r.getAs[Long]("c")))
+      val rows = located.map { case (tag, r, i, localRank) =>
+        // walk this bucket's value histogram to the local rank
+        val lo = bcounts(i).getAs[Long]("bmin")
+        val hi = bcounts(i).getAs[Long]("bmax")
+        var remaining = localRank
+        val vcs = perValue.filter(t => t._1 >= lo && t._1 <= hi)
+        val value = vcs.find { case (_, c) =>
+          if (remaining <= c) true else { remaining -= c; false }
+        }.get._1
+        (tag, r, value)
+      }
+      import s.implicits._
+      rows.toDF("tag", "rank", "value").orderBy(col("tag"))
+    }),
+
     "q241_dp_counts" -> ((s, d) => {
       val m = TextAnalysis.md5Int(
         concat(lit("dp1:"), col("source"), lit(":"), col("lang"))) % 1000000L
@@ -2073,6 +2134,19 @@ object CorpusOps extends QueryModule {
         |  ROUND(a3 / (a2 * sqrt(a2)), 6) AS skewness,
         |  ROUND(a4 / (a2 * a2) - 3.0, 6) AS kurtosis_excess
         |FROM a ORDER BY source""".stripMargin,
+
+    // q247: the naive global-sort selection at the SAME exact integer
+    // per-mille ranks — proving the bucket descent picks the identical
+    // order statistic
+    "q247_exact_rank_select" ->
+      """WITH vv AS (SELECT n_chars AS v FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM vv),
+        |t(tag, qpm) AS (VALUES ('p50', 500), ('p95', 950), ('p999', 999)),
+        |r AS (SELECT tag, (qpm * n.n + 999) // 1000 AS rank FROM t, n),
+        |s AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vv)
+        |SELECT r.tag, CAST(r.rank AS BIGINT) AS rank, s.v AS value
+        |FROM r JOIN s ON s.rn = r.rank
+        |ORDER BY tag""".stripMargin,
 
     // q241: identical md5-millionths uniform + inverse-CDF Laplace —
     // a pure function of the group key, bit-identical on both engines

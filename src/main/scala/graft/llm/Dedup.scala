@@ -880,6 +880,43 @@ object Dedup extends QueryModule {
           round(col("e_intra").cast("double") / lit(m) - t * t, 6)
             .as("mod_contrib"))
         .orderBy(col("lang"))
+    }),
+
+    // Duplicate-cluster AUDIT: per connected component of the θ=0.7
+    // graph — size, edge count, similarity range, density and the
+    // is-it-a-clique verdict. This is the report a dedup operator
+    // reads before picking a canonicalization policy: a CLIQUE
+    // (density 1) collapses safely to one representative, while a
+    // sparse chain (density → 2/n) is transitive-closure drift — docs
+    // glued through intermediaries that may not resemble each other at
+    // all (min_jac shows how bad). Components come from the
+    // distributed min-label propagation (q205's O(log diameter)
+    // hop+jump loop — never a driver union-find); labels then ride
+    // the edge table (comp(a)=comp(b) on every edge by definition, so
+    // ONE endpoint join suffices) and everything after is
+    // |components|-row arithmetic. The oracle recomputes components as
+    // a recursive-CTE fixpoint — propagation ≡ closure.
+    "q248_cluster_audit" -> ((s, d) => {
+      val pairs = prefixJaccardPairs(s, d, "0.7")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val nodes = edges.select(col("src").as("doc_id"))
+        .unionAll(edges.select(col("dst").as("doc_id"))).distinct()
+      val labels = propagateLabels(nodes, edges)
+        .select(col("doc_id"), col("comp"))
+      val ce = pairs
+        .join(labels.select(col("doc_id").as("doc_a"), col("comp")), "doc_a")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_edges"),
+          min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+      val cn = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+      cn.join(ce, "comp")
+        .select(col("comp"), col("n_docs").cast("int").as("n_docs"),
+          col("n_edges").cast("int").as("n_edges"),
+          col("min_jac"), col("max_jac"),
+          round((col("n_edges") * 2).cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)), 6).as("density"),
+          expr("n_edges = (n_docs * (n_docs - 1)) DIV 2").as("is_clique"))
+        .orderBy(col("comp"))
     })
   )
 
@@ -1562,7 +1599,8 @@ object Dedup extends QueryModule {
     // the engine's degree-ordered enumeration must coincide)
     "q243_triangle_count" ->
       s"""${prefixPairSqlCtes("0.7")},
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7)
+         |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v
+         |                   FROM v WHERE jac >= 0.7)
          |SELECT a.u AS doc_a, a.v AS doc_b, b.v AS doc_c
          |FROM e a JOIN e b ON b.u = a.v
          |  JOIN e c ON c.u = a.u AND c.v = b.v
@@ -1573,9 +1611,10 @@ object Dedup extends QueryModule {
     // per-block count algebra and single-IEEE contributions
     "q246_blocking_modularity" ->
       s"""${prefixPairSqlCtes("0.7")},
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7),
+         |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v
+         |                   FROM v WHERE jac >= 0.7),
          |mm AS (SELECT COUNT(*) AS m FROM e),
-         |el AS (
+         |el AS MATERIALIZED (
          |  SELECT e.u, e.v, du.lang AS lu, dv.lang AS lv
          |  FROM e JOIN documents du ON du.doc_id = e.u
          |         JOIN documents dv ON dv.doc_id = e.v),
@@ -1594,6 +1633,35 @@ object Dedup extends QueryModule {
          |    (CAST(ds.d_sum AS DOUBLE) / (2 * mm.m)), 6) AS mod_contrib
          |FROM ds LEFT JOIN ei ON ei.lang = ds.lang, mm
          |ORDER BY ds.lang""".stripMargin,
+
+    // q248: components recomputed as the recursive-CTE min-label
+    // fixpoint over the same θ=0.7 edges (q113's closure pattern) —
+    // distributed propagation ≡ transitive closure; same count/ratio
+    // algebra downstream
+    "q248_cluster_audit" ->
+      s"""${prefixPairSqlCtes("0.7").replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS MATERIALIZED (SELECT doc_a, doc_b, jac
+         |                   FROM v WHERE jac >= 0.7),
+         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT und.a, reach.lab FROM reach JOIN und ON und.b = reach.node),
+         |labs AS MATERIALIZED (SELECT node AS doc_id, MIN(lab) AS comp
+         |         FROM reach GROUP BY node),
+         |ce AS (
+         |  SELECT l.comp, COUNT(*) AS n_edges,
+         |    MIN(e.jac) AS min_jac, MAX(e.jac) AS max_jac
+         |  FROM e JOIN labs l ON l.doc_id = e.doc_a GROUP BY l.comp),
+         |cn AS (SELECT comp, COUNT(*) AS n_docs FROM labs GROUP BY comp)
+         |SELECT cn.comp, CAST(n_docs AS INT) AS n_docs,
+         |  CAST(n_edges AS INT) AS n_edges, min_jac, max_jac,
+         |  ROUND(CAST(n_edges * 2 AS DOUBLE) /
+         |    (n_docs * (n_docs - 1)), 6) AS density,
+         |  n_edges = (n_docs * (n_docs - 1)) // 2 AS is_clique
+         |FROM cn JOIN ce ON ce.comp = cn.comp
+         |ORDER BY cn.comp""".stripMargin,
 
     // q237: the containment variant restated — probe-side prefix only,
     // full postings on the index side, same ceil boundary; candidate

@@ -60,6 +60,36 @@ object Similarity extends QueryModule {
       yield s"($j,$i,${jlPlanes(j)(i)})").mkString(",")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mutual nearest neighbors: pairs where each vector is the OTHER's
+    // top-1 — the reciprocal-best-match filter alignment and semantic-
+    // dedup pipelines use because one-directional top-1 is hub-polluted
+    // (a centroid-ish vector is "nearest" to thousands that are not
+    // nearest to it; mutuality kills exactly those). Computed over a
+    // 40-vector pool with the broadcast exact kernel so the DuckDB twin
+    // is exact; at corpus scale the top-1 comes from an ANN shortlist
+    // (q43/q62/q197) + exact re-rank, and the mutuality test is the
+    // same self-equi-join on (qid,cid)=(cid,qid) — candidate-list-
+    // sized, never all-pairs. Round-before-rank (6dp, cid tiebreak) so
+    // both engines pick identical argmaxes.
+    "q249_mutual_nn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pool = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      val top1 = CosineKernel.pairCosines(s, pool, lit(true),
+          antisymmetric = false)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("cosine"))
+      top1.as("x").join(top1.as("y"),
+          col("x.qid") === col("y.cid") && col("x.cid") === col("y.qid"))
+        .filter(col("x.qid") < col("x.cid"))
+        .select(col("x.qid").as("vec_a"), col("x.cid").as("vec_b"),
+          col("x.cosine").as("cosine"))
+        .orderBy(col("vec_a"))
+    }),
+
     // Brute-force cosine top-3 per query (queries = vec_id<10), via the
     // broadcast typed kernel (bit-identical to the declarative
     // crossJoin+zip_with form it replaced, minus its per-pair array
@@ -703,6 +733,32 @@ object Similarity extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // q249: q32's pairwise-cosine CTE over the 40-vector pool, top-1
+    // per qid with the same round-before-rank rule, then the mutual
+    // self-join
+    "q249_mutual_nn" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings WHERE vec_id < 40),
+        |p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(a.embedding) AS ua,
+        |                        unnest(b.embedding) AS ub) z)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT qid, cid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, cid) AS rn
+        |  FROM p),
+        |t1 AS (SELECT qid, cid, cosine FROM r WHERE rn = 1)
+        |SELECT x.qid AS vec_a, x.cid AS vec_b, x.cosine
+        |FROM t1 x JOIN t1 y ON x.qid = y.cid AND x.cid = y.qid
+        |WHERE x.qid < x.cid
+        |ORDER BY vec_a""".stripMargin,
     // same centroid assignment (argmax cosine, tie -> lowest cid) and
     // same within-cluster pair scan; cosines rounded 6dp before the
     // tau=0.35 threshold on both engines

@@ -232,6 +232,47 @@ object CleanOps extends QueryModule {
         .orderBy(col("minute"))
     }),
 
+    // CUSUM changepoint detection on the per-type daily event series —
+    // the sequential drift detector (Page 1954) that catches a
+    // sustained small shift q174's pointwise z-score misses (ten
+    // consecutive days at +1σ never trips |z|>3 but accumulates
+    // linearly in CUSUM). All-INTEGER recursion: reference k = mean
+    // daily count floored (Σcnt DIV days), S_t = max(0, S_{t-1} +
+    // cnt_t − k), alarm when S_t > h = 3k — so the recursive fold has
+    // no float state to disagree across engines. The fold runs as ONE
+    // ordered-array aggregate expression per type (days are a bounded
+    // domain — the array is |days| entries whatever the event volume;
+    // the corpus-sized work is the single (type, day) count
+    // aggregation). Oracle = the same recursion as a recursive CTE
+    // over day indices.
+    "q251_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+            .as("arr"),
+          count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
+        .withColumn("k", expr("tot DIV n_days"))
+        .withColumn("fold", expr(
+          """aggregate(arr,
+            |  named_struct('s', 0L, 'smax', 0L, 'alarm', -1L),
+            |  (acc, x) -> named_struct(
+            |    's', greatest(0L, acc.s + x.cnt - k),
+            |    'smax', greatest(acc.smax,
+            |      greatest(0L, acc.s + x.cnt - k)),
+            |    'alarm', CASE WHEN acc.alarm >= 0L THEN acc.alarm
+            |      WHEN greatest(0L, acc.s + x.cnt - k) > 3 * k THEN x.day
+            |      ELSE -1L END),
+            |  acc -> acc)""".stripMargin))
+        .select(col("event_type"), col("n_days").cast("int").as("n_days"),
+          col("k"), col("fold.smax").as("max_cusum"),
+          when(col("fold.alarm") === -1L, lit(null).cast("long"))
+            .otherwise(col("fold.alarm")).as("alarm_day"))
+        .orderBy(col("event_type"))
+    }),
+
     // Referential-integrity audit (FK orphan rates) — the data-contract
     // check a multi-table corpus runs per ingest. ONE pass over each
     // child table: lineitem's three FKs resolve in a single chain of
@@ -283,6 +324,42 @@ object CleanOps extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // q251: the identical integer recursion as a recursive CTE over
+    // 1-based day indices (same floored k, same h = 3k, same
+    // first-alarm coalesce)
+    "q251_cusum_changepoint" ->
+      """WITH RECURSIVE dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM dc),
+        |kh AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(cnt) // COUNT(*) AS k
+        |  FROM dc GROUP BY 1),
+        |r AS (
+        |  SELECT kh.event_type, 0 AS i, CAST(0 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS smax, CAST(NULL AS BIGINT) AS alarm
+        |  FROM kh
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    GREATEST(0, r.s + idx.cnt - kh.k),
+        |    GREATEST(r.smax, GREATEST(0, r.s + idx.cnt - kh.k)),
+        |    COALESCE(r.alarm,
+        |      CASE WHEN GREATEST(0, r.s + idx.cnt - kh.k) > 3 * kh.k
+        |           THEN idx.day END)
+        |  FROM r
+        |  JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+        |  JOIN kh ON kh.event_type = r.event_type)
+        |SELECT kh.event_type, CAST(kh.n_days AS INT) AS n_days,
+        |  CAST(kh.k AS BIGINT) AS k, r.smax AS max_cusum,
+        |  r.alarm AS alarm_day
+        |FROM r JOIN kh ON kh.event_type = r.event_type
+        |  AND r.i = kh.n_days
+        |ORDER BY kh.event_type""".stripMargin,
     // identical synthesize -> strip chain; RE2's lazy '.*?' and Java's
     // agree on these inputs (no nested comments in the construction)
     "q168_markup_strip" ->

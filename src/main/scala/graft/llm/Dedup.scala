@@ -126,16 +126,29 @@ object Dedup extends QueryModule {
       theta: String): DataFrame = {
     val srt = dfSortedSets(s, d).persist()
     try {
+      // posexplode carries each prefix token's 1-based position so the
+      // POSITION filter can run: the pair's first common token x₁ sits
+      // at positions (pa, pb), everything shared lies at ≥ those
+      // positions in BOTH sets, so overlap ≤ min(sz−pos+1) — collisions
+      // that cannot reach the required overlap die before the distinct
+      // (PPJoin's second filter; essential when a low-diversity
+      // vocabulary makes shingle dfs large and prefix collisions
+      // common). x₁'s own collision row has the earliest positions and
+      // always survives, so no pair is lost.
       val pre = srt.select(col("doc_id"), col("sz"),
-        explode(expr(
-          s"slice(st, 1, sz - CAST(ceil($theta * sz) AS INT) + 1)")).as("tk"))
+        posexplode(expr(
+          s"slice(st, 1, sz - CAST(ceil($theta * sz) AS INT) + 1)"))
+          .as(Seq("p0", "tk")))
+        .select(col("doc_id"), col("sz"), (col("p0") + 1).as("p"), col("tk"))
       val cand = pre.select(col("doc_id").as("da"), col("sz").as("sza"),
-          col("tk"))
+          col("p").as("pa"), col("tk"))
         .join(pre.select(col("doc_id").as("db"), col("sz").as("szb"),
-          col("tk")), Seq("tk"))
+          col("p").as("pb"), col("tk")), Seq("tk"))
         .filter(col("da") < col("db") &&
           col("szb") >= expr(s"CAST(ceil($theta * sza) AS INT)") &&
-          col("sza") >= expr(s"CAST(ceil($theta * szb) AS INT)"))
+          col("sza") >= expr(s"CAST(ceil($theta * szb) AS INT)") &&
+          least(col("sza") - col("pa") + 1, col("szb") - col("pb") + 1) >=
+            expr(s"CAST(ceil($theta * greatest(sza, szb)) AS INT)"))
         .select(col("da"), col("db")).distinct()
       val rows = cand
         .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
@@ -773,14 +786,24 @@ object Dedup extends QueryModule {
     "q237_containment_join" -> ((s, d) => {
       val srt = dfSortedSets(s, d).persist()
       try {
+        // 1-based positions ride both explodes so the POSITION filter
+        // (see prefixJaccardPairs) prunes collisions that cannot reach
+        // t = ceil(0.8·|Sa|): overlap ≤ min(sza−pa+1, szb−pb+1) — the
+        // pruning that keeps the full-postings index side subquadratic
+        // when a low-diversity vocabulary inflates shingle dfs.
         val pre = srt.select(col("doc_id").as("da"), col("sz").as("sza"),
-          explode(expr(
-            "slice(st, 1, sz - CAST(ceil(0.8 * sz) AS INT) + 1)")).as("tk"))
+          posexplode(expr(
+            "slice(st, 1, sz - CAST(ceil(0.8 * sz) AS INT) + 1)"))
+            .as(Seq("p0", "tk")))
+          .select(col("da"), col("sza"), (col("p0") + 1).as("pa"), col("tk"))
         val full = srt.select(col("doc_id").as("db"), col("sz").as("szb"),
-          explode(col("st")).as("tk"))
+          posexplode(col("st")).as(Seq("q0", "tk")))
+          .select(col("db"), col("szb"), (col("q0") + 1).as("pb"), col("tk"))
         val cand = pre.join(full, Seq("tk"))
           .filter(col("da") =!= col("db") &&
-            col("szb") >= expr("CAST(ceil(0.8 * sza) AS INT)"))
+            col("szb") >= expr("CAST(ceil(0.8 * sza) AS INT)") &&
+            least(col("sza") - col("pa") + 1, col("szb") - col("pb") + 1) >=
+              expr("CAST(ceil(0.8 * sza) AS INT)"))
           .select(col("da"), col("db")).distinct()
         val rows = cand
           .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
@@ -1166,14 +1189,19 @@ object Dedup extends QueryModule {
        |  FROM sh JOIN df ON df.tk = sh.tk
        |  GROUP BY sh.doc_id),
        |pre AS (
-       |  SELECT doc_id, sz, unnest(list_slice(st, 1,
-       |    CAST(sz AS INT) - CAST(ceil($theta * sz) AS INT) + 1)) AS tk
+       |  SELECT doc_id, sz,
+       |    generate_subscripts(list_slice(st, 1,
+       |      CAST(sz AS INT) - CAST(ceil($theta * sz) AS INT) + 1), 1) AS p,
+       |    unnest(list_slice(st, 1,
+       |      CAST(sz AS INT) - CAST(ceil($theta * sz) AS INT) + 1)) AS tk
        |  FROM srt),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
        |    AND b.sz >= CAST(ceil($theta * a.sz) AS INT)
-       |    AND a.sz >= CAST(ceil($theta * b.sz) AS INT)),
+       |    AND a.sz >= CAST(ceil($theta * b.sz) AS INT)
+       |    AND LEAST(a.sz - a.p + 1, b.sz - b.p + 1) >=
+       |      CAST(ceil($theta * GREATEST(a.sz, b.sz)) AS INT)),
        |v AS (
        |  SELECT c.da AS doc_a, c.db AS doc_b,
        |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) /
@@ -1683,14 +1711,22 @@ object Dedup extends QueryModule {
         |  FROM sh JOIN df ON df.tk = sh.tk
         |  GROUP BY sh.doc_id),
         |pre AS (
-        |  SELECT doc_id, sz, unnest(list_slice(st, 1,
-        |    CAST(sz AS INT) - CAST(ceil(0.8 * sz) AS INT) + 1)) AS tk
+        |  SELECT doc_id, sz,
+        |    generate_subscripts(list_slice(st, 1,
+        |      CAST(sz AS INT) - CAST(ceil(0.8 * sz) AS INT) + 1), 1) AS p,
+        |    unnest(list_slice(st, 1,
+        |      CAST(sz AS INT) - CAST(ceil(0.8 * sz) AS INT) + 1)) AS tk
+        |  FROM srt),
+        |fullp AS (
+        |  SELECT doc_id, sz, generate_subscripts(st, 1) AS p,
+        |    unnest(st) AS tk
         |  FROM srt),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM pre a JOIN sh b ON a.tk = b.tk AND a.doc_id != b.doc_id
-        |  JOIN srt sb ON sb.doc_id = b.doc_id
-        |  WHERE sb.sz >= CAST(ceil(0.8 * a.sz) AS INT)),
+        |  FROM pre a JOIN fullp b ON a.tk = b.tk AND a.doc_id != b.doc_id
+        |  WHERE b.sz >= CAST(ceil(0.8 * a.sz) AS INT)
+        |    AND LEAST(a.sz - a.p + 1, b.sz - b.p + 1) >=
+        |      CAST(ceil(0.8 * a.sz) AS INT)),
         |v AS (
         |  SELECT c.da AS doc_a, c.db AS doc_b,
         |    ROUND(CAST(len(list_intersect(x.st, y.st)) AS DOUBLE) / x.sz,

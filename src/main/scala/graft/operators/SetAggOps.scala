@@ -135,10 +135,57 @@ object SetAggOps extends QueryModule {
           |    AS merge_lossless_2pct,
           |  (ABS(est_merged - n_exact) <= 0.05 * n_exact) AS err_within_5pct
           |FROM merged CROSS JOIN direct""".stripMargin)
+    }),
+
+    // EXACT distinct counting via Spark 4's BITMAP aggregate family —
+    // the zero-error sibling of the sketch path (q29 approx, q114 HLL,
+    // q215 theta): user ids bucket into 32768-bit bitmaps
+    // (bitmap_bucket_number / bitmap_bit_position), per-(type,bucket)
+    // bitmaps build with bitmap_construct_agg, MERGE with
+    // bitmap_or_agg, and pop-count with bitmap_count. Distinct-count
+    // state becomes a mergeable 4 KB-per-bucket binary — the
+    // re-aggregatable EXACT answer where COUNT(DISTINCT) would
+    // re-shuffle raw ids on every re-slice (store per-day bitmaps,
+    // answer any date range by OR-ing them); bucketing keeps each
+    // bitmap bounded however wide the id domain. The merge level is
+    // exercised for real: per-(type, user-parity) bitmaps are OR'd
+    // into the per-type answer.
+    "q250_bitmap_distinct" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("g_ev_bm")
+      s.sql(
+        """WITH seg AS (
+          |  SELECT event_type, user_id % 2 AS seg,
+          |    bitmap_bucket_number(user_id) AS bkt,
+          |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM g_ev_bm
+          |  GROUP BY event_type, user_id % 2, bitmap_bucket_number(user_id)),
+          |merged AS (
+          |  SELECT event_type, bkt, bitmap_or_agg(bm) AS bm
+          |  FROM seg GROUP BY event_type, bkt),
+          |cnt AS (
+          |  SELECT event_type,
+          |    CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_bitmap
+          |  FROM merged GROUP BY event_type),
+          |exact AS (
+          |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          |  FROM g_ev_bm GROUP BY event_type)
+          |SELECT cnt.event_type, cnt.n_distinct_bitmap, exact.n_exact,
+          |  cnt.n_distinct_bitmap = exact.n_exact AS agree
+          |FROM cnt JOIN exact ON exact.event_type = cnt.event_type
+          |ORDER BY cnt.event_type""".stripMargin)
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // q250: the bitmap path is EXACT, so the oracle is plain
+    // COUNT(DISTINCT) on both output columns and a pinned-true agree
+    "q250_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_distinct_bitmap,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS agree
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q25_distinct_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
         |sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)

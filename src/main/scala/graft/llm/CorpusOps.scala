@@ -1123,6 +1123,47 @@ object CorpusOps extends QueryModule {
         .withColumn("significant", abs(col("z")) > 1.96)
     }),
 
+    // Wilson-interval ranking (z=1.96): per-cohort purchase rates
+    // ranked by the Wilson LOWER bound instead of the raw rate — the
+    // small-sample-robust ranking rule (a 2/3 cohort outranks a
+    // 600/1000 cohort on raw rate but not on evidence; the lower
+    // bound prices the sample size in). ONE map-side-combined count
+    // pass yields every cohort's (n, s); the interval arithmetic is
+    // |cohorts|-row expression work with the z² constant inlined as
+    // the exact decimal 3.8416 on BOTH engines and every
+    // multiply/divide association written identically (q235's
+    // discipline) — ranks compare 6dp-rounded bounds, cohort
+    // tiebreak.
+    "q253_wilson_ranking" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select((col("user_id") % 8).cast("int").as("cohort"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val p = col("s").cast("double") / col("n")
+      val wlb = (p + lit(3.8416) / (lit(2.0) * col("n")) -
+        lit(1.96) * sqrt(p * (lit(1.0) - p) / col("n") +
+          lit(3.8416) / (lit(4.0) * col("n") * col("n")))) /
+        (lit(1.0) + lit(3.8416) / col("n"))
+      val scored = g.select(col("cohort"), col("n").cast("int").as("n"),
+        col("s").cast("int").as("s"),
+        round(p, 6).as("p"), round(wlb, 6).as("wilson_lb"))
+      // ranks via the one-array-row sort (q82's pattern — no global
+      // window even on the |cohorts|-row aggregate)
+      def rankOf(key: String, as: String) = scored
+        .agg(sort_array(collect_list(struct((-col(key)).as("nk"),
+          col("cohort").as("cohort")))).as("a"))
+        .select(posexplode(col("a")))
+        .select((col("pos") + 1).cast("int").as(as),
+          col("col.cohort").as("cohort"))
+      scored
+        .join(rankOf("p", "rank_raw"), "cohort")
+        .join(rankOf("wilson_lb", "rank_wilson"), "cohort")
+        .select(col("cohort"), col("n"), col("s"), col("p"),
+          col("wilson_lb"), col("rank_raw"), col("rank_wilson"))
+        .orderBy(col("cohort"))
+    }),
+
     // Pareto SKYLINE (maximize quality, minimize length): the docs no
     // other doc beats on both axes — the "best quality at every length
     // budget" frontier a curation pipeline reads before picking a
@@ -1298,6 +1339,57 @@ object CorpusOps extends QueryModule {
           round(a3 / (a2 * sqrt(a2)), 6).as("skewness"),
           round(a4 / (a2 * a2) - 3.0, 6).as("kurtosis_excess"))
         .orderBy(col("source"))
+    }),
+
+    // ROLLING 3-day distinct users per event type via theta-sketch
+    // union algebra — the sliding-window COUNT(DISTINCT) problem that
+    // exact methods cannot pre-aggregate (distinct does not decompose
+    // over overlapping windows: every window re-touches 3 days of raw
+    // ids). With per-(type, day) sketches the raw data is scanned
+    // ONCE; each rolling window is a union of ≤3 few-KB summaries
+    // (q215's algebra applied over a time grid) — at 100 TB the
+    // summary table is |types|×|days| rows and any window/range query
+    // is summary-side arithmetic. Gate per window = the union
+    // sketch's own 3σ interval contains the exact rolling distinct
+    // (computed here by the 3-day grid-explode re-aggregation the
+    // sketches exist to avoid — the fixture-priced demonstration
+    // baseline, q215's convention).
+    "q252_rolling_distinct_sketch" -> ((s, d) => {
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.theta.{SetOperation, Sketches}
+      import graft.functions.exprs.graft_theta_sketch_agg
+      val nom = 4096
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+          col("user_id"))
+      val sk = daily.groupBy(col("event_type"), col("day"))
+        .agg(graft_theta_sketch_agg(col("user_id"), nom).as("sk"))
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          r.getAs[Array[Byte]]("sk"))).toMap
+      val exact = daily
+        .select(col("event_type"), col("user_id"),
+          explode(expr("sequence(day, day + 2)")).as("wday"))
+        .groupBy(col("event_type"), col("wday"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val rows = exact
+        .filter { case (t, wd, _) => sk.contains((t, wd)) }
+        .map { case (t, wd, ex) =>
+          val u = SetOperation.builder().setNominalEntries(nom).buildUnion()
+          (wd - 2 to wd).foreach { dd =>
+            sk.get((t, dd)).foreach(b =>
+              u.union(Sketches.wrapSketch(Memory.wrap(b))))
+          }
+          val r = u.getResult
+          (t, wd, ex,
+            r.getLowerBound(3) <= ex.toDouble &&
+              ex.toDouble <= r.getUpperBound(3))
+        }.sortBy(t => (t._1, t._2))
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "day", "n_exact", "within_bounds")
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // EXACT rank selection (p50/p95/p999 of doc length) WITHOUT a
@@ -2134,6 +2226,46 @@ object CorpusOps extends QueryModule {
         |  ROUND(a3 / (a2 * sqrt(a2)), 6) AS skewness,
         |  ROUND(a4 / (a2 * a2) - 3.0, 6) AS kurtosis_excess
         |FROM a ORDER BY source""".stripMargin,
+
+    // q253: identical Wilson arithmetic (3.8416 inlined, same
+    // association), ranks on the rounded bound
+    "q253_wilson_ranking" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id % 8 AS INT) AS cohort, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT cohort, CAST(n AS INT) AS n, CAST(s AS INT) AS s,
+        |    ROUND(CAST(s AS DOUBLE) / n, 6) AS p,
+        |    ROUND((CAST(s AS DOUBLE) / n + 3.8416 / (2.0 * n) -
+        |      1.96 * sqrt(CAST(s AS DOUBLE) / n *
+        |        (1.0 - CAST(s AS DOUBLE) / n) / n +
+        |        3.8416 / (4.0 * n * n))) /
+        |      (1.0 + 3.8416 / n), 6) AS wilson_lb
+        |  FROM g)
+        |SELECT cohort, n, s, p, wilson_lb,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p DESC, cohort) AS INT)
+        |    AS rank_raw,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, cohort) AS INT)
+        |    AS rank_wilson
+        |FROM w ORDER BY cohort""".stripMargin,
+
+    // q252: exact rolling distinct per (type, window-end day) — the
+    // re-aggregation the sketches avoid; within_bounds pinned true (at
+    // 2× the 99%-confidence width a miss means a broken union, not
+    // sampling noise)
+    "q252_rolling_distinct_sketch" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM ev)
+        |SELECT d.event_type, d.day,
+        |  (SELECT COUNT(DISTINCT e.user_id) FROM ev e
+        |   WHERE e.event_type = d.event_type
+        |     AND e.day BETWEEN d.day - 2 AND d.day) AS n_exact,
+        |  TRUE AS within_bounds
+        |FROM days d ORDER BY d.event_type, d.day""".stripMargin,
 
     // q247: the naive global-sort selection at the SAME exact integer
     // per-mille ranks — proving the bucket descent picks the identical

@@ -786,25 +786,36 @@ object Dedup extends QueryModule {
     "q237_containment_join" -> ((s, d) => {
       val srt = dfSortedSets(s, d).persist()
       try {
-        // 1-based positions ride both explodes so the POSITION filter
-        // (see prefixJaccardPairs) prunes collisions that cannot reach
-        // t = ceil(0.8·|Sa|): overlap ≤ min(sza−pa+1, szb−pb+1) — the
-        // pruning that keeps the full-postings index side subquadratic
-        // when a low-diversity vocabulary inflates shingle dfs.
+        // EXTENDED prefix with a multi-collision counting filter: the
+        // minimal prefix (|Sa|−t+1 tokens, t=⌈0.8·|Sa|⌉) guarantees
+        // only ONE shared token, which on a uniform-df lexicon admits
+        // millions of weak candidates that all reach the expensive
+        // verify join. Probing L = min(|Sa|, (|Sa|−t)+3) tokens
+        // instead buys a per-pair threshold: any of A's first L
+        // tokens absent from B is a miss, misses ≤ |Sa|−t overall, so
+        // a true pair must collide ≥ G = L−(|Sa|−t) = min(3, t) times
+        // — counting collisions per pair (the groupBy replaces the
+        // distinct at the same shuffle volume) kills the weak-pair
+        // flood before verification while provably losing nothing.
+        // NOTE the per-collision PPJoin position filter must NOT be
+        // mixed into the counted join: its bound is valid only for
+        // the pair's FIRST common token, so it may drop later genuine
+        // collisions and deflate c below G — the counting filter is
+        // strictly stronger and replaces it.
         val pre = srt.select(col("doc_id").as("da"), col("sz").as("sza"),
-          posexplode(expr(
-            "slice(st, 1, sz - CAST(ceil(0.8 * sz) AS INT) + 1)"))
-            .as(Seq("p0", "tk")))
-          .select(col("da"), col("sza"), (col("p0") + 1).as("pa"), col("tk"))
+          explode(expr(
+            "slice(st, 1, least(CAST(sz AS INT), " +
+              "sz - CAST(ceil(0.8 * sz) AS INT) + 3))")).as("tk"))
         val full = srt.select(col("doc_id").as("db"), col("sz").as("szb"),
-          posexplode(col("st")).as(Seq("q0", "tk")))
-          .select(col("db"), col("szb"), (col("q0") + 1).as("pb"), col("tk"))
+          explode(col("st")).as("tk"))
         val cand = pre.join(full, Seq("tk"))
           .filter(col("da") =!= col("db") &&
-            col("szb") >= expr("CAST(ceil(0.8 * sza) AS INT)") &&
-            least(col("sza") - col("pa") + 1, col("szb") - col("pb") + 1) >=
-              expr("CAST(ceil(0.8 * sza) AS INT)"))
-          .select(col("da"), col("db")).distinct()
+            col("szb") >= expr("CAST(ceil(0.8 * sza) AS INT)"))
+          .groupBy(col("da"), col("db"), col("sza"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >=
+            least(lit(3), expr("CAST(ceil(0.8 * sza) AS INT)")))
+          .select(col("da"), col("db"))
         val rows = cand
           .join(srt.select(col("doc_id").as("da"), col("st").as("sta"),
             col("sz").as("na")), "da")

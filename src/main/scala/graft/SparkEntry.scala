@@ -28,6 +28,7 @@ object SparkEntry {
     llm.TextPipeline,
     llm.CorpusOps,
     llm.CleanOps,
+    llm.StatsOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

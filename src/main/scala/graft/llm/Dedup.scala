@@ -951,6 +951,105 @@ object Dedup extends QueryModule {
             (col("n_docs") * (col("n_docs") - 1)), 6).as("density"),
           expr("n_edges = (n_docs * (n_docs - 1)) DIV 2").as("is_clique"))
         .orderBy(col("comp"))
+    }),
+
+    // Edit-distance join via the FastSS 0/1-deletion neighborhood
+    // (Bocek et al. 2007) — the FIFTH candidate-generation strategy
+    // in the near-dup family (LSH banding q31, sign buckets q139,
+    // sorted neighborhood q228, prefix filter q236): an EXACT
+    // Levenshtein ≤ 1 self-join over customer names that never goes
+    // all-pairs. lev(s,t) ≤ 1 ⟹ the 0/1-deletion neighborhoods
+    // U(s) = {s} ∪ del1(s) intersect (substitution at i shares
+    // del(s,i) = del(t,i); an indel pair shares the shorter string
+    // itself), so candidates come from ONE equi-join on the ≤ L+1
+    // neighborhood keys, then each candidate pays one exact
+    // `levenshtein` verify. Group fan-out per key is alphabet-bounded
+    // (a length-L variant has ≤ 10·(L+1) digit-insertions back into
+    // the id alphabet), so the join is skew-safe at any row count —
+    // the brute-force O(N²·L) the oracle runs is exactly what this
+    // plan avoids. array_union dedups the variants a repeated-char
+    // run would mint (deleting any of k equal adjacent chars is one
+    // string), and the pair-level distinct collapses multi-key
+    // collisions before the verify. The %4 carve bounds the oracle's
+    // quadratic side at the bench SF; the Spark side never depends
+    // on it.
+    "q254_edit_distance_join" -> ((s, d) => {
+      val names = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0).select(col("c_name"))
+      val keyed = names.select(col("c_name"), explode(expr(
+        """array_union(array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substring(c_name, 1, i-1),
+          |                substring(c_name, i+1, length(c_name)))))"""
+          .stripMargin)).as("k"))
+      keyed.select(col("c_name").as("name_a"), col("k"))
+        .join(keyed.select(col("c_name").as("name_b"), col("k")), "k")
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b")).distinct()
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    // decision-theoretic scorer every entity-resolution pipeline runs
+    // AFTER candidate generation: per candidate pair, sum the
+    // per-field log₂(m/u) agreement weights and band the total into
+    // match / possible / non-match. The dirty side B is carved
+    // deterministically from customer (custkey%7 → last name digit
+    // bumped, %5 → acctbal rounded, %11 → segment lost) so the query
+    // provably exercises every agreement pattern, and `n_true` audits
+    // the decision bands against the known ground truth. Blocking
+    // here is the nationkey equi-join (exact oracle, |block| = N/25);
+    // at corpus scale the candidate stage would be q228's sorted
+    // neighborhood or q236's prefix filter — FS scoring itself is
+    // O(1) per candidate and indifferent to the generator. Weights
+    // are inlined decimal literals summed in one fixed association
+    // order on both engines; the score is rounded 4dp BEFORE banding
+    // so a ulp can't flip a decision.
+    "q259_fellegi_sunter" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val bump = expr(
+        """concat(substring(c_name, 1, length(c_name)-1),
+          |  cast((cast(substring(c_name, length(c_name), 1) AS INT) + 1)
+          |       % 10 AS STRING))""".stripMargin)
+      val a = c.select(col("c_custkey").as("a_key"),
+        col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
+        col("c_acctbal").as("a_bal"), col("c_mktsegment").as("a_seg"))
+      val b = c.select(col("c_custkey").as("true_key"),
+        when(col("c_custkey") % 7 === 0, bump)
+          .otherwise(col("c_name")).as("b_name"),
+        col("c_nationkey").as("b_nat"),
+        when(col("c_custkey") % 5 === 0, round(col("c_acctbal"), 0))
+          .otherwise(col("c_acctbal")).as("b_bal"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("b_seg"))
+      val score = round(
+        when(levenshtein(col("a_name"), col("b_name")) <= 1, lit(9.8919))
+          .otherwise(lit(-4.3219)) +
+        when(abs(col("a_bal") - col("b_bal")) <= 1.0, lit(4.2479))
+          .otherwise(lit(-2.0)) +
+        when(col("a_seg") === col("b_seg"), lit(2.2479))
+          .otherwise(lit(-1.5)), 4)
+      a.join(b, col("a_nat") === col("b_nat"))
+        .withColumn("score", score)
+        .withColumn("decision",
+          when(col("score") >= 10.0, "match")
+            .when(col("score") > 0.0, "possible")
+            .otherwise("nonmatch"))
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a_key") === col("true_key"), 1L).otherwise(0L))
+            .as("n_true"),
+          // decimal sum → exact under any partial-agg order; ONE
+          // double divide at the end (float-sum avg would be
+          // association-order-dependent across partitions)
+          round(sum(col("score").cast("decimal(14,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_score"))
+        .select(col("decision"), col("n_pairs"), col("n_true"),
+          col("avg_score"))
+        .orderBy(col("decision"))
     })
   )
 
@@ -1745,6 +1844,61 @@ object Dedup extends QueryModule {
         |  FROM cand c JOIN srt x ON x.doc_id = c.da
         |    JOIN srt y ON y.doc_id = c.db)
         |SELECT doc_a, doc_b, containment FROM v WHERE containment >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q254: the oracle is deliberately the BRUTE-FORCE quadratic
+    // levenshtein join the deletion-neighborhood plan avoids — the
+    // exactness claim is candidate-set completeness, so the twin must
+    // not share the candidate generator. %4 carve bounds its O(N²).
+    "q254_edit_distance_join" ->
+      """WITH n AS (
+        |  SELECT c_name FROM customer WHERE c_custkey % 4 = 0)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // q259: identical carve, identical weight literals summed in the
+    // identical association order, identical round-before-band
+    "q259_fellegi_sunter" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS a_key, c_name AS a_name,
+        |    c_nationkey AS a_nat, c_acctbal AS a_bal,
+        |    c_mktsegment AS a_seg
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS true_key,
+        |    CASE WHEN c_custkey % 7 = 0 THEN
+        |      substring(c_name, 1, length(c_name)-1) ||
+        |      CAST((CAST(substring(c_name, length(c_name), 1) AS INT) + 1)
+        |           % 10 AS VARCHAR)
+        |    ELSE c_name END AS b_name,
+        |    c_nationkey AS b_nat,
+        |    CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal, 0)
+        |         ELSE c_acctbal END AS b_bal,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS b_seg
+        |  FROM customer),
+        |p AS (
+        |  SELECT a_key, true_key,
+        |    ROUND(
+        |      (CASE WHEN levenshtein(a_name, b_name) <= 1 THEN 9.8919
+        |            ELSE -4.3219 END) +
+        |      (CASE WHEN abs(a_bal - b_bal) <= 1.0 THEN 4.2479
+        |            ELSE -2.0 END) +
+        |      (CASE WHEN a_seg = b_seg THEN 2.2479 ELSE -1.5 END),
+        |      4) AS score
+        |  FROM a JOIN b ON a_nat = b_nat)
+        |SELECT
+        |  CASE WHEN score >= 10.0 THEN 'match'
+        |       WHEN score > 0.0 THEN 'possible'
+        |       ELSE 'nonmatch' END AS decision,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a_key = true_key THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_true,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(14,4))) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_score
+        |FROM p GROUP BY 1 ORDER BY decision""".stripMargin
   )
 }

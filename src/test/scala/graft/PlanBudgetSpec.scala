@@ -38,7 +38,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q230_backoff_trigram_lm",  // 1-row token-total scalar broadcast
     "q233_chi2_terms",          // 1-row token-total scalar broadcast
     "q239_psi_drift",           // 1-row carve-totals broadcast over ≤10 bins
-    "q240_term_kl_drift")       // 1-row carve-totals broadcast, vocab-sized left
+    "q240_term_kl_drift",       // 1-row carve-totals broadcast, vocab-sized left
+    "q255_kaplan_meier")        // 1-row global-max-day anchor broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

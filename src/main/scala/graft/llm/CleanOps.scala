@@ -320,6 +320,46 @@ object CleanOps extends QueryModule {
           round(col("n_orphans").cast("double") / col("n_child"), 6)
             .as("orphan_frac"))
         .orderBy(col("rel"))
+    }),
+
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+    // fabricated-or-synthetic-amounts tripwire a financial/ingest QA
+    // pipeline runs per partition: naturally-occurring multiplicative
+    // amounts put digit d first with probability log₁₀(1+1/d); a
+    // uniform generator (this fixture) or a fabricator flunks the χ²₈
+    // fit loudly — the audit DETECTING the fixture's uniform prices is
+    // the correct positive. One pass: first digit extracted via exact
+    // integer cents (price×100 rounds to an integer BEFORE the string
+    // head — no float log10 at a power-of-ten boundary, no engine
+    // format drift on integer rendering), ONE groupBy to a 9-counter
+    // row per returnflag, then the χ² assembly is per-row expression
+    // work with the 9 Benford probabilities inlined as shared decimal
+    // literals, summed in one fixed digit order and rounded 4dp before
+    // the χ²₈(0.99) = 20.09 compare.
+    "q258_benford_audit" -> ((s, d) => {
+      val p = Seq(0.3010299957, 0.1760912591, 0.1249387366,
+        0.096910013, 0.079181246, 0.0669467896, 0.057991947,
+        0.0511525224, 0.0457574906)
+      val dig = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), expr(
+          """cast(substring(cast(cast(round(l_extendedprice * 100, 0)
+            |  as bigint) as string), 1, 1) as int)""".stripMargin)
+          .as("dig"))
+      val counters = (1 to 9).map(i =>
+        sum(when(col("dig") === i, 1L).otherwise(0L)).as(s"c$i"))
+      val g = dig.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), counters: _*)
+      val chi2 = (1 to 9).map { i =>
+        val e = col("n").cast("double") * p(i - 1)
+        (col(s"c$i").cast("double") - e) *
+          (col(s"c$i").cast("double") - e) / e
+      }.reduce(_ + _)
+      g.withColumn("chi2", round(chi2, 4))
+        .select(col("l_returnflag") +: col("n") +:
+          (1 to 9).map(i => col(s"c$i").cast("int").as(s"c$i")) :+
+          col("chi2") :+
+          (col("chi2") < 20.09).as("benford_ok"): _*)
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -515,6 +555,67 @@ object CleanOps extends QueryModule {
         |    FROM li
         |  UNION ALL SELECT 'orders.o_custkey->customer', n_child, orph
         |    FROM oc)
-        |ORDER BY rel""".stripMargin
+        |ORDER BY rel""".stripMargin,
+
+    // q258: identical integer-cents digit extraction, identical
+    // literal probabilities, identical left-associated χ² chain,
+    // identical round-before-compare
+    "q258_benford_audit" ->
+      """WITH dg AS (
+        |  SELECT l_returnflag,
+        |    CAST(substring(CAST(CAST(round(l_extendedprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS dig
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CASE WHEN dig = 1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN dig = 2 THEN 1 ELSE 0 END) AS c2,
+        |    SUM(CASE WHEN dig = 3 THEN 1 ELSE 0 END) AS c3,
+        |    SUM(CASE WHEN dig = 4 THEN 1 ELSE 0 END) AS c4,
+        |    SUM(CASE WHEN dig = 5 THEN 1 ELSE 0 END) AS c5,
+        |    SUM(CASE WHEN dig = 6 THEN 1 ELSE 0 END) AS c6,
+        |    SUM(CASE WHEN dig = 7 THEN 1 ELSE 0 END) AS c7,
+        |    SUM(CASE WHEN dig = 8 THEN 1 ELSE 0 END) AS c8,
+        |    SUM(CASE WHEN dig = 9 THEN 1 ELSE 0 END) AS c9
+        |  FROM dg GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(c1 AS INT) AS c1, CAST(c2 AS INT) AS c2,
+        |    CAST(c3 AS INT) AS c3, CAST(c4 AS INT) AS c4,
+        |    CAST(c5 AS INT) AS c5, CAST(c6 AS INT) AS c6,
+        |    CAST(c7 AS INT) AS c7, CAST(c8 AS INT) AS c8,
+        |    CAST(c9 AS INT) AS c9,
+        |    ROUND(
+        |      (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299957)
+        |        * (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299957)
+        |        / (CAST(n AS DOUBLE) * 0.3010299957) +
+        |      (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.1760912591)
+        |        * (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.1760912591)
+        |        / (CAST(n AS DOUBLE) * 0.1760912591) +
+        |      (CAST(c3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.1249387366)
+        |        * (CAST(c3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.1249387366)
+        |        / (CAST(n AS DOUBLE) * 0.1249387366) +
+        |      (CAST(c4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.096910013)
+        |        * (CAST(c4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.096910013)
+        |        / (CAST(n AS DOUBLE) * 0.096910013) +
+        |      (CAST(c5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.079181246)
+        |        * (CAST(c5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.079181246)
+        |        / (CAST(n AS DOUBLE) * 0.079181246) +
+        |      (CAST(c6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0669467896)
+        |        * (CAST(c6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0669467896)
+        |        / (CAST(n AS DOUBLE) * 0.0669467896) +
+        |      (CAST(c7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.057991947)
+        |        * (CAST(c7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.057991947)
+        |        / (CAST(n AS DOUBLE) * 0.057991947) +
+        |      (CAST(c8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0511525224)
+        |        * (CAST(c8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0511525224)
+        |        / (CAST(n AS DOUBLE) * 0.0511525224) +
+        |      (CAST(c9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0457574906)
+        |        * (CAST(c9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.0457574906)
+        |        / (CAST(n AS DOUBLE) * 0.0457574906), 4) AS chi2
+        |  FROM g)
+        |SELECT l_returnflag, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+        |  chi2, (chi2 < 20.09) AS benford_ok
+        |FROM f ORDER BY l_returnflag""".stripMargin
   )
 }

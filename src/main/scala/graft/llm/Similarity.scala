@@ -451,6 +451,72 @@ object Similarity extends QueryModule {
         .select(col("cid"), col("dim").cast("int").as("dim"),
           col("n_members"), col("centroid"))
         .orderBy(col("cid"), col("dim"))
+    }),
+
+    // NDCG@10 retrieval-quality evaluation — the graded-relevance IR
+    // metric (Järvelin & Kekäläinen 2002) that closes the eval loop
+    // the ANN family opened: q147 scores LSH candidate RECALL, q229
+    // scores a binary classifier's AUC; this scores an approximate
+    // RANKING against the exact one. System = sign-quantized cosine
+    // (the 1-bit/dim compression every large-scale ANN stack fields);
+    // truth = exact cosine top-10 with graded relevance rel = 11 −
+    // rank. The sign-dot is a pure INTEGER agreement count (64 −
+    // 2·hamming) so the system ranking has zero float parity surface;
+    // the only doubles are the exact-cosine truth ranks (q32's rounded
+    // kernel) and the DCG fold, which runs left-to-right over the
+    // rank-sorted array with the 1/log₂(i+1) discounts inlined as
+    // shared decimal literals (no transcendental eval at runtime, no
+    // cross-engine libm drift). Per-query top-10 is a qid-partitioned
+    // window — parallel across queries; at corpus scale the scale path
+    // is q213's collect_top_k heap aggregate.
+    "q256_ndcg_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLits = "array(cast(1.0 as double), 0.6309297536D, 0.5D, " +
+        "0.4306765581D, 0.3868528072D, 0.3562071871D, 0.3333333333D, " +
+        "0.3154648768D, 0.3010299957D, 0.2890648263D)"
+      val emb = Tables.embeddings(s, d)
+      val wT = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      val truth = CosineKernel.pairCosines(s, emb, col("vec_id") < 10,
+          antisymmetric = false)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"))
+        .withColumn("trank", row_number().over(wT))
+        .filter(col("trank") <= 10)
+        .select(col("qid"), col("cid"),
+          (lit(11) - col("trank")).cast("int").as("rel"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wS = Window.partitionBy(col("qid"))
+        .orderBy(col("sdot").desc, col("cid"))
+      val sys = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          expr("""aggregate(zip_with(qe, embedding,
+            |  (x, y) -> IF((x >= cast(0 as float)) = (y >= cast(0 as float)),
+            |            1, -1)), 0, (acc, v) -> acc + v)""".stripMargin)
+            .as("sdot"))
+        .withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= 10)
+      sys.join(truth, Seq("qid", "cid"), "left")
+        .select(col("qid"), col("srank"),
+          coalesce(col("rel"), lit(0)).as("rel"))
+        .groupBy(col("qid"))
+        .agg(array_sort(collect_list(struct(col("srank"), col("rel"))))
+          .as("arr"))
+        .withColumn("dcg", expr(
+          s"""aggregate(arr, cast(0.0 as double),
+             |  (acc, x) -> acc + x.rel * element_at($wLits, x.srank))"""
+            .stripMargin))
+        .withColumn("idcg", expr(
+          s"""aggregate(sequence(1, 10), cast(0.0 as double),
+             |  (acc, i) -> acc + (11 - i) * element_at($wLits, i))"""
+            .stripMargin))
+        .withColumn("hits", expr(
+          "aggregate(arr, 0, (acc, x) -> acc + IF(x.rel > 0, 1, 0))"))
+        .select(col("qid"), col("hits").cast("int").as("hits"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("qid"))
     })
   )
 
@@ -1144,6 +1210,59 @@ object Similarity extends QueryModule {
         |SELECT cid, CAST(dim AS INT) AS dim,
         |  CAST(COUNT(*) AS INT) AS n_members,
         |  ROUND(AVG(v), 6) AS centroid
-        |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+        |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    // q256: same integer sign-dot, same rounded-cosine truth ranking,
+    // same literal discount table — the DCG sum runs in srank order on
+    // both engines (Spark: left fold over the rank-sorted array;
+    // DuckDB: SUM(... ORDER BY srank))
+    "q256_ndcg_eval" ->
+      """WITH w(i, wt) AS (VALUES
+        |  (1, CAST(1.0 AS DOUBLE)), (2, 0.6309297536), (3, 0.5),
+        |  (4, 0.4306765581), (5, 0.3868528072), (6, 0.3562071871),
+        |  (7, 0.3333333333), (8, 0.3154648768), (9, 0.3010299957),
+        |  (10, 0.2890648263)),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+        |      FROM n WHERE vec_id < 10),
+        |tp AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           FROM (SELECT unnest(q.qe) AS ua,
+        |                        unnest(e.embedding) AS ub) z)
+        |      / (q.qnrm * e.nrm), 6) AS cosine
+        |  FROM q, n e WHERE e.vec_id <> q.qid),
+        |truth AS (
+        |  SELECT qid, cid, CAST(11 - trank AS INT) AS rel FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, cid) AS trank FROM tp)
+        |  WHERE trank <= 10),
+        |sd AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    (SELECT SUM(CASE WHEN (ua >= 0) = (ub >= 0) THEN 1 ELSE -1 END)
+        |     FROM (SELECT unnest(q.qe) AS ua,
+        |                  unnest(e.embedding) AS ub) z) AS sdot
+        |  FROM q, n e WHERE e.vec_id <> q.qid),
+        |sys AS (
+        |  SELECT qid, cid, srank FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sdot DESC, cid) AS srank FROM sd)
+        |  WHERE srank <= 10),
+        |j AS (
+        |  SELECT s.qid, s.srank, COALESCE(t.rel, 0) AS rel
+        |  FROM sys s LEFT JOIN truth t
+        |    ON t.qid = s.qid AND t.cid = s.cid),
+        |idcg AS (SELECT SUM((11 - i) * wt ORDER BY i) AS v FROM w)
+        |SELECT j.qid,
+        |  CAST(SUM(CASE WHEN j.rel > 0 THEN 1 ELSE 0 END) AS INT) AS hits,
+        |  ROUND(SUM(j.rel * w.wt ORDER BY j.srank), 6) AS dcg,
+        |  ROUND(SUM(j.rel * w.wt ORDER BY j.srank)
+        |        / (SELECT v FROM idcg), 6) AS ndcg
+        |FROM j JOIN w ON w.i = j.srank
+        |GROUP BY j.qid ORDER BY j.qid""".stripMargin
   )
 }

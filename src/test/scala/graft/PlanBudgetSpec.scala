@@ -39,7 +39,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q233_chi2_terms",          // 1-row token-total scalar broadcast
     "q239_psi_drift",           // 1-row carve-totals broadcast over ≤10 bins
     "q240_term_kl_drift",       // 1-row carve-totals broadcast, vocab-sized left
-    "q255_kaplan_meier")        // 1-row global-max-day anchor broadcast
+    "q255_kaplan_meier",        // 1-row global-max-day anchor broadcast
+    "q256_ndcg_eval")           // 10-row query-vector broadcast (sign-dot scan)
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -133,6 +133,105 @@ object StatsOps extends QueryModule {
           col("acf1"), col("acf2"), col("acf3"), col("ljung_box"),
           (col("ljung_box") > 7.8147).as("white_noise_rejected"))
         .orderBy(col("event_type"))
+    }),
+
+    // Two-step HITS (Kleinberg, JACM 1999) over the user↔event-type
+    // bipartite graph — mutual reinforcement scoring: a type is
+    // authoritative if active users hit it, a user is a strong hub if
+    // they hit authoritative types. The alternation h₁ = W·1,
+    // a₁ = Wᵀh₁, h₂ = W·a₁, a₂ = Wᵀh₂ runs entirely in EXACT INTEGER
+    // arithmetic (weights are event counts, a₀ = 1), so unlike the
+    // classic L2-normalized float iteration there is NO
+    // accumulation-order parity surface — normalization happens once
+    // at the output boundary (a₂/max a₂, one double division). Every
+    // matvec is one shuffled groupBy keyed by user or type with the
+    // 5-row authority vector broadcast back — the W matrix never
+    // materializes beyond the (user, type, w) edge aggregate, which is
+    // the 100 TB shape (the fixture's longs would widen to decimal128
+    // around 1e18 edge-weight mass). Per-type top hub is an
+    // order-independent max_by on exact integers, min-user tiebreak.
+    "q260_hits_bipartite" -> ((s, d) => {
+      val w = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("w"))
+      val h1 = w.groupBy(col("user_id")).agg(sum(col("w")).as("h1"))
+      val a1 = w.join(h1, "user_id")
+        .groupBy(col("event_type"))
+        .agg(sum(col("w") * col("h1")).as("a1"))
+      val h2 = w.join(broadcast(a1), "event_type")
+        .groupBy(col("user_id"))
+        .agg(sum(col("w") * col("a1")).as("h2"))
+      val wh2 = w.join(h2, "user_id")
+      val a2 = wh2.groupBy(col("event_type"))
+        .agg(sum(col("w") * col("h2")).as("a2"),
+          max(struct(col("h2"), (-col("user_id")).as("nu"))).as("tb"))
+      a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("mx"))))
+        .join(broadcast(a1), "event_type")
+        .select(col("event_type"), col("a1"), col("a2"),
+          round(col("a2").cast("double") / col("mx").cast("double"), 6)
+            .as("auth_norm"),
+          (-col("tb.nu")).as("top_hub"),
+          col("tb.h2").as("top_hub_score"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Permutation test for a difference in per-user spend between the
+    // two A/B variants — the nonparametric inference path when q235's
+    // normal approximation is suspect. Exchangeability is at the USER
+    // level, so the corpus-sized pass is one per-user aggregation to
+    // integer cents (exact under any partial-agg order); the R = 200
+    // resamples then explode |users| × R sufficient-stat rows —
+    // bounded by the user dimension, never by event volume (the
+    // 100 TB posture: permute sufficient statistics, not raw rows).
+    // Each resample's side assignment is the md5 parity of
+    // (user, r) — deterministic, engine-identical via the established
+    // md5Int twin — and each diff-of-means is two double divisions of
+    // exact longs. p = (1 + #{|diff_r| ≥ |diff_obs|}) / (R + 1), the
+    // add-one Phipson–Smyth estimator; the ≥ compare runs on
+    // 9dp-ROUNDED magnitudes so a ulp can't flip a count.
+    "q261_permutation_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("v"))
+      val obs = perUser
+        .select(when(col("user_id") % 2 === 0, lit(0)).otherwise(lit(1))
+          .as("side"), col("v"))
+        .groupBy().agg(
+          sum(when(col("side") === 0, col("v"))).as("sa"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, col("v"))).as("sb"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("na"), col("nb"),
+          round(abs(col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / col("nb")), 9).as("obs_diff"))
+      val perms = perUser
+        .select(col("user_id"), col("v"),
+          explode(expr("sequence(1, 200)")).as("r"))
+        .select(col("r"), col("v"),
+          pmod(TextAnalysis.md5Int(
+            concat(col("user_id"), lit(":"), col("r"))), lit(2))
+            .as("side"))
+        .groupBy(col("r"))
+        .agg(sum(when(col("side") === 0, col("v"))).as("sa"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, col("v"))).as("sb"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("r"),
+          round(abs(col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / col("nb")), 9).as("pdiff"))
+      perms.crossJoin(broadcast(obs))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(col("obs_diff")).as("od"),
+          sum(when(col("pdiff") >= col("obs_diff"), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("n_a").cast("int").as("n_a"),
+          col("n_b").cast("int").as("n_b"),
+          round(col("od") / 100.0, 6).as("obs_diff_dollars"),
+          col("n_extreme").cast("int").as("n_extreme"),
+          round((lit(1) + col("n_extreme")).cast("double") / 201.0, 6)
+            .as("p_value"))
     })
   )
 
@@ -235,6 +334,85 @@ object StatsOps extends QueryModule {
         |  FROM r)
         |SELECT event_type, n_days, acf1, acf2, acf3, ljung_box,
         |  (ljung_box > 7.8147) AS white_noise_rejected
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // q260: the same integer alternation unrolled as four joins; the
+    // per-type top hub via ROW_NUMBER (≡ Spark's max_by on exact
+    // integers with the same min-user tiebreak)
+    "q260_hits_bipartite" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, COUNT(*) AS w
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT user_id, SUM(w) AS h1 FROM w GROUP BY 1),
+        |a1 AS (
+        |  SELECT w.event_type, SUM(w.w * h1.h1) AS a1
+        |  FROM w JOIN h1 USING (user_id) GROUP BY 1),
+        |h2 AS (
+        |  SELECT w.user_id, SUM(w.w * a1.a1) AS h2
+        |  FROM w JOIN a1 USING (event_type) GROUP BY 1),
+        |wh AS (
+        |  SELECT w.event_type, w.user_id, w.w, h2.h2
+        |  FROM w JOIN h2 USING (user_id)),
+        |a2 AS (SELECT event_type, SUM(w * h2) AS a2 FROM wh GROUP BY 1),
+        |mx AS (SELECT MAX(a2) AS mx FROM a2),
+        |th AS (
+        |  SELECT event_type, user_id AS top_hub, h2 AS top_hub_score
+        |  FROM (
+        |    SELECT event_type, user_id, h2,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY h2 DESC, user_id) AS rn
+        |    FROM wh)
+        |  WHERE rn = 1)
+        |SELECT a2.event_type, CAST(a1.a1 AS BIGINT) AS a1,
+        |  CAST(a2.a2 AS BIGINT) AS a2,
+        |  ROUND(CAST(a2.a2 AS DOUBLE) / CAST(mx.mx AS DOUBLE), 6)
+        |    AS auth_norm,
+        |  th.top_hub, CAST(th.top_hub_score AS BIGINT) AS top_hub_score
+        |FROM a2 CROSS JOIN mx
+        |  JOIN a1 ON a1.event_type = a2.event_type
+        |  JOIN th ON th.event_type = a2.event_type
+        |ORDER BY a2.event_type""".stripMargin,
+
+    // q261: identical integer-cents sufficient statistics, identical
+    // md5-parity resample assignment (the established md5Int twin),
+    // identical two-division diff and 9dp round-before-compare
+    "q261_permutation_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY user_id),
+        |obs AS (
+        |  SELECT
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN v END) AS sa,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN v END) AS sb,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM pu),
+        |od AS (
+        |  SELECT na, nb,
+        |    ROUND(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb),
+        |      9) AS obs_diff
+        |  FROM obs),
+        |pr AS (
+        |  SELECT rr.r, pu.v,
+        |    CAST('0x' || substr(md5(CAST(pu.user_id AS VARCHAR) || ':' ||
+        |      CAST(rr.r AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS side
+        |  FROM pu CROSS JOIN (SELECT unnest(range(1, 201)) AS r) rr),
+        |pd AS (
+        |  SELECT r,
+        |    ROUND(abs(
+        |      CAST(SUM(CASE WHEN side = 0 THEN v END) AS DOUBLE)
+        |        / SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |      - CAST(SUM(CASE WHEN side = 1 THEN v END) AS DOUBLE)
+        |        / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)), 9) AS pdiff
+        |  FROM pr GROUP BY r)
+        |SELECT CAST(od.na AS INT) AS n_a, CAST(od.nb AS INT) AS n_b,
+        |  ROUND(od.obs_diff / 100.0, 6) AS obs_diff_dollars,
+        |  CAST(SUM(CASE WHEN pd.pdiff >= od.obs_diff THEN 1 ELSE 0 END)
+        |    AS INT) AS n_extreme,
+        |  ROUND(CAST(1 + SUM(CASE WHEN pd.pdiff >= od.obs_diff
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 201.0, 6) AS p_value
+        |FROM pd CROSS JOIN od
+        |GROUP BY od.na, od.nb, od.obs_diff""".stripMargin
   )
 }

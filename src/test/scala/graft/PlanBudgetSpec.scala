@@ -40,7 +40,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q239_psi_drift",           // 1-row carve-totals broadcast over ≤10 bins
     "q240_term_kl_drift",       // 1-row carve-totals broadcast, vocab-sized left
     "q255_kaplan_meier",        // 1-row global-max-day anchor broadcast
-    "q256_ndcg_eval")           // 10-row query-vector broadcast (sign-dot scan)
+    "q256_ndcg_eval",           // 10-row query-vector broadcast (sign-dot scan)
+    "q260_hits_bipartite",      // 1-row max-authority normalizer broadcast
+    "q261_permutation_test")    // 1-row observed-diff broadcast onto 200 resamples
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

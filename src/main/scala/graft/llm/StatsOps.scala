@@ -151,28 +151,44 @@ object StatsOps extends QueryModule {
     // around 1e18 edge-weight mass). Per-type top hub is an
     // order-independent max_by on exact integers, min-user tiebreak.
     "q260_hits_bipartite" -> ((s, d) => {
+      // The edge aggregate W feeds all four matvecs with different
+      // column prunings — persisted once (q211/q236's argument: AQE
+      // cannot dedupe differently-pruned subtrees), and the
+      // |event_types|-row result is materialized before release.
       val w = Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("w"))
-      val h1 = w.groupBy(col("user_id")).agg(sum(col("w")).as("h1"))
-      val a1 = w.join(h1, "user_id")
-        .groupBy(col("event_type"))
-        .agg(sum(col("w") * col("h1")).as("a1"))
-      val h2 = w.join(broadcast(a1), "event_type")
-        .groupBy(col("user_id"))
-        .agg(sum(col("w") * col("a1")).as("h2"))
-      val wh2 = w.join(h2, "user_id")
-      val a2 = wh2.groupBy(col("event_type"))
-        .agg(sum(col("w") * col("h2")).as("a2"),
-          max(struct(col("h2"), (-col("user_id")).as("nu"))).as("tb"))
-      a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("mx"))))
-        .join(broadcast(a1), "event_type")
-        .select(col("event_type"), col("a1"), col("a2"),
-          round(col("a2").cast("double") / col("mx").cast("double"), 6)
-            .as("auth_norm"),
-          (-col("tb.nu")).as("top_hub"),
-          col("tb.h2").as("top_hub_score"))
-        .orderBy(col("event_type"))
+        .agg(count(lit(1)).as("w")).persist()
+      try {
+        val h1 = w.groupBy(col("user_id")).agg(sum(col("w")).as("h1"))
+        val a1 = w.join(h1, "user_id")
+          .groupBy(col("event_type"))
+          .agg(sum(col("w") * col("h1")).as("a1"))
+        val h2 = w.join(broadcast(a1), "event_type")
+          .groupBy(col("user_id"))
+          .agg(sum(col("w") * col("a1")).as("h2"))
+        val wh2 = w.join(h2, "user_id")
+        val a2 = wh2.groupBy(col("event_type"))
+          .agg(sum(col("w") * col("h2")).as("a2"),
+            max(struct(col("h2"), (-col("user_id")).as("nu"))).as("tb"))
+        val rows = a2
+          .crossJoin(broadcast(a2.agg(max(col("a2")).as("mx"))))
+          .join(broadcast(a1), "event_type")
+          .select(col("event_type"), col("a1"), col("a2"),
+            round(col("a2").cast("double") / col("mx").cast("double"), 6)
+              .as("auth_norm"),
+            (-col("tb.nu")).as("top_hub"),
+            col("tb.h2").as("top_hub_score"))
+          .orderBy(col("event_type"))
+          .collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("a1", LongType), StructField("a2", LongType),
+          StructField("auth_norm", DoubleType),
+          StructField("top_hub", LongType),
+          StructField("top_hub_score", LongType))))
+      } finally w.unpersist()
     }),
 
     // Permutation test for a difference in per-user spend between the

@@ -844,6 +844,60 @@ object CorpusOps extends QueryModule {
       bins.crossJoin(broadcast(aucDf)).orderBy(col("bin"))
     }),
 
+    // Isotonic (PAV) calibration of the q229 quality score — the
+    // monotone-regression step a production quality filter runs AFTER
+    // q229's reliability table shows miscalibration: fit the best
+    // non-decreasing pos-rate curve over the score deciles (Ayer 1955;
+    // Zadrozny & Elkan 2002 for classifier calibration). Instead of
+    // the sequential pool-adjacent-violators stack (an inherently
+    // serial merge loop), the fit uses the greatest-convex-minorant
+    // MINIMAX characterization: fitted_i = max_{j≤i} min_{k≥i}
+    // weightedRate(j..k) — an O(B³) closed form over B ≤ 11 decile
+    // bins, each candidate ONE double division of exact integer
+    // cumulative sums, so both engines compute identical doubles and
+    // identical max/min winners in any order. Corpus-sized work is
+    // the single (bin,n,npos) aggregation (bounded output domain,
+    // q251's argument); the fit is expression-level arithmetic on one
+    // array row. IsotonicSpec pins minimax ≡ the classic PAV stack
+    // and monotonicity.
+    "q263_isotonic_calibration" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab",
+          when(array_contains(ts, "dup"), 1L).otherwise(0L))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lab"))
+      base.groupBy(expr("sm DIV 100").cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("lab")).as("np"))
+        .agg(sort_array(collect_list(
+          struct(col("bin"), col("n"), col("np")))).as("bs"))
+        .withColumn("m", size(col("bs")))
+        .withColumn("cn", expr("transform(sequence(1, m), " +
+          "i -> aggregate(slice(bs, 1, i), 0L, (a, x) -> a + x.n))"))
+        .withColumn("cp", expr("transform(sequence(1, m), " +
+          "i -> aggregate(slice(bs, 1, i), 0L, (a, x) -> a + x.np))"))
+        // cum-through-(j-1) spelled cum(j) - own(j): no 1-based edge
+        // case, and the identical integer spelling in the oracle
+        .withColumn("fit", expr(
+          """transform(sequence(1, m), i ->
+            |  array_max(transform(sequence(1, i), j ->
+            |    array_min(transform(sequence(i, m), k ->
+            |      cast(element_at(cp, k) - (element_at(cp, j)
+            |        - element_at(bs, j).np) as double) /
+            |      cast(element_at(cn, k) - (element_at(cn, j)
+            |        - element_at(bs, j).n) as double))))))""".stripMargin))
+        .select(posexplode(arrays_zip(col("bs"), col("fit"))))
+        .select(col("col.bs.bin").as("bin"),
+          col("col.bs.n").cast("int").as("n"),
+          round(col("col.bs.np").cast("double") / col("col.bs.n"), 6)
+            .as("pos_rate"),
+          round(col("col.fit"), 6).as("iso_rate"))
+        .orderBy(col("bin"))
+    }),
+
     // Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
     // Language Models in Machine Translation") — the n-gram LM family's
     // third member (q136 unigram logprob, q166 add-one bigram PPL):
@@ -1912,6 +1966,44 @@ object CorpusOps extends QueryModule {
          |  ROUND(CAST(sum_sm AS DOUBLE) / (1000.0 * n), 6) AS avg_score,
          |  a.auc AS auc
          |FROM b, a ORDER BY bin""".stripMargin
+    },
+
+    // q263: the same minimax over the same exact-integer cumulative
+    // sums, spelled as bounded self-joins over the ≤11-row bin grid
+    // (cum-through-(j-1) = cum(j) − own(j) on both engines) — every
+    // candidate ratio is the identical single double division, so
+    // MIN/MAX pick identical winners
+    "q263_isotonic_calibration" -> {
+      val stops = "('the','a','of','and','to','in','is')"
+      val tokensSql = TextAnalysis.tokensSql
+      s"""WITH t AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |b AS (
+         |  SELECT sm // 100 AS bin, COUNT(*) AS n, SUM(lab) AS np
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT bin, n, np,
+         |    SUM(n) OVER (ORDER BY bin) AS cn,
+         |    SUM(np) OVER (ORDER BY bin) AS cp,
+         |    ROW_NUMBER() OVER (ORDER BY bin) AS i
+         |  FROM b),
+         |r AS (
+         |  SELECT cj.i AS j, ck.i AS k,
+         |    CAST(ck.cp - (cj.cp - cj.np) AS DOUBLE) /
+         |    CAST(ck.cn - (cj.cn - cj.n) AS DOUBLE) AS ratio
+         |  FROM c cj JOIN c ck ON ck.i >= cj.i),
+         |mn AS (
+         |  SELECT ci.i AS i, r.j AS j, MIN(r.ratio) AS mnr
+         |  FROM c ci JOIN r ON r.j <= ci.i AND r.k >= ci.i
+         |  GROUP BY ci.i, r.j),
+         |f AS (SELECT i, MAX(mnr) AS fit FROM mn GROUP BY i)
+         |SELECT CAST(c.bin AS INT) AS bin, CAST(c.n AS INT) AS n,
+         |  ROUND(CAST(c.np AS DOUBLE) / c.n, 6) AS pos_rate,
+         |  ROUND(f.fit, 6) AS iso_rate
+         |FROM c JOIN f USING (i) ORDER BY c.bin""".stripMargin
     },
 
     // q230: same train carve, same count ratios, same CASE ladder —

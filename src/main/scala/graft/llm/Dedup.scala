@@ -122,7 +122,7 @@ object Dedup extends QueryModule {
     * relation is safe to re-join downstream (q243 builds a graph on
     * it).
     */
-  private def prefixJaccardPairs(s: SparkSession, d: String,
+  private[llm] def prefixJaccardPairs(s: SparkSession, d: String,
       theta: String): DataFrame = {
     val srt = dfSortedSets(s, d).persist()
     try {
@@ -950,6 +950,64 @@ object Dedup extends QueryModule {
           round((col("n_edges") * 2).cast("double") /
             (col("n_docs") * (col("n_docs") - 1)), 6).as("density"),
           expr("n_edges = (n_docs * (n_docs - 1)) DIV 2").as("is_clique"))
+        .orderBy(col("comp"))
+    }),
+
+    // 2-core / periphery audit of the θ=0.7 dup graph — k-core
+    // peeling (Seidman 1983) specialized to k=2: the 2-core is the
+    // maximal subgraph where every doc keeps ≥2 neighbors — each dup
+    // cluster's CYCLIC core — while peeled docs form the TREE
+    // periphery: members attached through a single intermediary, the
+    // transitive-closure-drift population q248's density ratio points
+    // at (a clique has no periphery; a star is ALL periphery — its
+    // center's edges vanish with its leaves). Peeling runs as a
+    // bounded driver loop over the alive edge set — per round one
+    // degree aggregate + two semi-join filters, localCheckpoint
+    // lineage truncation (q205's loop shape), exit on edge-count
+    // fixpoint; rounds = ⌈longest pendant chain⁄2⌉, bounded by the
+    // upstream cluster-size caps, never by corpus volume. Components
+    // ride the same distributed min-label propagation as q248. The
+    // oracle unrolls 16 MATERIALIZED peel rounds — past the true
+    // fixpoint a round is the identity, so any unroll ≥ the real
+    // round count computes the same core; KCoreSpec pins the fixpoint
+    // property (every core member keeps ≥2 core-internal neighbors;
+    // every peeled doc would not) at sf0.01 and the bench SF.
+    "q264_core_periphery" -> ((s, d) => {
+      val edges0 = prefixJaccardPairs(s, d, "0.7")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val nodes = edges0.select(col("src").as("doc_id"))
+        .unionAll(edges0.select(col("dst").as("doc_id"))).distinct()
+      val labels = propagateLabels(nodes, edges0)
+        .select(col("doc_id"), col("comp"))
+      var alive = edges0.localCheckpoint()
+      var nEdges = alive.count()
+      var rounds = 0
+      var done = nEdges == 0
+      while (!done && rounds < 16) {
+        val deg = alive.select(col("src").as("n"))
+          .unionAll(alive.select(col("dst").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 2).select(col("n"))
+        val next = alive
+          .join(keep.select(col("n").as("src")), "src")
+          .join(keep.select(col("n").as("dst")), "dst")
+          .select(col("src"), col("dst")).localCheckpoint()
+        val n2 = next.count()
+        done = n2 == nEdges
+        freeLabels(alive)
+        alive = next; nEdges = n2; rounds += 1
+      }
+      val core = alive.select(col("src").as("doc_id"))
+        .unionAll(alive.select(col("dst").as("doc_id"))).distinct()
+        .withColumn("in_core", lit(1L))
+      labels.join(core, Seq("doc_id"), "left")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("in_core"), lit(0L))).as("n_core"))
+        .select(col("comp"), col("n_docs").cast("int").as("n_docs"),
+          col("n_core").cast("int").as("n_core"),
+          (col("n_docs") - col("n_core")).cast("int").as("n_periphery"),
+          (col("n_core") > 0).as("has_cycle"))
         .orderBy(col("comp"))
     }),
 
@@ -1800,6 +1858,56 @@ object Dedup extends QueryModule {
          |  n_edges = (n_docs * (n_docs - 1)) // 2 AS is_clique
          |FROM cn JOIN ce ON ce.comp = cn.comp
          |ORDER BY cn.comp""".stripMargin,
+
+    // q264: same θ=0.7 edges, components via the recursive-CTE
+    // closure (≡ the engine's min-label propagation), and the 2-core
+    // via 16 unrolled MATERIALIZED peel rounds — each round keeps
+    // edges whose BOTH endpoints hold degree ≥ 2 in the previous
+    // round; past the fixpoint a round is the identity, so the
+    // unroll computes the same core as the engine's
+    // loop-until-fixpoint (KCoreSpec pins the fixpoint really is
+    // reached within the unroll at both test SFs)
+    "q264_core_periphery" -> {
+      val peel = (1 to 16).map { r =>
+        val prev = s"p${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT src, dst FROM $prev
+           |  WHERE src IN (SELECT n FROM (SELECT src AS n FROM $prev
+           |      UNION ALL SELECT dst FROM $prev) z
+           |    GROUP BY n HAVING COUNT(*) >= 2)
+           |  AND dst IN (SELECT n FROM (SELECT src AS n FROM $prev
+           |      UNION ALL SELECT dst FROM $prev) z
+           |    GROUP BY n HAVING COUNT(*) >= 2))""".stripMargin
+      }.mkString(",\n")
+      s"""${prefixPairSqlCtes("0.7").replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS MATERIALIZED (SELECT doc_a, doc_b FROM v WHERE jac >= 0.7),
+         |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT und.a, reach.lab FROM reach JOIN und ON und.b = reach.node),
+         |labs AS MATERIALIZED (SELECT node AS doc_id, MIN(lab) AS comp
+         |         FROM reach GROUP BY node),
+         |p0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e),
+         |$peel,
+         |core AS MATERIALIZED (
+         |  -- DISTINCT over UNION ALL, not UNION: under WITH RECURSIVE
+         |  -- DuckDB 1.0 gives a bare UNION body recursive-union
+         |  -- semantics even in a non-recursive CTE and leaks dups
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT src AS doc_id FROM p16
+         |    UNION ALL SELECT dst FROM p16) zz)
+         |SELECT l.comp, CAST(COUNT(*) AS INT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS INT) AS n_core,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    AS INT) AS n_periphery,
+         |  (SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         |    AS has_cycle
+         |FROM labs l LEFT JOIN core c ON c.doc_id = l.doc_id
+         |GROUP BY l.comp ORDER BY l.comp""".stripMargin
+    },
 
     // q237: the containment variant restated — probe-side prefix only,
     // full postings on the index side, same ceil boundary; candidate

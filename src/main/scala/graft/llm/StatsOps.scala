@@ -191,6 +191,82 @@ object StatsOps extends QueryModule {
       } finally w.unpersist()
     }),
 
+    // Mann–Whitney U rank-sum test (1947) on per-user spend between
+    // the two A/B variants — the rank-based nonparametric sibling of
+    // q235 (normal z) and q261 (permutation): robust to the heavy
+    // right tail spend always has. EVERYTHING upstream of one sqrt is
+    // EXACT INTEGER: per-user cents (one corpus pass), per-value side
+    // counts, then 2·U_a = Σ_v na_v·(2·cb(<v) + nb_v) and the tie term
+    // T = Σ(t³−t) — so U and T agree across engines bit-for-bit under
+    // ANY evaluation order, and the z-score is a single shared-
+    // association expression with the tie-corrected variance
+    // na·nb·(n³−n−T)/(12n(n−1)) and a ±1 continuity correction in
+    // doubled units. The exclusive prefix cb(<v) is minted WITHOUT a
+    // partition-less window: q247's two-phase shape — 64 range buckets
+    // from a driver-collected min/max, per-bucket B-side subtotals
+    // driver-folded into exclusive offsets (≤64 rows), then a window
+    // partitioned by BUCKET (scale-following, never a fixture
+    // dimension) adds the within-bucket prefix. The oracle runs the
+    // naive global window — same integers by exactness, proving the
+    // two-phase descent.
+    "q262_mann_whitney_u" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("v"))
+        .select(col("v"), (col("user_id") % 2 === 0).as("isA"))
+      val byVal = perUser.groupBy(col("v"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
+          sum(when(col("isA"), 0L).otherwise(1L)).as("nb_v"))
+        .persist() // feeds the bucket subtotals AND the scored pass
+      try {
+        val mm = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .head()
+        val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
+        val nBuck = 64L
+        val span = mx - mn + 1
+        val withB = byVal.withColumn("b",
+          expr(s"CAST((v - ${mn}L) * $nBuck DIV ${span}L AS INT)"))
+        // exclusive per-bucket offsets: ≤64 rows to the driver, exact
+        // long fold (the q247/q228 phase-1 contract)
+        val subs = withB.groupBy(col("b")).agg(sum(col("nb_v")).as("nbs"))
+          .orderBy(col("b")).collect()
+          .map(r => (r.getAs[Int]("b"), r.getAs[Long]("nbs")))
+        val offs = subs.scanLeft((0, 0L)) { case ((_, acc), (b, nbs)) =>
+          (b + 1, acc + nbs)
+        }
+        val offMap = subs.map(_._1).zip(offs.map(_._2)).toMap
+        import s.implicits._
+        val offDf = broadcast(
+          offMap.toSeq.toDF("b", "off"))
+        val wB = Window.partitionBy(col("b")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val scored = withB.join(offDf, "b")
+          .select(col("na_v"), col("nb_v"),
+            (coalesce(sum(col("nb_v")).over(wB), lit(0L)) + col("off"))
+              .as("cb"))
+        val t = col("na_v") + col("nb_v")
+        val g = scored.agg(
+          sum(col("na_v")).as("na"), sum(col("nb_v")).as("nb"),
+          sum(col("na_v") * (lit(2L) * col("cb") + col("nb_v")))
+            .as("two_u"),
+          sum(t * t * t - t).as("tie_t"))
+        val n = col("na") + col("nb")
+        val num = greatest(abs(col("two_u") - col("na") * col("nb")) -
+          lit(1L), lit(0L))
+        val z = round(num.cast("double") / (lit(2.0) * sqrt(
+          (col("na") * col("nb")).cast("double") *
+            (n * n * n - n - col("tie_t")).cast("double") /
+            (lit(12L) * n * (n - lit(1L))).cast("double"))), 6)
+        g.select(col("na").cast("int").as("n_a"),
+          col("nb").cast("int").as("n_b"),
+          col("two_u"), col("tie_t"), z.as("z"),
+          (z > 1.96).as("reject_95"))
+      } finally byVal.unpersist()
+    }),
+
     // Permutation test for a difference in per-user spend between the
     // two A/B variants — the nonparametric inference path when q235's
     // normal approximation is suspect. Exchangeability is at the USER
@@ -388,6 +464,45 @@ object StatsOps extends QueryModule {
         |  JOIN a1 ON a1.event_type = a2.event_type
         |  JOIN th ON th.event_type = a2.event_type
         |ORDER BY a2.event_type""".stripMargin,
+
+    // q262: identical integer sufficient statistics (the oracle mints
+    // cb via the naive GLOBAL window the Spark side's two-phase
+    // bucketed prefix avoids — exactness makes the methods
+    // indistinguishable, which is the proof), identical single-sqrt
+    // z expression in one shared association order
+    "q262_mann_whitney_u" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY user_id),
+        |bv AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_v,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS nb_v
+        |  FROM pu GROUP BY v),
+        |cum AS (
+        |  SELECT na_v, nb_v,
+        |    COALESCE(SUM(nb_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |g AS (
+        |  SELECT SUM(na_v) AS na, SUM(nb_v) AS nb,
+        |    SUM(na_v * (2 * cb + nb_v)) AS two_u,
+        |    SUM((na_v+nb_v)*(na_v+nb_v)*(na_v+nb_v) - (na_v+nb_v))
+        |      AS tie_t
+        |  FROM cum),
+        |z AS (
+        |  SELECT CAST(na AS INT) AS n_a, CAST(nb AS INT) AS n_b,
+        |    CAST(two_u AS BIGINT) AS two_u, CAST(tie_t AS BIGINT)
+        |      AS tie_t,
+        |    ROUND(CAST(GREATEST(ABS(two_u - na*nb) - 1, 0) AS DOUBLE) /
+        |      (2.0 * SQRT(CAST(na*nb AS DOUBLE) *
+        |        CAST((na+nb)*(na+nb)*(na+nb) - (na+nb) - tie_t
+        |          AS DOUBLE) /
+        |        CAST(12*(na+nb)*(na+nb-1) AS DOUBLE))), 6) AS z
+        |  FROM g)
+        |SELECT n_a, n_b, two_u, tie_t, z, (z > 1.96) AS reject_95
+        |FROM z""".stripMargin,
 
     // q261: identical integer-cents sufficient statistics, identical
     // md5-parity resample assignment (the established md5Int twin),

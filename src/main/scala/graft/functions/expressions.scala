@@ -433,6 +433,96 @@ object NfcNormalize {
   }
 }
 
+/** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) — the record-
+  * linkage string kernel (Fellegi–Sunter pipelines score name fields
+  * with it; q259 uses a Levenshtein band instead). Spark has no
+  * builtin; the UDF form would box every row, so this is a codegen'd
+  * binary expression over the two UTF8Strings. Semantics are pinned
+  * to the de-facto standard implementation (rapidfuzz lineage, what
+  * DuckDB ships, verified empirically on 50k randomized pairs):
+  * match window = max(0, ⌊max(l₁,l₂)/2⌋ − 1); greedy left-to-right
+  * flagging (lowest unflagged position within the window);
+  * transpositions = ⌊half-transpositions/2⌋ (FLOORED — the "/2.0"
+  * variant differs on odd counts); jaro = (m/l₁ + m/l₂ + (m−t)/m)/3;
+  * Winkler boost only above 0.7, prefix capped at 4; either side
+  * empty → 0. Works on UTF-16 code units (Java chars) — identical to
+  * DuckDB's byte-level scan for ASCII corpora like the fixtures.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two string arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.jw(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.jw($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): JaroWinkler = copy(left = l, right = r)
+  override def prettyName: String = "graft_jaro_winkler"
+}
+
+object JaroWinkler {
+
+  /** Shared by interpreted eval and generated code. One pass to flag
+    * matches (O(l₁·window) worst case), one to count transpositions.
+    */
+  def jw(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val f1 = new Array[Boolean](l1)
+    val f2 = new Array[Boolean](l2)
+    var m = 0
+    var j = 0
+    while (j < l2) {
+      val lo = math.max(0, j - window)
+      val hi = math.min(l1 - 1, j + window)
+      var i = lo
+      var found = false
+      while (i <= hi && !found) {
+        if (!f1(i) && s1.charAt(i) == s2.charAt(j)) {
+          f1(i) = true; f2(j) = true; m += 1; found = true
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (m == 0) return 0.0
+    var half = 0
+    var k = 0
+    j = 0
+    while (j < l2) {
+      if (f2(j)) {
+        while (!f1(k)) k += 1
+        if (s2.charAt(j) != s1.charAt(k)) half += 1
+        k += 1
+      }
+      j += 1
+    }
+    val md = m.toDouble
+    val t = (half / 2).toDouble
+    val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      val maxP = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
 /** Column-API entry points. Children are cast explicitly (the
   * expressions themselves don't implement implicit coercion — that
   * trait's types are `private[sql]` in Spark 4).
@@ -452,6 +542,9 @@ object exprs {
     Bridge.column(AdjacentPairs(Bridge.expression(c)))
   def graft_nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalize(Cast(Bridge.expression(c), StringType)))
+  def graft_jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Cast(Bridge.expression(a), StringType),
+      Cast(Bridge.expression(b), StringType)))
 
   /** Spark's internal runtime-filter primitives, surfaced as Column
     * functions: `BloomFilterAggregate` builds the filter (binary),

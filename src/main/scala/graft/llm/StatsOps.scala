@@ -135,6 +135,73 @@ object StatsOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Kruskal–Wallis H test (1952) for a weekday effect in per-type
+    // daily volumes — the k-group nonparametric ANOVA completing the
+    // rank-based family (q262 two-group MWU): are Monday's daily
+    // counts drawn from the same distribution as Sunday's? Midranks
+    // over the daily counts stay EXACT INTEGER via the ×2 trick
+    // (2·midrank(v) = 2·cntLess + cntEq + 1, minted from the
+    // (type,value) histogram — a bounded calendar-sized grid, the
+    // whitelisted q165 window shape), so the per-weekday rank sums
+    // R2_w and the tie term T = Σ(t³−t) agree bit-for-bit across
+    // engines. H = 12·ΣR_w²/n_w/(N(N+1)) − 3(N+1), tie-corrected by
+    // 1−T/(N³−N), is then assembled from SEVEN EXPLICIT pivoted
+    // terms in fixed weekday order — no engine-ordered float sum
+    // anywhere — and rounded 4dp before the χ²₆(0.95) = 12.5916
+    // compare. The uniform fixture showing NO weekday effect is the
+    // correct negative.
+    "q265_kruskal_wallis" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bv = daily.groupBy(col("event_type"), col("cnt").as("v"))
+        .agg(count(lit(1)).as("n_v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cl = bv.withColumn("cum",
+          coalesce(sum(col("n_v")).over(w), lit(0L)))
+        // fresh attribute ids so the daily⋈histogram join is not a
+        // self-referential ambiguity (cl derives from daily)
+        .select(col("event_type").as("et"), col("v"),
+          col("n_v").as("nv"), col("cum"))
+      val mr = daily
+        .join(cl, col("event_type") === col("et") &&
+          col("cnt") === col("v"))
+        .select(col("event_type"),
+          pmod(col("day"), lit(7)).cast("int").as("wd"),
+          (lit(2L) * col("cum") + col("nv") + 1L).as("m2"))
+      val rw = mr.groupBy(col("event_type"), col("wd"))
+        .agg(sum(col("m2")).as("r2"), count(lit(1)).as("nw"))
+      val aggCols = (0 to 6).flatMap(i => Seq(
+        max(when(col("wd") === i, col("r2"))).as(s"r2_$i"),
+        max(when(col("wd") === i, col("nw"))).as(s"nw_$i")))
+      val piv = rw.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val st = bv.groupBy(col("event_type")).agg(
+        sum(col("n_v")).as("n"),
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tt"))
+      // S as seven explicit terms in fixed weekday order — identical
+      // association in the oracle's spelled-out sum
+      val terms = (0 to 6).map(i =>
+        when(coalesce(col(s"nw_$i"), lit(0L)) > 0L,
+          (col(s"r2_$i") * col(s"r2_$i")).cast("double") /
+            (lit(4L) * col(s"nw_$i")).cast("double"))
+          .otherwise(lit(0.0)))
+      val sSum = terms.reduce(_ + _)
+      val n = col("n")
+      val h0 = lit(12.0) * sSum / (n * (n + 1L)).cast("double") -
+        (lit(3L) * (n + 1L)).cast("double")
+      val h = round(h0 / (lit(1.0) -
+        col("tt").cast("double") / (n * n * n - n).cast("double")), 4)
+      st.join(piv, "event_type")
+        .select(col("event_type"), col("n").cast("int").as("n_days"),
+          h.as("h"), (h > 12.5916).as("weekday_effect"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-step HITS (Kleinberg, JACM 1999) over the user↔event-type
     // bipartite graph — mutual reinforcement scoring: a type is
     // authoritative if active users hit it, a user is a strong hub if
@@ -464,6 +531,63 @@ object StatsOps extends QueryModule {
         |  JOIN a1 ON a1.event_type = a2.event_type
         |  JOIN th ON th.event_type = a2.event_type
         |ORDER BY a2.event_type""".stripMargin,
+
+    // q265: identical ×2 midranks off the same (type,value) histogram,
+    // identical pivoted SEVEN-TERM sum in fixed weekday order (both
+    // engines spell the sum t0+…+t6 — no engine-ordered float
+    // reduction), identical tie-corrected assembly and 4dp round
+    "q265_kruskal_wallis" -> {
+      val pivCols = (0 to 6).map(i =>
+        s"MAX(CASE WHEN wd = $i THEN r2 END) AS r2_$i,\n" +
+          s"    MAX(CASE WHEN wd = $i THEN nw END) AS nw_$i")
+        .mkString(",\n    ")
+      val termSql = (0 to 6).map(i =>
+        s"(CASE WHEN COALESCE(nw_$i, 0) > 0 THEN CAST(r2_$i * r2_$i " +
+          s"AS DOUBLE) / CAST(4 * nw_$i AS DOUBLE) ELSE 0.0 END)")
+        .mkString(" +\n      ")
+      s"""WITH dc AS (
+         |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+         |    COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |bv AS (
+         |  SELECT event_type, cnt AS v, COUNT(*) AS n_v
+         |  FROM dc GROUP BY 1, 2),
+         |cl AS (
+         |  SELECT event_type, v, n_v,
+         |    COALESCE(SUM(n_v) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum
+         |  FROM bv),
+         |mr AS (
+         |  SELECT dc.event_type, CAST(dc.day % 7 AS INT) AS wd,
+         |    2 * cl.cum + cl.n_v + 1 AS m2
+         |  FROM dc JOIN cl ON cl.event_type = dc.event_type
+         |    AND cl.v = dc.cnt),
+         |rw AS (
+         |  SELECT event_type, wd, SUM(m2) AS r2, COUNT(*) AS nw
+         |  FROM mr GROUP BY 1, 2),
+         |piv AS (
+         |  SELECT event_type,
+         |    $pivCols
+         |  FROM rw GROUP BY 1),
+         |st AS (
+         |  SELECT event_type, SUM(n_v) AS n,
+         |    SUM(n_v * n_v * n_v - n_v) AS tt
+         |  FROM bv GROUP BY 1),
+         |f AS (
+         |  SELECT st.event_type, st.n, st.tt,
+         |    ($termSql) AS s
+         |  FROM st JOIN piv USING (event_type)),
+         |res AS (
+         |  SELECT event_type, CAST(n AS INT) AS n_days,
+         |    ROUND((12.0 * s / CAST(n * (n + 1) AS DOUBLE)
+         |      - CAST(3 * (n + 1) AS DOUBLE)) /
+         |      (1.0 - CAST(tt AS DOUBLE) / CAST(n*n*n - n AS DOUBLE)),
+         |      4) AS h
+         |  FROM f)
+         |SELECT event_type, n_days, h, (h > 12.5916) AS weekday_effect
+         |FROM res ORDER BY event_type""".stripMargin
+    },
 
     // q262: identical integer sufficient statistics (the oracle mints
     // cb via the naive GLOBAL window the Spark side's two-phase

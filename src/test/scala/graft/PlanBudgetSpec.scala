@@ -239,7 +239,11 @@ class PlanBudgetSpec extends SparkSpec {
     // the window input is the per-(lang,trigram) count aggregate —
     // bounded by |langs| x trigram vocab, orders below the corpus
     "q148_trigram_langid" ->
-      "window input is the (lang,trigram) profile aggregate")
+      "window input is the (lang,trigram) profile aggregate",
+    // the window input is the (event_type × distinct-daily-count)
+    // histogram — calendar-bounded rows whatever the event volume
+    "q265_kruskal_wallis" ->
+      "window input is the bounded (type x daily-count) rank histogram")
 
   test("no query plans a partition-less window (Exchange SinglePartition " +
     "funnel) or a fat constant-cardinality window partition") {

@@ -42,6 +42,31 @@ class NativeExprSpec extends SparkSpec {
       List(Nil, Nil, Nil, List("abc")))
   }
 
+  test("graft_jaro_winkler matches the published golden values, the " +
+    "pinned edge semantics, and a direct-eval sweep through codegen") {
+    // classics (Winkler 1990 examples, values DuckDB also returns)
+    val golden = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "", 0.0), // pinned: empty is 0, not 1 (DuckDB semantics)
+      ("", "x", 0.0),
+      ("ab", "ba", 0.0), // window 0 at len 2 — no cross-match
+      // floored transpositions: half=3 → t=1 (the /2.0 variant gives
+      // a smaller score here)
+      ("aeadabce", " cedbead ", 0.6601851851851852))
+    golden.foreach { case (a, b, want) =>
+      assert(JaroWinkler.jw(a, b) == want, s"jw($a,$b)")
+    }
+    // codegen path (DataFrame select) ≡ interpreted object method
+    val rows = golden.toDF("a", "b", "w")
+      .select(graft_jaro_winkler(col("a"), col("b")).as("g"), col("w"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("graft_adjacent_pairs equals the composed transform/element_at " +
     "HOF form on real corpus tokens, and handles the short-array edges") {
     val toks = graft.Tables.documents(spark, sf001)

@@ -360,10 +360,75 @@ object CleanOps extends QueryModule {
           col("chi2") :+
           (col("chi2") < 20.09).as("benford_ok"): _*)
         .orderBy(col("l_returnflag"))
+    }),
+
+    // k-anonymity generalization ladder (Sweeney 2002; Mondrian's
+    // fixed-hierarchy cousin) — the privacy audit a dataset pays
+    // BEFORE release: walk a 4-level quasi-identifier hierarchy over
+    // customer (nation × segment × balance-band → nation × segment →
+    // segment → ⊤) and report, per level, the equivalence-class
+    // profile and whether every class reaches k=10; `is_chosen` marks
+    // the LEAST-generalized level that satisfies k — the release
+    // policy answer. Complements q241 (DP noise) and q81 (PII scrub):
+    // suppression-free generalization. Each level is one exact-count
+    // aggregation (the class-profile rollup is bounded by the QI
+    // domain product, never corpus-sized); the balance band is minted
+    // in exact integer cents so no float boundary can split a class
+    // differently across engines.
+    "q268_kanon_ladder" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT) " +
+          "DIV 100000").as("bb"))
+      def lvl(keys: Seq[org.apache.spark.sql.Column], l: Int) =
+        c.groupBy(keys: _*).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_classes"), min(col("sz")).as("min_class"))
+          .select(lit(l).as("level"), col("n_classes"), col("min_class"))
+      val l3 = c.agg(count(lit(1)).as("sz"))
+        .select(lit(3).as("level"), lit(1L).as("n_classes"),
+          col("sz").as("min_class"))
+      val all = lvl(Seq(col("nat"), col("seg"), col("bb")), 0)
+        .unionByName(lvl(Seq(col("nat"), col("seg")), 1))
+        .unionByName(lvl(Seq(col("seg")), 2))
+        .unionByName(l3)
+      val chosen = all.agg(
+        min(when(col("min_class") >= 10, col("level"))).as("ch"))
+      all.crossJoin(broadcast(chosen))
+        .select(col("level"), col("n_classes").cast("int").as("n_classes"),
+          col("min_class").cast("int").as("min_class"),
+          (col("min_class") >= 10).as("k10_ok"),
+          (col("level") === col("ch")).as("is_chosen"))
+        .orderBy(col("level"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // q268: identical integer-cents band, identical per-level rollups;
+    // the chosen level via the same MIN-over-qualifying-levels rule
+    "q268_kanon_ladder" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT)
+        |      // 100000 AS bb
+        |  FROM customer),
+        |l0 AS (SELECT 0 AS level, COUNT(*) AS n_classes,
+        |         MIN(sz) AS min_class FROM (
+        |         SELECT COUNT(*) AS sz FROM c GROUP BY nat, seg, bb) z),
+        |l1 AS (SELECT 1, COUNT(*), MIN(sz) FROM (
+        |         SELECT COUNT(*) AS sz FROM c GROUP BY nat, seg) z),
+        |l2 AS (SELECT 2, COUNT(*), MIN(sz) FROM (
+        |         SELECT COUNT(*) AS sz FROM c GROUP BY seg) z),
+        |l3 AS (SELECT 3, 1, COUNT(*) FROM c),
+        |a AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |      UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+        |ch AS (SELECT MIN(CASE WHEN min_class >= 10 THEN level END)
+        |         AS ch FROM a)
+        |SELECT level, CAST(n_classes AS INT) AS n_classes,
+        |  CAST(min_class AS INT) AS min_class,
+        |  (min_class >= 10) AS k10_ok, (level = ch.ch) AS is_chosen
+        |FROM a CROSS JOIN ch ORDER BY level""".stripMargin,
+
+
     // q251: the identical integer recursion as a recursive CTE over
     // 1-based day indices (same floored k, same h = 3k, same
     // first-alarm coalesce)

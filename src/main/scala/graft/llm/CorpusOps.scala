@@ -765,6 +765,56 @@ object CorpusOps extends QueryModule {
     // memory frequency summary mergeable across shards by cell-wise
     // addition, where exact counts need vocab-sized state); the probe
     // join broadcasts 80 rows against it. All-integer arithmetic.
+    // Join-SIZE estimation via Count-Min inner products (Alon–Matias–
+    // Szegedy 1996 / Cormode–Muthukrishnan 2005 §4.2) — the planner
+    // statistic a distributed optimizer wants BEFORE running an
+    // expensive join: |A ⋈_u B| = Σ_u n_A(u)·n_B(u) is estimated from
+    // two 4×256 CM sketches as est = min_d Σ_b cmA[d][b]·cmB[d][b] —
+    // each side is ONE bounded-memory sketch pass (mergeable across
+    // shards cell-wise, the q208 posture), the estimate is 4 integer
+    // dot products of 256-cell rows, and the guarantee is one-sided:
+    // est ≥ true always (collisions only ADD), est ≤ true +
+    // 2·N_A·N_B/w per row w.p. ≥ ½, so the 4-row min misses the
+    // Markov bound w.p. ≤ 2⁻⁴ — the `within_bound` gate checks the
+    // INTEGER inequality (est−true)·128 ≤ N_A·N_B exactly. Hashes are
+    // the q208 md5 family, so both engines build bit-identical
+    // sketches and the exact ledger (true join size) is the oracle
+    // face; everything stays in exact longs.
+    "q267_cm_join_estimate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def cmSide(t: String) = {
+        val ids = ev.filter(col("event_type") === t).select(col("user_id"))
+        ids.select(explode(array((0 until 4).map(dep =>
+            struct(lit(dep).as("d"),
+              (TextAnalysis.md5Int(concat(lit(s"cmj$dep:"),
+                col("user_id"))) % 256).as("b"))): _*)).as("e"))
+          .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+      }
+      val ca = cmSide("click"); val cb = cmSide("view")
+      val est = ca.join(cb.select(col("d").as("d2"), col("b").as("b2"),
+          col("c").as("c2")),
+          col("d") === col("d2") && col("b") === col("b2"))
+        .groupBy(col("d"))
+        .agg(sum(col("c") * col("c2")).as("est_d"))
+      val na = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      val nb = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nb"))
+      val tru = na.join(nb, "user_id")
+        .agg(sum(col("na") * col("nb")).as("true_join"))
+        .crossJoin(na.agg(sum(col("na")).as("n_a")))
+        .crossJoin(nb.agg(sum(col("nb")).as("n_b")))
+      val mn = est.agg(min(col("est_d")).as("est"))
+      est.crossJoin(broadcast(mn)).crossJoin(broadcast(tru))
+        .select(col("d").cast("int").as("depth"), col("est_d"),
+          col("est"), col("n_a"), col("n_b"), col("true_join"),
+          (col("est") - col("true_join")).as("overcount"),
+          ((col("est") - col("true_join")) * 128L <=
+            col("n_a") * col("n_b")).as("within_bound"))
+        .orderBy(col("depth"))
+    }),
+
     "q208_countmin_heavy" -> ((s, d) => {
       val depth = 4
       def bucket(dep: Int): org.apache.spark.sql.Column =
@@ -1526,6 +1576,46 @@ object CorpusOps extends QueryModule {
     // the identical sketch restated: same md5 row-hashes, same
     // cell-wise sums, same min-over-depths probe — pure integer
     // arithmetic, exact
+    // q267: identical md5 hash family → bit-identical sketches on
+    // both engines; the estimate, the exact ledger, and the Markov
+    // gate are all exact-integer arithmetic
+    "q267_cm_join_estimate" -> {
+      def bucketSql(dep: Int): String =
+        s"${TextAnalysis.md5IntSql(s"'cmj$dep:' || CAST(user_id AS VARCHAR)")} % 256"
+      def cmSql(t: String): String = (0 until 4).map(dep =>
+        s"SELECT $dep AS d, ${bucketSql(dep)} AS b, COUNT(*) AS c " +
+          s"FROM events WHERE event_type = '$t' GROUP BY 1, 2")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ca AS (
+         |  ${cmSql("click")}),
+         |cb AS (
+         |  ${cmSql("view")}),
+         |est AS (
+         |  SELECT ca.d, SUM(ca.c * cb.c) AS est_d
+         |  FROM ca JOIN cb ON cb.d = ca.d AND cb.b = ca.b
+         |  GROUP BY ca.d),
+         |na AS (SELECT user_id, COUNT(*) AS na FROM events
+         |       WHERE event_type = 'click' GROUP BY 1),
+         |nb AS (SELECT user_id, COUNT(*) AS nb FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |tru AS (
+         |  SELECT (SELECT SUM(na.na * nb.nb) FROM na JOIN nb
+         |            USING (user_id)) AS true_join,
+         |    (SELECT SUM(na) FROM na) AS n_a,
+         |    (SELECT SUM(nb) FROM nb) AS n_b),
+         |mn AS (SELECT MIN(est_d) AS est FROM est)
+         |SELECT CAST(est.d AS INT) AS depth,
+         |  CAST(est.est_d AS BIGINT) AS est_d,
+         |  CAST(mn.est AS BIGINT) AS est,
+         |  CAST(tru.n_a AS BIGINT) AS n_a, CAST(tru.n_b AS BIGINT) AS n_b,
+         |  CAST(tru.true_join AS BIGINT) AS true_join,
+         |  CAST(mn.est - tru.true_join AS BIGINT) AS overcount,
+         |  ((mn.est - tru.true_join) * 128 <= tru.n_a * tru.n_b)
+         |    AS within_bound
+         |FROM est CROSS JOIN mn CROSS JOIN tru
+         |ORDER BY depth""".stripMargin
+    },
+
     "q208_countmin_heavy" -> {
       def bucketSql(dep: Int): String =
         s"${TextAnalysis.md5IntSql(s"'cm$dep:' || term")} % 256"

@@ -676,6 +676,46 @@ object TextPipeline extends QueryModule {
     // the survivors — q82's pattern, no global window over the vocab)
     // → a single regression aggregate over ≤1000 points. The corpus is
     // read once; everything after the vocab rollup is vocab-head-sized.
+    // Vocabulary-richness estimation per source — Chao1 species
+    // richness (1984, bias-corrected form) + Good–Turing unseen mass
+    // over word BIGRAMS: the "how much of this source's phrase space
+    // have we actually crawled" gauge a collection pipeline reads to
+    // decide whether more crawling of a source still buys novelty
+    // (complements q224 novelty scoring and q160's head-shape gauge
+    // with a TAIL-mass estimate). Sufficient statistics are the
+    // frequency-of-frequency counts (V, n₁, n₂, N) off one codegen'd
+    // bigram pass (AdjacentPairs) + one (source,bigram) rollup —
+    // bounded by the phrase vocabulary, not the corpus — then Chao1 =
+    // V + n₁(n₁−1)/(2(n₂+1)) and unseen mass n₁/N are one exact-long
+    // division each. The bias-corrected Chao1 stays defined at n₂=0,
+    // which the near-saturated bench fixture actually exercises (the
+    // estimator collapsing toward V as the corpus saturates is the
+    // correct cross-SF behavior: sf0.01 n₁≈300 → tail mass, sf0.1
+    // n₁≈9 → coverage ≈ 1).
+    "q269_vocab_richness" -> ((s, d) => {
+      val bi = graft.functions.exprs.graft_adjacent_pairs(col("ts"))
+      Tables.documents(s, d)
+        .withColumn("ts", tokens)
+        .filter(size(col("ts")) >= 2)
+        .select(col("source"), explode(bi).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("v"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(col("c")).as("n"))
+        .select(col("source"), col("v").cast("int").as("v_obs"),
+          col("n1").cast("int").as("n1"), col("n2").cast("int").as("n2"),
+          col("n").as("n_bigrams"),
+          round(col("v") + (col("n1") * (col("n1") - 1L)).cast("double") /
+            (lit(2L) * (col("n2") + 1L)).cast("double"), 4).as("chao1"),
+          round(col("n1").cast("double") / col("n"), 6)
+            .as("gt_unseen_mass"),
+          round(lit(1.0) - col("n1").cast("double") / col("n"), 6)
+            .as("coverage"))
+        .orderBy(col("source"))
+    }),
+
     "q160_zipf_fit" -> ((s, d) => {
       val freq = Tables.documents(s, d)
         .select(explode(tokens).as("term"))
@@ -977,6 +1017,35 @@ object TextPipeline extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // q269: identical bigram mint (adjacent pairs joined with one
+    // space), identical freq-of-freq integers, identical
+    // one-division estimators
+    "q269_vocab_richness" ->
+      """WITH t0 AS (
+        |  SELECT source, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
+        |    AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT source,
+        |    unnest(list_slice(ts, 1, len(ts) - 1)) || ' ' ||
+        |    unnest(list_slice(ts, 2, len(ts))) AS w
+        |  FROM t0 WHERE len(ts) >= 2),
+        |c AS (SELECT source, w, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, COUNT(*) AS v,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(c) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(v AS INT) AS v_obs, CAST(n1 AS INT) AS n1,
+        |  CAST(n2 AS INT) AS n2, CAST(n AS BIGINT) AS n_bigrams,
+        |  ROUND(v + CAST(n1 * (n1 - 1) AS DOUBLE) /
+        |    CAST(2 * (n2 + 1) AS DOUBLE), 4) AS chao1,
+        |  ROUND(CAST(n1 AS DOUBLE) / n, 6) AS gt_unseen_mass,
+        |  ROUND(1.0 - CAST(n1 AS DOUBLE) / n, 6) AS coverage
+        |FROM g ORDER BY source""".stripMargin,
+
     // identical integer ledger: same tokenizer, same longest-first
     // (n_chars DESC, doc_id) priority, same strict prior<budget rule
     "q209_domain_quota" ->

@@ -380,17 +380,15 @@ object CleanOps extends QueryModule {
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
         expr("CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT) " +
           "DIV 100000").as("bb"))
-      def lvl(keys: Seq[org.apache.spark.sql.Column], l: Int) =
-        c.groupBy(keys: _*).agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_classes"), min(col("sz")).as("min_class"))
-          .select(lit(l).as("level"), col("n_classes"), col("min_class"))
-      val l3 = c.agg(count(lit(1)).as("sz"))
-        .select(lit(3).as("level"), lit(1L).as("n_classes"),
-          col("sz").as("min_class"))
-      val all = lvl(Seq(col("nat"), col("seg"), col("bb")), 0)
-        .unionByName(lvl(Seq(col("nat"), col("seg")), 1))
-        .unionByName(lvl(Seq(col("seg")), 2))
-        .unionByName(l3)
+      // the ladder is a telescoping hierarchy, so ONE ROLLUP pass
+      // mints all four levels (gid 0/1/3/7 = drop bb, then nat, then
+      // seg) — one corpus exchange instead of four scans
+      val all = c.rollup(col("seg"), col("nat"), col("bb"))
+        .agg(count(lit(1)).as("sz"), grouping_id().as("gid"))
+        .select(when(col("gid") === 0, 0).when(col("gid") === 1, 1)
+          .when(col("gid") === 3, 2).otherwise(3).as("level"), col("sz"))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_classes"), min(col("sz")).as("min_class"))
       val chosen = all.agg(
         min(when(col("min_class") >= 10, col("level"))).as("ch"))
       all.crossJoin(broadcast(chosen))

@@ -781,38 +781,55 @@ object CorpusOps extends QueryModule {
     // sketches and the exact ledger (true join size) is the oracle
     // face; everything stays in exact longs.
     "q267_cm_join_estimate" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def cmSide(t: String) = {
-        val ids = ev.filter(col("event_type") === t).select(col("user_id"))
-        ids.select(explode(array((0 until 4).map(dep =>
-            struct(lit(dep).as("d"),
-              (TextAnalysis.md5Int(concat(lit(s"cmj$dep:"),
-                col("user_id"))) % 256).as("b"))): _*)).as("e"))
+      // ONE corpus pass: the per-user (n_A, n_B) pivot feeds the
+      // sketches (cell value = Σ per-user counts in the bucket — the
+      // same cells a raw-row build would produce), the exact ledger
+      // Σ n_A·n_B, AND the totals — so both "sides" of the CM inner
+      // product build in a single cell aggregation with no join at
+      // all (same md5 bucket per user for A and B by construction).
+      // The persisted pivot is |users|-sized; both consumers prune it
+      // differently (q211's persist argument).
+      val perUser = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nb"))
+        .persist()
+      try {
+        val est = perUser
+          .select(col("na"), col("nb"),
+            explode(array((0 until 4).map(dep =>
+              struct(lit(dep).as("d"),
+                (TextAnalysis.md5Int(concat(lit(s"cmj$dep:"),
+                  col("user_id"))) % 256).as("b"))): _*)).as("e"))
           .groupBy(col("e.d").as("d"), col("e.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-      }
-      val ca = cmSide("click"); val cb = cmSide("view")
-      val est = ca.join(cb.select(col("d").as("d2"), col("b").as("b2"),
-          col("c").as("c2")),
-          col("d") === col("d2") && col("b") === col("b2"))
-        .groupBy(col("d"))
-        .agg(sum(col("c") * col("c2")).as("est_d"))
-      val na = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
-      val nb = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("nb"))
-      val tru = na.join(nb, "user_id")
-        .agg(sum(col("na") * col("nb")).as("true_join"))
-        .crossJoin(na.agg(sum(col("na")).as("n_a")))
-        .crossJoin(nb.agg(sum(col("nb")).as("n_b")))
-      val mn = est.agg(min(col("est_d")).as("est"))
-      est.crossJoin(broadcast(mn)).crossJoin(broadcast(tru))
-        .select(col("d").cast("int").as("depth"), col("est_d"),
-          col("est"), col("n_a"), col("n_b"), col("true_join"),
-          (col("est") - col("true_join")).as("overcount"),
-          ((col("est") - col("true_join")) * 128L <=
-            col("n_a") * col("n_b")).as("within_bound"))
-        .orderBy(col("depth"))
+          .agg(sum(col("na")).as("ca"), sum(col("nb")).as("cb"))
+          .groupBy(col("d"))
+          .agg(sum(col("ca") * col("cb")).as("est_d"))
+        val tru = perUser.agg(
+          sum(col("na") * col("nb")).as("true_join"),
+          sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+        val mn = est.agg(min(col("est_d")).as("est"))
+        val rows = est.crossJoin(broadcast(mn)).crossJoin(broadcast(tru))
+          .select(col("d").cast("int").as("depth"), col("est_d"),
+            col("est"), col("n_a"), col("n_b"), col("true_join"),
+            (col("est") - col("true_join")).as("overcount"),
+            ((col("est") - col("true_join")) * 128L <=
+              col("n_a") * col("n_b")).as("within_bound"))
+          .orderBy(col("depth")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+          StructField("depth", IntegerType, nullable = false),
+          StructField("est_d", LongType), StructField("est", LongType),
+          StructField("n_a", LongType), StructField("n_b", LongType),
+          StructField("true_join", LongType),
+          StructField("overcount", LongType),
+          StructField("within_bound", BooleanType))))
+          .orderBy(col("depth"))
+      } finally perUser.unpersist()
     }),
 
     "q208_countmin_heavy" -> ((s, d) => {
@@ -946,6 +963,117 @@ object CorpusOps extends QueryModule {
             .as("pos_rate"),
           round(col("col.fit"), 6).as("iso_rate"))
         .orderBy(col("bin"))
+    }),
+
+    // Brier-score decomposition (Murphy 1973) of the binned quality
+    // forecast — the PROPER-scoring-rule view completing the eval
+    // family: q229 ranks (AUC), q263 recalibrates (isotonic), this
+    // EXPLAINS the probabilistic loss as reliability − resolution +
+    // uncertainty. Forecasts are the decile-DISCRETIZED score
+    // f = (sm DIV 100)/10 — discretizing first is what makes Murphy's
+    // identity EXACT (verified in-query: `identity_gap` must be 0 on
+    // both engines, a free cross-check the hash compare enforces).
+    // One corpus pass to the ≤11-row (bin, n, pos) table; REL and RES
+    // are left-to-right folds over the bin-sorted array (identical
+    // association on both engines; the 0.0 seed is IEEE-absorbed), f_b
+    // and p̄ are single divisions of exact longs.
+    "q270_brier_decomposition" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val bins = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab",
+          when(array_contains(ts, "dup"), 1L).otherwise(0L))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT) DIV 100")
+          .as("bin"), col("lab"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("lab")).as("np"))
+      val g = bins
+        .agg(sort_array(collect_list(struct(col("bin"), col("n"),
+          col("np")))).as("bs"), sum(col("n")).as("nn"),
+          sum(col("np")).as("pp"))
+        .withColumn("pbar", col("pp").cast("double") / col("nn"))
+        // REL = Σ n_b (f_b − p̄_b)², RES = Σ n_b (p̄_b − p̄)², and the
+        // direct binned Brier Σ [np·(f−1)² + (n−np)·f²] — all folded
+        // left-to-right over the bin-sorted array
+        .withColumn("rel", expr(
+          """aggregate(bs, cast(0.0 as double), (a, x) -> a +
+            |  x.n * (cast(x.bin as double) / 10.0
+            |         - cast(x.np as double) / x.n)
+            |      * (cast(x.bin as double) / 10.0
+            |         - cast(x.np as double) / x.n))""".stripMargin))
+        .withColumn("res", expr(
+          """aggregate(bs, cast(0.0 as double), (a, x) -> a +
+            |  x.n * (cast(x.np as double) / x.n - pbar)
+            |      * (cast(x.np as double) / x.n - pbar))""".stripMargin))
+        .withColumn("direct", expr(
+          """aggregate(bs, cast(0.0 as double), (a, x) -> a +
+            |  x.np * (cast(x.bin as double) / 10.0 - 1.0)
+            |       * (cast(x.bin as double) / 10.0 - 1.0)
+            |  + (x.n - x.np) * (cast(x.bin as double) / 10.0)
+            |                 * (cast(x.bin as double) / 10.0))"""
+            .stripMargin))
+      g.select(col("nn").cast("int").as("n_docs"),
+          round(col("pbar"), 6).as("base_rate"),
+          round(col("rel") / col("nn"), 6).as("reliability"),
+          round(col("res") / col("nn"), 6).as("resolution"),
+          round(col("pbar") * (lit(1.0) - col("pbar")), 6)
+            .as("uncertainty"),
+          round(col("direct") / col("nn"), 6).as("brier"),
+          round(col("direct") / col("nn") -
+            (col("rel") / col("nn") - col("res") / col("nn") +
+              col("pbar") * (lit(1.0) - col("pbar"))), 9)
+            .as("identity_gap"))
+    }),
+
+    // Cohen's κ inter-rater agreement (1960) between two independent
+    // quality heuristics — the "do my filters even agree" audit a
+    // pipeline runs before ensembling them (q158 stacks filters
+    // assuming complementarity; κ quantifies it): rater A = stopword
+    // density ≥ its fixture median, rater B = bigram repetition ratio
+    // ≥ 0.95, BOTH as pure integer comparisons (1000·stops ≥ 60·n and
+    // 20·n_dbi ≥ 19·n_bi — no float threshold can split a doc
+    // differently across engines). One corpus pass to the 2×2
+    // confusion ledger; κ = (p_o − p_e)/(1 − p_e) from four exact
+    // longs with the marginal products in exact integer arithmetic
+    // (pe numerator = r0·c0 + r1·c1 over N²), banded per Landis–Koch
+    // on the 6dp-rounded κ.
+    "q273_cohens_kappa" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val bi = graft.functions.exprs.graft_adjacent_pairs(col("ts"))
+      val rated = Tables.documents(s, d)
+        .withColumn("ts", ts)
+        .filter(size(col("ts")) >= 2)
+        .withColumn("n", size(col("ts")).cast("long"))
+        .withColumn("stops", size(filter(col("ts"),
+          t => t.isin(TextAnalysis.Stopwords: _*))).cast("long"))
+        .withColumn("ndbi", size(array_distinct(bi)).cast("long"))
+        .select(
+          (lit(1000L) * col("stops") >= lit(60L) * col("n")).as("ra"),
+          (lit(20L) * col("ndbi") >= lit(19L) * (col("n") - 1L)).as("rb"))
+      val g = rated.agg(
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+      val n = col("n11") + col("n10") + col("n01") + col("n00")
+      val po = (col("n11") + col("n00")).cast("double") / n
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (n * n).cast("double")
+      val kappa = round((po - pe) / (lit(1.0) - pe), 6)
+      g.select(n.cast("int").as("n_docs"),
+          col("n11").cast("int").as("n11"),
+          col("n10").cast("int").as("n10"),
+          col("n01").cast("int").as("n01"),
+          col("n00").cast("int").as("n00"),
+          round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+          kappa.as("kappa"),
+          when(kappa < 0.0, "poor").when(kappa <= 0.2, "slight")
+            .when(kappa <= 0.4, "fair").when(kappa <= 0.6, "moderate")
+            .when(kappa <= 0.8, "substantial").otherwise("near_perfect")
+            .as("landis_koch"))
     }),
 
     // Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
@@ -1576,6 +1704,107 @@ object CorpusOps extends QueryModule {
     // the identical sketch restated: same md5 row-hashes, same
     // cell-wise sums, same min-over-depths probe — pure integer
     // arithmetic, exact
+    // q273: identical integer rater thresholds, identical 2×2 ledger,
+    // identical po/pe divisions and κ association, same band ladder
+    "q273_cohens_kappa" -> {
+      val tokensSql = TextAnalysis.tokensSql
+      s"""WITH t AS (
+         |  SELECT ts, CAST(len(ts) AS BIGINT) AS n,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('the','a','of','and','to','in','is'))) AS BIGINT)
+         |      AS stops,
+         |    CAST(len(list_distinct(list_transform(
+         |      range(1, CAST(len(ts) AS INT)),
+         |      i -> ts[i] || ' ' || ts[i + 1]))) AS BIGINT) AS ndbi
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z
+         |  WHERE len(ts) >= 2),
+         |r AS (
+         |  SELECT (1000 * stops >= 60 * n) AS ra,
+         |    (20 * ndbi >= 19 * (n - 1)) AS rb
+         |  FROM t),
+         |g AS (
+         |  SELECT
+         |    SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS n11,
+         |    SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS n10,
+         |    SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS n01,
+         |    SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS n00
+         |  FROM r),
+         |k AS (
+         |  SELECT n11, n10, n01, n00,
+         |    n11 + n10 + n01 + n00 AS n,
+         |    CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS po,
+         |    CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         |      AS DOUBLE) / CAST((n11 + n10 + n01 + n00)
+         |        * (n11 + n10 + n01 + n00) AS DOUBLE) AS pe
+         |  FROM g),
+         |f AS (
+         |  SELECT CAST(n AS INT) AS n_docs, CAST(n11 AS INT) AS n11,
+         |    CAST(n10 AS INT) AS n10, CAST(n01 AS INT) AS n01,
+         |    CAST(n00 AS INT) AS n00,
+         |    ROUND(po, 6) AS p_observed, ROUND(pe, 6) AS p_expected,
+         |    ROUND((po - pe) / (1.0 - pe), 6) AS kappa
+         |  FROM k)
+         |SELECT n_docs, n11, n10, n01, n00, p_observed, p_expected,
+         |  kappa,
+         |  CASE WHEN kappa < 0.0 THEN 'poor'
+         |       WHEN kappa <= 0.2 THEN 'slight'
+         |       WHEN kappa <= 0.4 THEN 'fair'
+         |       WHEN kappa <= 0.6 THEN 'moderate'
+         |       WHEN kappa <= 0.8 THEN 'substantial'
+         |       ELSE 'near_perfect' END AS landis_koch
+         |FROM f""".stripMargin
+    },
+
+    // q270: identical bin table, identical left-to-right folds
+    // (list_reduce's first-element seed ≡ Spark's 0.0 seed under
+    // IEEE), identical single-division f_b/p̄ and final assembly
+    "q270_brier_decomposition" -> {
+      val stops = "('the','a','of','and','to','in','is')"
+      val tokensSql = TextAnalysis.tokensSql
+      s"""WITH t AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) // 100
+         |      AS bin,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |b AS (
+         |  SELECT bin, COUNT(*) AS n, SUM(lab) AS np FROM t GROUP BY 1),
+         |g AS (
+         |  SELECT list(struct_pack(bin := bin, n := n, np := np)
+         |           ORDER BY bin) AS bs,
+         |    SUM(n) AS nn, SUM(np) AS pp
+         |  FROM b),
+         |g2 AS (
+         |  SELECT bs, nn, CAST(pp AS DOUBLE) / nn AS pbar FROM g),
+         |f AS (
+         |  SELECT nn, pbar,
+         |    list_reduce(list_transform(bs, x -> x.n *
+         |      (CAST(x.bin AS DOUBLE) / 10.0
+         |        - CAST(x.np AS DOUBLE) / x.n) *
+         |      (CAST(x.bin AS DOUBLE) / 10.0
+         |        - CAST(x.np AS DOUBLE) / x.n)), (a, b) -> a + b)
+         |      AS rel,
+         |    list_reduce(list_transform(bs, x -> x.n *
+         |      (CAST(x.np AS DOUBLE) / x.n - pbar) *
+         |      (CAST(x.np AS DOUBLE) / x.n - pbar)), (a, b) -> a + b)
+         |      AS res,
+         |    list_reduce(list_transform(bs, x ->
+         |      x.np * (CAST(x.bin AS DOUBLE) / 10.0 - 1.0)
+         |           * (CAST(x.bin AS DOUBLE) / 10.0 - 1.0)
+         |      + (x.n - x.np) * (CAST(x.bin AS DOUBLE) / 10.0)
+         |                     * (CAST(x.bin AS DOUBLE) / 10.0)),
+         |      (a, b) -> a + b) AS direct
+         |  FROM g2)
+         |SELECT CAST(nn AS INT) AS n_docs, ROUND(pbar, 6) AS base_rate,
+         |  ROUND(rel / nn, 6) AS reliability,
+         |  ROUND(res / nn, 6) AS resolution,
+         |  ROUND(pbar * (1.0 - pbar), 6) AS uncertainty,
+         |  ROUND(direct / nn, 6) AS brier,
+         |  ROUND(direct / nn - (rel / nn - res / nn
+         |    + pbar * (1.0 - pbar)), 9) AS identity_gap
+         |FROM f""".stripMargin
+    },
+
     // q267: identical md5 hash family → bit-identical sketches on
     // both engines; the estimate, the exact ledger, and the Markov
     // gate are all exact-integer arithmetic

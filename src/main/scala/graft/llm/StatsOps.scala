@@ -202,6 +202,42 @@ object StatsOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Theil–Sen robust trend (Theil 1950; Sen 1968) on per-type daily
+    // volumes — the median-of-pairwise-slopes estimator that shrugs
+    // off the outlier days that drag q232's least-squares line (29.3%
+    // breakdown point vs OLS's zero). The slope population is the
+    // ≤C(|days|,2) day-pair grid — a bounded self-join of the daily
+    // aggregate, never corpus-sized — and every slope is ONE double
+    // division of exact integer differences, so both engines mint
+    // identical doubles and sort them identically. The median rule is
+    // spelled the same on both sides (average of the two middle
+    // ORDER-position slopes, ties on value broken irrelevantly since
+    // equal doubles are interchangeable) instead of leaning on either
+    // engine's quantile interpolation.
+    "q272_theil_sen" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("day2"), col("cnt").as("cnt2"))
+      val slopes = daily.join(b,
+          col("event_type") === col("et2") && col("day") < col("day2"))
+        .select(col("event_type"),
+          ((col("cnt2") - col("cnt")).cast("double") /
+            (col("day2") - col("day")).cast("double")).as("slope"))
+      slopes.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("slope"))).as("arr"),
+          count(lit(1)).as("m"))
+        .select(col("event_type"), col("m").cast("int").as("n_pairs"),
+          round((element_at(col("arr"),
+              expr("cast((m + 1) div 2 as int)")) +
+            element_at(col("arr"),
+              expr("cast(m div 2 + 1 as int)"))) / 2.0, 6)
+            .as("slope_per_day"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-step HITS (Kleinberg, JACM 1999) over the user↔event-type
     // bipartite graph — mutual reinforcement scoring: a type is
     // authoritative if active users hit it, a user is a strong hub if
@@ -332,6 +368,44 @@ object StatsOps extends QueryModule {
           col("two_u"), col("tie_t"), z.as("z"),
           (z > 1.96).as("reject_95"))
       } finally byVal.unpersist()
+    }),
+
+    // Seasonal-naive forecast backtest scored with MASE (Hyndman &
+    // Koehler 2006) — the scale-free forecast-accuracy measure a
+    // volume-forecasting pipeline reports instead of raw MAE (which
+    // can't compare across series of different magnitude): forecast
+    // day t as day t−7's count, score |error| against the one-step
+    // naive walk's in-sample MAE. MASE < 1 ⟺ weekly seasonality
+    // genuinely predicts — on the uniform fixture it hovers near 1,
+    // the honest negative (q265's Kruskal–Wallis agrees). Both error
+    // ledgers are EXACT INTEGER sums over positional lags of the
+    // day-sorted array (q257's bounded-calendar fold; the oracle
+    // re-mints them via ROW_NUMBER self-joins — exactness makes the
+    // methods indistinguishable); the only floats are two MAE
+    // divisions and their ratio in one shared association order.
+    "q271_seasonal_backtest" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+          .as("a"), count(lit(1)).as("n"))
+        .withColumn("saf", expr(
+          """aggregate(sequence(8, cast(n as int)), 0L,
+            |  (acc, i) -> acc + abs(element_at(a, i).cnt
+            |              - element_at(a, i - 7).cnt))""".stripMargin))
+        .withColumn("san", expr(
+          """aggregate(sequence(2, cast(n as int)), 0L,
+            |  (acc, i) -> acc + abs(element_at(a, i).cnt
+            |              - element_at(a, i - 1).cnt))""".stripMargin))
+      val mase = round(
+        (col("saf").cast("double") / (col("n") - 7L)) /
+          (col("san").cast("double") / (col("n") - 1L)), 6)
+      g.select(col("event_type"), col("n").cast("int").as("n_days"),
+          col("saf").as("sae_seasonal"), col("san").as("sae_naive"),
+          mase.as("mase"), (mase < 1.0).as("seasonal_helps"))
+        .orderBy(col("event_type"))
     }),
 
     // Permutation test for a difference in per-user spend between the
@@ -588,6 +662,67 @@ object StatsOps extends QueryModule {
          |SELECT event_type, n_days, h, (h > 12.5916) AS weekday_effect
          |FROM res ORDER BY event_type""".stripMargin
     },
+
+    // q272: identical slope mint (one division of exact integer
+    // deltas), the median spelled as the same two ORDER-position
+    // picks averaged with /2.0 — no engine quantile interpolation
+    "q272_theil_sen" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |      AS slope
+        |  FROM dc a JOIN dc b
+        |    ON b.event_type = a.event_type AND a.day < b.day),
+        |idx AS (
+        |  SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM sl)
+        |SELECT event_type, CAST(MAX(m) AS INT) AS n_pairs,
+        |  ROUND((MAX(CASE WHEN i = (m + 1) // 2 THEN slope END) +
+        |    MAX(CASE WHEN i = m // 2 + 1 THEN slope END)) / 2.0, 6)
+        |    AS slope_per_day
+        |FROM idx GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // q271: error ledgers re-minted via ROW_NUMBER positional-lag
+    // self-joins (≡ the engine's array fold on exact integers),
+    // identical two-division MASE association
+    "q271_seasonal_backtest" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM dc),
+        |sf AS (
+        |  SELECT a.event_type, SUM(ABS(a.cnt - b.cnt)) AS saf
+        |  FROM idx a JOIN idx b
+        |    ON b.event_type = a.event_type AND b.i = a.i - 7
+        |  GROUP BY 1),
+        |sn AS (
+        |  SELECT a.event_type, SUM(ABS(a.cnt - b.cnt)) AS san
+        |  FROM idx a JOIN idx b
+        |    ON b.event_type = a.event_type AND b.i = a.i - 1
+        |  GROUP BY 1),
+        |st AS (SELECT event_type, COUNT(*) AS n FROM dc GROUP BY 1),
+        |r AS (
+        |  SELECT st.event_type, CAST(st.n AS INT) AS n_days,
+        |    CAST(sf.saf AS BIGINT) AS sae_seasonal,
+        |    CAST(sn.san AS BIGINT) AS sae_naive,
+        |    ROUND((CAST(sf.saf AS DOUBLE) / (st.n - 7)) /
+        |      (CAST(sn.san AS DOUBLE) / (st.n - 1)), 6) AS mase
+        |  FROM st JOIN sf USING (event_type) JOIN sn USING (event_type))
+        |SELECT event_type, n_days, sae_seasonal, sae_naive, mase,
+        |  (mase < 1.0) AS seasonal_helps
+        |FROM r ORDER BY event_type""".stripMargin,
 
     // q262: identical integer sufficient statistics (the oracle mints
     // cb via the naive GLOBAL window the Spark side's two-phase

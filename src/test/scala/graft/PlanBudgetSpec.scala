@@ -42,7 +42,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q255_kaplan_meier",        // 1-row global-max-day anchor broadcast
     "q256_ndcg_eval",           // 10-row query-vector broadcast (sign-dot scan)
     "q260_hits_bipartite",      // 1-row max-authority normalizer broadcast
-    "q261_permutation_test")    // 1-row observed-diff broadcast onto 200 resamples
+    "q261_permutation_test",    // 1-row observed-diff broadcast onto 200 resamples
+    "q267_cm_join_estimate",    // 1-row min-estimate + 1-row ledger broadcasts
+    "q268_kanon_ladder")        // 1-row chosen-level scalar broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -173,7 +175,13 @@ class PlanBudgetSpec extends SparkSpec {
     // q246's 9th exchange is the |langs|-row left join of the degree
     // and intra-edge aggregates; everything upstream of the two lang
     // joins is the materialized edge LocalRelation (q243's argument)
-    "q246_blocking_modularity" -> 9)
+    "q246_blocking_modularity" -> 9,
+    // q265's ONLY corpus-sized exchange is the (type,day) count agg;
+    // the daily subtree prints under both the histogram path and the
+    // midrank join (identical, reuses at runtime — the q165 story)
+    // and everything downstream moves the calendar-bounded rank
+    // histogram (≤ |types|·|distinct counts| rows)
+    "q265_kruskal_wallis" -> 10)
 
   test("every declarative query stays within the shuffle budget, " +
     "with no accidental cartesian products") {

@@ -345,6 +345,34 @@ object StreamQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming LEADERBOARD under replay — the per-key cumulative
+    // ledger (complete mode, q133's bounded-state shape: one exact
+    // integer-cents sum per (type,user), updated incrementally across
+    // micro-batches) finished by the q213 heap top-k OUTSIDE the
+    // stream: streaming supports a single stateful aggregation level,
+    // so the scalable shape is ledger-in-stream + collect_top_k on
+    // the sink — never a second stateful agg, never a rank window
+    // over the ledger (the fat-partition shape the q209 gate exists
+    // for). Integer cents make the ledger deterministic under any
+    // batch slicing, so the full batch oracle applies.
+    "q274_stream_topk_replay" -> ((s, d) => {
+      val sink = replay(s, d) { stream =>
+        stream.groupBy(col("event_type"), col("user_id"))
+          .agg(sum(expr("cast(round(value * 100, 0) as bigint)"))
+            .as("cents"))
+      }
+      import graft.functions.exprs.graft_collect_top_k
+      sink.groupBy(col("event_type"))
+        .agg(graft_collect_top_k(
+          struct(col("cents"), (-col("user_id")).as("negu")), 3, false)
+          .as("top"))
+        .select(col("event_type"),
+          posexplode(sort_array(col("top"), asc = false)))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          (-col("col.negu")).as("user_id"), col("col.cents").as("cents"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // foreachBatch MERGE sink under at-least-once replay: each
     // micro-batch is CDC-applied (keep-latest merge) into a parquet
     // snapshot via read-modify-write + directory swap — the mechanism
@@ -794,6 +822,24 @@ object StreamQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // q274: the streaming ledger is exact integer cents per
+    // (type,user) — batch-slicing-invariant — so the leaderboard is
+    // the plain batch top-3 with the same (cents DESC, user) tiebreak
+    "q274_stream_topk_replay" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id) AS rank
+        |  FROM pu)
+        |SELECT event_type, CAST(rank AS INT) AS rank, user_id,
+        |  CAST(cents AS BIGINT) AS cents
+        |FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
+
     // q177: the late-acceptance rule stated in batch SQL — a late row
     // counts iff its window end clears the batch-1 watermark, which is
     // the on-time max event time FLOORED TO MS (Spark tracks event

@@ -60,7 +60,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q121_stream_join_replay", "q133_stream_upsert_replay",
     "q150_stream_merge_sink", "q156_stream_outer_join_replay",
     "q214_stream_full_outer_join_replay", "q216_stream_semi_join_replay",
-    "q220_stream_sketch_replay",
+    "q220_stream_sketch_replay", "q274_stream_topk_replay",
     "q177_stream_late_audit", "q178_stream_tws_replay",
     "q182_stream_static_enrich", "q196_stream_reservoir",
     "q107_catalog_ddl", "q77_csv_roundtrip",

@@ -1058,14 +1058,25 @@ object Dedup extends QueryModule {
     // deterministically from customer (custkey%7 → last name digit
     // bumped, %5 → acctbal rounded, %11 → segment lost) so the query
     // provably exercises every agreement pattern, and `n_true` audits
-    // the decision bands against the known ground truth. Blocking
-    // here is the nationkey equi-join (exact oracle, |block| = N/25);
-    // at corpus scale the candidate stage would be q228's sorted
-    // neighborhood or q236's prefix filter — FS scoring itself is
-    // O(1) per candidate and indifferent to the generator. Weights
-    // are inlined decimal literals summed in one fixed association
-    // order on both engines; the score is rounded 4dp BEFORE banding
-    // so a ulp can't flip a decision.
+    // the decision bands against the known ground truth.
+    //
+    // The 100 TB shape (this rewrite; the first cut joined A×B within
+    // nation — 9M scored pairs at sf0.1, 27s, and quadratic in block
+    // size forever): the score takes only 2³ = 8 values, one per
+    // agreement CELL, so the decision table needs CELL COUNTS, not
+    // scored pairs. Agreeing pairs are rare by construction — each
+    // agreement predicate gets its own CANDIDATE GENERATOR (name:
+    // q254's FastSS 0/1-deletion key join; balance: floor-bucket ±1
+    // join, sound because |Δ|≤1 ⟹ |Δfloor|≤1; segment: pure count
+    // algebra Σ nA·nB per (nation,seg) — no enumeration at all), and
+    // the three disagreement margins close by INCLUSION–EXCLUSION
+    // against the per-nation totals. Everything enumerated is
+    // near-duplicate-sized; everything else is arithmetic on exact
+    // longs. Per-decision averages stay exact: Σ count·score is
+    // DECIMAL(20,4) cell algebra, divided once in-engine — bit-equal
+    // to the brute-force oracle's per-pair decimal sum. The oracle IS
+    // the all-pairs brute force, so the hash compare proves the
+    // inclusion–exclusion ledger pair-for-pair.
     "q259_fellegi_sunter" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val bump = expr(
@@ -1075,7 +1086,7 @@ object Dedup extends QueryModule {
       val a = c.select(col("c_custkey").as("a_key"),
         col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
         col("c_acctbal").as("a_bal"), col("c_mktsegment").as("a_seg"))
-      val b = c.select(col("c_custkey").as("true_key"),
+      val b = c.select(col("c_custkey").as("b_key"),
         when(col("c_custkey") % 7 === 0, bump)
           .otherwise(col("c_name")).as("b_name"),
         col("c_nationkey").as("b_nat"),
@@ -1083,30 +1094,107 @@ object Dedup extends QueryModule {
           .otherwise(col("c_acctbal")).as("b_bal"),
         when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
           .otherwise(col("c_mktsegment")).as("b_seg"))
-      val score = round(
-        when(levenshtein(col("a_name"), col("b_name")) <= 1, lit(9.8919))
-          .otherwise(lit(-4.3219)) +
-        when(abs(col("a_bal") - col("b_bal")) <= 1.0, lit(4.2479))
-          .otherwise(lit(-2.0)) +
-        when(col("a_seg") === col("b_seg"), lit(2.2479))
-          .otherwise(lit(-1.5)), 4)
-      a.join(b, col("a_nat") === col("b_nat"))
-        .withColumn("score", score)
-        .withColumn("decision",
-          when(col("score") >= 10.0, "match")
-            .when(col("score") > 0.0, "possible")
-            .otherwise("nonmatch"))
-        .groupBy(col("decision"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("a_key") === col("true_key"), 1L).otherwise(0L))
-            .as("n_true"),
-          // decimal sum → exact under any partial-agg order; ONE
-          // double divide at the end (float-sum avg would be
-          // association-order-dependent across partitions)
-          round(sum(col("score").cast("decimal(14,4)")).cast("double") /
-            count(lit(1)), 4).as("avg_score"))
+      def delKeys(nameCol: String) = expr(
+        s"""array_union(array($nameCol),
+           |  transform(sequence(1, length($nameCol)),
+           |    i -> concat(substring($nameCol, 1, i-1),
+           |                substring($nameCol, i+1, length($nameCol)))))"""
+          .stripMargin)
+      val bAgree = abs(col("a_bal") - col("b_bal")) <= 1.0
+      val sAgree = col("a_seg") === col("b_seg")
+      // (1) name-agree cells: FastSS candidates within nation, exact
+      // lev ≤ 1 verify, then the b/s flags on the tiny survivor set.
+      // The diagonal (a_key = b_key) always lands here: lev(bumped) =
+      // 1, |bal − round(bal)| ≤ 0.5 — so n_true closes inside set 1.
+      val nameCand = a
+        .select(col("a_key"), col("a_nat"), explode(delKeys("a_name")).as("k"))
+        .join(b.select(col("b_key"), col("b_nat"),
+            explode(delKeys("b_name")).as("k")),
+          Seq("k"))
+        .filter(col("a_nat") === col("b_nat"))
+        .select(col("a_key"), col("b_key")).distinct()
+      val nCells = nameCand
+        .join(a, "a_key").join(b, "b_key")
+        .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+        .groupBy(bAgree.as("ba"), sAgree.as("sa"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a_key") === col("b_key"), 1L).otherwise(0L))
+            .as("nt"))
+        .collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("nt"))).toMap
+      def nCell(ba: Boolean, sa: Boolean) = nCells.getOrElse((ba, sa), (0L, 0L))
+      // (2) balance-agree margins: floor-bucket ±1 candidates (sound:
+      // |Δ| ≤ 1 ⟹ floors differ by ≤ 1), exact verify, s flag
+      val balCand = a
+        .select(col("a_key").as("ak2"), col("a_nat").as("an2"),
+          col("a_bal"), col("a_seg"),
+          floor(col("a_bal")).cast("long").as("fa"))
+        .join(b.select(col("b_key").as("bk2"), col("b_nat").as("bn2"),
+            col("b_bal"), col("b_seg"),
+            explode(array(lit(-1L), lit(0L), lit(1L))).as("off"),
+            floor(col("b_bal")).cast("long").as("fb")),
+          col("an2") === col("bn2") && col("fa") === col("fb") + col("off"))
+        .filter(bAgree)
+      val bRow = balCand.agg(count(lit(1)).as("ab"),
+        sum(when(sAgree, 1L).otherwise(0L)).as("abs_")).head()
+      val aB = bRow.getAs[Long]("ab"); val aBS = bRow.getAs[Long]("abs_")
+      // (3) segment-agree margin by pure count algebra; nation totals
+      val aS = a.groupBy(col("a_nat"), col("a_seg")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("b_nat"), col("b_seg")).agg(count(lit(1)).as("cb")),
+          col("a_nat") === col("b_nat") && col("a_seg") === col("b_seg"))
+        .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+      val nTot = a.groupBy(col("a_nat")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("b_nat")).agg(count(lit(1)).as("cb")),
+          col("a_nat") === col("b_nat"))
+        .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+      // assemble the 8 cells (name-cells enumerated; ¬name by Möbius)
+      val (cNBS, tNBS) = nCell(ba = true, sa = true)
+      val (cNBs, tNBs) = nCell(ba = true, sa = false)
+      val (cNbS, tNbS) = nCell(ba = false, sa = true)
+      val (cNbs, tNbs) = nCell(ba = false, sa = false)
+      val aN = cNBS + cNBs + cNbS + cNbs
+      val aNB = cNBS + cNBs; val aNS = cNBS + cNbS
+      val cnBS = aBS - cNBS
+      val cnBs = aB - aNB - aBS + cNBS
+      val cnbS = aS - aNS - aBS + cNBS
+      val cnbs = nTot - aN - cnBS - cnBs - cnbS
+      // decisions from the 4dp cell scores (the brute-force per-pair
+      // round(·,4) evaluated once per cell — same literals, same
+      // association, same HALF_UP)
+      val dec = new java.math.BigDecimal(_: String)
+      val cells = Seq( // (count, n_true, 4dp score, decision)
+        (cNBS, tNBS, dec("16.3877"), "match"),
+        (cNBs, tNBs, dec("12.6398"), "match"),
+        (cNbS, tNbS, dec("10.1398"), "match"),
+        (cNbs, tNbs, dec("6.3919"), "possible"),
+        (cnBS, 0L, dec("2.1739"), "possible"),
+        (cnBs, 0L, dec("-1.5740"), "nonmatch"),
+        (cnbS, 0L, dec("-4.0740"), "nonmatch"),
+        (cnbs, 0L, dec("-7.8219"), "nonmatch"))
+      val rows = cells.groupBy(_._4).toSeq.map { case (decision, cs) =>
+        val n = cs.map(_._1).sum
+        val nt = cs.map(_._2).sum
+        val sumDec = cs.map { case (cnt, _, sc, _) =>
+          sc.multiply(java.math.BigDecimal.valueOf(cnt))
+        }.reduce(_ add _).setScale(4)
+        org.apache.spark.sql.Row(decision, n, nt, sumDec)
+      }
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("decision", StringType),
+          StructField("n_pairs", LongType, nullable = false),
+          StructField("n_true", LongType, nullable = false),
+          StructField("sum_dec", DecimalType(20, 4)))))
+        // the SAME in-engine float path as the brute force: decimal
+        // sum → double cast → one divide → 4dp round
+        // empty cells roll up to n=0 decisions the brute force never
+        // emits as rows — drop them the same way
+        .filter(col("n_pairs") > 0)
         .select(col("decision"), col("n_pairs"), col("n_true"),
-          col("avg_score"))
+          round(col("sum_dec").cast("double") / col("n_pairs"), 4)
+            .as("avg_score"))
         .orderBy(col("decision"))
     })
   )

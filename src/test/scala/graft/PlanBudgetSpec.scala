@@ -105,6 +105,11 @@ class PlanBudgetSpec extends SparkSpec {
     // Gumbel-top-k job, materializes the ≤50-row selection before
     // releasing the cache (q211's shape)
     "q218_dsir_resample",
+    // q259 is action-style since the inclusion–exclusion rewrite: it
+    // collects the (bounded) per-cell candidate aggregates and
+    // assembles the 8-cell decision ledger on the driver; the
+    // enumerated sets are near-duplicate-sized by construction
+    "q259_fellegi_sunter",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

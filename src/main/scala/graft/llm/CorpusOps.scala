@@ -1502,6 +1502,62 @@ object CorpusOps extends QueryModule {
     // exact integer counts, and the top-15 is TakeOrderedAndProject
     // on (6dp-rounded |contrib|, term) — round-first so a float ulp
     // never decides cross-engine rank.
+    // Jensen–Shannon divergence between the two corpus carves (Lin
+    // 1991) — the SYMMETRIC, BOUNDED (≤ ln 2) drift metric that fixes
+    // KL's two operational problems at 100 TB: q240's KL is
+    // direction-dependent (ref→cur ≠ cur→ref, so alert thresholds
+    // don't transfer) and unbounded (one vanishing q blows the
+    // statistic). Same add-1-smoothed unigram models as q240; per
+    // term, js = ½p·ln(p/m) + ½q·ln(q/m) with m = (p+q)/2 — identical
+    // IEEE association on both engines (q240's ln-parity precedent).
+    // The GLOBAL total is the order-free form: per-term contributions
+    // rounded 6dp, summed as DECIMAL(18,6) — exact under any
+    // partial-agg order, where a raw double Σ over the vocabulary
+    // would be association-dependent across partitions. One tokenize
+    // shuffle; everything after is vocabulary-bounded.
+    "q276_js_divergence" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select((col("doc_id") % 2 === 0).as("is_ref"),
+          explode(alphaTokens).as("term"))
+        .groupBy(col("term")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        .persist() // feeds the totals, the top-10 and the global sum
+      try {
+        val tot = counts.agg(sum(col("c_ref")).as("t_ref"),
+          sum(col("c_cur")).as("t_cur"), count(lit(1)).as("v"))
+        val p = (col("c_ref") + 1).cast("double") /
+          (col("t_ref") + col("v"))
+        val q = (col("c_cur") + 1).cast("double") /
+          (col("t_cur") + col("v"))
+        val m = (p + q) / 2.0
+        val contrib = round(lit(0.5) * (p * log(p / m)) +
+          lit(0.5) * (q * log(q / m)), 6)
+        val scored = counts.crossJoin(broadcast(tot))
+          .select(col("term"), col("c_ref").cast("int").as("c_ref"),
+            col("c_cur").cast("int").as("c_cur"),
+            contrib.as("js_contrib"))
+        val total = scored
+          .agg(sum(col("js_contrib").cast("decimal(18,6)")).as("t"))
+        val rows = scored
+          .orderBy(col("js_contrib").desc, col("term")).limit(10)
+          .crossJoin(broadcast(total))
+          .select(col("term"), col("c_ref"), col("c_cur"),
+            col("js_contrib"),
+            round(col("t").cast("double"), 6).as("jsd_total"))
+          .orderBy(col("js_contrib").desc, col("term")).collect()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("term", StringType),
+            StructField("c_ref", IntegerType),
+            StructField("c_cur", IntegerType),
+            StructField("js_contrib", DoubleType),
+            StructField("jsd_total", DoubleType))))
+          .orderBy(col("js_contrib").desc, col("term"))
+      } finally counts.unpersist()
+    }),
+
     "q240_term_kl_drift" -> ((s, d) => {
       val counts = Tables.documents(s, d)
         .select((col("doc_id") % 2 === 0).as("is_ref"),
@@ -2588,6 +2644,36 @@ object CorpusOps extends QueryModule {
 
     // q240: same conditional term counts, same add-1 union-vocab
     // smoothing, rank on the ROUNDED contribution
+    // q276: identical smoothed models and ln association (q240's
+    // parity precedent); the global total is the same order-free
+    // DECIMAL(18,6) sum of the 6dp-rounded contributions
+    "q276_js_divergence" -> {
+      val P = "(CAST(c_ref + 1 AS DOUBLE) / (t_ref + v))"
+      val Q = "(CAST(c_cur + 1 AS DOUBLE) / (t_cur + v))"
+      val M = s"(($P + $Q) / 2.0)"
+      s"""WITH tk AS (
+         |  SELECT doc_id % 2 = 0 AS is_ref, unnest($alphaTokensSql) AS term
+         |  FROM documents),
+         |c AS (
+         |  SELECT term,
+         |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+         |  FROM tk GROUP BY term),
+         |t AS (SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur,
+         |        COUNT(*) AS v FROM c),
+         |s AS (
+         |  SELECT term, CAST(c_ref AS INT) AS c_ref,
+         |    CAST(c_cur AS INT) AS c_cur,
+         |    ROUND(0.5 * ($P * LN($P / $M)) +
+         |          0.5 * ($Q * LN($Q / $M)), 6) AS js_contrib
+         |  FROM c, t),
+         |g AS (SELECT SUM(CAST(js_contrib AS DECIMAL(18,6))) AS t FROM s)
+         |SELECT s.term, s.c_ref, s.c_cur, s.js_contrib,
+         |  ROUND(CAST(g.t AS DOUBLE), 6) AS jsd_total
+         |FROM s CROSS JOIN g
+         |ORDER BY s.js_contrib DESC, s.term LIMIT 10""".stripMargin
+    },
+
     "q240_term_kl_drift" -> s"""
         |WITH tk AS (
         |  SELECT doc_id % 2 = 0 AS is_ref, unnest($alphaTokensSql) AS term

@@ -202,6 +202,91 @@ object StatsOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Gini coefficient + Lorenz decile table of per-user spend
+    // concentration (Gini 1912; Lorenz 1905) — the inequality gauge a
+    // marketplace/abuse team reads before q209-style quotas: how much
+    // of total spend the top deciles hold. The mean-absolute-
+    // difference numerator collapses to value-histogram prefix
+    // algebra: Σ_pairs |xᵢ−xⱼ| = 2·Σ_v cnt_v·(v·cumN(<v) − cumS(<v)),
+    // ALL EXACT LONGS, so G = NG/(n·S) is one double division; Lorenz
+    // shares use exact within-group attribution (the poorest r users'
+    // spend = cumS(<v) + (r − cumN(<v))·v since a value group is
+    // constant). Prefixes are minted with q262's two-phase range
+    // buckets (driver-folded exclusive (N,S) offsets + bucket-
+    // partitioned window — no partition-less window); the oracle runs
+    // the naive global window, indistinguishable by exactness.
+    "q277_gini_lorenz" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
+      val byVal = perUser.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .persist()
+      try {
+        val mm = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .head()
+        val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
+        val span = mx - mn + 1
+        val withB = byVal.withColumn("b",
+          expr(s"CAST((v - ${mn}L) * 64 DIV ${span}L AS INT)"))
+        val subs = withB.groupBy(col("b"))
+          .agg(sum(col("cnt")).as("nc"),
+            sum(col("cnt") * col("v")).as("sc"))
+          .orderBy(col("b")).collect()
+          .map(r => (r.getAs[Int]("b"), r.getAs[Long]("nc"),
+            r.getAs[Long]("sc")))
+        val offN = subs.scanLeft(0L)((a, t) => a + t._2)
+        val offS = subs.scanLeft(0L)((a, t) => a + t._3)
+        import s.implicits._
+        val offDf = broadcast(subs.indices
+          .map(i => (subs(i)._1, offN(i), offS(i)))
+          .toDF("b", "offn", "offs"))
+        val w = Window.partitionBy(col("b")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val scored = withB.join(offDf, "b")
+          .select(col("v"), col("cnt"),
+            (coalesce(sum(col("cnt")).over(w), lit(0L)) + col("offn"))
+              .as("cumn"),
+            (coalesce(sum(col("cnt") * col("v")).over(w), lit(0L)) +
+              col("offs")).as("cums"))
+          .persist() // feeds the Gini aggregate AND the decile rows
+        try {
+          val gRow = scored.agg(
+            sum(col("cnt") * (col("v") * col("cumn") - col("cums")))
+              .as("ng"),
+            sum(col("cnt")).as("n"),
+            sum(col("cnt") * col("v")).as("s")).head()
+          val n = gRow.getAs[Long]("n")
+          val sTot = gRow.getAs[Long]("s")
+          val ng = gRow.getAs[Long]("ng")
+          val rows = scored
+            .select(col("v"), col("cnt"), col("cumn"), col("cums"),
+              explode(expr("sequence(1, 10)")).as("j"))
+            .withColumn("rj", expr(s"(j * ${n}L + 9) DIV 10"))
+            .filter(col("rj") > col("cumn") &&
+              col("rj") <= col("cumn") + col("cnt"))
+            .select(col("j").cast("int").as("decile"),
+              col("rj").as("cum_users"), col("v").as("cutoff_cents"),
+              round((col("cums") + (col("rj") - col("cumn")) * col("v"))
+                .cast("double") / lit(sTot.toDouble), 6)
+                .as("cum_spend_frac"),
+              round(lit(ng.toDouble) / lit((n * sTot).toDouble), 6)
+                .as("gini"))
+            .orderBy(col("decile")).collect()
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+              StructField("decile", IntegerType),
+              StructField("cum_users", LongType),
+              StructField("cutoff_cents", LongType),
+              StructField("cum_spend_frac", DoubleType),
+              StructField("gini", DoubleType))))
+            .orderBy(col("decile"))
+        } finally scored.unpersist()
+      } finally byVal.unpersist()
+    }),
+
     // Theil–Sen robust trend (Theil 1950; Sen 1968) on per-type daily
     // volumes — the median-of-pairwise-slopes estimator that shrugs
     // off the outlier days that drag q232's least-squares line (29.3%
@@ -662,6 +747,44 @@ object StatsOps extends QueryModule {
          |SELECT event_type, n_days, h, (h > 12.5916) AS weekday_effect
          |FROM res ORDER BY event_type""".stripMargin
     },
+
+    // q277: identical value-histogram prefix algebra via the naive
+    // global window (exactness ≡ the engine's two-phase buckets),
+    // identical within-group Lorenz attribution and single divisions
+    "q277_gini_lorenz" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY user_id),
+        |bv AS (SELECT v, COUNT(*) AS cnt FROM pu GROUP BY v),
+        |cl AS (
+        |  SELECT v, cnt,
+        |    COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumn,
+        |    COALESCE(SUM(cnt * v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cums
+        |  FROM bv),
+        |g AS (
+        |  SELECT SUM(cnt * (v * cumn - cums)) AS ng, SUM(cnt) AS n,
+        |    SUM(cnt * v) AS s
+        |  FROM cl),
+        |dec AS (
+        |  SELECT j.j AS decile, (j.j * g.n + 9) // 10 AS rj,
+        |    cl.v, cl.cumn, cl.cums
+        |  FROM cl CROSS JOIN g
+        |    JOIN (SELECT unnest(range(1, 11)) AS j) j
+        |    ON (j.j * g.n + 9) // 10 > cl.cumn
+        |    AND (j.j * g.n + 9) // 10 <= cl.cumn + cl.cnt)
+        |SELECT CAST(d.decile AS INT) AS decile,
+        |  CAST(d.rj AS BIGINT) AS cum_users,
+        |  CAST(d.v AS BIGINT) AS cutoff_cents,
+        |  ROUND(CAST(d.cums + (d.rj - d.cumn) * d.v AS DOUBLE) /
+        |    CAST(g.s AS DOUBLE), 6) AS cum_spend_frac,
+        |  ROUND(CAST(g.ng AS DOUBLE) / CAST(g.n * g.s AS DOUBLE), 6)
+        |    AS gini
+        |FROM dec d CROSS JOIN g ORDER BY decile""".stripMargin,
 
     // q272: identical slope mint (one division of exact integer
     // deltas), the median spelled as the same two ORDER-position

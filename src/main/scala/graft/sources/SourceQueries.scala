@@ -152,6 +152,48 @@ object SourceQueries extends QueryModule {
     // under a one-sided suppkey band the Z layout's per-file min/max
     // prune most files while a partkey-sorted layout prunes none.
     // Materialize-then-drop staging, q107/q125 contract.
+    // Hilbert-curve layout vs Z-order (q190's sibling; Hilbert 1891,
+    // Faloutsos & Roseman PODS'89 for the locality argument) — the
+    // measurable claim behind "Hilbert clusters better": cut BOTH
+    // curves' key spaces into the SAME 12 equal key ranges (12, not
+    // 16: power-of-4 cuts land on aligned quadrants where the curves
+    // tie by construction) and compare the per-range bounding-box
+    // areas a min/max-pruning reader would scan. Hilbert's defining
+    // property — consecutive indexes are grid-ADJACENT, where Z jumps
+    // — is what shrinks the boxes. The xy2d transform runs as ONE
+    // integer fold over the 15 bit levels with (x,y,d) packed into a
+    // single BIGINT (15+15+30 bits — fits signed 64 with headroom),
+    // so both engines replay identical exact-integer state; the
+    // quantizer is integer floor division (no double truncation
+    // semantics to reconcile). HilbertSpec pins the expression
+    // against an independent Scala xy2d, the adjacency property on a
+    // full small grid, and the locality win itself.
+    "q275_hilbert_layout" -> ((s, d) => {
+      val (pmin, pmax) =
+        Tables.parquetColumnMinMaxLong(s, d, "lineitem", "l_partkey")
+      val (smin, smax) =
+        Tables.parquetColumnMinMaxLong(s, d, "lineitem", "l_suppkey")
+      val base = Tables.lineitem(s, d).select(
+        col("l_partkey").as("px"), col("l_suppkey").as("py"),
+        expr(s"(l_partkey - ${pmin}L) * 32767 DIV ${pmax - pmin + 1}L")
+          .as("xq"),
+        expr(s"(l_suppkey - ${smin}L) * 32767 DIV ${smax - smin + 1}L")
+          .as("yq"))
+      def layoutAgg(layout: String, key: String) = base
+        .withColumn("k", expr(key))
+        .groupBy(expr("k * 12 DIV 1073741824").as("b"))
+        .agg((max(col("px")) - min(col("px")) + 1L).as("dx"),
+          (max(col("py")) - min(col("py")) + 1L).as("dy"))
+        .agg(count(lit(1)).cast("int").as("n_buckets"),
+          sum(col("dx") * col("dy")).as("total_bbox_area"),
+          max(col("dx") * col("dy")).as("max_bbox_area"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          col("total_bbox_area"), col("max_bbox_area"))
+      layoutAgg("hilbert", HilbertSql.hilbert(spark = true))
+        .unionByName(layoutAgg("zorder", HilbertSql.zorder(spark = true)))
+        .orderBy(col("layout"))
+    }),
+
     "q190_zorder_layout" -> ((s, d) => {
       val stage = Scratch.dir("q190_zorder_")
       try {
@@ -452,6 +494,44 @@ object SourceQueries extends QueryModule {
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  ROUND(${dsumSql("l_extendedprice")}, 2) AS sum_price
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // q275: the same packed-BIGINT Hilbert fold (list_reduce with the
+    // seed prepended) and bit interleave — exact integers end to end,
+    // driver min/max recomputed as a scalar CTE
+    "q275_hilbert_layout" -> {
+      val hk = HilbertSql.hilbert(spark = false)
+      val zk = HilbertSql.zorder(spark = false)
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+         |  FROM lineitem),
+         |base AS (
+         |  SELECT l_partkey AS px, l_suppkey AS py,
+         |    (l_partkey - mm.pmin) * 32767 // (mm.pmax - mm.pmin + 1)
+         |      AS xq,
+         |    (l_suppkey - mm.smin) * 32767 // (mm.smax - mm.smin + 1)
+         |      AS yq
+         |  FROM lineitem, mm),
+         |hb AS (
+         |  SELECT k * 12 // 1073741824 AS b,
+         |    MAX(px) - MIN(px) + 1 AS dx, MAX(py) - MIN(py) + 1 AS dy
+         |  FROM (SELECT px, py, $hk AS k FROM base) z GROUP BY 1),
+         |zb AS (
+         |  SELECT k * 12 // 1073741824 AS b,
+         |    MAX(px) - MIN(px) + 1 AS dx, MAX(py) - MIN(py) + 1 AS dy
+         |  FROM (SELECT px, py, $zk AS k FROM base) z GROUP BY 1),
+         |h AS (
+         |  SELECT 'hilbert' AS layout, CAST(COUNT(*) AS INT) AS n_buckets,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS total_bbox_area,
+         |    CAST(MAX(dx * dy) AS BIGINT) AS max_bbox_area
+         |  FROM hb),
+         |zz AS (
+         |  SELECT 'zorder', CAST(COUNT(*) AS INT),
+         |    CAST(SUM(dx * dy) AS BIGINT), CAST(MAX(dx * dy) AS BIGINT)
+         |  FROM zb)
+         |SELECT * FROM h UNION ALL SELECT * FROM zz
+         |ORDER BY layout""".stripMargin
+    },
 
     "q123_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,

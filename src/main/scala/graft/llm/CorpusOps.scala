@@ -879,6 +879,10 @@ object CorpusOps extends QueryModule {
       val ts = TextAnalysis.tokens(col("text"))
       val base = Tables.documents(s, d)
         .withColumn("n_tok", size(ts))
+        // guard the integer score division against zero-token docs
+        // (fixture has none, but DuckDB's // would raise while Spark's
+        // DIV yields NULL — a latent cross-engine divergence)
+        .filter(col("n_tok") > 0)
         .withColumn("stop_cnt", size(filter(ts,
           t => t.isin(TextAnalysis.Stopwords: _*))))
         .withColumn("lab",
@@ -931,6 +935,7 @@ object CorpusOps extends QueryModule {
       val ts = TextAnalysis.tokens(col("text"))
       val base = Tables.documents(s, d)
         .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0) // zero-token guard (q229's rationale)
         .withColumn("stop_cnt", size(filter(ts,
           t => t.isin(TextAnalysis.Stopwords: _*))))
         .withColumn("lab",
@@ -981,6 +986,7 @@ object CorpusOps extends QueryModule {
       val ts = TextAnalysis.tokens(col("text"))
       val bins = Tables.documents(s, d)
         .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0) // zero-token guard (q229's rationale)
         .withColumn("stop_cnt", size(filter(ts,
           t => t.isin(TextAnalysis.Stopwords: _*))))
         .withColumn("lab",
@@ -1021,9 +1027,12 @@ object CorpusOps extends QueryModule {
           round(col("pbar") * (lit(1.0) - col("pbar")), 6)
             .as("uncertainty"),
           round(col("direct") / col("nn"), 6).as("brier"),
-          round(col("direct") / col("nn") -
+          // + 0.0 normalizes IEEE -0.0 (the residual is ~1e-17 and
+          // its sign differs across engines; the driver's hash
+          // distinguishes signed zeros)
+          (round(col("direct") / col("nn") -
             (col("rel") / col("nn") - col("res") / col("nn") +
-              col("pbar") * (lit(1.0) - col("pbar"))), 9)
+              col("pbar") * (lit(1.0) - col("pbar"))), 9) + lit(0.0))
             .as("identity_gap"))
     }),
 
@@ -1822,7 +1831,8 @@ object CorpusOps extends QueryModule {
          |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) // 100
          |      AS bin,
          |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
-         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z
+         |  WHERE len(ts) > 0),
          |b AS (
          |  SELECT bin, COUNT(*) AS n, SUM(lab) AS np FROM t GROUP BY 1),
          |g AS (
@@ -1857,7 +1867,7 @@ object CorpusOps extends QueryModule {
          |  ROUND(pbar * (1.0 - pbar), 6) AS uncertainty,
          |  ROUND(direct / nn, 6) AS brier,
          |  ROUND(direct / nn - (rel / nn - res / nn
-         |    + pbar * (1.0 - pbar)), 9) AS identity_gap
+         |    + pbar * (1.0 - pbar)), 9) + 0.0 AS identity_gap
          |FROM f""".stripMargin
     },
 
@@ -2320,7 +2330,8 @@ object CorpusOps extends QueryModule {
          |  SELECT CAST((1000 * CAST(len(list_filter(ts,
          |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
          |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
-         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z
+         |  WHERE len(ts) > 0),
          |g AS (
          |  SELECT sm, SUM(lab) AS np, COUNT(*) - SUM(lab) AS nn
          |  FROM t GROUP BY sm),
@@ -2355,7 +2366,8 @@ object CorpusOps extends QueryModule {
          |  SELECT CAST((1000 * CAST(len(list_filter(ts,
          |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
          |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
-         |  FROM (SELECT $tokensSql AS ts FROM documents) z),
+         |  FROM (SELECT $tokensSql AS ts FROM documents) z
+         |  WHERE len(ts) > 0),
          |b AS (
          |  SELECT sm // 100 AS bin, COUNT(*) AS n, SUM(lab) AS np
          |  FROM t GROUP BY 1),

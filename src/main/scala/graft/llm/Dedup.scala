@@ -160,12 +160,14 @@ object Dedup extends QueryModule {
           (col("na") + col("nb") - col("inter")), 6))
         .filter(col("jac") >= theta.toDouble)
         .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
-        .collect()
-      import scala.jdk.CollectionConverters._
-      import org.apache.spark.sql.types._
-      s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-          StructField("doc_a", LongType), StructField("doc_b", LongType),
-          StructField("jac", DoubleType))))
+      // Materialize-before-unpersist WITHOUT funneling through the
+      // driver: localCheckpoint keeps the pair-table partitions on
+      // executors (at 100 TB the θ-Jaccard pair table of a boilerplate
+      // corpus is data-proportional — Σ cluster² worst case — and a
+      // collect() would make driver heap the ceiling), while still
+      // severing the lineage so `srt` can be released and downstream
+      // consumers (q243's graph build, q248's labels) re-join safely.
+      rows.localCheckpoint(eager = true)
     } finally srt.unpersist()
   }
 
@@ -625,13 +627,10 @@ object Dedup extends QueryModule {
         val rows = r.join(deg, "node")
           .select(col("node").as("doc_id"), col("deg").cast("int").as("degree"),
             round(col("p"), 6).as("rank"))
-          .orderBy(col("doc_id")).collect()
-        import scala.jdk.CollectionConverters._
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-            StructField("doc_id", LongType), StructField("degree", IntegerType),
-            StructField("rank", DoubleType))))
-          .orderBy(col("doc_id"))
+        // node-proportional result: materialize on executors before
+        // releasing the cached degree stage (localCheckpoint, not
+        // collect — driver heap must not bound the node table)
+        rows.localCheckpoint(eager = true).orderBy(col("doc_id"))
       } finally biDeg.unpersist()
     }),
 
@@ -656,13 +655,9 @@ object Dedup extends QueryModule {
           .agg(count(lit(1)).cast("int").as("comp_size"))
         val rows = labels.join(sized, "comp")
           .select(col("doc_id"), col("comp"), col("comp_size"))
-          .orderBy(col("doc_id")).collect()
-        import scala.jdk.CollectionConverters._
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-            StructField("doc_id", LongType), StructField("comp", LongType),
-            StructField("comp_size", IntegerType))))
-          .orderBy(col("doc_id"))
+        // doc-proportional label table: executor-side materialization
+        // before the cached band/edge stages release (q153's rationale)
+        rows.localCheckpoint(eager = true).orderBy(col("doc_id"))
       } finally { edges.unpersist(); bands.unpersist() }
     }),
 
@@ -826,12 +821,10 @@ object Dedup extends QueryModule {
           .filter(col("containment") >= 0.8)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             col("containment"))
-          .orderBy(col("doc_a"), col("doc_b")).collect()
-        import scala.jdk.CollectionConverters._
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-            StructField("doc_a", LongType), StructField("doc_b", LongType),
-            StructField("containment", DoubleType))))
+        // executor-side materialization before releasing srt — same
+        // localCheckpoint rationale as prefixJaccardPairs (the ordered
+        // containment pair table is data-proportional at scale)
+        rows.localCheckpoint(eager = true)
           .orderBy(col("doc_a"), col("doc_b"))
       } finally srt.unpersist()
     }),

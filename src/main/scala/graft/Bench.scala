@@ -37,6 +37,21 @@ object Bench {
       full -> v
     }
   }
+  /** Retime trigger, pure so BenchBaselineSpec can pin the schedule.
+    * Light queries (median ≤ 5s) retime past 2× their median — ambient
+    * load routinely doubles a sub-second measurement, and a retime is
+    * cheap relative to the noise it removes. Heavy queries (median
+    * > 5s) retime past 1.5×: a heavy query sitting just under the 2×
+    * line is a large absolute error that dominates the bench total
+    * (round 11: q237 measured 1.97× its 15.4s median — 12% of the
+    * whole bench — and was never re-run while 15 light queries were),
+    * and for a multi-second median the 1.5× band is far above ambient
+    * jitter, so the extra retimes are few and justified.
+    */
+  def retimeTriggered(measured: Double, medianBaseline: Double): Boolean =
+    if (medianBaseline > 5.0) measured > 1.5 * medianBaseline
+    else measured > 2.0 * medianBaseline
+
   /** The bench_queries.json line, as a pure function so the failure
     * accounting is spec-pinnable (BenchBaselineSpec): a name in
     * `failed` MUST surface in the artifact — the round-9 escape was a
@@ -187,7 +202,7 @@ object Bench {
     // means no successful execution at all.
     val retimed = firstPass.collect {
       case (name, (t, ok)) if !ok ||
-        baseline.get(name).exists(b => t > 2.0 * b) => name
+        baseline.get(name).exists(b => retimeTriggered(t, b)) => name
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = firstPass.map { case (name, (t1, ok1)) =>

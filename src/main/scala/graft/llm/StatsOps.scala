@@ -105,6 +105,11 @@ object StatsOps extends QueryModule {
             .as("a"),
           count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
           sum(col("cnt") * col("cnt")).as("qx"))
+        // types with fewer days than the max lag + 1: the oracle's
+        // inner lag-joins drop them; without this filter Spark's
+        // sequence(k+1, n) would step DOWNWARD (default step -1) and
+        // read out-of-bounds positions — the q224 guard class
+        .filter(col("n") >= 4)
       def lagSums(df: DataFrame, k: Int) = df
         .withColumn(s"a$k", expr(
           s"""aggregate(sequence(${k + 1}, cast(n as int)), 0L,
@@ -476,6 +481,9 @@ object StatsOps extends QueryModule {
       val g = daily.groupBy(col("event_type"))
         .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
           .as("a"), count(lit(1)).as("n"))
+        // < 8 days: oracle's lag-7 inner join drops the type; Spark's
+        // sequence(8, n) would step downward (q257's guard rationale)
+        .filter(col("n") >= 8)
         .withColumn("saf", expr(
           """aggregate(sequence(8, cast(n as int)), 0L,
             |  (acc, i) -> acc + abs(element_at(a, i).cnt

@@ -338,7 +338,10 @@ object GraftExtensions {
           "docroot" -> "https://spark.apache.org/docs/latest"))
     val nom = if (children.length == 2) children(1) match {
       case e if e.foldable => e.eval() match {
-        case i: Int => i
+        // same range check on both literal widths: an unchecked Int 0
+        // or negative would pass analysis and surface later as an
+        // opaque DataSketches exception instead of this message
+        case i: Int if i >= 1 => i
         case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
         case other => throw new IllegalArgumentException(
           s"graft_theta_sketch_agg: bad nominalEntries $other")
@@ -366,7 +369,9 @@ object GraftExtensions {
           "docroot" -> "https://spark.apache.org/docs/latest"))
     val k = if (children.length == 2) children(1) match {
       case e if e.foldable => e.eval() match {
-        case i: Int => i
+        // KLL's documented minimum k = 8, enforced on BOTH literal
+        // widths (the Int branch previously accepted any value)
+        case i: Int if i >= 8 => i
         case l: Long if l >= 8 && l <= Int.MaxValue => l.toInt
         case other => throw new IllegalArgumentException(
           s"graft_kll_sketch_agg: bad k $other")

@@ -36,6 +36,18 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"baseline rows naming no registered query: $unknown")
   }
 
+  test("retime threshold schedule: 2x for light queries, 1.5x past a 5s median") {
+    // Round 11 blind spot: q237 measured 1.97x its 15.4s median — 12%
+    // of the bench total — and was never re-run while 15 light queries
+    // were. Heavy queries (median > 5s) now retime at 1.5x.
+    assert(!Bench.retimeTriggered(1.9, 1.0))   // light, under 2x
+    assert(Bench.retimeTriggered(2.1, 1.0))    // light, over 2x
+    assert(!Bench.retimeTriggered(9.9, 5.0))   // 5s median is still light
+    assert(Bench.retimeTriggered(10.1, 5.0))
+    assert(Bench.retimeTriggered(30.2, 15.4))  // the q237 case: 1.97x heavy
+    assert(!Bench.retimeTriggered(22.0, 15.4)) // heavy, under 1.5x
+  }
+
   test("parseBaseline returns empty for an absent file") {
     assert(Bench.parseBaseline(java.nio.file.Paths.get("no_such_baseline.md")).isEmpty)
   }

@@ -62,6 +62,20 @@ class ThetaAggSpec extends SparkSpec {
           |FROM g_theta_docs""".stripMargin).collect()
     }
     assert(err.getCondition == "NON_FOLDABLE_ARGUMENT", err.getMessage)
+    // out-of-range Int literals must fail analysis with the intended
+    // message, not reach DataSketches (the Long branch already did;
+    // the Int branch was unchecked until round 12)
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_theta_sketch_agg(doc_id, 0) FROM g_theta_docs")
+        .collect()
+    }
+    assert(bad.getMessage.contains("bad nominalEntries"), bad.getMessage)
+    import graft.plans.GraftExtensions.buildKllSketchAgg
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val badK = intercept[IllegalArgumentException] {
+      buildKllSketchAgg(Seq(Literal(1.0), Literal(7))) // Int k below KLL min 8
+    }
+    assert(badK.getMessage.contains("bad k"), badK.getMessage)
   }
 
   test("groupBy KLL sketches honor the published rank-error bound " +

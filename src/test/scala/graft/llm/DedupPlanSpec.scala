@@ -254,6 +254,27 @@ class DedupPlanSpec extends SparkSpec {
         s"missing=${bf.diff(got).take(5)} extra=${got.diff(bf).take(5)}")
   }
 
+  test("the materialized pair table is executor-resident, not a " +
+    "driver-built LocalRelation") {
+    // Round 11 shipped the pair family through .collect() +
+    // createDataFrame — correct at fixture SFs but driver-heap-bounded
+    // at 100 TB where the pair table is data-proportional. The
+    // localCheckpoint replacement must keep partitions on executors:
+    // the returned plan scans an RDD, with NO LocalRelation anywhere.
+    for (name <- Seq("q236_prefix_filter_join", "q237_containment_join")) {
+      val qe = graft.SparkEntry.queries(name)(spark, sf001).queryExecution
+      val local = qe.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }
+      assert(local.isEmpty,
+        s"$name: pair table came back as a driver-built LocalRelation")
+      val rdds = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }
+      assert(rdds.nonEmpty, s"$name: expected a localCheckpoint RDD scan")
+    }
+  }
+
   test("q237 probe-side prefix containment join is EXACT at theta=0.8: " +
     "output equals the brute-force all-ordered-pairs containment join") {
     // Containment's prefix bound lives on the PROBE side only (t =

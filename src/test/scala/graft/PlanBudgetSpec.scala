@@ -175,12 +175,10 @@ class PlanBudgetSpec extends SparkSpec {
     // orientation derivatives — the corpus-sized work ran once inside
     // prefixJaccardPairs and is long unpersisted by the time this plan
     // executes; the degree agg, the two orientation joins, the wedge
-    // self-join and the closing join are all edge-table-sized (the
-    // 17th arrived when the pair table became an executor-resident
-    // localCheckpoint scan — an RDD scan shuffles where the old
-    // driver-built LocalRelation broadcast; the move off driver heap
-    // is worth one edge-table-sized exchange)
-    "q243_triangle_count" -> 17,
+    // self-join and the closing join are all edge-table-sized; since
+    // the staged-parquet rewrite the pair table is a file scan (15
+    // static exchanges, all edge-table- or |V|-sized)
+    "q243_triangle_count" -> 15,
     // q246's 9th exchange is the |langs|-row left join of the degree
     // and intra-edge aggregates; everything upstream of the two lang
     // joins is the materialized edge LocalRelation (q243's argument)

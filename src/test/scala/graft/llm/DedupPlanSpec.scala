@@ -258,9 +258,10 @@ class DedupPlanSpec extends SparkSpec {
     "driver-built LocalRelation") {
     // Round 11 shipped the pair family through .collect() +
     // createDataFrame — correct at fixture SFs but driver-heap-bounded
-    // at 100 TB where the pair table is data-proportional. The
-    // localCheckpoint replacement must keep partitions on executors:
-    // the returned plan scans an RDD, with NO LocalRelation anywhere.
+    // at 100 TB where the pair table is data-proportional. The staged
+    // replacement must keep rows off the driver: the returned plan
+    // scans the staged parquet (a file relation), with NO LocalRelation
+    // anywhere.
     for (name <- Seq("q236_prefix_filter_join", "q237_containment_join")) {
       val qe = graft.SparkEntry.queries(name)(spark, sf001).queryExecution
       val local = qe.optimizedPlan.collect {
@@ -268,10 +269,36 @@ class DedupPlanSpec extends SparkSpec {
       }
       assert(local.isEmpty,
         s"$name: pair table came back as a driver-built LocalRelation")
-      val rdds = qe.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      val scans = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
       }
-      assert(rdds.nonEmpty, s"$name: expected a localCheckpoint RDD scan")
+      assert(scans.nonEmpty, s"$name: expected a staged-parquet file scan")
+    }
+  }
+
+  test("the sim-join family's shared stages are computed once per run " +
+    "and re-read from staging") {
+    // Six queries ride on dfSortedSets and four on the theta=0.7 pair
+    // table; the staging cache must make every consumer after the
+    // first a pure file read. Proof: q246 and q248 (theta=0.7
+    // consumers) plan a scan of the staged pair parquet and contain NO
+    // shingle lineage (no Generate/explode — the tokenize pass ran
+    // once, inside the staging build). q246's narrow documents scan
+    // for its lang join is expected and allowed.
+    for (name <- Seq("q246_blocking_modularity", "q248_cluster_audit")) {
+      val qe = graft.SparkEntry.queries(name)(spark, sf001).queryExecution
+      val stagedScans = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(_.toString.contains("simjoin_pairs"))
+            case _ => false
+          }) => r
+      }
+      assert(stagedScans.nonEmpty,
+        s"$name does not scan the staged theta=0.7 pair table")
+      assert(!qe.optimizedPlan.toString.contains("Generate"),
+        s"$name re-derives shingle lineage instead of reading staging")
     }
   }
 

@@ -195,6 +195,100 @@ object Dedup extends QueryModule {
       rows
   }
 
+  /** Exact duplicated-substring spans at L-token granularity (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — the suffix-array dedup pass, q278's engine): every
+    * position whose L-token window occurs in ≥2 distinct docs is
+    * duplicated; overlapping/adjacent duplicated windows merge into
+    * maximal spans per doc (gaps-and-islands over a doc-partitioned
+    * window — bounded per key by doc length, never corpus volume).
+    *
+    * The window-equality groups come from DISTRIBUTED PREFIX-DOUBLING
+    * suffix ranking (Manber–Myers adapted to equality labels): round k
+    * labels each position by its first 2^k tokens, where the label is
+    * the MIN global position id of its equality group — an
+    * order-free variant of the rank (dedup needs equality groups, not
+    * suffix order, so the per-round global sort of a full suffix-array
+    * build collapses to a groupBy + join-back). ⌈log2 L⌉ rounds; per
+    * round one (doc,pos)-keyed self-join and one label groupBy, each
+    * round's lineage truncated by localCheckpoint (q205's loop shape).
+    * Scale argument vs the one-shot "groupBy the window string": the
+    * doubling rounds shuffle 2 longs per position independent of L,
+    * while window strings ship L tokens per position — at Lee et
+    * al.'s L=50 (~300 bytes) that is a 5× corpus blow-up in one
+    * exchange; here L is a constant of the ROUND COUNT only. Both are
+    * exact; SuffixDedupSpec pins this engine against the brute-force
+    * window-string groupBy at sf0.001 and on a planted-passage corpus.
+    *
+    * Position ids pack (doc_id, pos) as doc_id·2²⁰ + pos — documents
+    * are bounded at 2²⁰ tokens (far above any pretraining doc cap; a
+    * corpus with longer docs raises the shift).
+    */
+  private[graft] def suffixDupSpans(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
+    val base = docs.select(col("doc_id"), alphaToks.as("ts"))
+      .withColumn("n", size(col("ts"))).filter(col("n") >= L)
+    var cur = {
+      val t = base.select(col("doc_id"), col("n"),
+          posexplode(col("ts")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
+          (col("doc_id") * (1L << 20) + col("p0") + 1).as("pid"),
+          col("tok"))
+      // round 0: label_1 = min pid among positions holding this token
+      t.join(t.groupBy(col("tok")).agg(min(col("pid")).as("r")), "tok")
+        .select(col("doc_id"), col("n"), col("pos"), col("pid"), col("r"))
+        .localCheckpoint(true)
+    }
+    var span = 1
+    while (span < L) {
+      val right = cur.select(col("doc_id").as("doc_r"),
+        (col("pos") - span).as("pos_r"), col("r").as("r2"))
+      val paired = cur.join(right,
+          col("doc_id") === col("doc_r") && col("pos") === col("pos_r"),
+          "left")
+        .select(col("doc_id"), col("n"), col("pos"), col("pid"), col("r"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      // new label = min pid of the (r, r2) equality group: two
+      // positions agree ⟺ their first 2·span tokens agree (induction)
+      val reps = paired.groupBy(col("r"), col("r2"))
+        .agg(min(col("pid")).as("nr"))
+      cur = paired.join(reps, Seq("r", "r2"))
+        .select(col("doc_id"), col("n"), col("pos"), col("pid"),
+          col("nr").as("r"))
+        .localCheckpoint(true)
+      span *= 2
+    }
+    // positions with a FULL L-window whose label group spans ≥2 docs
+    val full = cur.filter(col("pos") <= col("n") - (L - 1))
+    val dupLabels = full.groupBy(col("r"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("r"))
+    val dupPos = full.join(dupLabels, "r")
+      .select(col("doc_id"), col("n"), col("pos"))
+    // merge windows into maximal spans: break when the gap exceeds L
+    // (windows [p, p+L-1]; gap ≤ L keeps the union contiguous)
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wD) <= L, 0)
+          .otherwise(1))
+      .withColumn("sid", sum(col("brk")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n"), col("sid"))
+      .agg(min(col("pos")).as("st"),
+        (max(col("pos")) + (L - 1)).as("en"), count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("nw")).cast("int").as("dup_windows"),
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(col("en") - col("st") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tok"),
+        col("dup_windows"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 content hash → cluster size per doc (hash
     // groupBy; the all-distinct fixture yields size-1 clusters, which
@@ -1209,6 +1303,53 @@ object Dedup extends QueryModule {
           round(col("sum_dec").cast("double") / col("n_pairs"), 4)
             .as("avg_score"))
         .orderBy(col("decision"))
+    }),
+
+    // Suffix-ranking exact substring dedup (Lee et al. 2022) at
+    // L=16-token granularity: per-doc maximal duplicated spans from
+    // distributed prefix-doubling equality labels — see
+    // [[suffixDupSpans]] for the algorithm and the shuffle-volume-
+    // independent-of-L scale argument. Closes the gap between the
+    // chunk/winnow passes (q127/q188, fixed-grid or sampled
+    // fingerprints) and true exact substring-level dedup: every
+    // duplicated ≥16-token region is found at token resolution, no
+    // grid alignment, no fingerprint sampling loss. The oracle
+    // re-mints duplicated windows by brute-force window-string
+    // equality and merges spans with the identical gaps-and-islands
+    // rule.
+    "q278_suffix_dedup" -> ((s, d) =>
+      suffixDupSpans(Tables.documents(s, d), 16)),
+
+    // Threshold-sensitivity curve for the exact Jaccard dedup — the
+    // audit a pipeline runs BEFORE committing to a θ: per rung
+    // θ ∈ {0.7, 0.8, 0.9}, how many pairs survive, how many docs are
+    // implicated, and the mean similarity of the surviving pairs.
+    // Rides the STAGED θ=0.7 pair table (every higher rung is a pure
+    // filter of it — pairs at θ≥0.8 are a subset of pairs at θ≥0.7 by
+    // definition), so the whole curve costs ZERO corpus passes beyond
+    // the one the family already paid: the multi-consumer staged-
+    // artifact pattern at its clearest. mean_jac totals the already-
+    // 6dp-rounded jacs as DECIMAL(18,6) (order-free) before the one
+    // final division.
+    "q279_dedup_threshold_curve" -> ((s, d) => {
+      val pairs = prefixJaccardPairs(s, d, "0.7")
+      val rungs = s.range(1).select(
+        explode(array(Seq("0.7", "0.8", "0.9").map(lit): _*)).as("theta"))
+      val curve = pairs.crossJoin(broadcast(rungs))
+        .filter(col("jac") >= col("theta").cast("double"))
+      val byRung = curve.groupBy(col("theta"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jac").cast("decimal(18,6)")).as("sj"))
+      val docs = curve.select(col("theta"), col("doc_a").as("doc"))
+        .unionAll(curve.select(col("theta"), col("doc_b").as("doc")))
+        .groupBy(col("theta"))
+        .agg(count_distinct(col("doc")).cast("int").as("n_dup_docs"))
+      byRung.join(docs, "theta")
+        .select(col("theta"), col("n_pairs").cast("int").as("n_pairs"),
+          col("n_dup_docs"),
+          round(col("sj").cast("double") / col("n_pairs"), 6)
+            .as("mean_jac"))
+        .orderBy(col("theta"))
     })
   )
 
@@ -2108,6 +2249,72 @@ object Dedup extends QueryModule {
         |       AS BIGINT) AS n_true,
         |  ROUND(CAST(SUM(CAST(score AS DECIMAL(14,4))) AS DOUBLE)
         |        / COUNT(*), 4) AS avg_score
-        |FROM p GROUP BY 1 ORDER BY decision""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY decision""".stripMargin,
+
+    // q278: duplicated windows by brute-force window-STRING equality
+    // (space-join of alpha tokens is bijective — tokens contain no
+    // spaces), spans by the identical gap ≤ L islands rule. `w` is
+    // MATERIALIZED (referenced by the dup-window filter and the
+    // position carve — DuckDB re-evaluates CTEs per reference).
+    "q278_suffix_dedup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
+        |    AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, ts, len(ts) AS n FROM t0 WHERE len(ts) >= 16),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, n, i,
+        |    array_to_string(ts[i:i+15], ' ') AS win
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, n - 15)) AS i) g),
+        |dup AS (
+        |  SELECT win FROM w GROUP BY win
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |p AS (
+        |  SELECT doc_id, n, i FROM w WHERE win IN (SELECT win FROM dup)),
+        |gi AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 16
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM p),
+        |si AS (
+        |  SELECT doc_id, n, i,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM gi),
+        |sp AS (
+        |  SELECT doc_id, n, sid, MIN(i) AS st, MAX(i) + 15 AS en,
+        |    COUNT(*) AS nw
+        |  FROM si GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS INT) AS n_tok,
+        |  CAST(SUM(nw) AS INT) AS dup_windows,
+        |  CAST(COUNT(*) AS INT) AS n_spans,
+        |  CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+        |  ROUND(CAST(SUM(en - st + 1) AS DOUBLE) / n, 6) AS dup_ratio
+        |FROM sp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // q279: the same θ=0.7 pair CTEs re-filtered per rung (each rung
+    // is a pure subset of the θ=0.7 pairs); identical decimal
+    // totalization of the 6dp jacs before the one division
+    "q279_dedup_threshold_curve" ->
+      s"""${prefixPairSqlCtes("0.7")},
+         |p7 AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.7),
+         |r AS (SELECT unnest(['0.7', '0.8', '0.9']) AS theta),
+         |c AS MATERIALIZED (
+         |  SELECT r.theta, p7.doc_a, p7.doc_b, p7.jac
+         |  FROM p7 JOIN r ON p7.jac >= CAST(r.theta AS DOUBLE)),
+         |b AS (
+         |  SELECT theta, COUNT(*) AS n_pairs,
+         |    SUM(CAST(jac AS DECIMAL(18,6))) AS sj
+         |  FROM c GROUP BY 1),
+         |dd AS (
+         |  SELECT theta, COUNT(DISTINCT doc) AS n_dup_docs FROM (
+         |    SELECT theta, doc_a AS doc FROM c
+         |    UNION ALL SELECT theta, doc_b AS doc FROM c) z
+         |  GROUP BY 1)
+         |SELECT b.theta, CAST(b.n_pairs AS INT) AS n_pairs,
+         |  CAST(dd.n_dup_docs AS INT) AS n_dup_docs,
+         |  ROUND(CAST(b.sj AS DOUBLE) / b.n_pairs, 6) AS mean_jac
+         |FROM b JOIN dd USING (theta) ORDER BY theta""".stripMargin
   )
 }

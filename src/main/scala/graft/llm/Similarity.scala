@@ -517,6 +517,47 @@ object Similarity extends QueryModule {
           round(col("dcg"), 6).as("dcg"),
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy(col("qid"))
+    }),
+
+    // Embedding-distribution drift between two corpus carves (vec_id
+    // parity = reference vs current snapshot) — the encoder-version /
+    // ingest-shift audit an embedding pipeline runs before trusting
+    // similarity joins across snapshots (q165/q239/q276 watch scalar
+    // and term distributions; this watches the VECTOR space): per-dim
+    // centroid means + |shift|, and two global verdict scalars — the
+    // centroids' L2 distance and their cosine. One corpus pass to the
+    // (dim × carve) mean grid (64 rows — dimension-bounded, never
+    // row-bounded); the global scalars are folds over the grid in
+    // EXACT DECIMAL on the 6dp-ROUNDED means (q276's order-free
+    // totalization: products of DECIMAL(12,6) summed as decimal are
+    // association-free, so both engines feed identical doubles to the
+    // final sqrt/divide).
+    "q280_embedding_drift" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select((col("vec_id") % 2 === 0).as("is_ref"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val dims = ex.groupBy(col("dim"))
+        .agg(round(avg(when(col("is_ref"), col("v"))), 6)
+            .cast("decimal(12,6)").as("mr"),
+          round(avg(when(!col("is_ref"), col("v"))), 6)
+            .cast("decimal(12,6)").as("mc"))
+      val g = dims.agg(
+          sum((col("mc") - col("mr")) * (col("mc") - col("mr"))).as("l2sq"),
+          sum(col("mr") * col("mc")).as("dotc"),
+          sum(col("mr") * col("mr")).as("n2r"),
+          sum(col("mc") * col("mc")).as("n2c"))
+        .select(round(sqrt(col("l2sq").cast("double")), 6)
+            .as("centroid_shift_l2"),
+          round(col("dotc").cast("double") /
+            sqrt(col("n2r").cast("double") * col("n2c").cast("double")), 6)
+            .as("centroid_cos"))
+      dims.select(col("dim").cast("int").as("dim"),
+          col("mr").cast("double").as("mean_ref"),
+          col("mc").cast("double").as("mean_cur"),
+          abs(col("mc") - col("mr")).cast("double").as("abs_shift"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("dim"))
     })
   )
 
@@ -1263,6 +1304,37 @@ object Similarity extends QueryModule {
         |  ROUND(SUM(j.rel * w.wt ORDER BY j.srank)
         |        / (SELECT v FROM idcg), 6) AS ndcg
         |FROM j JOIN w ON w.i = j.srank
-        |GROUP BY j.qid ORDER BY j.qid""".stripMargin
+        |GROUP BY j.qid ORDER BY j.qid""".stripMargin,
+
+    // q280: identical (dim × carve) mean grid (0-based dims, q145's
+    // unnest convention), identical 6dp-round-then-DECIMAL global
+    // folds — both engines feed the same doubles to sqrt/divide
+    "q280_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT (vec_id % 2 = 0) AS is_ref,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT dim,
+        |    CAST(ROUND(AVG(CASE WHEN is_ref THEN v END), 6)
+        |      AS DECIMAL(12,6)) AS mr,
+        |    CAST(ROUND(AVG(CASE WHEN NOT is_ref THEN v END), 6)
+        |      AS DECIMAL(12,6)) AS mc
+        |  FROM ex GROUP BY dim),
+        |g AS (
+        |  SELECT SUM((mc - mr) * (mc - mr)) AS l2sq,
+        |    SUM(mr * mc) AS dotc, SUM(mr * mr) AS n2r,
+        |    SUM(mc * mc) AS n2c
+        |  FROM dims)
+        |SELECT CAST(dims.dim AS INT) AS dim,
+        |  CAST(dims.mr AS DOUBLE) AS mean_ref,
+        |  CAST(dims.mc AS DOUBLE) AS mean_cur,
+        |  CAST(ABS(dims.mc - dims.mr) AS DOUBLE) AS abs_shift,
+        |  ROUND(sqrt(CAST(g.l2sq AS DOUBLE)), 6) AS centroid_shift_l2,
+        |  ROUND(CAST(g.dotc AS DOUBLE) /
+        |    sqrt(CAST(g.n2r AS DOUBLE) * CAST(g.n2c AS DOUBLE)), 6)
+        |    AS centroid_cos
+        |FROM dims, g ORDER BY dim""".stripMargin
   )
 }

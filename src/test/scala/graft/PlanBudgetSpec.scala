@@ -44,7 +44,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q260_hits_bipartite",      // 1-row max-authority normalizer broadcast
     "q261_permutation_test",    // 1-row observed-diff broadcast onto 200 resamples
     "q267_cm_join_estimate",    // 1-row min-estimate + 1-row ledger broadcasts
-    "q268_kanon_ladder")        // 1-row chosen-level scalar broadcast
+    "q268_kanon_ladder",        // 1-row chosen-level scalar broadcast
+    "q279_dedup_threshold_curve", // 3-row θ-rung broadcast onto the staged pairs
+    "q280_embedding_drift")     // 1-row global-verdict broadcast onto the 64-dim grid
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -110,6 +112,11 @@ class PlanBudgetSpec extends SparkSpec {
     // assembles the 8-cell decision ledger on the driver; the
     // enumerated sets are near-duplicate-sized by construction
     "q259_fellegi_sunter",
+    // q278 runs the prefix-doubling label rounds (localCheckpoint per
+    // round, q205's loop shape) while building the frame; the final
+    // plan scans the last round's RDD. SuffixDedupSpec pins the
+    // algorithm against brute force and on planted passages.
+    "q278_suffix_dedup",
     // q153 iterates PageRank over a persisted edge relation (the
     // declarative unroll doubles the minhash lineage per round — 181
     // static exchanges); like q113 it runs its own jobs and

@@ -537,13 +537,29 @@ object CorpusOps extends QueryModule {
         .groupBy(col("source"), col("med"))
         .agg(round(expr("percentile(abs(n_chars - med), 0.5D)"), 6)
           .as("mad"))
+      // robust_z = 0.6745·(n − med)/mad is a RATIONAL of exact
+      // quarter-integers (med is .0/.5-granular, mad .25-granular on
+      // integer n_chars), and real rows land exactly on 6dp rounding
+      // midpoints — where Spark's BigDecimal HALF_UP and DuckDB's
+      // multiply-based round disagree (caught at sf0.1 by the
+      // exact-mode oracle tool). So the round itself is minted in
+      // EXACT INTEGER micro-units, half away from zero, identically
+      // on both engines: z_µ = sign·((2·|num|·10⁶ + den) DIV (2·den))
+      // with num = 6745·(4n − 4med), den = 10⁴·4mad — all BIGINT
+      // (|num| ≤ ~8e7, 2·|num|·10⁶ ≤ ~2e14), nonnegative operands so
+      // Spark DIV ≡ DuckDB // (they differ on negatives).
       docs.join(broadcast(mad), "source")
+        .withColumn("m4", round(col("med") * 4).cast("long"))
+        .withColumn("d4", round(col("mad") * 4).cast("long"))
+        .withColumn("num", lit(6745L) * (lit(4L) * col("n_chars") - col("m4")))
+        .withColumn("den", lit(10000L) * col("d4"))
+        .withColumn("zmicro", when(col("d4") === 0, lit(0L)).otherwise(
+          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(2 * abs(num) * 1000000L + den) div (2 * den)")))
         .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
           col("mad"),
-          round(when(col("mad") === 0, lit(0.0))
-            .otherwise(lit(0.6745) * (col("n_chars") - col("med")) /
-              col("mad")), 6).as("robust_z"))
-        .withColumn("is_outlier", abs(col("robust_z")) > 2.5)
+          (col("zmicro").cast("double") / 1e6).as("robust_z"),
+          (abs(col("zmicro")) > 2500000L).as("is_outlier"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2186,15 +2202,24 @@ object CorpusOps extends QueryModule {
         |  SELECT d.source, m.med, ROUND(median(ABS(d.n_chars - m.med)), 6)
         |    AS mad
         |  FROM documents d JOIN med m ON d.source = m.source
-        |  GROUP BY d.source, m.med)
-        |SELECT d.doc_id, d.source, d.n_chars, m.med, m.mad,
-        |  ROUND(CASE WHEN m.mad = 0 THEN 0
-        |    ELSE 0.6745 * (d.n_chars - m.med) / m.mad END, 6) AS robust_z,
-        |  (ABS(ROUND(CASE WHEN m.mad = 0 THEN 0
-        |    ELSE 0.6745 * (d.n_chars - m.med) / m.mad END, 6)) > 2.5)
-        |    AS is_outlier
-        |FROM documents d JOIN mad m ON d.source = m.source
-        |ORDER BY d.doc_id""".stripMargin,
+        |  GROUP BY d.source, m.med),
+        |z AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, m.med, m.mad,
+        |    CAST(ROUND(m.med * 4) AS BIGINT) AS m4,
+        |    CAST(ROUND(m.mad * 4) AS BIGINT) AS d4
+        |  FROM documents d JOIN mad m ON d.source = m.source),
+        |zz AS (
+        |  SELECT doc_id, source, n_chars, med, mad,
+        |    CASE WHEN d4 = 0 THEN 0
+        |      ELSE (CASE WHEN 6745 * (4 * n_chars - m4) < 0
+        |              THEN -1 ELSE 1 END) *
+        |        ((2 * ABS(6745 * (4 * n_chars - m4)) * 1000000
+        |          + 10000 * d4) // (2 * 10000 * d4)) END AS zmicro
+        |  FROM z)
+        |SELECT doc_id, source, n_chars, med, mad,
+        |  CAST(zmicro AS DOUBLE) / 1e6 AS robust_z,
+        |  (ABS(zmicro) > 2500000) AS is_outlier
+        |FROM zz ORDER BY doc_id""".stripMargin,
 
     // identical grid construction: per-source CDFs on the union of
     // observed lengths, pairwise sup-gap

@@ -226,8 +226,13 @@ object ExtendedOps extends QueryModule {
       val x = col("o_totalprice") / 100000.0
       Tables.orders(s, d)
         .select(col("o_orderkey"),
-          round(sin(x), 6).as("sin_x"),
-          round(cos(x), 6).as("cos_x"),
+          // + 0.0 normalizes IEEE -0.0: near a trig zero the JVM's and
+          // libm's last-ulp disagreement flips the SIGN of a ~1e-8
+          // residual, and the driver's hash distinguishes signed zeros
+          // (q270's round-11 failure class, caught at sf0.1 by the
+          // exact-mode oracle tool)
+          (round(sin(x), 6) + lit(0.0)).as("sin_x"),
+          (round(cos(x), 6) + lit(0.0)).as("cos_x"),
           round(atan2(x, lit(2.0)), 6).as("atan2_x"),
           round(log(x), 6).as("ln_x"),
           round(log10(x), 6).as("log10_x"),
@@ -576,8 +581,8 @@ object ExtendedOps extends QueryModule {
 
     "q84_math_suite" ->
       """SELECT o_orderkey,
-        |  ROUND(sin(x), 6) AS sin_x,
-        |  ROUND(cos(x), 6) AS cos_x,
+        |  ROUND(sin(x), 6) + 0.0 AS sin_x,
+        |  ROUND(cos(x), 6) + 0.0 AS cos_x,
         |  ROUND(atan2(x, 2.0), 6) AS atan2_x,
         |  ROUND(ln(x), 6) AS ln_x,
         |  ROUND(log10(x), 6) AS log10_x,

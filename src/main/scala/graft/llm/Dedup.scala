@@ -204,21 +204,25 @@ object Dedup extends QueryModule {
     * window — bounded per key by doc length, never corpus volume).
     *
     * The window-equality groups come from DISTRIBUTED PREFIX-DOUBLING
-    * suffix ranking (Manber–Myers adapted to equality labels): round k
-    * labels each position by its first 2^k tokens, where the label is
-    * the MIN global position id of its equality group — an
-    * order-free variant of the rank (dedup needs equality groups, not
-    * suffix order, so the per-round global sort of a full suffix-array
-    * build collapses to a groupBy + join-back). ⌈log2 L⌉ rounds; per
-    * round one (doc,pos)-keyed self-join and one label groupBy, each
-    * round's lineage truncated by localCheckpoint (q205's loop shape).
-    * Scale argument vs the one-shot "groupBy the window string": the
-    * doubling rounds shuffle 2 longs per position independent of L,
-    * while window strings ship L tokens per position — at Lee et
-    * al.'s L=50 (~300 bytes) that is a 5× corpus blow-up in one
-    * exchange; here L is a constant of the ROUND COUNT only. Both are
-    * exact; SuffixDedupSpec pins this engine against the brute-force
-    * window-string groupBy at sf0.001 and on a planted-passage corpus.
+    * suffix ranking (Manber–Myers adapted to equality labels): a base
+    * round labels each position by its first b=4 tokens, then each
+    * doubling round relabels by the (label, label-at-pos+span) pair,
+    * where every label is the MIN global position id of its equality
+    * group — an order-free variant of the rank (dedup needs equality
+    * groups, not suffix order, so the per-round global sort of a full
+    * suffix-array build collapses to a groupBy + join-back).
+    * ⌈log2(L/b)⌉ doubling rounds; per round one (doc,pos)-keyed
+    * self-join and one label groupBy, each round's lineage truncated
+    * by localCheckpoint (q205's loop shape). The base width b trades
+    * one-time shuffle bytes for round-barrier count — the real knob of
+    * distributed suffix ranking: b=4 ships ~4 tokens per position ONCE
+    * and then every doubling round moves 2 longs per position whatever
+    * L is, so Lee et al.'s L=50 costs the same 4-token base plus 4
+    * rounds, where the one-shot "groupBy the window string" ships all
+    * 50 tokens (~300 bytes, a 5× corpus blow-up) through a single
+    * exchange. Both are exact; SuffixDedupSpec pins this engine
+    * against the brute-force window-string groupBy at sf0.001 and on
+    * a planted-passage corpus.
     *
     * Position ids pack (doc_id, pos) as doc_id·2²⁰ + pos — documents
     * are bounded at 2²⁰ tokens (far above any pretraining doc cap; a
@@ -226,21 +230,30 @@ object Dedup extends QueryModule {
     */
   private[graft] def suffixDupSpans(docs: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val b = 4 // base window width; see the scaladoc trade-off
+    require(L >= b && Integer.bitCount(L / b) == 1 && L % b == 0,
+      s"L=$L must be b·2^k (b=$b)")
     val alphaToks = array_remove(split(lower(col("text")), "[^a-z]+"), "")
     val base = docs.select(col("doc_id"), alphaToks.as("ts"))
       .withColumn("n", size(col("ts"))).filter(col("n") >= L)
     var cur = {
+      // base round: label_b = min pid among positions sharing the same
+      // b-token window (positions past n−b+1 have no full b-window and
+      // can never start a full L-window's label chain — dropped here;
+      // the doubling left-joins below coalesce their absence to -1)
       val t = base.select(col("doc_id"), col("n"),
-          posexplode(col("ts")).as(Seq("p0", "tok")))
+          posexplode(expr(
+            s"transform(sequence(1, n - ${b - 1}), " +
+              s"i -> array_join(slice(ts, i, $b), ' '))"))
+            .as(Seq("p0", "wb")))
         .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
           (col("doc_id") * (1L << 20) + col("p0") + 1).as("pid"),
-          col("tok"))
-      // round 0: label_1 = min pid among positions holding this token
-      t.join(t.groupBy(col("tok")).agg(min(col("pid")).as("r")), "tok")
+          col("wb"))
+      t.join(t.groupBy(col("wb")).agg(min(col("pid")).as("r")), "wb")
         .select(col("doc_id"), col("n"), col("pos"), col("pid"), col("r"))
         .localCheckpoint(true)
     }
-    var span = 1
+    var span = b
     while (span < L) {
       val right = cur.select(col("doc_id").as("doc_r"),
         (col("pos") - span).as("pos_r"), col("r").as("r2"))

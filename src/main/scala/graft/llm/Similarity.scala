@@ -234,9 +234,16 @@ object Similarity extends QueryModule {
           col("embedding"))).as("nrm") +: y: _*)
       val ynorm2 = (0 until JlK).map(j => col(s"y$j") * col(s"y$j"))
         .reduce(_ + _)
+      // y is emitted at its native 9dp quantization: re-rounding a
+      // 9dp-quantized value to 6dp lands EXACTLY on decimal midpoints
+      // for ~1/1000 values, where Spark's BigDecimal HALF_UP and
+      // DuckDB's multiply-based round diverge even on identical
+      // doubles (the q164 class; caught by the exact-mode sweep at
+      // sf0.001). A single round of a generic double never sits
+      // within an ulp of a midpoint, so 9dp-once is safe; norm_ratio
+      // rounds a generic double, equally safe.
       e.select(col("vec_id"),
-          round(col("y0"), 6).as("y0"), round(col("y1"), 6).as("y1"),
-          round(col("y2"), 6).as("y2"), round(col("y3"), 6).as("y3"),
+          col("y0"), col("y1"), col("y2"), col("y3"),
           round(sqrt(ynorm2) / col("nrm"), 6).as("norm_ratio"))
         .orderBy(col("vec_id"))
     }),
@@ -1046,8 +1053,7 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, sqrt(SUM(y * y ORDER BY j)) AS ynorm
          |  FROM ys GROUP BY vec_id)
          |SELECT y0.vec_id,
-         |  ROUND(y0.y, 6) AS y0, ROUND(y1.y, 6) AS y1,
-         |  ROUND(y2.y, 6) AS y2, ROUND(y3.y, 6) AS y3,
+         |  y0.y AS y0, y1.y AS y1, y2.y AS y2, y3.y AS y3,
          |  ROUND(yn.ynorm / n.nrm, 6) AS norm_ratio
          |FROM (SELECT * FROM ys WHERE j = 0) y0
          |JOIN (SELECT * FROM ys WHERE j = 1) y1 USING (vec_id)

@@ -29,6 +29,7 @@ object SparkEntry {
     llm.CorpusOps,
     llm.CleanOps,
     llm.StatsOps,
+    llm.FeatureOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

@@ -1,0 +1,316 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Featurization + model-fitting operators for the quality-classifier
+  * leg of a training-data pipeline: the hashing-trick featurizer (the
+  * fastText / Vowpal-Wabbit representation a 100 TB corpus filter
+  * actually ships), expected-calibration-error evaluation of the
+  * resulting scores, and one exact full-batch logistic-regression
+  * gradient step over interpretable document features.
+  *
+  * Determinism discipline (the q276/q280 totalization rule): every
+  * corpus-sized reduction runs over exact integers or fixed-point
+  * DECIMAL built from per-row values that were rounded ONCE at a
+  * documented boundary — sums are association-free, so the DuckDB twin
+  * feeds bit-identical doubles to each final division/transcendental.
+  *
+  * Reference scope: the reference's own pipeline stops at raw pixel
+  * parsing (rbmmapper.java:116-119 normalizes `/255` and nothing
+  * else); everything here is the §2.E training-data addendum surface.
+  */
+object FeatureOps extends QueryModule {
+
+  private val NumBuckets = 64
+
+  /** q229's deterministic per-mille stopword score + weak label —
+    * shared by the calibration/eval family (q229/q263/q270/q282).
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(ts))
+      // zero-token guard (q229's rationale): Spark DIV yields NULL
+      // where DuckDB // raises — keep the latent divergence out
+      .filter(col("n_tok") > 0)
+      .withColumn("stop_cnt", size(filter(ts,
+        t => t.isin(TextAnalysis.Stopwords: _*))))
+      .withColumn("lab", when(array_contains(ts, "dup"), 1L).otherwise(0L))
+      .withColumn("sm", expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hashing-trick featurization + fixed linear scorer — fastText-
+    // style quality-classifier INFERENCE (Weinberger et al. 2009,
+    // "Feature Hashing for Large Scale Multitask Learning"): tokens
+    // hash into 64 buckets (md5Int — the engine's portable
+    // cross-engine hash, q42/q149's convention), bucket weights are
+    // pseudorandom per-mille integers derived from the bucket id by
+    // the same hash, and the doc score is the count-weighted sum.
+    // At 100 TB this is the shape that matters: the weight "table" is
+    // a pure expression of the bucket id (no join at all — a real
+    // model's 2^k weights would be one broadcast array literal), the
+    // only shuffle is the (doc, bucket) partial-agg groupBy, and the
+    // score stays an exact BIGINT until one final division (corpus
+    // token count × 1000 ≪ 2^63 at any plausible scale).
+    "q281_hashed_features" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val cnts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(ts).as("tok"))
+        .withColumn("bkt", pmod(TextAnalysis.md5Int(
+          concat(lit("hf:"), col("tok"))), lit(NumBuckets.toLong)))
+        .groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      cnts
+        .withColumn("wm", pmod(TextAnalysis.md5Int(
+          concat(lit("w:"), col("bkt").cast("string"))), lit(2001L)) - 1000L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_feat"),
+          sum(col("cnt")).as("n_tok"),
+          sum(col("cnt") * col("wm")).as("raw"))
+        // 6dp score rounded in EXACT integer arithmetic (half away
+        // from zero): score = raw/(1000·n_tok) lands exactly on a
+        // .5 microunit boundary for some (raw, n_tok), where the two
+        // engines' double-ROUND tie behavior diverges — integer DIV
+        // of the doubled numerator cannot
+        .withColumn("s6", expr(
+          """CAST(CASE WHEN raw >= 0
+            |  THEN (2 * raw * 1000 + n_tok) DIV (2 * n_tok)
+            |  ELSE -((2 * (-raw) * 1000 + n_tok) DIV (2 * n_tok))
+            |END AS BIGINT)""".stripMargin))
+        .select(col("doc_id"), col("n_feat"), col("n_tok"),
+          (col("s6") * lit(new java.math.BigDecimal("0.000001")))
+            .cast("double").as("score"),
+          (col("raw") > 0).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Expected-calibration-error reliability diagram (Guo et al. 2017)
+    // over q229's per-mille stopword score vs the weak dup label —
+    // the post-AUC calibration audit: per decile bin, confidence
+    // (mean score) vs accuracy (positive rate) and their gap; global
+    // ECE = Σ (n_b/N)·|gap|, MCE = max gap. One corpus pass to an
+    // ≤11-row bin grid; conf/acc are rounded ONCE to 6dp then the
+    // gap and the n-weighted ECE fold run in exact DECIMAL, so both
+    // engines feed identical doubles to the final division.
+    "q282_ece_reliability" -> ((s, d) => {
+      val bins = scoredDocs(s, d)
+        .groupBy(expr("sm DIV 100").cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("lab")).as("npos"),
+          sum(col("sm").cast("long")).as("sum_sm"))
+        .withColumn("conf", round(col("sum_sm").cast("double") /
+          (col("n").cast("double") * 1000.0), 6).cast("decimal(12,6)"))
+        .withColumn("acc", round(col("npos").cast("double") /
+          col("n").cast("double"), 6).cast("decimal(12,6)"))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+      val g = bins.agg(
+        round(sum(col("gap") * col("n")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("ece"),
+        max(col("gap")).cast("double").as("mce"))
+      bins.select(col("bin"), col("n").cast("int").as("n"),
+          col("conf").cast("double").as("conf"),
+          col("acc").cast("double").as("acc"),
+          col("gap").cast("double").as("gap"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("bin"))
+    }),
+
+    // One exact full-batch gradient-descent step of logistic
+    // regression for the dup-quality classifier — the TRAINING twin
+    // of q281's inference (a corpus-scale pipeline fits its filter on
+    // the cluster; one synchronous full-batch step is the distributed
+    // primitive every batch-GD / L-BFGS outer loop repeats). Features
+    // per doc: bias, stopword per-mille (q229's sm), uppercase-token
+    // per-mille, and round6(ln(1+n_tok)); label = contains "dup".
+    // Arithmetic: z = w·x in EXACT DECIMAL (weights are decimal
+    // literals, features integers or 6dp decimals — multiplication
+    // only, no decimal division), the single transcendental σ(z) is
+    // quantized to per-micro integer pm, and the gradient Σ(p−y)·x
+    // folds as integers in micro² units inside DECIMAL(38,0) — the
+    // one corpus reduction is association-free. Log-loss folds 6dp
+    // per-row terms in DECIMAL. Output: per feature, w_old / grad /
+    // w_new (lr = 0.1) + shared log-loss — a 4-row model update.
+    "q287_logreg_gd_step" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val dec = (v: String) => lit(new java.math.BigDecimal(v))
+      val feat = Tables.documents(s, d)
+        .withColumn("tks", ts)
+        .withColumn("n_tok", size(col("tks")))
+        .filter(col("n_tok") > 0)
+        .withColumn("sm", expr(
+          "CAST((1000 * size(filter(tks, t -> t IN " +
+            TextAnalysis.Stopwords.mkString("('", "','", "')") +
+            "))) DIV n_tok AS INT)"))
+        .withColumn("um", expr(
+          "CAST((1000 * size(filter(tks, t -> t rlike '^[A-Z]'))) " +
+            "DIV n_tok AS INT)"))
+        .withColumn("lab",
+          when(array_contains(col("tks"), "dup"), 1L).otherwise(0L))
+        .withColumn("l6",
+          round(log(lit(1.0) + col("n_tok").cast("double")), 6)
+            .cast("decimal(12,6)"))
+      // z = 0.1 - 0.0002·sm + 0.0003·um + 0.05·l6 — exact decimal
+      val z = dec("0.1") - dec("0.0002") * col("sm") +
+        dec("0.0003") * col("um") + dec("0.05") * col("l6")
+      val withP = feat
+        .withColumn("zd", z.cast("double"))
+        .withColumn("pm", round(lit(1000000.0) /
+          (lit(1.0) + exp(-col("zd"))), 0).cast("long"))
+        .withColumn("pd", (col("pm") * dec("0.000001")).cast("decimal(13,6)"))
+        .withColumn("diff", col("pm") - col("lab") * 1000000L)
+        .withColumn("lossr", round(-(col("lab").cast("double") *
+            log(col("pd").cast("double")) +
+          (lit(1.0) - col("lab").cast("double")) *
+            log(lit(1.0) - col("pd").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      val agg = withP.agg(
+        count(lit(1)).as("nn"),
+        sum((col("diff") * 1000000L).cast("decimal(38,0)")).as("g0"),
+        sum((col("diff") * (col("sm").cast("long") * 1000L))
+          .cast("decimal(38,0)")).as("g1"),
+        sum((col("diff") * (col("um").cast("long") * 1000L))
+          .cast("decimal(38,0)")).as("g2"),
+        sum((col("diff") * (col("l6") * dec("1000000")).cast("long"))
+          .cast("decimal(38,0)")).as("g3"),
+        sum(col("lossr")).as("lsum"))
+      agg.selectExpr(
+          """stack(4,
+            |  0, 'bias',   CAST(0.1  AS DECIMAL(12,6)), g0,
+            |  1, 'stop',   CAST(-0.2 AS DECIMAL(12,6)), g1,
+            |  2, 'upper',  CAST(0.3  AS DECIMAL(12,6)), g2,
+            |  3, 'logtok', CAST(0.05 AS DECIMAL(12,6)), g3
+            |) AS (j, feat, wo, graw)""".stripMargin, "nn", "lsum")
+        .withColumn("g6", round(col("graw").cast("double") /
+          (lit(1.0e12) * col("nn").cast("double")), 6)
+          .cast("decimal(12,6)"))
+        .select(col("j").cast("int").as("j"), col("feat"),
+          col("wo").cast("double").as("w_old"),
+          col("g6").cast("double").as("grad"),
+          (col("wo") - dec("0.1") * col("g6")).cast("double").as("w_new"),
+          round(col("lsum").cast("double") / col("nn").cast("double"), 6)
+            .as("log_loss"))
+        .orderBy(col("j"))
+    })
+  )
+
+  private val stops = "('the','a','of','and','to','in','is')"
+
+  def oracle: Map[String, String] = Map(
+    // q281: identical md5-derived bucket + weight integers (md5IntSql
+    // twin), identical exact-BIGINT score fold, one final division
+    "q281_hashed_features" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.md5IntSql("'hf:' || tok")} % 64 AS bkt,
+         |    COUNT(*) AS cnt
+         |  FROM tk GROUP BY 1, 2),
+         |g AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feat,
+         |    SUM(cnt) AS n_tok,
+         |    SUM(cnt * (${TextAnalysis.md5IntSql(
+            "'w:' || CAST(bkt AS VARCHAR)")} % 2001 - 1000)) AS raw
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_feat, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST((CASE WHEN raw >= 0
+         |    THEN (2 * raw * 1000 + n_tok) // (2 * n_tok)
+         |    ELSE -((2 * (-raw) * 1000 + n_tok) // (2 * n_tok))
+         |  END) * 0.000001 AS DOUBLE) AS score,
+         |  (raw > 0) AS pred
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q282: q229's integer score/label, identical 6dp-round-then-
+    // DECIMAL conf/acc/gap, identical n-weighted DECIMAL ECE fold
+    "q282_ece_reliability" ->
+      s"""WITH t AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT ${TextAnalysis.tokensSql} AS ts FROM documents) z
+         |  WHERE len(ts) > 0),
+         |b AS (
+         |  SELECT sm // 100 AS bin, COUNT(*) AS n, SUM(lab) AS npos,
+         |    SUM(sm) AS sum_sm
+         |  FROM t GROUP BY 1),
+         |e AS (
+         |  SELECT bin, n,
+         |    CAST(ROUND(CAST(sum_sm AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 1000.0), 6) AS DECIMAL(12,6)) AS conf,
+         |    CAST(ROUND(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |      AS DECIMAL(12,6)) AS acc
+         |  FROM b),
+         |e2 AS (SELECT bin, n, conf, acc, ABS(acc - conf) AS gap FROM e),
+         |g AS (
+         |  SELECT ROUND(CAST(SUM(gap * n) AS DOUBLE) /
+         |    CAST(SUM(n) AS DOUBLE), 6) AS ece,
+         |    CAST(MAX(gap) AS DOUBLE) AS mce
+         |  FROM e2)
+         |SELECT CAST(bin AS INT) AS bin, CAST(n AS INT) AS n,
+         |  CAST(conf AS DOUBLE) AS conf, CAST(acc AS DOUBLE) AS acc,
+         |  CAST(gap AS DOUBLE) AS gap, g.ece, g.mce
+         |FROM e2, g ORDER BY bin""".stripMargin,
+
+    // q287: identical integer features, the same exact-decimal z, the
+    // same per-micro σ quantization, the same micro²-integer gradient
+    // folds in DECIMAL — the 4 model rows via UNION ALL over the
+    // 1-row aggregate (DuckDB has no stack())
+    "q287_logreg_gd_step" ->
+      s"""WITH f AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> regexp_matches(t, '^[A-Z]'))) AS BIGINT)) // len(ts)
+         |      AS INT) AS um,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab,
+         |    CAST(ROUND(ln(1.0 + CAST(len(ts) AS DOUBLE)), 6)
+         |      AS DECIMAL(12,6)) AS l6
+         |  FROM (SELECT ${TextAnalysis.tokensSql} AS ts FROM documents) z
+         |  WHERE len(ts) > 0),
+         |p AS (
+         |  SELECT sm, um, lab, l6,
+         |    CAST(ROUND(1000000.0 / (1.0 + exp(-CAST(
+         |      0.1 - 0.0002 * sm + 0.0003 * um + 0.05 * l6
+         |      AS DOUBLE))), 0) AS BIGINT) AS pm
+         |  FROM f),
+         |p2 AS (
+         |  SELECT sm, um, lab, l6, pm,
+         |    pm - lab * 1000000 AS diff,
+         |    CAST(pm * 0.000001 AS DECIMAL(13,6)) AS pd
+         |  FROM p),
+         |a AS (
+         |  SELECT COUNT(*) AS nn,
+         |    SUM(CAST(diff * 1000000 AS DECIMAL(38,0))) AS g0,
+         |    SUM(CAST(diff * (sm * 1000) AS DECIMAL(38,0))) AS g1,
+         |    SUM(CAST(diff * (um * 1000) AS DECIMAL(38,0))) AS g2,
+         |    SUM(CAST(diff * CAST(l6 * 1000000 AS BIGINT)
+         |      AS DECIMAL(38,0))) AS g3,
+         |    SUM(CAST(ROUND(-(lab * ln(CAST(pd AS DOUBLE)) +
+         |      (1 - lab) * ln(1.0 - CAST(pd AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS lsum
+         |  FROM p2),
+         |m(j, feat, wo, graw, nn, lsum) AS (
+         |  SELECT 0, 'bias',   CAST(0.1  AS DECIMAL(12,6)), g0, nn, lsum FROM a
+         |  UNION ALL
+         |  SELECT 1, 'stop',   CAST(-0.2 AS DECIMAL(12,6)), g1, nn, lsum FROM a
+         |  UNION ALL
+         |  SELECT 2, 'upper',  CAST(0.3  AS DECIMAL(12,6)), g2, nn, lsum FROM a
+         |  UNION ALL
+         |  SELECT 3, 'logtok', CAST(0.05 AS DECIMAL(12,6)), g3, nn, lsum FROM a),
+         |m2 AS (
+         |  SELECT j, feat, wo, nn, lsum,
+         |    CAST(ROUND(CAST(graw AS DOUBLE) /
+         |      (1.0e12 * CAST(nn AS DOUBLE)), 6) AS DECIMAL(12,6)) AS g6
+         |  FROM m)
+         |SELECT CAST(j AS INT) AS j, feat,
+         |  CAST(wo AS DOUBLE) AS w_old,
+         |  CAST(g6 AS DOUBLE) AS grad,
+         |  CAST(wo - 0.1 * g6 AS DOUBLE) AS w_new,
+         |  ROUND(CAST(lsum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS log_loss
+         |FROM m2 ORDER BY j""".stripMargin
+  )
+}

@@ -150,59 +150,55 @@ object Similarity extends QueryModule {
     // candidate join is an ordinary shuffled equi-join on
     // (table, bucket), and distinct (qid,cid) dedups cross-table
     // collisions before the cosine kernel runs.
-    "q43_ann_lsh" -> ((s, d) => {
+    "q43_ann_lsh" -> ((s, d) =>
+      lshTopK(s, d, 3).orderBy(col("qid"), col("rank"))),
+    // ANN-recall evaluation — the index-quality audit a pipeline runs
+    // before trusting q43's LSH index as its retrieval path: the LSH
+    // top-10 (the SYSTEM) against the exact brute-force cosine top-10
+    // (the TRUTH, q32's kernel) per query — recall@10, hits, and the
+    // reciprocal rank of the TRUE nearest neighbor in the system list
+    // (0 when LSH missed it entirely), plus global mean recall and
+    // MRR. Both lists rank on the 6dp-rounded cosine with cid
+    // tiebreak (q183's rule), so membership and ranks are
+    // deterministic cross-engine; recall/rr are exact ≤6dp decimals
+    // and the global means fold in DECIMAL. Scale shape: truth is the
+    // brute-force pass one ALWAYS pays to evaluate an ANN index
+    // (bounded by the query sample, never the corpus); the rest rides
+    // q43's own candidate join.
+    "q283_ann_recall_eval" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nTables = LshTables
-      val nPlanes = LshPlanes
-      val planes = lshPlaneVals
-      def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
-        val plane = array(planes(t)(p).map(lit(_)): _*)
-        // fused codegen dot: 48 plane projections per row allocate no
-        // intermediate arrays (the zip_with form did). The projection
-        // is rounded to 9dp BEFORE the sign test on both engines
-        // (q183's round-before-threshold rule): the twin's grouped SUM
-        // folds in a different order than this index-ordered kernel,
-        // and an unrounded `> 0` was the one cross-engine decision
-        // boundary a ~1e-15 fold difference could flip.
-        val dot = round(graft_vec_dot(col("embedding"), plane), 9)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      // one row per (vector, table): tbl tags which table the bucket
-      // belongs to so buckets from different tables never join
-      val buckets = array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)
-      val e = withNorm(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(buckets).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-      val c = e.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
-      // candidate pairs (deduped across tables), then fetch embeddings
-      // once per side for the exact re-rank
-      val pairs = q.join(c, Seq("tbl", "bucket"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid")).distinct()
-      val vq = withNorm(Tables.embeddings(s, d))
-        .select(col("vec_id").as("qid"), col("embedding").as("eq"),
-          col("nrm").as("nq"))
-      val vc = withNorm(Tables.embeddings(s, d))
-        .select(col("vec_id").as("cid"), col("embedding").as("ec"),
-          col("nrm").as("nc"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("cid"))
-      // cosine() rounds to 6dp BEFORE the rank window (q183's rule): a
-      // cross-engine ulp difference can flip the ordering only at an
-      // exact 6dp tie, where the cid tiebreak decides identically —
-      // which (with the planes shipped as literals) makes the
-      // seeded-LSH pipeline oracle-checkable
-      pairs.join(vq, "qid").join(vc, "cid")
-        .select(col("qid"), col("cid"),
-          cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 3)
-        .orderBy(col("qid"), col("rank"))
+      val truth = CosineKernel.pairCosines(s, Tables.embeddings(s, d),
+          col("vec_id") < 10, antisymmetric = false)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("cosine"))
+        .withColumn("trank", row_number().over(w))
+        .filter(col("trank") <= 10)
+      val sys = lshTopK(s, d, 10)
+        .select(col("qid"), col("cid"), col("rank").as("srank"))
+      val per = truth.select(col("qid"), col("cid"), col("trank"))
+        .join(sys, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(when(col("srank").isNotNull, 1).otherwise(0))
+            .cast("int").as("hits"),
+          min(when(col("trank") === 1, col("srank"))).as("nn_rank"))
+        .withColumn("recall",
+          (col("hits") * lit(new java.math.BigDecimal("0.1")))
+            .cast("decimal(12,6)"))
+        .withColumn("rr", coalesce(
+          round(lit(1.0) / col("nn_rank").cast("double"), 6), lit(0.0))
+          .cast("decimal(12,6)"))
+      val g = per.agg(
+        round(sum(col("recall")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_recall"),
+        round(sum(col("rr")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mrr"))
+      per.select(col("qid"), col("hits"),
+          col("nn_rank").cast("int").as("nn_rank"),
+          col("recall").cast("double").as("recall"),
+          col("rr").cast("double").as("rr"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("qid"))
     }),
 
     // IVF ANN (data-adaptive cells, nprobe=2) — deterministic end to
@@ -567,6 +563,66 @@ object Similarity extends QueryModule {
         .orderBy(col("dim"))
     })
   )
+
+  /** q43's seeded-LSH ANN pipeline, parameterized by the per-query
+    * result depth: L=8 tables × b=6 hyperplanes bucket every vector,
+    * candidates equi-join on (table, bucket) and dedup across tables,
+    * and the exact cosine re-rank keeps the top `k` per query. Shared
+    * by q43 (k=3, the index itself) and q283 (k=10, the recall audit).
+    */
+  private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTables = LshTables
+    val nPlanes = LshPlanes
+    val planes = lshPlaneVals
+    def bucketCol(t: Int): Column = (0 until nPlanes).map { p =>
+      val plane = array(planes(t)(p).map(lit(_)): _*)
+      // fused codegen dot: 48 plane projections per row allocate no
+      // intermediate arrays (the zip_with form did). The projection
+      // is rounded to 9dp BEFORE the sign test on both engines
+      // (q183's round-before-threshold rule): the twin's grouped SUM
+      // folds in a different order than this index-ordered kernel,
+      // and an unrounded `> 0` was the one cross-engine decision
+      // boundary a ~1e-15 fold difference could flip.
+      val dot = round(graft_vec_dot(col("embedding"), plane), 9)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // one row per (vector, table): tbl tags which table the bucket
+    // belongs to so buckets from different tables never join
+    val buckets = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(buckets).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+    // candidate pairs (deduped across tables), then fetch embeddings
+    // once per side for the exact re-rank
+    val pairs = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val vq = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val vc = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    // cosine() rounds to 6dp BEFORE the rank window (q183's rule): a
+    // cross-engine ulp difference can flip the ordering only at an
+    // exact 6dp tie, where the cid tiebreak decides identically —
+    // which (with the planes shipped as literals) makes the
+    // seeded-LSH pipeline oracle-checkable
+    pairs.join(vq, "qid").join(vc, "cid")
+      .select(col("qid"), col("cid"),
+        cosine(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 
   /** IVF-style ANN: coarse-quantize vectors into k cells (centroids
     * from a deterministic bounded sample + driver-side Lloyd
@@ -1101,6 +1157,87 @@ object Similarity extends QueryModule {
          |  FROM p)
          |SELECT qid, cid, cosine, rank FROM r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // q283: q43's plane/bucket/candidate CTEs at depth 10 (the
+    // SYSTEM) + q32's brute-force pair CTE at depth 10 (the TRUTH),
+    // identical 6dp-round-before-rank and cid tiebreaks, metrics in
+    // exact DECIMAL (recall = hits·0.1; rr rounds the 1/rank division
+    // once), global means folded in DECIMAL then divided once
+    "q283_ann_recall_eval" ->
+      s"""WITH pl(tbl, p, i, w) AS (VALUES $lshPlanesValuesSql),
+         |ex AS (
+         |  SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, pl.tbl, pl.p,
+         |    ROUND(SUM(e.x * pl.w), 9) AS dot
+         |  FROM ex e JOIN pl ON e.i = pl.i GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT vec_id, tbl,
+         |    SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+         |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT cand.qid, cand.cid,
+         |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+         |           FROM (SELECT unnest(a.embedding) AS ua,
+         |                        unnest(b.embedding) AS ub) z)
+         |      / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM cand JOIN n a ON cand.qid = a.vec_id
+         |            JOIN n b ON cand.cid = b.vec_id),
+         |sys AS (
+         |  SELECT qid, cid,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS INT) AS srank
+         |  FROM sp QUALIFY srank <= 10),
+         |tp AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+         |           FROM (SELECT unnest(a.embedding) AS ua,
+         |                        unnest(b.embedding) AS ub) z)
+         |      / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM n a, n b
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |tr AS (
+         |  SELECT qid, cid,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS INT) AS trank
+         |  FROM tp QUALIFY trank <= 10),
+         |j AS (
+         |  SELECT tr.qid, tr.trank, sys.srank
+         |  FROM tr LEFT JOIN sys ON sys.qid = tr.qid AND sys.cid = tr.cid),
+         |per AS (
+         |  SELECT qid,
+         |    CAST(SUM(CASE WHEN srank IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS INT) AS hits,
+         |    MIN(CASE WHEN trank = 1 THEN srank END) AS nn_rank
+         |  FROM j GROUP BY qid),
+         |per2 AS (
+         |  SELECT qid, hits, nn_rank,
+         |    CAST(hits * 0.1 AS DECIMAL(12,6)) AS recall,
+         |    CAST(COALESCE(ROUND(1.0 / nn_rank, 6), 0.0)
+         |      AS DECIMAL(12,6)) AS rr
+         |  FROM per),
+         |g AS (
+         |  SELECT ROUND(CAST(SUM(recall) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS mean_recall,
+         |    ROUND(CAST(SUM(rr) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE), 6) AS mrr
+         |  FROM per2)
+         |SELECT qid, hits, CAST(nn_rank AS INT) AS nn_rank,
+         |  CAST(recall AS DOUBLE) AS recall, CAST(rr AS DOUBLE) AS rr,
+         |  g.mean_recall, g.mrr
+         |FROM per2, g ORDER BY qid""".stripMargin,
 
     // paired unnests expand in lockstep, so (dim, v) mirrors Spark's
     // posexplode; the 1- vs 0-based dim offset is invisible (dim is a

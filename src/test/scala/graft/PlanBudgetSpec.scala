@@ -46,7 +46,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q267_cm_join_estimate",    // 1-row min-estimate + 1-row ledger broadcasts
     "q268_kanon_ladder",        // 1-row chosen-level scalar broadcast
     "q279_dedup_threshold_curve", // 3-row θ-rung broadcast onto the staged pairs
-    "q280_embedding_drift")     // 1-row global-verdict broadcast onto the 64-dim grid
+    "q280_embedding_drift",     // 1-row global-verdict broadcast onto the 64-dim grid
+    "q282_ece_reliability",     // 1-row ECE/MCE scalar broadcast onto the ≤11-bin grid
+    "q283_ann_recall_eval")     // 1-row mean-recall/MRR broadcast onto the 10-query rows
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -133,6 +135,14 @@ class PlanBudgetSpec extends SparkSpec {
   // story, asserted in TextPipelineSpec (q142/q146) and LlmOpsSpec
   // (q147)
   private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
+    // q283 composes TWO whole retrieval pipelines by design — q43's
+    // LSH index (bucket join + re-rank) as the system under audit and
+    // the brute-force cosine top-10 as the truth — then folds both
+    // into per-query metrics + a 1-row global broadcast; each
+    // pipeline's exchanges are the same ones q43/q32 budget
+    // individually, and the truth side is bounded by the 10-query
+    // sample, never the corpus
+    "q283_ann_recall_eval" -> 22,
     "q142_ccnet_bucket" -> 15, "q146_source_mix_weights" -> 11,
     "q147_lsh_pr_eval" -> 15, "q148_trigram_langid" -> 9,
     // the 9th exchange is the constant-size funnel arithmetic AFTER

@@ -375,6 +375,51 @@ object CleanOps extends QueryModule {
     // domain product, never corpus-sized); the balance band is minted
     // in exact integer cents so no float boundary can split a class
     // differently across engines.
+    // l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
+    // disclosure follow-up to q268's k-anonymity: a class of 10
+    // identical-quasi-identifier rows that all share ONE market
+    // segment still leaks the sensitive value, however k-anonymous.
+    // Per (nation, balance-band) equivalence class: distinct-l over
+    // the sensitive segment and ENTROPY l-diversity (exp of the class
+    // entropy — the effective number of segments an attacker must
+    // split their belief across). One corpus pass to the (class, seg)
+    // cell grid (bounded: nations × bands × 5 segments), histogram by
+    // l + global verdicts. Determinism: class entropy folds
+    // cs·round6(ln cs) in exact DECIMAL, ln(n) is rounded once, and
+    // the single division/exp happens on identical doubles.
+    "q284_l_diversity" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_nationkey").as("nat"),
+        expr("CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT) " +
+          "DIV 100000").as("bb"),
+        col("c_mktsegment").as("seg"))
+      val cells = c.groupBy(col("nat"), col("bb"), col("seg"))
+        .agg(count(lit(1)).as("cs"))
+      val cls = cells.groupBy(col("nat"), col("bb"))
+        .agg(sum(col("cs")).as("n"), count(lit(1)).as("l"),
+          sum(col("cs") * round(log(col("cs").cast("double")), 6)
+            .cast("decimal(18,6)")).as("slc"))
+        .withColumn("eff_l", round(exp(
+          round(log(col("n").cast("double")), 6).cast("decimal(18,6)")
+            .cast("double") -
+          col("slc").cast("double") / col("n").cast("double")), 6))
+      val hist = cls.groupBy(col("l"))
+        .agg(count(lit(1)).cast("int").as("n_classes"),
+          sum(col("n")).as("tot_rows"),
+          min(col("n")).cast("int").as("min_sz"),
+          min(col("eff_l")).as("min_eff_l"))
+      val g = cls.agg(
+        min(col("l")).cast("int").as("min_l"),
+        round(sum(when(col("l") >= 3, 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pct_l3"),
+        min(col("eff_l")).as("global_min_eff_l"))
+      hist.select(col("l").cast("int").as("l"), col("n_classes"),
+          col("tot_rows").cast("long").as("tot_rows"), col("min_sz"),
+          col("min_eff_l"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("l"))
+    }),
+
     "q268_kanon_ladder" -> ((s, d) => {
       val c = Tables.customer(s, d).select(
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
@@ -401,6 +446,45 @@ object CleanOps extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // q284: identical integer band + cell grid, identical DECIMAL
+    // entropy fold (cs·round6(ln cs)), identical round-once ln(n) —
+    // the divide/exp run on identical doubles
+    "q284_l_diversity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT)
+        |      // 100000 AS bb,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |cells AS (SELECT nat, bb, seg, COUNT(*) AS cs
+        |          FROM c GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT nat, bb, SUM(cs) AS n, COUNT(*) AS l,
+        |    SUM(cs * CAST(ROUND(ln(CAST(cs AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS slc
+        |  FROM cells GROUP BY 1, 2),
+        |cl2 AS (
+        |  SELECT nat, bb, n, l,
+        |    ROUND(exp(CAST(CAST(ROUND(ln(CAST(n AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) AS DOUBLE)
+        |      - CAST(slc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eff_l
+        |  FROM cls),
+        |h AS (
+        |  SELECT l, CAST(COUNT(*) AS INT) AS n_classes,
+        |    CAST(SUM(n) AS BIGINT) AS tot_rows,
+        |    CAST(MIN(n) AS INT) AS min_sz,
+        |    MIN(eff_l) AS min_eff_l
+        |  FROM cl2 GROUP BY l),
+        |g AS (
+        |  SELECT CAST(MIN(l) AS INT) AS min_l,
+        |    ROUND(CAST(SUM(CASE WHEN l >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS pct_l3,
+        |    MIN(eff_l) AS global_min_eff_l
+        |  FROM cl2)
+        |SELECT CAST(h.l AS INT) AS l, h.n_classes, h.tot_rows, h.min_sz,
+        |  h.min_eff_l, g.min_l, g.pct_l3, g.global_min_eff_l
+        |FROM h, g ORDER BY l""".stripMargin,
+
     // q268: identical integer-cents band, identical per-level rollups;
     // the chosen level via the same MIN-over-qualifying-levels rule
     "q268_kanon_ladder" ->

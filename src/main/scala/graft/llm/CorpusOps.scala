@@ -1720,6 +1720,21 @@ object CorpusOps extends QueryModule {
     // 0.95·N can land an ulp above an integer and ceil overshoots);
     // the oracle is the naive global ROW_NUMBER at the same integer
     // ranks, proving the descent exact.
+    // Hill tail-index estimator (Hill 1975) over the doc-length
+    // distribution — the heavy-tail audit behind packing/sharding
+    // policy (q135/q149 assume the length tail is Pareto-ish; this
+    // MEASURES its index): α̂(k) = k / Σ_{i≤k} (ln x_(i) − ln x_(k+1))
+    // at k ∈ {10,25,50,100}, the standard Hill-plot rungs. Scale
+    // shape: the ONLY corpus-sized op is a distributed top-101
+    // (TakeOrderedAndProject — per-partition heaps, no global sort,
+    // no partition-less window; ranks come from one sort_array/
+    // posexplode over the bounded 101-row result, q154's pattern).
+    // Determinism: per-value ln is rounded once to 9dp, the k-sums
+    // fold in DECIMAL, and each α̂ is one division on identical
+    // doubles.
+    "q285_hill_tail" -> ((s, d) =>
+      hillRungs(Tables.documents(s, d))),
+
     "q247_exact_rank_select" -> ((s, d) => {
       val probes = Seq(("p50", 500L), ("p95", 950L), ("p999", 999L))
       val nb = 256
@@ -1781,7 +1796,80 @@ object CorpusOps extends QueryModule {
     })
   )
 
+  /** q285's Hill-estimator pipeline over any (doc_id, n_chars)
+    * relation — package-visible so HillSpec can run it on a planted
+    * exact-Pareto sample and gate the estimate against the true index
+    * (a property the fixture-bound oracle can't express).
+    */
+  private[llm] def hillRungs(src: DataFrame): DataFrame = {
+    val top = src
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(101)
+    val ranked = top
+      .agg(sort_array(collect_list(struct(
+        (-col("n_chars")).as("ng"), col("doc_id").as("did")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "st")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        (-col("st.ng")).as("x"))
+      .withColumn("l9", round(log(col("x").cast("double")), 9)
+        .cast("decimal(18,9)"))
+    val a = ranked.agg(
+      sum(when(col("rk") <= 10, col("l9"))).as("s10"),
+      max(when(col("rk") === 11, col("l9"))).as("r10"),
+      max(when(col("rk") === 11, col("x"))).as("x10"),
+      sum(when(col("rk") <= 25, col("l9"))).as("s25"),
+      max(when(col("rk") === 26, col("l9"))).as("r25"),
+      max(when(col("rk") === 26, col("x"))).as("x25"),
+      sum(when(col("rk") <= 50, col("l9"))).as("s50"),
+      max(when(col("rk") === 51, col("l9"))).as("r50"),
+      max(when(col("rk") === 51, col("x"))).as("x50"),
+      sum(when(col("rk") <= 100, col("l9"))).as("s100"),
+      max(when(col("rk") === 101, col("l9"))).as("r100"),
+      max(when(col("rk") === 101, col("x"))).as("x100"))
+    a.selectExpr(
+        """stack(4,
+          |  10, s10, r10, x10,
+          |  25, s25, r25, x25,
+          |  50, s50, r50, x50,
+          |  100, s100, r100, x100) AS (k, sk, rk1, xk1)""".stripMargin)
+      .select(col("k").cast("int").as("k"),
+        col("xk1").cast("long").as("x_k1"),
+        round(col("k").cast("double") /
+          (col("sk") - col("k") * col("rk1")).cast("double"), 6)
+          .as("alpha_hat"))
+      .orderBy(col("k"))
+  }
+
   def oracle: Map[String, String] = Map(
+    // q285: identical top-101 (same desc/doc_id tiebreak), identical
+    // 9dp-round-then-DECIMAL log sums, one division per rung
+    "q285_hill_tail" ->
+      """WITH top AS (
+        |  SELECT n_chars AS x, doc_id FROM documents
+        |  WHERE n_chars > 0
+        |  ORDER BY n_chars DESC, doc_id LIMIT 101),
+        |r AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x DESC, doc_id)
+        |    AS INT) AS rk
+        |  FROM top),
+        |l AS (
+        |  SELECT rk, x,
+        |    CAST(ROUND(ln(CAST(x AS DOUBLE)), 9) AS DECIMAL(18,9)) AS l9
+        |  FROM r),
+        |ks(k) AS (VALUES (10), (25), (50), (100)),
+        |m AS (
+        |  SELECT ks.k,
+        |    SUM(CASE WHEN l.rk <= ks.k THEN l.l9 END) AS sk,
+        |    MAX(CASE WHEN l.rk = ks.k + 1 THEN l.l9 END) AS rk1,
+        |    MAX(CASE WHEN l.rk = ks.k + 1 THEN l.x END) AS xk1
+        |  FROM ks, l GROUP BY ks.k)
+        |SELECT CAST(k AS INT) AS k, CAST(xk1 AS BIGINT) AS x_k1,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(sk - k * rk1 AS DOUBLE), 6)
+        |    AS alpha_hat
+        |FROM m ORDER BY k""".stripMargin,
+
     // the identical sketch restated: same md5 row-hashes, same
     // cell-wise sums, same min-over-depths probe — pure integer
     // arithmetic, exact

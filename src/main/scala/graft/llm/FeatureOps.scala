@@ -133,9 +133,23 @@ object FeatureOps extends QueryModule {
     // one corpus reduction is association-free. Log-loss folds 6dp
     // per-row terms in DECIMAL. Output: per feature, w_old / grad /
     // w_new (lr = 0.1) + shared log-loss — a 4-row model update.
-    "q287_logreg_gd_step" -> ((s, d) => {
+    "q287_logreg_gd_step" -> ((s, d) =>
+      logregStep(s, d, Seq("0.1", "-0.2", "0.3", "0.05")))
+  )
+
+  /** q287's full-batch GD step at arbitrary 6dp-decimal weights —
+    * package-visible so FeatureOpsSpec can take a SECOND step from
+    * the emitted w_new and gate that the log-loss actually decreased
+    * (the descent property the single-step oracle can't express).
+    * Weights are decimal strings so the exact-decimal z arithmetic is
+    * preserved whatever the caller passes.
+    */
+  private[llm] def logregStep(
+      s: SparkSession, d: String, w: Seq[String]): DataFrame = {
+    {
       val ts = TextAnalysis.tokens(col("text"))
       val dec = (v: String) => lit(new java.math.BigDecimal(v))
+      val Seq(w0, w1, w2, w3) = w.map(new java.math.BigDecimal(_))
       val feat = Tables.documents(s, d)
         .withColumn("tks", ts)
         .withColumn("n_tok", size(col("tks")))
@@ -152,9 +166,10 @@ object FeatureOps extends QueryModule {
         .withColumn("l6",
           round(log(lit(1.0) + col("n_tok").cast("double")), 6)
             .cast("decimal(12,6)"))
-      // z = 0.1 - 0.0002·sm + 0.0003·um + 0.05·l6 — exact decimal
-      val z = dec("0.1") - dec("0.0002") * col("sm") +
-        dec("0.0003") * col("um") + dec("0.05") * col("l6")
+      // z = w0 + w1·(sm/1000) + w2·(um/1000) + w3·l6 — exact decimal
+      // (per-mille features scale through ·0.001, never a division)
+      val z = lit(w0) + lit(w1) * col("sm") * dec("0.001") +
+        lit(w2) * col("um") * dec("0.001") + lit(w3) * col("l6")
       val withP = feat
         .withColumn("zd", z.cast("double"))
         .withColumn("pm", round(lit(1000000.0) /
@@ -177,11 +192,11 @@ object FeatureOps extends QueryModule {
           .cast("decimal(38,0)")).as("g3"),
         sum(col("lossr")).as("lsum"))
       agg.selectExpr(
-          """stack(4,
-            |  0, 'bias',   CAST(0.1  AS DECIMAL(12,6)), g0,
-            |  1, 'stop',   CAST(-0.2 AS DECIMAL(12,6)), g1,
-            |  2, 'upper',  CAST(0.3  AS DECIMAL(12,6)), g2,
-            |  3, 'logtok', CAST(0.05 AS DECIMAL(12,6)), g3
+          s"""stack(4,
+            |  0, 'bias',   CAST('${w0.toPlainString}' AS DECIMAL(12,6)), g0,
+            |  1, 'stop',   CAST('${w1.toPlainString}' AS DECIMAL(12,6)), g1,
+            |  2, 'upper',  CAST('${w2.toPlainString}' AS DECIMAL(12,6)), g2,
+            |  3, 'logtok', CAST('${w3.toPlainString}' AS DECIMAL(12,6)), g3
             |) AS (j, feat, wo, graw)""".stripMargin, "nn", "lsum")
         .withColumn("g6", round(col("graw").cast("double") /
           (lit(1.0e12) * col("nn").cast("double")), 6)
@@ -193,8 +208,8 @@ object FeatureOps extends QueryModule {
           round(col("lsum").cast("double") / col("nn").cast("double"), 6)
             .as("log_loss"))
         .orderBy(col("j"))
-    })
-  )
+    }
+  }
 
   private val stops = "('the','a','of','and','to','in','is')"
 

@@ -529,6 +529,40 @@ object TextPipeline extends QueryModule {
     // vocab is ≤26+20 symbols, broadcast; the encode itself is a
     // narrow whole-stage-codegen projection — no UDF, no shuffle
     // beyond vocab agg + final per-doc regroup.
+    // Tokenizer-fertility audit per language — the tokenizer-choice
+    // metric a multilingual pipeline reads before budgeting tokens
+    // (SentencePiece's reported "fertility": subword tokens emitted
+    // per whitespace word; a language whose fertility runs hot pays
+    // proportionally more sequence length for the same text): per
+    // lang, whitespace-word count vs q187's BPE symbol count, the
+    // merged-symbol share, and chars-per-BPE-token compression. Rides
+    // the shared bpeSymbols encode stage; the per-lang rollups are
+    // two corpus aggs + one 5-row join. All ratios are exact-integer
+    // divisions rounded once.
+    "q286_bpe_fertility" -> ((s, d) => {
+      val wordStats = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens).as("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum(length(col("tok"))).as("tok_chars"))
+      val docLang = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+      val symStats = bpeSymbols(s, d)
+        .join(docLang, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("bpe_tokens"),
+          sum(when(length(col("sym")) === 2, 1L).otherwise(0L))
+            .as("merged_tokens"))
+      wordStats.join(symStats, "lang")
+        .select(col("lang"), col("ws_tokens"), col("tok_chars"),
+          col("bpe_tokens"), col("merged_tokens"),
+          round(col("bpe_tokens").cast("double") /
+            col("ws_tokens").cast("double"), 6).as("fertility"),
+          round(col("tok_chars").cast("double") /
+            col("bpe_tokens").cast("double"), 6).as("chars_per_bpe"))
+        .orderBy(col("lang"))
+    }),
+
     "q187_bpe_tokenize" -> ((s, d) => {
       val syms = bpeSymbols(s, d)
       // vocab ids by (freq desc, sym) — q154's sort_array/posexplode
@@ -1306,6 +1340,33 @@ object TextPipeline extends QueryModule {
         |    AS ids_csv
         |FROM syms s JOIN vocab v USING (sym)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // q286: the same BPE symbol CTEs rolled up per language — the
+    // words/syms grains match q187's oracle, ratios divide exact
+    // integers once
+    "q286_bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |$bpeSymsCtes,
+         |ws AS (
+         |  SELECT d.lang, COUNT(*) AS ws_tokens,
+         |    SUM(len(w.tok)) AS tok_chars
+         |  FROM words w JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang),
+         |sy AS (
+         |  SELECT d.lang, COUNT(*) AS bpe_tokens,
+         |    SUM(CASE WHEN len(s.sym) = 2 THEN 1 ELSE 0 END)
+         |      AS merged_tokens
+         |  FROM syms s JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang)
+         |SELECT ws.lang, CAST(ws.ws_tokens AS BIGINT) AS ws_tokens,
+         |  CAST(ws.tok_chars AS BIGINT) AS tok_chars,
+         |  CAST(sy.bpe_tokens AS BIGINT) AS bpe_tokens,
+         |  CAST(sy.merged_tokens AS BIGINT) AS merged_tokens,
+         |  ROUND(CAST(sy.bpe_tokens AS DOUBLE) /
+         |    CAST(ws.ws_tokens AS DOUBLE), 6) AS fertility,
+         |  ROUND(CAST(ws.tok_chars AS DOUBLE) /
+         |    CAST(sy.bpe_tokens AS DOUBLE), 6) AS chars_per_bpe
+         |FROM ws JOIN sy USING (lang) ORDER BY ws.lang""".stripMargin,
 
     // q135's packing arithmetic over the shared BPE symbol CTEs
     "q189_pack_bpe_tokens" ->

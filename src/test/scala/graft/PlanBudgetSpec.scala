@@ -48,7 +48,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q279_dedup_threshold_curve", // 3-row θ-rung broadcast onto the staged pairs
     "q280_embedding_drift",     // 1-row global-verdict broadcast onto the 64-dim grid
     "q282_ece_reliability",     // 1-row ECE/MCE scalar broadcast onto the ≤11-bin grid
-    "q283_ann_recall_eval")     // 1-row mean-recall/MRR broadcast onto the 10-query rows
+    "q283_ann_recall_eval",     // 1-row mean-recall/MRR broadcast onto the 10-query rows
+    "q284_l_diversity")         // 1-row global-verdict broadcast onto the ≤5-row l histogram
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -1,0 +1,107 @@
+package graft.llm
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the featurization/eval/fit family (q281–q287)
+  * that the value-equality oracles can't express: descent of the GD
+  * step, consistency of the Hill estimator on a planted exact Pareto
+  * sample, and the structural invariants of the hashed-feature and
+  * diversity outputs.
+  */
+class FeatureOpsSpec extends SparkSpec {
+
+  test("q281 hashed features: bucket bound, sign consistency, coverage") {
+    val rows = SparkEntry.queries("q281_hashed_features")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nFeat = r.getAs[Int]("n_feat")
+      assert(nFeat >= 1 && nFeat <= 64, s"n_feat $nFeat outside [1,64]")
+      val score = r.getAs[Double]("score")
+      val pred = r.getAs[Boolean]("pred")
+      // pred is the exact-integer sign; the 6dp score only disagrees
+      // inside one rounding quantum of zero
+      if (math.abs(score) > 1e-6) assert(pred == (score > 0))
+    }
+    // every tokenizable doc scores: the fixture has no empty docs
+    val docs = graft.Tables.documents(spark, sf001).count()
+    assert(rows.length == docs)
+  }
+
+  test("q283 ANN recall: metrics bounded, LSH index is a usable system") {
+    val rows = SparkEntry.queries("q283_ann_recall_eval")(spark, sf001)
+      .collect()
+    assert(rows.length == 10) // one per query vector
+    rows.foreach { r =>
+      val hits = r.getAs[Int]("hits")
+      val recall = r.getAs[Double]("recall")
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(recall - hits / 10.0) < 1e-9)
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+    // honest floors for the 8×6 OR-amplified index at sf0.001
+    // (measured 0.34 / 0.6): the index finds the TRUE NN for most
+    // queries (and ranks it first — the re-rank is exact), while the
+    // deep tail of the top-10 is where candidates go missing. A
+    // collapse below these means the bucketing broke, even if both
+    // engines agree on the broken value.
+    val meanRecall = rows.head.getAs[Double]("mean_recall")
+    val mrr = rows.head.getAs[Double]("mrr")
+    assert(meanRecall >= 0.2, s"LSH mean recall@10 collapsed: $meanRecall")
+    assert(mrr >= 0.5, s"LSH MRR collapsed: $mrr")
+  }
+
+  test("q284 l-diversity: entropy-l never exceeds distinct-l") {
+    val rows = SparkEntry.queries("q284_l_diversity")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Int]("l")
+      assert(l >= 1 && l <= 5) // 5 market segments
+      // exp(H) ≤ l for every class in the bucket, so the min does too
+      assert(r.getAs[Double]("min_eff_l") <= l + 1e-6)
+      assert(r.getAs[Double]("global_min_eff_l") <=
+        r.getAs[Double]("min_eff_l") + 1e-9)
+    }
+  }
+
+  test("q285 Hill estimator recovers a planted Pareto tail index") {
+    // exact Pareto(α=2) order statistics: x_(r) = floor(1e6 · r^(-1/2))
+    // — the Hill estimate over the top ranks must come out near 2
+    val planted = spark.range(1, 2001)
+      .select(col("id").as("doc_id"),
+        floor(lit(1e6) * pow(col("id").cast("double"), lit(-0.5)))
+          .cast("long").as("n_chars"))
+    val rungs = CorpusOps.hillRungs(planted).collect()
+    assert(rungs.length == 4)
+    rungs.foreach { r =>
+      val k = r.getAs[Int]("k")
+      val alpha = r.getAs[Double]("alpha_hat")
+      assert(alpha > 1.5 && alpha < 2.5,
+        s"Hill α̂($k)=$alpha far from planted α=2")
+    }
+  }
+
+  test("q287 GD step: taking the emitted step decreases the log-loss") {
+    val step1 = SparkEntry.queries("q287_logreg_gd_step")(spark, sf001)
+      .collect()
+    assert(step1.length == 4)
+    val loss1 = step1.head.getAs[Double]("log_loss")
+    // w_new is exact decimal w_old − 0.1·grad6 (≤7dp), so the string
+    // round-trip through BigDecimal is lossless
+    val wNew = step1.sortBy(_.getAs[Int]("j")).map(r =>
+      new java.math.BigDecimal(r.getAs[Double]("w_new").toString)
+        .toPlainString)
+    val step2 = FeatureOps.logregStep(spark, sf001, wNew.toSeq).collect()
+    val loss2 = step2.head.getAs[Double]("log_loss")
+    assert(loss2 < loss1,
+      s"gradient step did not descend: $loss1 -> $loss2")
+    // and the gradient at the new point shrank in every coordinate
+    // it moved along (convex problem, small step)
+    val g1 = step1.map(r => math.abs(r.getAs[Double]("grad"))).sum
+    val g2 = step2.map(r => math.abs(r.getAs[Double]("grad"))).sum
+    assert(g2 <= g1 + 1e-6, s"gradient norm grew: $g1 -> $g2")
+  }
+}

@@ -134,7 +134,39 @@ object FeatureOps extends QueryModule {
     // per-row terms in DECIMAL. Output: per feature, w_old / grad /
     // w_new (lr = 0.1) + shared log-loss — a 4-row model update.
     "q287_logreg_gd_step" -> ((s, d) =>
-      logregStep(s, d, Seq("0.1", "-0.2", "0.3", "0.05")))
+      logregStep(s, d, Seq("0.1", "-0.2", "0.3", "0.05"))),
+
+    // Five exact full-batch GD steps — the TRAJECTORY q287 takes one
+    // step of, and the reference's own driver-iteration shape (A13:
+    // driver.java:64,90 loops MapReduce jobs per epoch) restated for
+    // model fitting: per step the cluster computes the exact gradient
+    // aggregate, the DRIVER updates the 4-number model in exact
+    // BigDecimal, and the next step re-broadcasts it — model state
+    // driver-sized, data distributed, 5 corpus jobs. The double →
+    // string round-trip of w_new is LOSSLESS (a ≤8-significant-digit
+    // decimal is always its own shortest double repr), so the
+    // driver's weights equal the oracle's DECIMAL(14,7) chain bit for
+    // bit; the DuckDB twin replays all 5 steps as generated unrolled
+    // CTEs. Output: (step, feature) grid of w_old/grad/w_new/loss —
+    // the loss column is the descent curve.
+    "q288_logreg_train" -> ((s, d) => {
+      import s.implicits._
+      var w = Seq("0.1", "-0.2", "0.3", "0.05")
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, String, Double, Double, Double, Double)]
+      for (i <- 0 until 5) {
+        val step = logregStep(s, d, w).collect().sortBy(_.getAs[Int]("j"))
+        rows ++= step.map(r => (i, r.getAs[Int]("j"),
+          r.getAs[String]("feat"), r.getAs[Double]("w_old"),
+          r.getAs[Double]("grad"), r.getAs[Double]("w_new"),
+          r.getAs[Double]("log_loss")))
+        w = step.map(r => new java.math.BigDecimal(
+          r.getAs[Double]("w_new").toString).toPlainString).toSeq
+      }
+      rows.toSeq
+        .toDF("step", "j", "feat", "w_old", "grad", "w_new", "log_loss")
+        .orderBy(col("step"), col("j"))
+    })
   )
 
   /** q287's full-batch GD step at arbitrary 6dp-decimal weights —
@@ -191,12 +223,16 @@ object FeatureOps extends QueryModule {
         sum((col("diff") * (col("l6") * dec("1000000")).cast("long"))
           .cast("decimal(38,0)")).as("g3"),
         sum(col("lossr")).as("lsum"))
+      // DECIMAL(14,7), not (12,6): a step from 6dp weights produces
+      // 7dp weights (w − 0.1·g6), and q288's trajectory feeds those
+      // back in — 7dp is the FIXED POINT of the update (0.1·6dp = 7dp
+      // always), so the precision never grows past this
       agg.selectExpr(
           s"""stack(4,
-            |  0, 'bias',   CAST('${w0.toPlainString}' AS DECIMAL(12,6)), g0,
-            |  1, 'stop',   CAST('${w1.toPlainString}' AS DECIMAL(12,6)), g1,
-            |  2, 'upper',  CAST('${w2.toPlainString}' AS DECIMAL(12,6)), g2,
-            |  3, 'logtok', CAST('${w3.toPlainString}' AS DECIMAL(12,6)), g3
+            |  0, 'bias',   CAST('${w0.toPlainString}' AS DECIMAL(14,7)), g0,
+            |  1, 'stop',   CAST('${w1.toPlainString}' AS DECIMAL(14,7)), g1,
+            |  2, 'upper',  CAST('${w2.toPlainString}' AS DECIMAL(14,7)), g2,
+            |  3, 'logtok', CAST('${w3.toPlainString}' AS DECIMAL(14,7)), g3
             |) AS (j, feat, wo, graw)""".stripMargin, "nn", "lsum")
         .withColumn("g6", round(col("graw").cast("double") /
           (lit(1.0e12) * col("nn").cast("double")), 6)
@@ -212,6 +248,90 @@ object FeatureOps extends QueryModule {
   }
 
   private val stops = "('the','a','of','and','to','in','is')"
+
+  /** Generated DuckDB twin of q288: the 5 GD steps unrolled as CTE
+    * chains (w_i → per-row σ/diff at w_i → gradient aggregate →
+    * rounded d_j → w_{i+1}), every step the identical arithmetic
+    * q287's oracle spells once. Generated, like q197's pqOracleSql —
+    * hand-maintaining 5 copies would drift.
+    */
+  private def logregTrainOracleSql: String = {
+    val fCte =
+      s"""f AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> regexp_matches(t, '^[A-Z]'))) AS BIGINT)) // len(ts)
+         |      AS INT) AS um,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab,
+         |    CAST(ROUND(ln(1.0 + CAST(len(ts) AS DOUBLE)), 6)
+         |      AS DECIMAL(12,6)) AS l6
+         |  FROM (SELECT ${TextAnalysis.tokensSql} AS ts FROM documents) z
+         |  WHERE len(ts) > 0)""".stripMargin
+    val w0 =
+      """w0(b, sw, u, t) AS (
+        |  SELECT CAST(0.1 AS DECIMAL(14,7)), CAST(-0.2 AS DECIMAL(14,7)),
+        |    CAST(0.3 AS DECIMAL(14,7)), CAST(0.05 AS DECIMAL(14,7)))"""
+        .stripMargin
+    val steps = (0 until 5).map { i =>
+      s"""p$i AS (
+         |  SELECT sm, um, lab, l6,
+         |    CAST(ROUND(1000000.0 / (1.0 + exp(-CAST(
+         |      w.b + w.sw * sm * 0.001 + w.u * um * 0.001 + w.t * l6
+         |      AS DOUBLE))), 0) AS BIGINT) AS pm
+         |  FROM f, w$i w),
+         |q$i AS (
+         |  SELECT sm, um, lab, l6, pm, pm - lab * 1000000 AS diff,
+         |    CAST(pm * 0.000001 AS DECIMAL(13,6)) AS pd
+         |  FROM p$i),
+         |a$i AS (
+         |  SELECT COUNT(*) AS nn,
+         |    SUM(CAST(diff * 1000000 AS DECIMAL(38,0))) AS g0,
+         |    SUM(CAST(diff * (sm * 1000) AS DECIMAL(38,0))) AS g1,
+         |    SUM(CAST(diff * (um * 1000) AS DECIMAL(38,0))) AS g2,
+         |    SUM(CAST(diff * CAST(l6 * 1000000 AS BIGINT)
+         |      AS DECIMAL(38,0))) AS g3,
+         |    SUM(CAST(ROUND(-(lab * ln(CAST(pd AS DOUBLE)) +
+         |      (1 - lab) * ln(1.0 - CAST(pd AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS lsum
+         |  FROM q$i),
+         |d$i AS (
+         |  SELECT nn, lsum,
+         |    CAST(ROUND(CAST(g0 AS DOUBLE) / (1.0e12 * CAST(nn AS DOUBLE)),
+         |      6) AS DECIMAL(12,6)) AS d0,
+         |    CAST(ROUND(CAST(g1 AS DOUBLE) / (1.0e12 * CAST(nn AS DOUBLE)),
+         |      6) AS DECIMAL(12,6)) AS d1,
+         |    CAST(ROUND(CAST(g2 AS DOUBLE) / (1.0e12 * CAST(nn AS DOUBLE)),
+         |      6) AS DECIMAL(12,6)) AS d2,
+         |    CAST(ROUND(CAST(g3 AS DOUBLE) / (1.0e12 * CAST(nn AS DOUBLE)),
+         |      6) AS DECIMAL(12,6)) AS d3
+         |  FROM a$i),
+         |w${i + 1}(b, sw, u, t) AS (
+         |  SELECT CAST(w.b - 0.1 * g.d0 AS DECIMAL(14,7)),
+         |    CAST(w.sw - 0.1 * g.d1 AS DECIMAL(14,7)),
+         |    CAST(w.u - 0.1 * g.d2 AS DECIMAL(14,7)),
+         |    CAST(w.t - 0.1 * g.d3 AS DECIMAL(14,7))
+         |  FROM w$i w, d$i g)""".stripMargin
+    }
+    val feats = Seq((0, "'bias'", "b", "d0"), (1, "'stop'", "sw", "d1"),
+      (2, "'upper'", "u", "d2"), (3, "'logtok'", "t", "d3"))
+    val out = (0 until 5).flatMap { i =>
+      feats.map { case (j, feat, wc, dc) =>
+        s"""SELECT $i AS step, $j AS j, $feat AS feat,
+           |  CAST(w.$wc AS DOUBLE) AS w_old, CAST(g.$dc AS DOUBLE) AS grad,
+           |  CAST(w.$wc - 0.1 * g.$dc AS DOUBLE) AS w_new,
+           |  ROUND(CAST(g.lsum AS DOUBLE) / CAST(g.nn AS DOUBLE), 6)
+           |    AS log_loss
+           |FROM w$i w, d$i g""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $fCte,
+       |$w0,
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |$out
+       |) z ORDER BY step, j""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     // q281: identical md5-derived bucket + weight integers (md5IntSql
@@ -326,6 +446,8 @@ object FeatureOps extends QueryModule {
          |  CAST(g6 AS DOUBLE) AS grad,
          |  CAST(wo - 0.1 * g6 AS DOUBLE) AS w_new,
          |  ROUND(CAST(lsum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS log_loss
-         |FROM m2 ORDER BY j""".stripMargin
+         |FROM m2 ORDER BY j""".stripMargin,
+
+    "q288_logreg_train" -> logregTrainOracleSql
   )
 }

@@ -115,6 +115,11 @@ class PlanBudgetSpec extends SparkSpec {
     // assembles the 8-cell decision ledger on the driver; the
     // enumerated sets are near-duplicate-sized by construction
     "q259_fellegi_sunter",
+    // q288 is action-style: building the frame runs the 5 gradient
+    // jobs (driver-updated 4-number model between them, A13's shape)
+    // and returns a 20-row driver-built trajectory; each step's plan
+    // is exactly q287's, which IS audited
+    "q288_logreg_train",
     // q278 runs the prefix-doubling label rounds (localCheckpoint per
     // round, q205's loop shape) while building the frame; the final
     // plan scans the last round's RDD. SuffixDedupSpec pins the

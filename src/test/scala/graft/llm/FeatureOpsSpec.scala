@@ -84,6 +84,26 @@ class FeatureOpsSpec extends SparkSpec {
     }
   }
 
+  test("q288 trajectory: the loss curve descends monotonically") {
+    val rows = SparkEntry.queries("q288_logreg_train")(spark, sf001)
+      .collect()
+    assert(rows.length == 20)
+    val losses = rows.groupBy(_.getAs[Int]("step")).toSeq.sortBy(_._1)
+      .map(_._2.head.getAs[Double]("log_loss"))
+    assert(losses.length == 5)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not descend: ${losses.mkString(" -> ")}")
+    }
+    // step i's w_old must equal step i-1's w_new (the driver handoff
+    // is lossless)
+    val byStepJ = rows.map(r => (r.getAs[Int]("step"),
+      r.getAs[Int]("j")) -> r).toMap
+    for (i <- 1 until 5; j <- 0 until 4) {
+      assert(byStepJ((i, j)).getAs[Double]("w_old") ==
+        byStepJ((i - 1, j)).getAs[Double]("w_new"))
+    }
+  }
+
   test("q287 GD step: taking the emitted step decreases the log-loss") {
     val step1 = SparkEntry.queries("q287_logreg_gd_step")(spark, sf001)
       .collect()

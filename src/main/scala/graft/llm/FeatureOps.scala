@@ -136,6 +136,45 @@ object FeatureOps extends QueryModule {
     "q287_logreg_gd_step" -> ((s, d) =>
       logregStep(s, d, Seq("0.1", "-0.2", "0.3", "0.05"))),
 
+    // PSI drift over the HASHED FEATURE SPACE between corpus carves
+    // (doc_id parity, q280's convention) — the input-distribution
+    // monitor for q281's classifier: q239 watches a raw scalar, q280
+    // the embedding space; this watches the exact representation the
+    // model consumes, where drift means the fitted weights are stale.
+    // One tokenize pass to the 64-bucket × carve count grid
+    // (bucket-bounded, never corpus-bounded), q239's half-count
+    // smoothing per bucket, and the GLOBAL PSI via q276's order-free
+    // totalization (6dp-rounded contributions summed as DECIMAL).
+    "q290_feature_psi" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .withColumn("bkt", pmod(TextAnalysis.md5Int(
+          concat(lit("hf:"), col("tok"))), lit(NumBuckets.toLong)))
+        .groupBy(col("bkt")).agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      val pr = (col("n_ref") + lit(0.5)) /
+        (col("t_ref") + lit(0.5 * NumBuckets))
+      val pc = (col("n_cur") + lit(0.5)) /
+        (col("t_cur") + lit(0.5 * NumBuckets))
+      val bins = counts.crossJoin(broadcast(tot))
+        .select(col("bkt").cast("int").as("bkt"),
+          col("n_ref"), col("n_cur"),
+          round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+          round((pc - pr) * log(pc / pr), 6).cast("decimal(18,6)")
+            .as("contrib"))
+      val g = bins.agg(
+        round(sum(col("contrib")).cast("double"), 6).as("psi"))
+      bins.select(col("bkt"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"),
+          col("contrib").cast("double").as("psi_contrib"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("bkt"))
+    }),
+
     // Five exact full-batch GD steps — the TRAJECTORY q287 takes one
     // step of, and the reference's own driver-iteration shape (A13:
     // driver.java:64,90 loops MapReduce jobs per epoch) restated for
@@ -448,6 +487,34 @@ object FeatureOps extends QueryModule {
          |  ROUND(CAST(lsum AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS log_loss
          |FROM m2 ORDER BY j""".stripMargin,
 
-    "q288_logreg_train" -> logregTrainOracleSql
+    "q288_logreg_train" -> logregTrainOracleSql,
+
+    // q290: identical md5 buckets, q239's smoothing spelled inline,
+    // q276's decimal totalization for the global PSI
+    "q290_feature_psi" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT ${TextAnalysis.md5IntSql("'hf:' || tok")} % 64 AS bkt,
+         |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+         |    SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_cur
+         |  FROM tk GROUP BY 1),
+         |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c),
+         |e AS (
+         |  SELECT bkt, n_ref, n_cur,
+         |    ROUND((n_ref + 0.5) / (t_ref + 32.0), 6) AS p_ref,
+         |    ROUND((n_cur + 0.5) / (t_cur + 32.0), 6) AS p_cur,
+         |    CAST(ROUND(((n_cur + 0.5) / (t_cur + 32.0) -
+         |           (n_ref + 0.5) / (t_ref + 32.0)) *
+         |      LN(((n_cur + 0.5) / (t_cur + 32.0)) /
+         |         ((n_ref + 0.5) / (t_ref + 32.0))), 6)
+         |      AS DECIMAL(18,6)) AS contrib
+         |  FROM c, t),
+         |g AS (SELECT ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS psi FROM e)
+         |SELECT CAST(bkt AS INT) AS bkt,
+         |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         |  p_ref, p_cur, CAST(contrib AS DOUBLE) AS psi_contrib, g.psi
+         |FROM e, g ORDER BY bkt""".stripMargin
   )
 }

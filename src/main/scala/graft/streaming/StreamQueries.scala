@@ -355,6 +355,45 @@ object StreamQueries extends QueryModule {
     // over the ledger (the fat-partition shape the q209 gate exists
     // for). Integer cents make the ledger deterministic under any
     // batch slicing, so the full batch oracle applies.
+    // Streaming model-quality monitor under replay — q282's
+    // calibration math maintained LIVE: the production shape for
+    // watching a deployed classifier drift (per-bin confidence vs
+    // observed rate over the event stream, ECE/MCE on the sink). The
+    // in-stream state is q274's integer-ledger discipline — per score
+    // bin, (n, positives, score-sum) exact integers, complete mode,
+    // batch-slicing-invariant by commutativity — and ALL non-integer
+    // arithmetic (conf/acc/gap/ECE) happens on the batch sink, where
+    // q282's round-once-then-DECIMAL folds apply unchanged. Score =
+    // value-cents per-mille (deterministic), label = purchase.
+    "q289_stream_ece_replay" -> ((s, d) => {
+      val sink = replay(s, d) { stream =>
+        stream
+          .withColumn("sm",
+            expr("CAST(round(value * 100, 0) AS BIGINT) % 1000"))
+          .withColumn("lab",
+            when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .groupBy(expr("CAST(sm DIV 100 AS INT)").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("lab")).as("npos"),
+            sum(col("sm")).as("sum_sm"))
+      }
+      val bins = sink
+        .withColumn("conf", round(col("sum_sm").cast("double") /
+          (col("n").cast("double") * 1000.0), 6).cast("decimal(12,6)"))
+        .withColumn("acc", round(col("npos").cast("double") /
+          col("n").cast("double"), 6).cast("decimal(12,6)"))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+      val g = bins.agg(
+        round(sum(col("gap") * col("n")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("ece"),
+        max(col("gap")).cast("double").as("mce"))
+      bins.select(col("bin"), col("n").cast("int").as("n"),
+          col("conf").cast("double").as("conf"),
+          col("acc").cast("double").as("acc"),
+          col("gap").cast("double").as("gap"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("bin"))
+    }),
+
     "q274_stream_topk_replay" -> ((s, d) => {
       val sink = replay(s, d) { stream =>
         stream.groupBy(col("event_type"), col("user_id"))
@@ -822,6 +861,35 @@ object StreamQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // q289: the in-stream ledger is exact integers per bin, so the
+    // batch twin is q282's arithmetic over the same derivation
+    "q289_stream_ece_replay" ->
+      """WITH t AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) % 1000 AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+        |  FROM events),
+        |b AS (
+        |  SELECT sm // 100 AS bin, COUNT(*) AS n, SUM(lab) AS npos,
+        |    SUM(sm) AS sum_sm
+        |  FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT bin, n,
+        |    CAST(ROUND(CAST(sum_sm AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1000.0), 6) AS DECIMAL(12,6)) AS conf,
+        |    CAST(ROUND(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS acc
+        |  FROM b),
+        |e2 AS (SELECT bin, n, conf, acc, ABS(acc - conf) AS gap FROM e),
+        |g AS (
+        |  SELECT ROUND(CAST(SUM(gap * n) AS DOUBLE) /
+        |    CAST(SUM(n) AS DOUBLE), 6) AS ece,
+        |    CAST(MAX(gap) AS DOUBLE) AS mce
+        |  FROM e2)
+        |SELECT CAST(bin AS INT) AS bin, CAST(n AS INT) AS n,
+        |  CAST(conf AS DOUBLE) AS conf, CAST(acc AS DOUBLE) AS acc,
+        |  CAST(gap AS DOUBLE) AS gap, g.ece, g.mce
+        |FROM e2, g ORDER BY bin""".stripMargin,
+
     // q274: the streaming ledger is exact integer cents per
     // (type,user) — batch-slicing-invariant — so the leaderboard is
     // the plain batch top-3 with the same (cents DESC, user) tiebreak

@@ -49,7 +49,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q280_embedding_drift",     // 1-row global-verdict broadcast onto the 64-dim grid
     "q282_ece_reliability",     // 1-row ECE/MCE scalar broadcast onto the ≤11-bin grid
     "q283_ann_recall_eval",     // 1-row mean-recall/MRR broadcast onto the 10-query rows
-    "q284_l_diversity")         // 1-row global-verdict broadcast onto the ≤5-row l histogram
+    "q284_l_diversity",         // 1-row global-verdict broadcast onto the ≤5-row l histogram
+    "q290_feature_psi")         // q239's shape: 1-row totals + 1-row PSI broadcasts onto 64 buckets
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -67,6 +68,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q214_stream_full_outer_join_replay", "q216_stream_semi_join_replay",
     "q220_stream_sketch_replay", "q274_stream_topk_replay",
     "q177_stream_late_audit", "q178_stream_tws_replay",
+    "q289_stream_ece_replay",
     "q182_stream_static_enrich", "q196_stream_reservoir",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",
@@ -149,6 +151,11 @@ class PlanBudgetSpec extends SparkSpec {
     // individually, and the truth side is bounded by the 10-query
     // sample, never the corpus
     "q283_ann_recall_eval" -> 22,
+    // q290's smoothed-bucket subtree (tokenize → bucket groupBy →
+    // totals broadcast) prints under BOTH the per-bucket output and
+    // the global-PSI fold; the copies are identical and reuse at
+    // runtime — q165's self-join story
+    "q290_feature_psi" -> 11,
     "q142_ccnet_bucket" -> 15, "q146_source_mix_weights" -> 11,
     "q147_lsh_pr_eval" -> 15, "q148_trigram_langid" -> 9,
     // the 9th exchange is the constant-size funnel arithmetic AFTER

@@ -104,6 +104,18 @@ class FeatureOpsSpec extends SparkSpec {
     }
   }
 
+  test("q290 PSI: every smoothed contribution is non-negative") {
+    val rows = SparkEntry.queries("q290_feature_psi")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    rows.foreach { r =>
+      // (p−q)·ln(p/q) ≥ 0 termwise, so PSI ≥ 0 — a negative value
+      // means the smoothing or the log broke
+      assert(r.getAs[Double]("psi_contrib") >= -1e-9)
+      assert(r.getAs[Double]("psi") >= 0.0)
+    }
+  }
+
   test("q287 GD step: taking the emitted step decreases the log-loss") {
     val step1 = SparkEntry.queries("q287_logreg_gd_step")(spark, sf001)
       .collect()

@@ -30,6 +30,7 @@ object SparkEntry {
     llm.CleanOps,
     llm.StatsOps,
     llm.FeatureOps,
+    llm.TrainEval,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

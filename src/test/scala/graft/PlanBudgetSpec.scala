@@ -50,7 +50,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q282_ece_reliability",     // 1-row ECE/MCE scalar broadcast onto the ≤11-bin grid
     "q283_ann_recall_eval",     // 1-row mean-recall/MRR broadcast onto the 10-query rows
     "q284_l_diversity",         // 1-row global-verdict broadcast onto the ≤5-row l histogram
-    "q290_feature_psi")         // q239's shape: 1-row totals + 1-row PSI broadcasts onto 64 buckets
+    "q290_feature_psi",         // q239's shape: 1-row totals + 1-row PSI broadcasts onto 64 buckets
+    "q291_nb_train",            // 1-row vocab-size + 1-row doc-total scalar broadcasts
+    "q292_nb_confusion",        // 1-row vocab/doc-total scalars + 1-row accuracy broadcast
+    "q294_info_gain")           // 1-row label-margins (N, P) scalar broadcast
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -143,6 +146,11 @@ class PlanBudgetSpec extends SparkSpec {
   // story, asserted in TextPipelineSpec (q142/q146) and LlmOpsSpec
   // (q147)
   private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
+    // q291's single corpus-sized pass is the checkpointed (lang, tok)
+    // cell table; all 10 static exchanges downstream of it move
+    // vocab- or |langs|-bounded model rows (top-k agg, token totals,
+    // vocab scalar, prior table, final model sort)
+    "q291_nb_train" -> 10,
     // q283 composes TWO whole retrieval pipelines by design — q43's
     // LSH index (bucket join + re-rank) as the system under audit and
     // the brute-force cosine top-10 as the truth — then folds both

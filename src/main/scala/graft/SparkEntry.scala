@@ -31,6 +31,7 @@ object SparkEntry {
     llm.StatsOps,
     llm.FeatureOps,
     llm.TrainEval,
+    llm.InferenceOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

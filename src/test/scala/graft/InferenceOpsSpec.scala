@@ -1,0 +1,112 @@
+package graft
+
+/** Property gates for the inference/design family (q296–q300):
+  * independent Scala recomputations for the CMH fold and the Holt
+  * recurrence, exact-sum and dominance invariants for the allocation,
+  * and the shrinkage interpolation property.
+  */
+class InferenceOpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("q296: CMH statistic matches an independent unrounded double " +
+    "recomputation from the raw documents") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cells = docs.groupBy(_._2).map { case (_, ds) =>
+      val t = ds.map { case (id, _, text) =>
+        val e = (id / 20) % 2 == 1
+        val y = text.split("\\s+").filter(_.nonEmpty).contains("dup")
+        (e, y)
+      }
+      val a = t.count(x => x._1 && x._2).toDouble
+      val b = t.count(x => x._1 && !x._2).toDouble
+      val c = t.count(x => !x._1 && x._2).toDouble
+      val dd = t.count(x => !x._1 && !x._2).toDouble
+      (a, b, c, dd)
+    }.toSeq
+    val tSum = cells.map(_._1).sum
+    val e = cells.map { case (a, b, c, dd) =>
+      (a + b) * (a + c) / (a + b + c + dd) }.sum
+    val v = cells.map { case (a, b, c, dd) =>
+      val n = a + b + c + dd
+      (a + b) * (c + dd) * (a + c) * (b + dd) / (n * n * (n - 1)) }.sum
+    val expected = math.pow(tSum - e, 2) / v
+    val got = q("q296_cmh_test").collect().head.getDouble(7)
+    // the engine rounds E/V contributions to 6dp before the fold; on
+    // ≤25-row strata that perturbs χ² by well under 1e-3
+    assert(math.abs(got - expected) < 1e-3,
+      s"engine CMH $got vs reference $expected")
+  }
+
+  test("q297: the 6dp-rounded Holt fold matches an independent Scala " +
+    "replay of the recurrence") {
+    val daily = spark.read.parquet(s"$sf001/events.parquet")
+      .selectExpr("event_type",
+        "CAST(ts AS TIMESTAMP) AS tts") // physical type varies by SF
+      .selectExpr("event_type",
+        "(unix_micros(tts) div 86400000000) AS day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._1).collect {
+      case (tpe, rows) if rows.length >= 3 =>
+        val ys = rows.sortBy(_._2).map(_._3.toDouble)
+        var l = ys(1); var b = ys(1) - ys(0); var sae = BigDecimal(0)
+        for (i <- 2 until ys.length) {
+          val f = l + b
+          sae += BigDecimal(r6(math.abs(ys(i) - f)))
+          val l2 = r6(0.2 * ys(i) + 0.8 * f)
+          b = r6(0.1 * (l2 - l) + 0.9 * b)
+          l = l2
+        }
+        tpe -> (sae.toDouble, l, b)
+    }
+    val got = q("q297_holt_backtest").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (tpe, (sae, l, b)) =>
+      val (gs, gl, gb) = got(tpe)
+      assert(gs == sae && gl == l && gb == b,
+        s"$tpe: got ($gs,$gl,$gb) expected ($sae,$l,$b)")
+    }
+  }
+
+  test("q298: folds partition the events exactly and the cross-fitted " +
+    "Brier is an n-weighted mean of the fold Briers") {
+    val rows = q("q298_cv_folds").collect()
+    val total = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "folds must partition events")
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((0 to 4).toSet))
+    val wmean = rows.map(r => r.getDouble(6) * r.getLong(1)).sum /
+      rows.map(_.getLong(1)).sum
+    assert(math.abs(rows.head.getDouble(7) - wmean) < 1e-5)
+  }
+
+  test("q299: both allocations apportion the budget exactly and Neyman " +
+    "never has higher estimator variance than proportional") {
+    val rows = q("q299_neyman_allocation").collect()
+    assert(rows.map(_.getLong(3)).sum == 1000L, "Neyman must sum to budget")
+    assert(rows.map(_.getLong(4)).sum == 1000L, "prop must sum to budget")
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(4) >= 0))
+    val r0 = rows.head
+    // Cauchy–Schwarz: (Σ N_h σ_h)² ≤ (Σ N_h)(Σ N_h σ_h²)
+    assert(r0.getDouble(5) <= r0.getDouble(6) + 1e-6,
+      s"var_neyman ${r0.getDouble(5)} > var_prop ${r0.getDouble(6)}")
+  }
+
+  test("q300: every shrunk rate lies between its raw rate and the " +
+    "prior mean, strictly closer to the prior for smaller strata") {
+    val rows = q("q300_eb_shrinkage").collect()
+    val m = rows.head.getDouble(4)
+    rows.foreach { r =>
+      val raw = r.getDouble(3); val shrunk = r.getDouble(7)
+      val lo = math.min(raw, m) - 1e-6; val hi = math.max(raw, m) + 1e-6
+      assert(shrunk >= lo && shrunk <= hi,
+        s"${r.getString(0)}: shrunk $shrunk outside [$lo, $hi]")
+    }
+  }
+}

@@ -53,7 +53,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q290_feature_psi",         // q239's shape: 1-row totals + 1-row PSI broadcasts onto 64 buckets
     "q291_nb_train",            // 1-row vocab-size + 1-row doc-total scalar broadcasts
     "q292_nb_confusion",        // 1-row vocab/doc-total scalars + 1-row accuracy broadcast
-    "q294_info_gain")           // 1-row label-margins (N, P) scalar broadcast
+    "q294_info_gain",           // 1-row label-margins (N, P) scalar broadcast
+    "q296_cmh_test",            // 1-row χ²/OR verdict broadcast onto the strata grid
+    "q298_cv_folds",            // 1-row totals + 1-row cv-Brier broadcasts onto 5 folds
+    "q299_neyman_allocation",   // 1-row design-variance broadcast onto the strata grid
+    "q300_eb_shrinkage")        // 1-row MoM-prior broadcast onto the strata grid
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -252,6 +252,167 @@ object InferenceOps extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Two-sample Cramér–von Mises test (Anderson 1962) on the doc-
+    // length distribution across the within-source ingest-batch carve
+    // — the whole-distribution sibling of q165's KS (CvM integrates
+    // the squared ECDF gap instead of taking its sup, so it sees
+    // spread-out drift KS dilutes). The statistic is EXACT INTEGER
+    // end-to-end: with doubled midranks (ties are real in integer
+    // lengths) R2 − I2 is an even integer, so U4 = n·Σcx(R2−I2x)² +
+    // m·Σcy(R2−I2y)² is exact (≲10¹⁶ at sf0.1, BIGINT-safe), and
+    // T = U4/(4nmN) − (4nm−1)/(6N) divides once, rounded 6dp. One
+    // corpus pass to the distinct-length grid (value-bounded, never
+    // corpus-bounded), one linear array fold for the cumulative
+    // midranks.
+    "q302_cvm_test" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("n_chars"),
+          ((col("doc_id") / 20).cast("long") % 2).cast("int").as("e"))
+        .groupBy(col("n_chars"))
+        .agg(sum(when(col("e") === 0, 1L).otherwise(0L)).as("cx"),
+          sum(when(col("e") === 1, 1L).otherwise(0L)).as("cy"))
+      g.agg(sort_array(collect_list(
+            struct(col("n_chars"), col("cx"), col("cy")))).as("a"),
+          sum(col("cx")).as("n"), sum(col("cy")).as("m"))
+        .withColumn("u4", expr(
+          """aggregate(a,
+            |  named_struct('ax', 0L, 'ay', 0L, 'sx', 0L, 'sy', 0L),
+            |  (acc, v) -> named_struct(
+            |    'ax', acc.ax + v.cx, 'ay', acc.ay + v.cy,
+            |    'sx', acc.sx + v.cx *
+            |      (2 * (acc.ax + acc.ay) + v.cx + v.cy + 1
+            |       - (2 * acc.ax + v.cx + 1))
+            |      * (2 * (acc.ax + acc.ay) + v.cx + v.cy + 1
+            |       - (2 * acc.ax + v.cx + 1)),
+            |    'sy', acc.sy + v.cy *
+            |      (2 * (acc.ax + acc.ay) + v.cx + v.cy + 1
+            |       - (2 * acc.ay + v.cy + 1))
+            |      * (2 * (acc.ax + acc.ay) + v.cx + v.cy + 1
+            |       - (2 * acc.ay + v.cy + 1))),
+            |  acc -> n * acc.sx + m * acc.sy)""".stripMargin))
+        .select(col("n"), col("m"), col("u4"),
+          round(col("u4").cast("double") /
+              (lit(4.0) * col("n") * col("m") * (col("n") + col("m"))) -
+            (lit(4.0) * col("n") * col("m") - 1) /
+              (lit(6.0) * (col("n") + col("m"))), 6).as("t"))
+        .withColumn("reject_10pct", col("t") > 0.347)
+        .withColumn("reject_5pct", col("t") > 0.461)
+    }),
+
+    // Split-conformal prediction audit (Vovk et al. 2005; Lei et al.
+    // 2018) — distribution-free uncertainty for the per-lang length
+    // predictor: docs md5-split into fit/calibration/test (hash
+    // carves, q298's leakage argument), the fit carve fits ŷ(lang) =
+    // mean length (rounded once to 6dp so every residual |y − ŷ| is
+    // an exact decimal), the calibration carve takes the
+    // ⌈(n_cal+1)(1−α)⌉-th smallest residual as q̂ by EXACT rank
+    // selection over the value-bounded residual grid (q247's
+    // two-phase argument: grid rows, never corpus rows), and the
+    // test carve's coverage |y − ŷ| ≤ q̂ is an exact-decimal compare
+    // — the marginal-coverage guarantee ≥ 90% is then auditable.
+    "q304_conformal" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(TextAnalysis.md5Int(
+            concat(lit("cf:"), col("doc_id").cast("string"))), lit(4L))
+            .cast("int").as("h"))
+      val fit = base.filter(col("h") <= 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_fit"),
+          expr("CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(14,6))")
+            .as("yhat"))
+        .localCheckpoint() // |langs|-bounded model
+      val resid = base.filter(col("h") === 2).join(broadcast(fit), "lang")
+        .select(expr("CAST(ABS(CAST(n_chars AS DECIMAL(14,6)) - yhat) AS DECIMAL(14,6))")
+          .as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("c"))
+      // exact ⌈(n+1)·0.9⌉-th smallest over the residual-value grid
+      val qhat = resid
+        .agg(sort_array(collect_list(struct(col("r"), col("c")))).as("a"),
+          sum(col("c")).as("ncal"))
+        .withColumn("k", expr("CAST(ceil((ncal + 1) * 0.9) AS BIGINT)"))
+        .withColumn("qhat", expr(
+          """aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS DECIMAL(14,6))),
+            |  (acc, x) -> named_struct(
+            |    'cum', acc.cum + x.c,
+            |    'q', CASE WHEN acc.q IS NULL AND acc.cum + x.c >= k
+            |      THEN x.r ELSE acc.q END),
+            |  acc -> acc.q)""".stripMargin))
+        .select(col("ncal"), col("k"), col("qhat"))
+      val cover = base.filter(col("h") === 3).join(broadcast(fit), "lang")
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(expr("ABS(CAST(n_chars AS DECIMAL(14,6)) - yhat) <= qhat"),
+            1L).otherwise(0L)).as("n_covered"),
+          first(col("ncal")).as("n_cal"),
+          first(col("qhat")).as("qh"))
+      fit.select(col("lang"), col("n_fit"),
+          col("yhat").cast("double").as("yhat"))
+        .crossJoin(broadcast(cover.select(col("n_cal"), col("n_test"),
+          col("n_covered"),
+          col("qh").cast("double").as("qhat"),
+          round(col("n_covered").cast("double") / col("n_test"), 6)
+            .as("coverage"))))
+        .orderBy(col("lang"))
+    }),
+
+    // Sequential probability ratio test (Wald 1945) on the purchase
+    // share, replayed over the daily ledger — the ALWAYS-VALID
+    // monitoring twin of q235's fixed-horizon z-test (peeking at a
+    // z-test inflates false positives; the SPRT's boundaries are
+    // crossing-safe by construction). H₀ p=0.18 vs H₁ p=0.22,
+    // α=β=0.05. The two log-likelihood-ratio increments and the two
+    // Wald boundaries are each ONE transcendental rounded ONCE to
+    // micro-units; the per-day ledger x_d·la + (n_d−x_d)·lb and its
+    // cumulative fold are then EXACT INTEGER arithmetic, so the
+    // first-crossing day is float-proof. One corpus pass to the
+    // ≤|calendar| day grid; the scan is a linear array fold.
+    "q305_sprt" -> ((s, d) => {
+      val la = "CAST(ROUND(1000000 * LN(0.22 / 0.18), 0) AS BIGINT)"
+      val lb = "CAST(ROUND(1000000 * LN(0.78 / 0.82), 0) AS BIGINT)"
+      val ua = "CAST(ROUND(1000000 * LN(0.95 / 0.05), 0) AS BIGINT)"
+      val daily = Tables.eventsUs(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("n"), col("x"))))
+          .as("a"))
+        .select(posexplode(expr(
+          s"""aggregate(a,
+             |  named_struct('cum', 0L, 'dday', CAST(NULL AS BIGINT),
+             |    'dec', CAST(NULL AS STRING),
+             |    'rows', cast(array() as array<struct<
+             |      day:bigint,n:bigint,x:bigint,cum:bigint,state:string>>)),
+             |  (acc, v) -> named_struct(
+             |    'cum', acc.cum + v.x * $la + (v.n - v.x) * $lb,
+             |    'dday', CASE WHEN acc.dday IS NOT NULL THEN acc.dday
+             |      WHEN acc.cum + v.x * $la + (v.n - v.x) * $lb >= $ua
+             |        OR acc.cum + v.x * $la + (v.n - v.x) * $lb <= -$ua
+             |      THEN v.day ELSE CAST(NULL AS BIGINT) END,
+             |    'dec', CASE WHEN acc.dec IS NOT NULL THEN acc.dec
+             |      WHEN acc.cum + v.x * $la + (v.n - v.x) * $lb >= $ua
+             |      THEN 'accept_h1'
+             |      WHEN acc.cum + v.x * $la + (v.n - v.x) * $lb <= -$ua
+             |      THEN 'accept_h0' ELSE CAST(NULL AS STRING) END,
+             |    'rows', concat(acc.rows, array(named_struct(
+             |      'day', v.day, 'n', v.n, 'x', v.x,
+             |      'cum', acc.cum + v.x * $la + (v.n - v.x) * $lb,
+             |      'state', CASE
+             |        WHEN acc.dec IS NOT NULL THEN 'decided'
+             |        WHEN acc.cum + v.x * $la + (v.n - v.x) * $lb >= $ua
+             |        THEN 'accept_h1'
+             |        WHEN acc.cum + v.x * $la + (v.n - v.x) * $lb <= -$ua
+             |        THEN 'accept_h0' ELSE 'continue' END)))),
+             |  acc -> acc.rows)""".stripMargin)).as(Seq("pos", "r")))
+        .select(col("r.day").as("day"), col("r.n").as("n"),
+          col("r.x").as("x"),
+          round(col("r.cum").cast("double") / 1e6, 6).as("cum_llr"),
+          col("r.state").as("state"))
+        .orderBy(col("day"))
+    }),
+
     // Empirical-Bayes beta-binomial shrinkage of per-source dup rates
     // (Robbins 1956; the Morris 1983 small-area posture): a 25-doc
     // source's raw rate overreacts to one bad draw — shrink toward
@@ -466,6 +627,103 @@ object InferenceOps extends QueryModule {
          |  v.var_neyman, v.var_prop
          |FROM w JOIN fin f ON f.source = w.source, vars v
          |ORDER BY w.source""".stripMargin,
+
+    // q302: window cumsums over the same value grid; the difference
+    // identities R2−I2x = 2·ayb+cy / R2−I2y = 2·axb+cx are the
+    // algebraic simplification of the engine's full midrank spelling
+    "q302_cvm_test" ->
+      s"""WITH b AS (
+         |  SELECT n_chars, CAST((doc_id // 20) % 2 AS INT) AS e
+         |  FROM documents),
+         |g AS (
+         |  SELECT n_chars,
+         |    SUM(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS cx,
+         |    SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS cy
+         |  FROM b GROUP BY 1),
+         |c AS (
+         |  SELECT n_chars, cx, cy,
+         |    SUM(cx) OVER (ORDER BY n_chars) - cx AS axb,
+         |    SUM(cy) OVER (ORDER BY n_chars) - cy AS ayb
+         |  FROM g),
+         |t AS (SELECT SUM(cx) AS n, SUM(cy) AS m FROM g),
+         |u AS (
+         |  SELECT t.n AS n, t.m AS m,
+         |    t.n * SUM(c.cx * (2 * c.ayb + c.cy) * (2 * c.ayb + c.cy))
+         |    + t.m * SUM(c.cy * (2 * c.axb + c.cx) * (2 * c.axb + c.cx))
+         |      AS u4
+         |  FROM c, t GROUP BY t.n, t.m)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+         |  CAST(u4 AS BIGINT) AS u4,
+         |  ROUND(CAST(u4 AS DOUBLE) / (4.0 * n * m * (n + m))
+         |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS t,
+         |  ROUND(CAST(u4 AS DOUBLE) / (4.0 * n * m * (n + m))
+         |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) > 0.347
+         |    AS reject_10pct,
+         |  ROUND(CAST(u4 AS DOUBLE) / (4.0 * n * m * (n + m))
+         |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) > 0.461
+         |    AS reject_5pct
+         |FROM u""".stripMargin,
+
+    "q304_conformal" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${TextAnalysis.md5IntSql("'cf:' || CAST(doc_id AS VARCHAR)")}
+         |      % 4 AS h
+         |  FROM documents),
+         |fit AS (
+         |  SELECT lang, COUNT(*) AS n_fit,
+         |    CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+         |      AS DECIMAL(14,6)) AS yhat
+         |  FROM base WHERE h <= 1 GROUP BY 1),
+         |rg AS (
+         |  SELECT CAST(ABS(CAST(b.n_chars AS DECIMAL(14,6)) - f.yhat)
+         |      AS DECIMAL(14,6)) AS r, COUNT(*) AS c
+         |  FROM base b JOIN fit f ON f.lang = b.lang
+         |  WHERE b.h = 2 GROUP BY 1),
+         |k AS (
+         |  SELECT SUM(c) AS ncal,
+         |    CAST(CEIL((SUM(c) + 1) * 0.9) AS BIGINT) AS k FROM rg),
+         |cum AS (SELECT r, SUM(c) OVER (ORDER BY r) AS cc FROM rg),
+         |q AS (SELECT MIN(cum.r) AS qhat FROM cum, k WHERE cum.cc >= k.k),
+         |cov AS (
+         |  SELECT COUNT(*) AS n_test,
+         |    SUM(CASE WHEN ABS(CAST(b.n_chars AS DECIMAL(14,6)) - f.yhat)
+         |      <= q.qhat THEN 1 ELSE 0 END) AS n_covered
+         |  FROM base b JOIN fit f ON f.lang = b.lang, q
+         |  WHERE b.h = 3)
+         |SELECT f.lang, CAST(f.n_fit AS BIGINT) AS n_fit,
+         |  CAST(f.yhat AS DOUBLE) AS yhat,
+         |  CAST(k.ncal AS BIGINT) AS n_cal,
+         |  CAST(cov.n_test AS BIGINT) AS n_test,
+         |  CAST(cov.n_covered AS BIGINT) AS n_covered,
+         |  CAST(q.qhat AS DOUBLE) AS qhat,
+         |  ROUND(CAST(cov.n_covered AS DOUBLE) / cov.n_test, 6) AS coverage
+         |FROM fit f, k, q, cov ORDER BY f.lang""".stripMargin,
+
+    "q305_sprt" -> {
+      val la = "CAST(ROUND(1000000 * LN(0.22 / 0.18), 0) AS BIGINT)"
+      val lb = "CAST(ROUND(1000000 * LN(0.78 / 0.82), 0) AS BIGINT)"
+      val ua = "CAST(ROUND(1000000 * LN(0.95 / 0.05), 0) AS BIGINT)"
+      s"""WITH daily AS (
+         |  SELECT epoch_ns(ts)//1000 // 86400000000 AS day,
+         |    COUNT(*) AS n,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT day, n, x,
+         |    SUM(x * $la + (n - x) * $lb) OVER (ORDER BY day) AS cum
+         |  FROM daily),
+         |f AS (
+         |  SELECT MIN(day) AS fday FROM c
+         |  WHERE cum >= $ua OR cum <= -($ua))
+         |SELECT c.day, CAST(c.n AS BIGINT) AS n, CAST(c.x AS BIGINT) AS x,
+         |  ROUND(CAST(c.cum AS DOUBLE) / 1000000.0, 6) AS cum_llr,
+         |  CASE WHEN f.fday IS NOT NULL AND c.day > f.fday THEN 'decided'
+         |    WHEN c.cum >= $ua THEN 'accept_h1'
+         |    WHEN c.cum <= -($ua) THEN 'accept_h0'
+         |    ELSE 'continue' END AS state
+         |FROM c, f ORDER BY c.day""".stripMargin
+    },
 
     "q300_eb_shrinkage" ->
       s"""WITH src AS (

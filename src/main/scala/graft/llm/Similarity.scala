@@ -60,6 +60,65 @@ object Similarity extends QueryModule {
       yield s"($j,$i,${jlPlanes(j)(i)})").mkString(",")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    // Goldstein 1998) — the diversity-aware selection every RAG
+    // retriever runs AFTER first-stage recall: greedily pick the
+    // candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+    // (λ=0.7, k=5). The candidate POOL is a constant of the operator
+    // (the 60-vector shortlist a first-stage ANN already paid for —
+    // q43/q197's output), so the rel (3×60) and pairwise-sim (60×59)
+    // cosine tables are pool-bounded at ANY corpus scale: both come
+    // from the broadcast exact kernel, are 6dp-rounded ONCE, and the
+    // k-step greedy runs on the driver over those settled decimals
+    // (A13's driver-iteration argument: model-sized state, ≤64-row
+    // result) with score = round6(0.7·rc − 0.3·maxsim) and cid
+    // tiebreak — bit-matched by the oracle's 5 unrolled step-CTEs.
+    "q301_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cand = emb.filter(col("vec_id") < 70 &&
+        (col("vec_id") < 3 || col("vec_id") >= 10))
+      val rel = CosineKernel.pairCosines(s, cand, col("vec_id") < 3,
+          antisymmetric = false)
+        .filter(col("cid") >= 10)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("rc"))
+        .as[(Long, Long, Double)].collect()
+      val pool = emb.filter(col("vec_id") >= 10 && col("vec_id") < 70)
+      val sim = CosineKernel.pairCosines(s, pool, lit(true),
+          antisymmetric = false)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("sc"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => ((a, b), c) }.toMap
+      // EXACT tenth-micro integer score: 0.7·rc − 0.3·ms over 6dp
+      // operands is a 7dp decimal that REALLY lands on .5-microunit
+      // midpoints (a 1-in-10 event, observed at sf0.001), where
+      // double-round engines disagree — so the greedy ranks on
+      // s10 = 7·rc_micro − 3·ms_micro and rounds half-away in pure
+      // integer arithmetic, bit-matched by the oracle's CASE/DIV
+      def micro(x: Double): Long = math.round(x * 1e6)
+      def halfAway(s10: Long): Long =
+        if (s10 >= 0) (s10 + 5) / 10 else -((-s10 + 5) / 10)
+      val rows = rel.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        val rc = rs.map(r => r._2 -> r._3).toMap
+        var selected = Vector.empty[(Int, Long, Double, Double)]
+        for (step <- 1 to 5) {
+          val picked = selected.map(_._2)
+          val best = rc.keysIterator.filterNot(picked.contains).map { c =>
+            val msm = if (picked.isEmpty) 0L
+              else picked.map(sx => micro(sim((sx, c)))).max
+            (halfAway(7L * micro(rc(c)) - 3L * msm), c)
+          }.maxBy { case (sm, c) => (sm, -c) } // score desc, cid asc
+          selected :+= ((step, best._2, rc(best._2),
+            best._1.toDouble / 1000000.0))
+        }
+        selected.map { case (st, c, r, sc) => (qid, st, c, r, sc) }
+      }.sortBy(r => (r._1, r._2))
+      s.createDataFrame(rows)
+        .toDF("qid", "step", "cid", "relevance", "mmr_score")
+        .orderBy(col("qid"), col("step"))
+    }),
+
     // Mutual nearest neighbors: pairs where each vector is the OTHER's
     // top-1 — the reciprocal-best-match filter alignment and semantic-
     // dedup pipelines use because one-directional top-1 is hub-polluted
@@ -902,7 +961,91 @@ object Similarity extends QueryModule {
     s
   }
 
+  /** q301's twin: the greedy MMR unrolled as 5 generated step-CTEs
+    * (q288's generated-oracle convention) — each step ranks
+    * round6(0.7·rc − 0.3·greatest(sim to picks)) with cid tiebreak.
+    */
+  private def mmrOracleSql: String = {
+    val steps = (1 to 5).map { i =>
+      val prior = (1 until i).map(j => s"c$j")
+      val carry = (1 until i)
+        .flatMap(j => Seq(s"c$j", s"r$j", s"s$j")).mkString(", ")
+      // exact tenth-micro score, half-away integer rounding (see the
+      // engine-side rationale: 7dp midpoints are real here)
+      def scoreExpr(msm: String) =
+        s"""CASE WHEN 7 * r.rcm - 3 * $msm >= 0
+           |      THEN (7 * r.rcm - 3 * $msm + 5) // 10
+           |      ELSE -((-(7 * r.rcm - 3 * $msm) + 5) // 10) END""".stripMargin
+      val sc =
+        if (i == 1)
+          s"""sc1 AS (
+             |  SELECT r.qid, r.cid, r.rc,
+             |    ${scoreExpr("0").replace("r.rcm", "r.rcm")} AS score
+             |  FROM rel r)""".stripMargin
+        else {
+          val joins = prior.map(c =>
+            s"JOIN sim j$c ON j$c.sa = r.cid AND j$c.sb = p.$c").mkString("\n  ")
+          val ms =
+            if (prior.size == 1) s"jc1.scm"
+            else s"GREATEST(${prior.map(c => s"j$c.scm").mkString(", ")})"
+          val notIn = prior.map(c => s"r.cid <> p.$c").mkString(" AND ")
+          s"""sc$i AS (
+             |  SELECT r.qid, r.cid, r.rc, $carry,
+             |    ${scoreExpr(ms)} AS score
+             |  FROM rel r JOIN p${i - 1} p ON p.qid = r.qid
+             |  $joins
+             |  WHERE $notIn)""".stripMargin
+        }
+      val carryOut = if (carry.isEmpty) "" else s"$carry, "
+      val p =
+        s"""p$i AS (
+           |  SELECT qid, ${carryOut}cid AS c$i, rc AS r$i, score AS s$i
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |          ORDER BY score DESC, cid ASC) AS rn FROM sc$i)
+           |  WHERE rn = 1)""".stripMargin
+      s"$sc,\n$p"
+    }.mkString(",\n")
+    val out = (1 to 5).map(i =>
+      s"""SELECT qid, CAST($i AS INT) AS step, c$i AS cid,
+         |  r$i AS relevance,
+         |  CAST(s$i AS DOUBLE) / 1000000.0 AS mmr_score FROM p5""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt((SELECT SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+       |          FROM (SELECT unnest(embedding) AS u) z)) AS nrm
+       |  FROM embeddings
+       |  WHERE vec_id < 70 AND (vec_id < 3 OR vec_id >= 10)),
+       |rel0 AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+       |           FROM (SELECT unnest(a.embedding) AS ua,
+       |                        unnest(b.embedding) AS ub) z)
+       |      / (a.nrm * b.nrm), 6) AS rc
+       |  FROM n a, n b WHERE a.vec_id < 3 AND b.vec_id >= 10),
+       |rel AS (
+       |  SELECT qid, cid, rc,
+       |    CAST(ROUND(rc * 1000000, 0) AS BIGINT) AS rcm FROM rel0),
+       |sim0 AS (
+       |  SELECT a.vec_id AS sa, b.vec_id AS sb,
+       |    ROUND((SELECT SUM(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+       |           FROM (SELECT unnest(a.embedding) AS ua,
+       |                        unnest(b.embedding) AS ub) z)
+       |      / (a.nrm * b.nrm), 6) AS sc
+       |  FROM n a, n b
+       |  WHERE a.vec_id >= 10 AND b.vec_id >= 10
+       |    AND a.vec_id <> b.vec_id),
+       |sim AS (
+       |  SELECT sa, sb,
+       |    CAST(ROUND(sc * 1000000, 0) AS BIGINT) AS scm FROM sim0),
+       |$steps
+       |$out
+       |ORDER BY qid, step""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q301_mmr_rerank" -> mmrOracleSql,
+
     // q249: q32's pairwise-cosine CTE over the 40-vector pool, top-1
     // per qid with the same round-before-rank rule, then the mutual
     // self-join

@@ -394,6 +394,46 @@ object StreamQueries extends QueryModule {
         .orderBy(col("bin"))
     }),
 
+    // Streaming CUSUM changepoint monitor under replay — q251's
+    // integer CUSUM LIVE: the production shape for watching ingest
+    // volume for level shifts as the stream runs. In-stream state is
+    // the per-(type, day) count ledger (q274's integer discipline —
+    // exact, complete mode, batch-slicing-invariant by count
+    // commutativity); the ORDER-dependent part of CUSUM (the
+    // cumulative max/alarm scan) runs on the batch sink over the
+    // calendar-bounded day grid with q251's exact-integer fold, so
+    // the alarm day is bit-identical to the batch twin however the
+    // stream was sliced into micro-batches.
+    "q303_stream_cusum_replay" -> ((s, d) => {
+      val sink = replay(s, d) { stream =>
+        stream
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      sink.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+            .as("arr"),
+          count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
+        .withColumn("k", expr("tot DIV n_days"))
+        .withColumn("fold", expr(
+          """aggregate(arr,
+            |  named_struct('s', 0L, 'smax', 0L, 'alarm', -1L),
+            |  (acc, x) -> named_struct(
+            |    's', greatest(0L, acc.s + x.cnt - k),
+            |    'smax', greatest(acc.smax,
+            |      greatest(0L, acc.s + x.cnt - k)),
+            |    'alarm', CASE WHEN acc.alarm >= 0L THEN acc.alarm
+            |      WHEN greatest(0L, acc.s + x.cnt - k) > 3 * k THEN x.day
+            |      ELSE -1L END),
+            |  acc -> acc)""".stripMargin))
+        .select(col("event_type"), col("n_days").cast("int").as("n_days"),
+          col("k"), col("fold.smax").as("max_cusum"),
+          when(col("fold.alarm") === -1L, lit(null).cast("long"))
+            .otherwise(col("fold.alarm")).as("alarm_day"))
+        .orderBy(col("event_type"))
+    }),
+
     "q274_stream_topk_replay" -> ((s, d) => {
       val sink = replay(s, d) { stream =>
         stream.groupBy(col("event_type"), col("user_id"))
@@ -861,6 +901,42 @@ object StreamQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // q303: the in-stream ledger is the exact (type, day) count, so
+    // the batch twin is q251's recursive CUSUM over the same grid
+    "q303_stream_cusum_replay" ->
+      """WITH RECURSIVE dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM dc),
+        |kh AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(cnt) // COUNT(*) AS k
+        |  FROM dc GROUP BY 1),
+        |r AS (
+        |  SELECT kh.event_type, 0 AS i, CAST(0 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS smax, CAST(NULL AS BIGINT) AS alarm
+        |  FROM kh
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    GREATEST(0, r.s + idx.cnt - kh.k),
+        |    GREATEST(r.smax, GREATEST(0, r.s + idx.cnt - kh.k)),
+        |    COALESCE(r.alarm,
+        |      CASE WHEN GREATEST(0, r.s + idx.cnt - kh.k) > 3 * kh.k
+        |           THEN idx.day END)
+        |  FROM r
+        |  JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+        |  JOIN kh ON kh.event_type = r.event_type)
+        |SELECT kh.event_type, CAST(kh.n_days AS INT) AS n_days,
+        |  CAST(kh.k AS BIGINT) AS k, r.smax AS max_cusum,
+        |  r.alarm AS alarm_day
+        |FROM r JOIN kh ON kh.event_type = r.event_type
+        |  AND r.i = kh.n_days
+        |ORDER BY kh.event_type""".stripMargin,
+
     // q289: the in-stream ledger is exact integers per bin, so the
     // batch twin is q282's arithmetic over the same derivation
     "q289_stream_ece_replay" ->

@@ -98,6 +98,96 @@ class InferenceOpsSpec extends SparkSpec {
       s"var_neyman ${r0.getDouble(5)} > var_prop ${r0.getDouble(6)}")
   }
 
+  test("q301: the engine's greedy MMR selection matches an independent " +
+    "Scala replay from the raw embeddings") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pool = emb.keys.filter(v => v >= 10 && v < 70).toSeq.sorted
+    val expected = (0L until 3L).flatMap { qid =>
+      var picked = Vector.empty[Long]
+      (1 to 5).map { step =>
+        val best = pool.filterNot(picked.contains).map { c =>
+          val msm = if (picked.isEmpty) 0L
+            else picked.map(sx => math.round(r6(cos(sx, c)) * 1e6)).max
+          val s10 = 7L * math.round(r6(cos(qid, c)) * 1e6) - 3L * msm
+          val sm = if (s10 >= 0) (s10 + 5) / 10 else -((-s10 + 5) / 10)
+          (sm, c)
+        }.maxBy { case (sm, c) => (sm, -c) }
+        picked :+= best._2
+        (qid, step, best._2)
+      }
+    }.toSet
+    val got = q("q301_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected, s"engine picks $got vs reference $expected")
+  }
+
+  test("q302: the exact-integer CvM statistic matches an unrounded " +
+    "double recomputation from raw lengths") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val xs = docs.filter(d => (d._1 / 20) % 2 == 0).map(_._2.toDouble).sorted
+    val ys = docs.filter(d => (d._1 / 20) % 2 == 1).map(_._2.toDouble).sorted
+    val all = (xs ++ ys).sorted
+    def midrank(v: Double): Double = {
+      val lo = all.count(_ < v); val c = all.count(_ == v)
+      lo + (c + 1) / 2.0
+    }
+    def ownMid(arr: Array[Double], v: Double): Double = {
+      val lo = arr.count(_ < v); val c = arr.count(_ == v)
+      lo + (c + 1) / 2.0
+    }
+    val n = xs.length.toDouble; val m = ys.length.toDouble
+    val u = n * xs.map(v => math.pow(midrank(v) - ownMid(xs, v), 2)).sum +
+      m * ys.map(v => math.pow(midrank(v) - ownMid(ys, v), 2)).sum
+    val tExp = u / (n * m * (n + m)) - (4 * n * m - 1) / (6 * (n + m))
+    val row = q("q302_cvm_test").collect().head
+    assert(row.getLong(0) == xs.length && row.getLong(1) == ys.length)
+    assert(math.abs(row.getDouble(3) - tExp) < 1e-6,
+      s"engine T ${row.getDouble(3)} vs reference $tExp")
+  }
+
+  test("q304: conformal q-hat is the smallest residual covering the " +
+    "target calibration mass, and coverage is audited on held-out docs") {
+    val row = q("q304_conformal").collect().head
+    val nCal = row.getLong(3); val k = math.ceil((nCal + 1) * 0.9).toLong
+    assert(k <= nCal + 1)
+    val cov = row.getDouble(7)
+    assert(cov >= 0.0 && cov <= 1.0)
+    assert(row.getLong(5) <= row.getLong(4), "covered ≤ tested")
+    // the guarantee is marginal (in expectation); the fixture audit
+    // should land in a sane band around 90%
+    assert(cov > 0.6, s"coverage $cov implausibly low for α=0.1")
+  }
+
+  test("q305: the SPRT ledger is the running sum of per-day exact " +
+    "increments and the state labels freeze after the first crossing") {
+    val rows = q("q305_sprt").collect() // ordered by day
+    val la = math.round(1e6 * math.log(0.22 / 0.18))
+    val lb = math.round(1e6 * math.log(0.78 / 0.82))
+    val ua = math.round(1e6 * math.log(0.95 / 0.05))
+    var cum = 0L
+    var decided = false
+    rows.foreach { r =>
+      cum += r.getLong(1) * lb + r.getLong(2) * (la - lb)
+      assert(math.abs(r.getDouble(3) - cum / 1e6) < 1e-6, "ledger drift")
+      val st = r.getString(4)
+      if (decided) assert(st == "decided")
+      else if (cum >= ua) { assert(st == "accept_h1"); decided = true }
+      else if (cum <= -ua) { assert(st == "accept_h0"); decided = true }
+      else assert(st == "continue")
+    }
+  }
+
   test("q300: every shrunk rate lies between its raw rate and the " +
     "prior mean, strictly closer to the prior for smaller strata") {
     val rows = q("q300_eb_shrinkage").collect()

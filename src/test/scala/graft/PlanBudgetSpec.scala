@@ -57,7 +57,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q296_cmh_test",            // 1-row χ²/OR verdict broadcast onto the strata grid
     "q298_cv_folds",            // 1-row totals + 1-row cv-Brier broadcasts onto 5 folds
     "q299_neyman_allocation",   // 1-row design-variance broadcast onto the strata grid
-    "q300_eb_shrinkage")        // 1-row MoM-prior broadcast onto the strata grid
+    "q300_eb_shrinkage",        // 1-row MoM-prior broadcast onto the strata grid
+    "q304_conformal")           // 1-row q̂/coverage scalar broadcasts onto the lang grid
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -75,7 +76,7 @@ class PlanBudgetSpec extends SparkSpec {
     "q214_stream_full_outer_join_replay", "q216_stream_semi_join_replay",
     "q220_stream_sketch_replay", "q274_stream_topk_replay",
     "q177_stream_late_audit", "q178_stream_tws_replay",
-    "q289_stream_ece_replay",
+    "q289_stream_ece_replay", "q303_stream_cusum_replay",
     "q182_stream_static_enrich", "q196_stream_reservoir",
     "q107_catalog_ddl", "q77_csv_roundtrip",
     "q122_orc_roundtrip", "q123_jsonl_roundtrip",

@@ -413,6 +413,279 @@ object InferenceOps extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Importance-weighted AUC under covariate shift (Sugiyama et al.
+    // 2007's density-ratio reweighting applied to ranking evaluation):
+    // the labeled REF carve (even doc_id) evaluates the q229 score,
+    // but the deployment target is the CUR carve — so every ref doc
+    // is reweighted by its score-bucket's density ratio
+    // (n_cur+0.5)/(n_ref+0.5), quantized ONCE to micro-units, and the
+    // weighted Mann–Whitney runs in EXACT integer mass (wp = np·w_µ)
+    // through q229's doubled-tie fold with DECIMAL(38,0) accumulators
+    // — one division at the end. Plain AUC rides along so the shift
+    // correction is visible. One corpus pass to the score grid.
+    "q308_shift_weighted_auc" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0) // zero-token guard (q229's rationale)
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab",
+          when(array_contains(ts, "dup"), 1L).otherwise(0L))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lab"), (col("doc_id") % 2 === 0).as("is_ref"))
+      val g = base.groupBy(col("sm")).agg(
+          sum(when(col("is_ref") && col("lab") === 1, 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("is_ref") && col("lab") === 0, 1L).otherwise(0L))
+            .as("nn"),
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref_s"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur_s"))
+        .localCheckpoint() // score-grid-bounded; one corpus pass
+      val buckets = g.groupBy(expr("sm DIV 100").cast("int").as("bucket"))
+        .agg(sum(col("n_ref_s")).as("n_ref"), sum(col("n_cur_s")).as("n_cur"))
+        .withColumn("wm", expr(
+          """CAST(ROUND(1000000 * (n_cur + 0.5) / (n_ref + 0.5), 0)
+            |  AS BIGINT)""".stripMargin))
+      val folded = g
+        .join(broadcast(buckets.select(col("bucket"), col("wm"))),
+          expr("CAST(sm DIV 100 AS INT)") === col("bucket"))
+        .select(col("sm"), col("np"), col("nn"), col("wm"))
+        .agg(sort_array(collect_list(
+            struct(col("sm"), col("np"), col("nn"), col("wm")))).as("bs"),
+          sum(col("np")).as("tp"), sum(col("nn")).as("tn"),
+          sum(expr("np * wm")).as("wp_tot"),
+          sum(expr("nn * wm")).as("wn_tot"))
+        .withColumn("plain2", expr(
+          """aggregate(bs, named_struct('cum', 0L, 'num', 0L),
+            |  (a, x) -> named_struct('cum', a.cum + x.nn,
+            |    'num', a.num + x.np * (2 * a.cum + x.nn)), a -> a.num)"""
+            .stripMargin))
+        .withColumn("shift2", expr(
+          """aggregate(bs,
+            |  named_struct('cum', CAST(0 AS DECIMAL(38,0)),
+            |    'num', CAST(0 AS DECIMAL(38,0))),
+            |  (a, x) -> named_struct(
+            |    'cum', CAST(a.cum + x.nn * x.wm AS DECIMAL(38,0)),
+            |    'num', CAST(a.num + CAST(x.np * x.wm AS DECIMAL(38,0))
+            |      * (2 * a.cum + x.nn * x.wm) AS DECIMAL(38,0))),
+            |  a -> a.num)""".stripMargin))
+        .select(
+          round(col("plain2").cast("double") /
+            (lit(2.0) * col("tp") * col("tn")), 6).as("auc_plain"),
+          round(col("shift2").cast("double") /
+            (lit(2.0) * col("wp_tot").cast("double") * col("wn_tot")
+              .cast("double")), 6).as("auc_shifted"))
+      buckets
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round(col("wm").cast("double") / 1e6, 6).as("weight"))
+        .crossJoin(broadcast(folded))
+        .orderBy(col("bucket"))
+    }),
+
+    // Token-budget mixture WATER-FILLING (the deterministic core of
+    // source-mixture tuning à la DoReMi/data-mixing: hit a TARGET
+    // language mix under per-language supply caps): per-lang token
+    // capacities from one corpus pass, target shares as micro-unit
+    // constants, budget = 60% of the corpus. Langs process in
+    // exact-rational c/t order (cross-multiplied compares, never a
+    // float ratio); a lang whose proportional share ≥ its capacity is
+    // capped at supply and the remainder re-levels over the rest —
+    // the classic water-fill, decided entirely in BIGINT cross
+    // products; the final uncapped distribution is q299's Hamilton
+    // largest-remainder, so allocations sum to the budget EXACTLY.
+    // The |langs|-row fill runs on the driver over collected exact
+    // longs (A13's model-state argument; ≤64-row result) and is
+    // bit-matched by the oracle's recursive-CTE replay.
+    "q309_mixture_waterfill" -> ((s, d) => {
+      import s.implicits._
+      val targets = Map("en" -> 300000L, "zh" -> 250000L, "es" -> 200000L,
+        "de" -> 150000L, "fr" -> 100000L)
+      val caps = Tables.documents(s, d)
+        .select(col("lang"), size(TextAnalysis.tokens(col("text")))
+          .cast("long").as("tok"))
+        .groupBy(col("lang")).agg(sum(col("tok")).as("cap"))
+        .as[(String, Long)].collect().toMap
+      val total = caps.values.sum
+      val budget = 6L * total / 10L
+      // ratio order: c/t asc via the exact integer surrogate
+      // (cap·10⁹ DIV target) with lang tiebreak — the same key the
+      // recursive oracle sorts on, so near-equal rationals can never
+      // order differently across engines
+      val order = caps.keys.toSeq
+        .sortBy(l => ((caps(l) * 1000000000L) / targets(l), l))
+      var remB = budget
+      var remT = order.map(targets).sum
+      var capped = Map.empty[String, Long]
+      var uncapped = order
+      var done = false
+      for (l <- order if !done) {
+        // provisional share ≥ capacity ⇔ remB·t_l ≥ c_l·remT
+        if (remB * targets(l) >= caps(l) * remT) {
+          capped += l -> caps(l); remB -= caps(l); remT -= targets(l)
+          uncapped = uncapped.filterNot(_ == l)
+        } else done = true // ratio order: all later langs fit too
+      }
+      // Hamilton largest-remainder over the uncapped suffix
+      val tSum = uncapped.map(targets).sum
+      val baseRem = uncapped.map { l =>
+        (l, (remB * targets(l)) / tSum, (remB * targets(l)) % tSum)
+      }
+      val leftover = remB - baseRem.map(_._2).sum
+      val plusOne = baseRem.sortBy { case (l, _, r) => (-r, l) }
+        .take(leftover.toInt).map(_._1).toSet
+      val alloc = capped ++ baseRem.map { case (l, b, _) =>
+        l -> (b + (if (plusOne(l)) 1L else 0L)) }.toMap
+      val rows = caps.keys.toSeq.sorted.map { l =>
+        (l, caps(l), targets(l), alloc(l), capped.contains(l),
+          math.round(1e6 * alloc(l).toDouble / budget) / 1e6.toDouble)
+      }
+      s.createDataFrame(rows)
+        .toDF("lang", "cap_tokens", "target_micro", "alloc_tokens",
+          "capped", "realized_share")
+        .orderBy(col("lang"))
+    }),
+
+    // Hampel outlier filter (Hampel 1974; Pearson 2002's recommended
+    // robust despiker) over the per-type daily counts — the
+    // median/MAD sibling of q251's CUSUM (CUSUM finds LEVEL SHIFTS;
+    // Hampel flags individual spikes without letting the spike
+    // contaminate its own baseline the way a mean/stddev window
+    // does). Centered 7-day windows, full windows only (odd count ⇒
+    // the median and the MAD are EXACT INTEGERS), flag when
+    // |x − med| > 3·MAD — the entire query is integer arithmetic on
+    // the calendar-bounded grid: one corpus pass to (type, day)
+    // counts, per-type array fold with sorted 7-slices.
+    "q310_hampel_filter" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("cnt"))))
+          .as("a"), count(lit(1)).as("n"))
+        .filter(col("n") >= 7)
+        .select(col("event_type"), posexplode(expr(
+          """transform(sequence(4, cast(n as int) - 3), i ->
+            |  named_struct(
+            |    'day', element_at(a, i).day,
+            |    'cnt', element_at(a, i).cnt,
+            |    'med', element_at(array_sort(transform(
+            |      slice(a, i - 3, 7), x -> x.cnt)), 4),
+            |    'mad', element_at(array_sort(transform(
+            |      slice(a, i - 3, 7), x -> abs(x.cnt -
+            |        element_at(array_sort(transform(
+            |          slice(a, i - 3, 7), y -> y.cnt)), 4)))), 4)))"""
+            .stripMargin)))
+        .select(col("event_type"), col("col.day").as("day"),
+          col("col.cnt").as("cnt"), col("col.med").as("med"),
+          col("col.mad").as("mad"),
+          (abs(col("col.cnt") - col("col.med")) > lit(3) * col("col.mad"))
+            .as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Chapman capture–recapture estimate (Chapman 1951; Lincoln–
+    // Petersen with small-sample correction) of the TOTAL duplicate
+    // mass from two independent weak detectors — the "how many dups
+    // did we MISS" answer no single detector gives: detector A flags
+    // the weak token label, detector B flags exact-fingerprint
+    // collisions (q35's md5 construction); treating them as two
+    // captures, N̂ = (nA+1)(nB+1)/(m+1) − 1 estimates the full dup
+    // population from the overlap m. One corpus pass for the flags +
+    // one fp-keyed shuffle for B's collision counts; the estimator,
+    // its Seber variance and the 95% CI are single double expressions
+    // of exact counts — CI endpoints computed from the ROUNDED
+    // estimate and SE so both engines assemble identical bounds.
+    "q306_capture_recapture" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), dupLab.as("a"), md5(col("text")).as("fp"))
+      val fpc = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      val flags = base.join(fpc, "fp")
+        .select(col("a"),
+          when(col("c") > 1, 1L).otherwise(0L).as("b"))
+      flags.agg(count(lit(1)).as("n_docs"),
+          sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          sum(col("a") * col("b")).as("n_both"),
+          sum(greatest(col("a"), col("b"))).as("n_any"))
+        .withColumn("chapman_est", expr(
+          """ROUND((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1,
+            |  6)""".stripMargin))
+        .withColumn("se", expr(
+          """ROUND(SQRT(CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+            |  * (n_a - n_both) * (n_b - n_both)
+            |  / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1)
+            |     * (n_both + 2))), 6)""".stripMargin))
+        .withColumn("ci_lo", expr("ROUND(chapman_est - 1.96 * se, 6)"))
+        .withColumn("ci_hi", expr("ROUND(chapman_est + 1.96 * se, 6)"))
+    }),
+
+    // RFM (recency / frequency / monetary) quintile segmentation
+    // (Hughes 1994) — the classic user-value grid a growth pipeline
+    // materializes per refresh: per purchasing user, days-since-last-
+    // purchase, purchase count, exact cents total, each coded 1–5 by
+    // EXACT quintile thresholds (ascending-value codes; R=1 is the
+    // most recent). Two-phase ranking discipline throughout: ONE
+    // corpus pass to the per-user table (localCheckpointed,
+    // user-bounded), each dimension's thresholds come from a
+    // value-grid cumulative fold (t_k = smallest value with cum ≥
+    // ⌈k·n/5⌉, ceiling in pure integer (k·n+4) DIV 5), codes are
+    // integer compares against the settled thresholds, and the
+    // output is the ≤125-cell segment grid — no partition-less
+    // window anywhere.
+    "q307_rfm_segments" -> ((s, d) => {
+      val purchases = Tables.eventsUs(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      val lastDay = purchases.agg(max(col("day")).as("last_day"))
+      val users = purchases.groupBy(col("user_id"))
+        .agg(max(col("day")).as("max_day"), count(lit(1)).as("f"),
+          sum(col("cents")).as("mon"))
+        .crossJoin(broadcast(lastDay))
+        .withColumn("rec", col("last_day") - col("max_day"))
+        .select(col("user_id"), col("rec"), col("f"), col("mon"))
+        .localCheckpoint() // user-bounded; one corpus pass total
+      def thresholds(dim: String) = users
+        .groupBy(col(dim).as("v")).agg(count(lit(1)).as("c"))
+        .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("a"),
+          sum(col("c")).as("n"))
+        .select(expr(
+          """transform(sequence(1, 4), k ->
+            |  aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS BIGINT)),
+            |    (acc, x) -> named_struct(
+            |      'cum', acc.cum + x.c,
+            |      'q', CASE WHEN acc.q IS NULL
+            |        AND acc.cum + x.c >= (k * n + 4) DIV 5
+            |        THEN x.v ELSE acc.q END),
+            |    acc -> acc.q))""".stripMargin).as(s"t_$dim"))
+      val coded = users
+        .crossJoin(broadcast(thresholds("rec")))
+        .crossJoin(broadcast(thresholds("f")))
+        .crossJoin(broadcast(thresholds("mon")))
+        .select(col("mon"),
+          expr("""1 + IF(rec > element_at(t_rec, 1), 1, 0)
+            |  + IF(rec > element_at(t_rec, 2), 1, 0)
+            |  + IF(rec > element_at(t_rec, 3), 1, 0)
+            |  + IF(rec > element_at(t_rec, 4), 1, 0)""".stripMargin)
+            .cast("int").as("r_code"),
+          expr("""1 + IF(f > element_at(t_f, 1), 1, 0)
+            |  + IF(f > element_at(t_f, 2), 1, 0)
+            |  + IF(f > element_at(t_f, 3), 1, 0)
+            |  + IF(f > element_at(t_f, 4), 1, 0)""".stripMargin)
+            .cast("int").as("f_code"),
+          expr("""1 + IF(mon > element_at(t_mon, 1), 1, 0)
+            |  + IF(mon > element_at(t_mon, 2), 1, 0)
+            |  + IF(mon > element_at(t_mon, 3), 1, 0)
+            |  + IF(mon > element_at(t_mon, 4), 1, 0)""".stripMargin)
+            .cast("int").as("m_code"))
+      coded.groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("mon")).cast("double") / count(lit(1)) / 100.0, 6)
+            .as("avg_monetary"))
+        .orderBy(col("r_code"), col("f_code"), col("m_code"))
+    }),
+
     // Empirical-Bayes beta-binomial shrinkage of per-source dup rates
     // (Robbins 1956; the Morris 1983 small-area posture): a 25-doc
     // source's raw rate overreacts to one bad draw — shrink toward
@@ -627,6 +900,214 @@ object InferenceOps extends QueryModule {
          |  v.var_neyman, v.var_prop
          |FROM w JOIN fin f ON f.source = w.source, vars v
          |ORDER BY w.source""".stripMargin,
+
+    "q308_shift_weighted_auc" ->
+      s"""WITH base AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> list_contains(['the','a','of','and','to','in','is'], t)))
+         |      AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab,
+         |    doc_id % 2 = 0 AS is_ref
+         |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS ts
+         |        FROM documents) z
+         |  WHERE len(ts) > 0),
+         |g AS (
+         |  SELECT sm,
+         |    SUM(CASE WHEN is_ref AND lab = 1 THEN 1 ELSE 0 END) AS np,
+         |    SUM(CASE WHEN is_ref AND lab = 0 THEN 1 ELSE 0 END) AS nn,
+         |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref_s,
+         |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur_s
+         |  FROM base GROUP BY 1),
+         |bk AS (
+         |  SELECT CAST(sm // 100 AS INT) AS bucket,
+         |    SUM(n_ref_s) AS n_ref, SUM(n_cur_s) AS n_cur,
+         |    CAST(ROUND(1000000 * (SUM(n_cur_s) + 0.5)
+         |      / (SUM(n_ref_s) + 0.5), 0) AS BIGINT) AS wm
+         |  FROM g GROUP BY 1),
+         |j AS (
+         |  SELECT g.sm, g.np, g.nn, bk.wm
+         |  FROM g JOIN bk ON bk.bucket = CAST(g.sm // 100 AS INT)),
+         |tot AS (
+         |  SELECT SUM(np) AS tp, SUM(nn) AS tn,
+         |    SUM(np * wm) AS wp, SUM(nn * wm) AS wn FROM j),
+         |c AS (
+         |  SELECT sm, np, nn, wm,
+         |    SUM(nn) OVER (ORDER BY sm) - nn AS cumn,
+         |    SUM(nn * wm) OVER (ORDER BY sm) - nn * wm AS cumwn
+         |  FROM j),
+         |a AS (
+         |  SELECT SUM(np * (2 * cumn + nn)) AS p2,
+         |    SUM(CAST(np * wm AS HUGEINT) * (2 * cumwn + nn * wm)) AS s2
+         |  FROM c),
+         |gl AS (
+         |  SELECT ROUND(CAST(a.p2 AS DOUBLE) / (2.0 * tot.tp * tot.tn), 6)
+         |      AS auc_plain,
+         |    ROUND(CAST(a.s2 AS DOUBLE)
+         |      / (2.0 * CAST(tot.wp AS DOUBLE) * CAST(tot.wn AS DOUBLE)), 6)
+         |      AS auc_shifted
+         |  FROM a, tot)
+         |SELECT bk.bucket, CAST(bk.n_ref AS BIGINT) AS n_ref,
+         |  CAST(bk.n_cur AS BIGINT) AS n_cur,
+         |  ROUND(CAST(bk.wm AS DOUBLE) / 1000000.0, 6) AS weight,
+         |  gl.auc_plain, gl.auc_shifted
+         |FROM bk, gl ORDER BY bk.bucket""".stripMargin,
+
+    // q309: the water-fill replayed as a recursive CTE in the same
+    // exact integer surrogate order, then q299's Hamilton rank
+    "q309_mixture_waterfill" ->
+      s"""WITH RECURSIVE caps AS (
+         |  SELECT lang, SUM(CAST(len(${TextAnalysis.tokensSql}) AS BIGINT))
+         |    AS cap
+         |  FROM documents GROUP BY 1),
+         |tgt(lang, t) AS (VALUES ('en', 300000), ('zh', 250000),
+         |  ('es', 200000), ('de', 150000), ('fr', 100000)),
+         |j AS (SELECT c.lang, c.cap, CAST(tgt.t AS BIGINT) AS t
+         |      FROM caps c JOIN tgt ON tgt.lang = c.lang),
+         |tot AS (SELECT SUM(cap) AS total, SUM(t) AS tsum FROM j),
+         |bg AS (SELECT 6 * total // 10 AS budget FROM tot),
+         |ord AS (
+         |  SELECT lang, cap, t,
+         |    ROW_NUMBER() OVER (ORDER BY (cap * 1000000000) // t, lang)
+         |      AS i
+         |  FROM j),
+         |rec AS (
+         |  SELECT 0 AS i, bg.budget AS remb, tot.tsum AS remt,
+         |    TRUE AS allc
+         |  FROM bg, tot
+         |  UNION ALL
+         |  SELECT o.i,
+         |    CASE WHEN r.allc AND r.remb * o.t >= o.cap * r.remt
+         |      THEN r.remb - o.cap ELSE r.remb END,
+         |    CASE WHEN r.allc AND r.remb * o.t >= o.cap * r.remt
+         |      THEN r.remt - o.t ELSE r.remt END,
+         |    r.allc AND r.remb * o.t >= o.cap * r.remt
+         |  FROM rec r JOIN ord o ON o.i = r.i + 1),
+         |capped AS (SELECT ord.lang FROM rec JOIN ord ON ord.i = rec.i
+         |           WHERE rec.allc),
+         |fin AS (SELECT remb, remt FROM rec
+         |        WHERE i = (SELECT MAX(i) FROM rec)),
+         |unc AS (
+         |  SELECT o.lang, o.cap, o.t,
+         |    (f.remb * o.t) // f.remt AS base_a,
+         |    (f.remb * o.t) % f.remt AS rem_a
+         |  FROM ord o, fin f
+         |  WHERE o.lang NOT IN (SELECT lang FROM capped)),
+         |rk AS (
+         |  SELECT lang, base_a,
+         |    ROW_NUMBER() OVER (ORDER BY rem_a DESC, lang) AS rn,
+         |    SUM(base_a) OVER () AS sb
+         |  FROM unc),
+         |alloc AS (
+         |  SELECT j.lang, j.cap, j.t,
+         |    CASE WHEN cp.lang IS NOT NULL THEN j.cap
+         |      ELSE rk.base_a + CASE WHEN rk.rn <=
+         |        (SELECT remb FROM fin) - rk.sb THEN 1 ELSE 0 END END
+         |      AS a,
+         |    cp.lang IS NOT NULL AS capped
+         |  FROM j
+         |  LEFT JOIN capped cp ON cp.lang = j.lang
+         |  LEFT JOIN rk ON rk.lang = j.lang)
+         |SELECT al.lang, CAST(al.cap AS BIGINT) AS cap_tokens,
+         |  CAST(al.t AS BIGINT) AS target_micro,
+         |  CAST(al.a AS BIGINT) AS alloc_tokens, al.capped,
+         |  CAST(ROUND(1000000.0 * al.a / bg.budget, 0) AS BIGINT)
+         |    / 1000000.0 AS realized_share
+         |FROM alloc al, bg ORDER BY al.lang""".stripMargin,
+
+    "q310_hampel_filter" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dc),
+        |w AS (
+        |  SELECT a.event_type, a.day, a.cnt,
+        |    list_sort(list(b.cnt)) AS win
+        |  FROM idx a JOIN idx b ON b.event_type = a.event_type
+        |    AND b.i BETWEEN a.i - 3 AND a.i + 3
+        |  WHERE a.i >= 4 AND a.i <= a.n - 3 AND a.n >= 7
+        |  GROUP BY a.event_type, a.day, a.cnt),
+        |m AS (SELECT event_type, day, cnt, win, win[4] AS med FROM w),
+        |m2 AS (
+        |  SELECT event_type, day, cnt, med,
+        |    list_sort(list_transform(win, x -> abs(x - med)))[4] AS mad
+        |  FROM m)
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+        |  abs(cnt - med) > 3 * mad AS is_outlier
+        |FROM m2 ORDER BY event_type, day""".stripMargin,
+
+    "q306_capture_recapture" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $dupLabSql AS a, md5(text) AS fp
+         |  FROM documents),
+         |fpc AS (SELECT fp, COUNT(*) AS c FROM base GROUP BY 1),
+         |flags AS (
+         |  SELECT b.a, CASE WHEN f.c > 1 THEN 1 ELSE 0 END AS b
+         |  FROM base b JOIN fpc f ON f.fp = b.fp),
+         |g AS (
+         |  SELECT COUNT(*) AS n_docs, SUM(a) AS n_a, SUM(b) AS n_b,
+         |    SUM(a * b) AS n_both, SUM(GREATEST(a, b)) AS n_any
+         |  FROM flags),
+         |e AS (
+         |  SELECT n_docs, n_a, n_b, n_both, n_any,
+         |    ROUND((n_a + 1) * (n_b + 1) / CAST(n_both + 1 AS DOUBLE) - 1,
+         |      6) AS chapman_est,
+         |    ROUND(SQRT(CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+         |      * (n_a - n_both) * (n_b - n_both)
+         |      / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1)
+         |         * (n_both + 2))), 6) AS se
+         |  FROM g)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_both AS BIGINT) AS n_both, CAST(n_any AS BIGINT) AS n_any,
+         |  chapman_est, se,
+         |  ROUND(chapman_est - 1.96 * se, 6) AS ci_lo,
+         |  ROUND(chapman_est + 1.96 * se, 6) AS ci_hi
+         |FROM e""".stripMargin,
+
+    "q307_rfm_segments" ->
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_ns(ts)//1000 // 86400000000 AS day,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |ld AS (SELECT MAX(day) AS last_day FROM p),
+         |u AS (
+         |  SELECT user_id, ld.last_day - MAX(day) AS rec,
+         |    COUNT(*) AS f, SUM(cents) AS mon
+         |  FROM p, ld GROUP BY user_id, ld.last_day),
+         |nn AS (SELECT COUNT(*) AS n FROM u),
+         |ks(k) AS (VALUES (1), (2), (3), (4)),
+         |rg AS (SELECT rec AS v, COUNT(*) AS c FROM u GROUP BY 1),
+         |rc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM rg),
+         |rt AS (SELECT ks.k, MIN(rc.v) AS t FROM rc, nn, ks
+         |       WHERE rc.cc >= (ks.k * nn.n + 4) // 5 GROUP BY 1),
+         |fg AS (SELECT f AS v, COUNT(*) AS c FROM u GROUP BY 1),
+         |fc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM fg),
+         |ft AS (SELECT ks.k, MIN(fc.v) AS t FROM fc, nn, ks
+         |       WHERE fc.cc >= (ks.k * nn.n + 4) // 5 GROUP BY 1),
+         |mg AS (SELECT mon AS v, COUNT(*) AS c FROM u GROUP BY 1),
+         |mc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM mg),
+         |mt AS (SELECT ks.k, MIN(mc.v) AS t FROM mc, nn, ks
+         |       WHERE mc.cc >= (ks.k * nn.n + 4) // 5 GROUP BY 1),
+         |coded AS (
+         |  SELECT u.user_id, u.mon,
+         |    CAST(1 + (SELECT COUNT(*) FROM rt WHERE u.rec > rt.t) AS INT)
+         |      AS r_code,
+         |    CAST(1 + (SELECT COUNT(*) FROM ft WHERE u.f > ft.t) AS INT)
+         |      AS f_code,
+         |    CAST(1 + (SELECT COUNT(*) FROM mt WHERE u.mon > mt.t) AS INT)
+         |      AS m_code
+         |  FROM u)
+         |SELECT r_code, f_code, m_code,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*) / 100.0, 6)
+         |    AS avg_monetary
+         |FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // q302: window cumsums over the same value grid; the difference
     // identities R2−I2x = 2·ayb+cy / R2−I2y = 2·axb+cx are the

@@ -188,6 +188,94 @@ class InferenceOpsSpec extends SparkSpec {
     }
   }
 
+  test("q306: Chapman estimate bounds and degenerate-overlap sanity") {
+    val r = q("q306_capture_recapture").collect().head
+    val (nA, nB, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(m <= math.min(nA, nB), "overlap cannot exceed either capture")
+    val est = r.getDouble(5)
+    // Chapman is bounded below by the union count − 1 is NOT a law,
+    // but it can never fall below max(nA, nB) − 1 + ε on real inputs
+    assert(est >= math.max(nA, nB) - 1 - 1e-6,
+      s"estimate $est below the larger capture")
+    assert(r.getDouble(7) <= est && est <= r.getDouble(8),
+      "estimate must sit inside its own CI")
+  }
+
+  test("q307: RFM codes are quintile-balanced within ±1 grid cell and " +
+    "segment counts sum to the purchaser population") {
+    val rows = q("q307_rfm_segments").collect()
+    val totalUsers = rows.map(_.getLong(3)).sum
+    val purchasers = spark.read.parquet(s"$sf001/events.parquet")
+      .filter("event_type = 'purchase'")
+      .select("user_id").distinct().count()
+    assert(totalUsers == purchasers, "segment grid must partition users")
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(c =>
+        assert(c >= 1 && c <= 5, s"code $c outside 1..5"))
+    }
+  }
+
+  test("q308: shifted AUC equals plain AUC when weights are forced " +
+    "uniform, and bucket weights reflect carve imbalance") {
+    val rows = q("q308_shift_weighted_auc").collect()
+    val aucPlain = rows.head.getDouble(4)
+    val aucShift = rows.head.getDouble(5)
+    assert(aucPlain > 0 && aucPlain < 1 && aucShift > 0 && aucShift < 1)
+    // weights are density ratios: their ref-count-weighted mean ≈ the
+    // cur/ref population ratio
+    val num = rows.map(r => r.getDouble(3) * r.getLong(1)).sum
+    val den = rows.map(_.getLong(1)).sum.toDouble
+    val popRatio = rows.map(_.getLong(2)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    assert(math.abs(num / den - popRatio) < 0.2,
+      s"mean weight ${num / den} far from population ratio $popRatio")
+  }
+
+  test("q309: the water-fill allocation is feasible, exhausts the " +
+    "budget exactly, and caps exactly the supply-short languages") {
+    val rows = q("q309_mixture_waterfill").collect()
+    val budget = 6L * rows.map(_.getLong(1)).sum / 10L
+    assert(rows.map(_.getLong(3)).sum == budget, "allocation ≠ budget")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"${r.getString(0)} over supply")
+      if (r.getBoolean(4))
+        assert(r.getLong(3) == r.getLong(1), "capped lang must take supply")
+    }
+    // uncapped langs receive alloc proportional to target within ±1
+    // of each other's per-target rate (water level property)
+    val unc = rows.filter(!_.getBoolean(4))
+    if (unc.length >= 2) {
+      val rates = unc.map(r => r.getLong(3).toDouble / r.getLong(2))
+      assert(rates.max - rates.min <= rates.max * 0.01 + 1,
+        s"uncapped water levels diverge: ${rates.toSeq}")
+    }
+  }
+
+  test("q310: Hampel medians/MADs match an independent Scala replay " +
+    "and the filter flags exactly the |x−med| > 3·MAD days") {
+    val daily = spark.read.parquet(s"$sf001/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS tts")
+      .selectExpr("event_type", "(unix_micros(tts) div 86400000000) AS day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).filter(_._2.length >= 7)
+      .flatMap { case (tpe, rows) =>
+        val ys = rows.sortBy(_._2)
+        (3 until ys.length - 3).map { i =>
+          val win = (i - 3 to i + 3).map(j => ys(j)._3).sorted
+          val med = win(3)
+          val mad = (i - 3 to i + 3).map(j =>
+            math.abs(ys(j)._3 - med)).sorted.apply(3)
+          (tpe, ys(i)._2) -> ((ys(i)._3, med, mad,
+            math.abs(ys(i)._3 - med) > 3 * mad))
+        }
+      }.toMap
+    val got = q("q310_hampel_filter").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expected)
+  }
+
   test("q300: every shrunk rate lies between its raw rate and the " +
     "prior mean, strictly closer to the prior for smaller strata") {
     val rows = q("q300_eb_shrinkage").collect()

@@ -58,7 +58,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q298_cv_folds",            // 1-row totals + 1-row cv-Brier broadcasts onto 5 folds
     "q299_neyman_allocation",   // 1-row design-variance broadcast onto the strata grid
     "q300_eb_shrinkage",        // 1-row MoM-prior broadcast onto the strata grid
-    "q304_conformal")           // 1-row q̂/coverage scalar broadcasts onto the lang grid
+    "q304_conformal",           // 1-row q̂/coverage scalar broadcasts onto the lang grid
+    "q307_rfm_segments",        // 1-row last-day + three 1-row threshold-array broadcasts
+    "q308_shift_weighted_auc")  // 1-row weighted/plain-AUC scalar broadcast onto 10 buckets
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -156,6 +158,11 @@ class PlanBudgetSpec extends SparkSpec {
     // vocab- or |langs|-bounded model rows (top-k agg, token totals,
     // vocab scalar, prior table, final model sort)
     "q291_nb_train" -> 10,
+    // q307's single corpus-sized exchange is the per-user purchase
+    // agg feeding the checkpointed user table; the other 10 move
+    // user-bounded rows (3 × value-grid + threshold-fold pairs, the
+    // 1-row last-day scalar, the ≤125-cell segment agg + final sort)
+    "q307_rfm_segments" -> 11,
     // q283 composes TWO whole retrieval pipelines by design — q43's
     // LSH index (bucket join + re-rank) as the system under audit and
     // the brute-force cosine top-10 as the truth — then folds both

@@ -32,6 +32,7 @@ object SparkEntry {
     llm.FeatureOps,
     llm.TrainEval,
     llm.InferenceOps,
+    llm.AnalyticsOps,
     ml.Classifier,
     streaming.StreamQueries,
     functions.FnQueries,

@@ -1,0 +1,410 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Event-path / co-occurrence / interval analytics: the peak-load,
+  * attribution and co-occurrence primitives of a product-analytics
+  * warehouse, plus consumers of the dedup family's staged candidate
+  * pairs. Same exactness discipline as the rest of the registry:
+  * corpus passes reduce to bounded grids or per-key (user/doc)
+  * partitions, sequential logic runs as folds over calendar/bucket
+  * grids, credits and scores are exact integers until one final
+  * rounded division.
+  */
+object AnalyticsOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PEAK CONCURRENCY (interval max-overlap): how many 30-minute
+    // event windows are simultaneously open, per type, and when the
+    // peak happens — the capacity-planning sweep (the classic +1/−1
+    // boundary scan) restated for a cluster: a global ordered scan
+    // would be one task, so the sweep is TWO-PHASE (q202's ranking
+    // discipline): boundaries hash into 16 time-range buckets, the
+    // running sum is a window partitioned by (type, bucket) — a
+    // scale-following partition — and the cross-bucket carry is a
+    // fold over the 16-row-per-type bucket grid. End boundaries sort
+    // before starts at equal timestamps (closed-open intervals), so
+    // the count is exact; the peak instant is the EARLIEST boundary
+    // achieving the global max (integer argmin over one filtered
+    // pass).
+    "q311_peak_concurrency" -> ((s, d) => {
+      val dur = 1800000000L // 30 min in µs
+      val ev = Tables.eventsUs(s, d)
+      val bounds = ev.select(col("event_type"), explode(array(
+          struct(col("ts_us").as("t"), lit(1L).as("delta")),
+          struct((col("ts_us") + dur).as("t"), lit(-1L).as("delta"))))
+          .as("b"))
+        .select(col("event_type"), col("b.t").as("t"),
+          col("b.delta").as("delta"))
+      val rng = ev.agg(min(col("ts_us")).as("lo"),
+        (max(col("ts_us")) + dur + 1L).as("hi"))
+      val bucketed = bounds.crossJoin(broadcast(rng))
+        .withColumn("bkt",
+          expr("CAST((t - lo) * 16 DIV (hi - lo) AS INT)"))
+      val w = Window.partitionBy(col("event_type"), col("bkt"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = bucketed.withColumn("run", sum(col("delta")).over(w))
+        .localCheckpoint() // window result reused by grid + argmin pass
+      val grid = run.groupBy(col("event_type"), col("bkt"))
+        .agg(sum(col("delta")).as("tot"), max(col("run")).as("mx"))
+      // carry = Σ totals of preceding buckets; per-type global peak
+      val peaks = grid.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(
+          struct(col("bkt"), col("tot"), col("mx")))).as("g"))
+        .withColumn("peak", expr(
+          """aggregate(g, named_struct('carry', 0L, 'pk', 0L),
+            |  (a, x) -> named_struct(
+            |    'carry', a.carry + x.tot,
+            |    'pk', greatest(a.pk, a.carry + x.mx)),
+            |  a -> a.pk)""".stripMargin))
+        .withColumn("carries", expr(
+          """aggregate(g, named_struct('carry', 0L,
+            |    'm', map(-1, 0L)),
+            |  (a, x) -> named_struct(
+            |    'carry', a.carry + x.tot,
+            |    'm', map_concat(a.m, map(x.bkt, a.carry))),
+            |  a -> a.m)""".stripMargin))
+        .select(col("event_type"), col("peak"), col("carries"))
+      val peakT = run
+        .join(broadcast(peaks), "event_type")
+        .filter(col("run") + expr("element_at(carries, bkt)") ===
+          col("peak"))
+        .groupBy(col("event_type"), col("peak"))
+        .agg(min(col("t")).as("peak_t"))
+      val nEv = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      peakT.join(nEv, "event_type")
+        .select(col("event_type"), col("n_events"),
+          col("peak").as("peak_concurrency"), col("peak_t"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Count-weighted (multiset) Jaccard RESCORING of the staged
+    // near-dup candidates — a zero-discovery-cost consumer of the
+    // θ=0.7 pair table (q279's staged-artifact pattern): shingle-set
+    // Jaccard treats a token repeated 50× like one occurrence;
+    // multiset overlap Σmin(cA,cB)/Σmax(cA,cB) re-scores each
+    // candidate on exact integer token counts (one tokenize pass,
+    // joins bounded by the PAIR table, never all-pairs), exposing
+    // boilerplate-heavy pairs whose set-Jaccard overstated them.
+    "q312_weighted_jaccard" -> ((s, d) => {
+      val pairs = Dedup.prefixJaccardPairs(s, d, "0.7")
+      val tokCnt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one tokenize pass shared by both join sides
+      val tots = tokCnt.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+      val inter = pairs
+        .join(tokCnt.select(col("doc_id").as("doc_a"), col("tok"),
+          col("c").as("ca")), Seq("doc_a"))
+        .join(tokCnt.select(col("doc_id").as("doc_b"), col("tok"),
+          col("c").as("cb")), Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as("iw"))
+      pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(tots.select(col("doc_id").as("doc_a"), col("tot").as("ta")),
+          "doc_a")
+        .join(tots.select(col("doc_id").as("doc_b"), col("tot").as("tb")),
+          "doc_b")
+        .withColumn("iw2", coalesce(col("iw"), lit(0L)))
+        .select(col("doc_a"), col("doc_b"), col("jac"),
+          round(col("iw2").cast("double") /
+            (col("ta") + col("tb") - col("iw2")), 6).as("wjac"))
+        .withColumn("overstated", col("jac") - col("wjac") > 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Skip-gram co-occurrence counts (window ±3, forward-counted) —
+    // the word2vec/SGNS training-pair extraction (Mikolov et al.
+    // 2013): per doc, (wᵢ, wᵢ₊ₖ) for k ∈ {1,2,3} via lead() over the
+    // per-doc position window (doc_id partitions follow the data, no
+    // fat window), one shuffle to the vocab²-bounded pair grid, PMI
+    // from the same pass's unigram margins (6dp, q134's convention),
+    // global top-30 by exact count (pair lexicographic tiebreak)
+    // through the collect_top_k heap.
+    "q313_skipgram_cooc" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          array_remove(split(lower(col("text")), "[^a-z]+"), "")))
+        .toDF("doc_id", "pos", "w")
+      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = toks
+        .select(col("w").as("wa"),
+          lead(col("w"), 1).over(wnd).as("l1"),
+          lead(col("w"), 2).over(wnd).as("l2"),
+          lead(col("w"), 3).over(wnd).as("l3"))
+        .select(col("wa"),
+          explode(array(col("l1"), col("l2"), col("l3"))).as("wb"))
+        .filter(col("wb").isNotNull)
+        .groupBy(col("wa"), col("wb"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // vocab²-bounded; margins derive from it
+      val ua = pairs.groupBy(col("wa")).agg(sum(col("cnt")).as("ca"))
+      val ub = pairs.groupBy(col("wb")).agg(sum(col("cnt")).as("cb"))
+      val tot = pairs.agg(sum(col("cnt")).as("tt"))
+      pairs.join(ua, "wa").join(ub, "wb").crossJoin(broadcast(tot))
+        .withColumn("pmi", round(log(
+          (col("cnt").cast("double") * col("tt")) /
+            (col("ca").cast("double") * col("cb"))), 6))
+        .agg(graft_collect_top_k(
+          struct(col("cnt"), col("wa"), col("wb"), col("pmi")), 30, false)
+          .as("top"))
+        .select(posexplode(sort_array(col("top"), asc = false)))
+        .select((col("pos") + 1).cast("int").as("rn"),
+          col("col.wa").as("wa"), col("col.wb").as("wb"),
+          col("col.cnt").as("cnt"), col("col.pmi").as("pmi"))
+        .orderBy(col("rn"))
+    }),
+
+    // Elkan–Noto positive-unlabeled class-prior estimate (Elkan &
+    // Noto 2008, estimator e1): with only POSITIVE labels observable
+    // (the ref carve's weak dup flags stand in for the hand-labeled
+    // sample), c = E[s|labeled] on the labeled positives and
+    // π̂ = E[s]/c on the unlabeled carve recover the true positive
+    // fraction a PU classifier needs. Score = q229's per-mille
+    // integer, so both expectations are exact integer sums divided
+    // once; one corpus pass to the two (labeled?, Σsm, n) cells.
+    "q314_pu_prior" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab", when(array_contains(ts, "dup") &&
+          col("doc_id") % 2 === 0, 1L).otherwise(0L))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lab"))
+      base.agg(
+          sum(when(col("lab") === 1, 1L).otherwise(0L)).as("n_lab"),
+          sum(when(col("lab") === 1, col("sm").cast("long"))
+            .otherwise(0L)).as("s_lab"),
+          sum(when(col("lab") === 0, 1L).otherwise(0L)).as("n_unlab"),
+          sum(when(col("lab") === 0, col("sm").cast("long"))
+            .otherwise(0L)).as("s_unlab"))
+        .withColumn("c_hat", expr(
+          "ROUND(CAST(s_lab AS DOUBLE) / (1000.0 * n_lab), 6)"))
+        .withColumn("e_unlab", expr(
+          "ROUND(CAST(s_unlab AS DOUBLE) / (1000.0 * n_unlab), 6)"))
+        .withColumn("pi_hat", expr(
+          "ROUND(LEAST(e_unlab / c_hat, 1.0), 6)"))
+    }),
+
+    // Multi-touch attribution comparison (the marketing-science
+    // ladder: last-touch ≡ q242, first-touch, linear, U-shaped
+    // 40/40/20) over each user's pre-conversion touch path. Credits
+    // are EXACT micro-units summing to 10⁶ per conversion BY
+    // CONSTRUCTION — integer division remainders are assigned by
+    // documented rule (linear: first r touches; U-shaped: earliest
+    // middles), so the cross-user credit totals are exact integers
+    // and the one rounded division is each channel's share. Paths
+    // order inside per-user windows (scale-following partitions);
+    // one corpus pass + one (rule × channel)-bounded aggregation.
+    "q315_multitouch_attribution" -> ((s, d) => {
+      val ev = Tables.eventsUs(s, d)
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("conv_ts"))
+      val touches = ev.join(firstPurchase, "user_id")
+        .filter(col("ts_us") < col("conv_ts") &&
+          col("event_type") =!= "purchase")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pos = touches
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("i"),
+          count(lit(1)).over(Window.partitionBy(col("user_id"))).as("n"))
+      val credited = pos.select(col("event_type"), expr(
+        """stack(4,
+          |  'last_touch', IF(i = n, 1000000L, 0L),
+          |  'first_touch', IF(i = 1, 1000000L, 0L),
+          |  'linear', 1000000L DIV n + IF(i <= 1000000L % n, 1L, 0L),
+          |  'u_shaped', CASE
+          |    WHEN n = 1 THEN 1000000L
+          |    WHEN n = 2 THEN 500000L
+          |    WHEN i = 1 OR i = n THEN 400000L
+          |    ELSE 200000L DIV (n - 2)
+          |      + IF(i - 1 <= 200000L % (n - 2), 1L, 0L) END)
+          |AS (rule, credit)""".stripMargin))
+      val byRule = credited.groupBy(col("rule"), col("event_type"))
+        .agg(sum(col("credit")).as("credit_micro"))
+        .localCheckpoint() // (rule × channel)-bounded
+      val ruleTot = byRule.groupBy(col("rule"))
+        .agg(sum(col("credit_micro")).as("rt"))
+      byRule.join(broadcast(ruleTot), "rule")
+        .select(col("rule"), col("event_type").as("channel"),
+          col("credit_micro"),
+          round(col("credit_micro").cast("double") / col("rt"), 6)
+            .as("share"))
+        .orderBy(col("rule"), col("channel"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    // q311: the oracle is the single global sweep (windows are free
+    // in DuckDB); end-before-start via the (t, delta) sort key
+    "q311_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 AS t FROM events),
+        |b AS (
+        |  SELECT event_type, t, CAST(1 AS BIGINT) AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, t + 1800000000, CAST(-1 AS BIGINT) FROM ev),
+        |r AS (
+        |  SELECT event_type, t, delta,
+        |    SUM(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b),
+        |p AS (
+        |  SELECT event_type, MAX(run) AS peak FROM r GROUP BY 1),
+        |pt AS (
+        |  SELECT r.event_type, p.peak, MIN(r.t) AS peak_t
+        |  FROM r JOIN p ON p.event_type = r.event_type
+        |    AND r.run = p.peak
+        |  GROUP BY 1, 2),
+        |n AS (SELECT event_type, COUNT(*) AS n_events FROM ev GROUP BY 1)
+        |SELECT pt.event_type, CAST(n.n_events AS BIGINT) AS n_events,
+        |  CAST(pt.peak AS BIGINT) AS peak_concurrency, pt.peak_t
+        |FROM pt JOIN n ON n.event_type = pt.event_type
+        |ORDER BY pt.event_type""".stripMargin,
+
+    "q312_weighted_jaccard" ->
+      s"""${Dedup.prefixPairSqlCtes("0.7")},
+         |p7 AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.7),
+         |tc AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS tok
+         |        FROM documents) z
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, SUM(c) AS tot FROM tc GROUP BY 1),
+         |iw AS (
+         |  SELECT p.doc_a, p.doc_b, SUM(LEAST(a.c, b.c)) AS iw
+         |  FROM p7 p
+         |  JOIN tc a ON a.doc_id = p.doc_a
+         |  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.jac,
+         |  ROUND(CAST(COALESCE(iw.iw, 0) AS DOUBLE) /
+         |    (ta.tot + tb.tot - COALESCE(iw.iw, 0)), 6) AS wjac,
+         |  p.jac - ROUND(CAST(COALESCE(iw.iw, 0) AS DOUBLE) /
+         |    (ta.tot + tb.tot - COALESCE(iw.iw, 0)), 6) > 0.1 AS overstated
+         |FROM p7 p
+         |LEFT JOIN iw ON iw.doc_a = p.doc_a AND iw.doc_b = p.doc_b
+         |JOIN tt ta ON ta.doc_id = p.doc_a
+         |JOIN tt tb ON tb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q313_skipgram_cooc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, p AS pos, w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(text),
+        |            '[^a-z]+'), x -> x != '')) AS w,
+        |          generate_subscripts(list_filter(string_split_regex(
+        |            lower(text), '[^a-z]+'), x -> x != ''), 1) AS p
+        |        FROM documents) z),
+        |pairs AS (
+        |  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS cnt
+        |  FROM toks a JOIN toks b
+        |    ON b.doc_id = a.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+        |  GROUP BY 1, 2),
+        |ua AS (SELECT wa, SUM(cnt) AS ca FROM pairs GROUP BY 1),
+        |ub AS (SELECT wb, SUM(cnt) AS cb FROM pairs GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS tt FROM pairs),
+        |scored AS (
+        |  SELECT p.wa, p.wb, p.cnt,
+        |    ROUND(LN((CAST(p.cnt AS DOUBLE) * tot.tt) /
+        |      (CAST(ua.ca AS DOUBLE) * ub.cb)), 6) AS pmi
+        |  FROM pairs p
+        |  JOIN ua ON ua.wa = p.wa JOIN ub ON ub.wb = p.wb, tot),
+        |rk AS (
+        |  SELECT wa, wb, cnt, pmi,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, wa DESC, wb DESC) AS rn
+        |  FROM scored)
+        |SELECT CAST(rn AS INT) AS rn, wa, wb,
+        |  CAST(cnt AS BIGINT) AS cnt, pmi
+        |FROM rk WHERE rn <= 30 ORDER BY rn""".stripMargin,
+
+    "q314_pu_prior" ->
+      s"""WITH base AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> list_contains(['the','a','of','and','to','in','is'], t)))
+         |      AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') AND doc_id % 2 = 0
+         |      THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS ts
+         |        FROM documents) z
+         |  WHERE len(ts) > 0),
+         |g AS (
+         |  SELECT SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS n_lab,
+         |    SUM(CASE WHEN lab = 1 THEN sm ELSE 0 END) AS s_lab,
+         |    SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS n_unlab,
+         |    SUM(CASE WHEN lab = 0 THEN sm ELSE 0 END) AS s_unlab
+         |  FROM base),
+         |e AS (
+         |  SELECT n_lab, s_lab, n_unlab, s_unlab,
+         |    ROUND(CAST(s_lab AS DOUBLE) / (1000.0 * n_lab), 6) AS c_hat,
+         |    ROUND(CAST(s_unlab AS DOUBLE) / (1000.0 * n_unlab), 6)
+         |      AS e_unlab
+         |  FROM g)
+         |SELECT CAST(n_lab AS BIGINT) AS n_lab,
+         |  CAST(s_lab AS BIGINT) AS s_lab,
+         |  CAST(n_unlab AS BIGINT) AS n_unlab,
+         |  CAST(s_unlab AS BIGINT) AS s_unlab,
+         |  c_hat, e_unlab,
+         |  ROUND(LEAST(e_unlab / c_hat, 1.0), 6) AS pi_hat
+         |FROM e""".stripMargin,
+
+    "q315_multitouch_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)//1000) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |touch AS (
+        |  SELECT e.user_id, e.event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY e.user_id
+        |      ORDER BY epoch_ns(e.ts)//1000, e.event_id) AS i,
+        |    COUNT(*) OVER (PARTITION BY e.user_id) AS n
+        |  FROM events e JOIN fp ON fp.user_id = e.user_id
+        |  WHERE epoch_ns(e.ts)//1000 < fp.conv_ts
+        |    AND e.event_type <> 'purchase'),
+        |credited AS (
+        |  SELECT event_type, 'last_touch' AS rule,
+        |    CASE WHEN i = n THEN 1000000 ELSE 0 END AS credit FROM touch
+        |  UNION ALL
+        |  SELECT event_type, 'first_touch',
+        |    CASE WHEN i = 1 THEN 1000000 ELSE 0 END FROM touch
+        |  UNION ALL
+        |  SELECT event_type, 'linear',
+        |    1000000 // n + CASE WHEN i <= 1000000 % n THEN 1 ELSE 0 END
+        |  FROM touch
+        |  UNION ALL
+        |  SELECT event_type, 'u_shaped',
+        |    CASE WHEN n = 1 THEN 1000000
+        |      WHEN n = 2 THEN 500000
+        |      WHEN i = 1 OR i = n THEN 400000
+        |      ELSE 200000 // (n - 2)
+        |        + CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+        |    END
+        |  FROM touch),
+        |br AS (
+        |  SELECT rule, event_type AS channel,
+        |    SUM(credit) AS credit_micro
+        |  FROM credited GROUP BY 1, 2),
+        |rt AS (SELECT rule, SUM(credit_micro) AS rt FROM br GROUP BY 1)
+        |SELECT br.rule, br.channel,
+        |  CAST(br.credit_micro AS BIGINT) AS credit_micro,
+        |  ROUND(CAST(br.credit_micro AS DOUBLE) / rt.rt, 6) AS share
+        |FROM br JOIN rt ON rt.rule = br.rule
+        |ORDER BY br.rule, br.channel""".stripMargin
+  )
+}

@@ -1595,7 +1595,7 @@ object Dedup extends QueryModule {
     * `v(doc_a, doc_b, jac)` — the θ literal is spliced verbatim so the
     * ceil boundary is character-identical to the engine's.
     */
-  private def prefixPairSqlCtes(theta: String): String =
+  private[llm] def prefixPairSqlCtes(theta: String): String =
     s"""WITH t0 AS (
        |  SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS ts

@@ -1,0 +1,88 @@
+package graft
+
+/** Property gates for the analytics family (q311–q315): independent
+  * sweep/attribution replays, credit-conservation identities, and the
+  * multiset-Jaccard bound.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  private def eventsUs = spark.read.parquet(s"$sf001/events.parquet")
+    .selectExpr("event_id", "event_type", "user_id",
+      "CAST(ts AS TIMESTAMP) AS tts")
+    .selectExpr("event_id", "event_type", "user_id",
+      "unix_micros(tts) AS t")
+
+  test("q311: the two-phase bucketed sweep equals a single-pass " +
+    "global sweep replayed in Scala") {
+    val ev = eventsUs.select("event_type", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val bounds = rows.flatMap(r =>
+        Seq((r._2, 1L), (r._2 + 1800000000L, -1L)))
+        .sortBy(identity)
+      var run = 0L; var peak = 0L; var peakT = Long.MaxValue
+      bounds.foreach { case (t, d) =>
+        run += d
+        if (run > peak) { peak = run; peakT = t }
+      }
+      tpe -> ((rows.length.toLong, peak, peakT))
+    }
+    val got = q("q311_peak_concurrency").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q312: multiset Jaccard is in (0, 1] and never exceeds 1; " +
+    "identical docs would score 1") {
+    val rows = q("q312_weighted_jaccard").collect()
+    assert(rows.nonEmpty, "the θ=0.7 stage must yield candidates")
+    rows.foreach { r =>
+      val wj = r.getDouble(3)
+      assert(wj > 0.0 && wj <= 1.0, s"wjac $wj out of range")
+    }
+  }
+
+  test("q313: skipgram pairs are count-ranked, PMI is finite, and " +
+    "counts bound the unigram margins") {
+    val rows = q("q313_skipgram_cooc").collect()
+    assert(rows.length == 30)
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(!r.getDouble(4).isNaN &&
+      !r.getDouble(4).isInfinite))
+  }
+
+  test("q314: the PU prior estimate is a valid probability and c_hat " +
+    "exceeds the unlabeled mean score (positives score higher)") {
+    val r = q("q314_pu_prior").collect().head
+    val c = r.getDouble(4); val e = r.getDouble(5); val pi = r.getDouble(6)
+    assert(c > 0 && c <= 1 && e > 0 && e <= 1)
+    assert(pi >= 0 && pi <= 1)
+    assert(math.abs(pi - math.min(e / c, 1.0)) < 2e-6)
+  }
+
+  test("q315: every rule's credits sum to exactly 10⁶ per conversion " +
+    "path, so the rule totals are equal and shares sum to 1") {
+    val rows = q("q315_multitouch_attribution").collect()
+    val byRule = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byRule.values.toSet.size == 1,
+      s"rules disagree on total credit: $byRule")
+    val nPaths = eventsUs.collect()
+      .groupBy(_.getLong(2))
+      .count { case (_, es) =>
+        val purch = es.filter(_.getString(1) == "purchase")
+        purch.nonEmpty && es.exists(e => e.getString(1) != "purchase" &&
+          e.getLong(3) < purch.map(_.getLong(3)).min)
+      }
+    assert(byRule.values.head == 1000000L * nPaths,
+      s"total credit ${byRule.values.head} ≠ 1e6 × $nPaths paths")
+    rows.groupBy(_.getString(0)).foreach { case (rule, rs) =>
+      val shareSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$rule shares sum $shareSum")
+    }
+  }
+}

@@ -60,7 +60,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q300_eb_shrinkage",        // 1-row MoM-prior broadcast onto the strata grid
     "q304_conformal",           // 1-row q̂/coverage scalar broadcasts onto the lang grid
     "q307_rfm_segments",        // 1-row last-day + three 1-row threshold-array broadcasts
-    "q308_shift_weighted_auc")  // 1-row weighted/plain-AUC scalar broadcast onto 10 buckets
+    "q308_shift_weighted_auc",  // 1-row weighted/plain-AUC scalar broadcast onto 10 buckets
+    "q313_skipgram_cooc")       // 1-row pair-total scalar broadcast (q134's shape)
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -163,6 +164,11 @@ class PlanBudgetSpec extends SparkSpec {
     // user-bounded rows (3 × value-grid + threshold-fold pairs, the
     // 1-row last-day scalar, the ≤125-cell segment agg + final sort)
     "q307_rfm_segments" -> 11,
+    // q312's one corpus tokenize lands in the checkpointed (doc, tok)
+    // count table; the 9 exchanges move pair-table- or doc-bounded
+    // rows (two per-doc-total branches, the pair-keyed intersection
+    // agg, the three result joins, final sort)
+    "q312_weighted_jaccard" -> 9,
     // q283 composes TWO whole retrieval pipelines by design — q43's
     // LSH index (bucket join + re-rank) as the system under audit and
     // the brute-force cosine top-10 as the truth — then folds both

@@ -83,6 +83,55 @@ object AnalyticsOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Markov ENTROPY RATE of user event sequences (Shannon 1948;
+    // Song et al. 2010's predictability framing) — how predictable
+    // the next event type is given the current one, the information-
+    // theoretic summary sitting on top of q207's transition counts:
+    // H = Σᵢⱼ (nᵢⱼ/N)·(−ln(nᵢⱼ/nᵢ·)) over the |types|²-bounded
+    // transition grid, every term a round-once 6dp decimal totalized
+    // in DECIMAL (q276's rule); per-state rows carry each row
+    // distribution's entropy; the predictability ratio divides by
+    // ln|types| once. Transitions order inside per-user windows.
+    "q317_entropy_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Tables.eventsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // |types|²-bounded
+      val ni = trans.groupBy(col("event_type")).agg(sum(col("nij")).as("ni"))
+      val tot = trans.agg(sum(col("nij")).as("nn"),
+        count_distinct(col("event_type")).as("states"))
+      val terms = trans.join(broadcast(ni), "event_type")
+        .crossJoin(broadcast(tot))
+        // joint term for the rate; conditional term for the row entropy
+        .withColumn("jt6", expr(
+          """CAST(ROUND((CAST(nij AS DOUBLE) / nn)
+            |  * LN(CAST(nij AS DOUBLE) / ni), 6) AS DECIMAL(18,6))"""
+            .stripMargin))
+        .withColumn("ct6", expr(
+          """CAST(ROUND((CAST(nij AS DOUBLE) / ni)
+            |  * LN(CAST(nij AS DOUBLE) / ni), 6) AS DECIMAL(18,6))"""
+            .stripMargin))
+        .localCheckpoint() // |types|²-bounded; row + global folds share it
+      val perState = terms.groupBy(col("event_type"))
+        .agg(first(col("ni")).as("n_out"),
+          (-sum(col("ct6"))).cast("double").as("h_row"))
+      val g = terms.agg((-sum(col("jt6"))).as("hsum"),
+          first(col("states")).as("st"))
+        .select(col("hsum").cast("double").as("entropy_rate"),
+          round(col("hsum").cast("double") /
+            log(col("st").cast("double")), 6).as("predictability_ratio"))
+      perState.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n_out"), col("h_row"),
+          col("entropy_rate"), col("predictability_ratio"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count-weighted (multiset) Jaccard RESCORING of the staged
     // near-dup candidates — a zero-discovery-cost consumer of the
     // θ=0.7 pair table (q279's staged-artifact pattern): shingle-set
@@ -196,6 +245,84 @@ object AnalyticsOps extends QueryModule {
           "ROUND(CAST(s_unlab AS DOUBLE) / (1000.0 * n_unlab), 6)"))
         .withColumn("pi_hat", expr(
           "ROUND(LEAST(e_unlab / c_hat, 1.0), 6)"))
+    }),
+
+    // Right-to-be-forgotten DELETION-CASCADE impact audit — the
+    // blast-radius analysis a GDPR/CCPA erasure run computes BEFORE
+    // touching data: tombstoned customers (key % 97, the q175 carve
+    // convention) cascade through orders → lineitem; per relation,
+    // rows deleted and fraction, plus the distinct suppliers whose
+    // history the cascade touches. The tombstone and tombstoned-order
+    // key sets broadcast (deletion lists are small by nature); each
+    // child relation is ONE scan + broadcast semi-join — no shuffle
+    // of the big tables at any scale.
+    "q319_deletion_cascade" -> ((s, d) => {
+      val tomb = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      val orders = Tables.orders(s, d)
+      val delOrders = orders.join(broadcast(tomb),
+        col("o_custkey") === col("c_custkey")).select(col("o_orderkey"))
+        .localCheckpoint() // tombstone-bounded key list
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(delOrders.withColumnRenamed("o_orderkey", "dk")),
+          col("l_orderkey") === col("dk"), "left")
+      val liAgg = li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("dk").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+        count_distinct(when(col("dk").isNotNull, col("l_suppkey")))
+          .as("touched"))
+      val custAgg = Tables.customer(s, d).agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey") % 97 === 0, 1L).otherwise(0L))
+          .as("n_deleted"))
+      val ordAgg = orders.join(broadcast(tomb),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L))
+            .as("n_deleted"))
+      val rows = custAgg.select(lit("customer").as("relation"),
+          col("n_rows"), col("n_deleted"), lit(0L).as("suppliers_touched"))
+        .unionByName(ordAgg.select(lit("orders").as("relation"),
+          col("n_rows"), col("n_deleted"), lit(0L).as("suppliers_touched")))
+        .unionByName(liAgg.select(lit("lineitem").as("relation"),
+          col("n_rows"), col("n_deleted"),
+          col("touched").as("suppliers_touched")))
+      rows.select(col("relation"), col("n_rows"), col("n_deleted"),
+          round(col("n_deleted").cast("double") / col("n_rows"), 6)
+            .as("frac_deleted"), col("suppliers_touched"))
+        .orderBy(col("relation"))
+    }),
+
+    // Token BURSTINESS (Church & Gale 1995; the Fano factor /
+    // index of dispersion): content words clump — a token appearing
+    // 100× in one doc carries different signal than 100 docs × 1 —
+    // and burstiness is what separates them. For the top-20 tokens by
+    // exact total count: Fano = var/mean over PER-DOC counts
+    // (zeros included via the sufficient-statistics identity:
+    // N·Σc² − (Σc)² needs only the nonzero cells + the doc total),
+    // an exact rational of one tokenize pass divided once.
+    "q320_burstiness" -> ((s, d) => {
+      import graft.functions.exprs.graft_collect_top_k
+      val docsN = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val cell = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val stats = cell.groupBy(col("tok"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_with"),
+          sum(col("c") * col("c")).as("ss"))
+      stats.crossJoin(broadcast(docsN))
+        .withColumn("fano", expr(
+          """ROUND(CAST(nd * ss - total * total AS DOUBLE)
+            |  / (CAST(nd - 1 AS DOUBLE) * total), 6)""".stripMargin))
+        .agg(graft_collect_top_k(
+          struct(col("total"), col("tok"), col("n_with"), col("fano")),
+          20, false).as("top"))
+        .select(posexplode(sort_array(col("top"), asc = false)))
+        .select((col("pos") + 1).cast("int").as("rn"),
+          col("col.tok").as("tok"), col("col.total").as("total"),
+          col("col.n_with").as("n_docs_with"), col("col.fano").as("fano"),
+          (col("col.fano") > 1.0).as("bursty"))
+        .orderBy(col("rn"))
     }),
 
     // Multi-touch attribution comparison (the marketing-science
@@ -364,6 +491,103 @@ object AnalyticsOps extends QueryModule {
          |  c_hat, e_unlab,
          |  ROUND(LEAST(e_unlab / c_hat, 1.0), 6) AS pi_hat
          |FROM e""".stripMargin,
+
+    "q317_entropy_rate" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS t, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS next_type
+        |  FROM ev),
+        |trans AS (
+        |  SELECT event_type, next_type, COUNT(*) AS nij
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ni AS (SELECT event_type, SUM(nij) AS ni FROM trans GROUP BY 1),
+        |tot AS (SELECT SUM(nij) AS nn,
+        |  COUNT(DISTINCT event_type) AS st FROM trans),
+        |terms AS (
+        |  SELECT t.event_type, t.next_type, t.nij, ni.ni, tot.nn, tot.st,
+        |    CAST(ROUND((CAST(t.nij AS DOUBLE) / tot.nn)
+        |      * LN(CAST(t.nij AS DOUBLE) / ni.ni), 6) AS DECIMAL(18,6))
+        |      AS jt6,
+        |    CAST(ROUND((CAST(t.nij AS DOUBLE) / ni.ni)
+        |      * LN(CAST(t.nij AS DOUBLE) / ni.ni), 6) AS DECIMAL(18,6))
+        |      AS ct6
+        |  FROM trans t JOIN ni ON ni.event_type = t.event_type, tot),
+        |ps AS (
+        |  SELECT event_type, MIN(ni) AS n_out,
+        |    CAST(-SUM(ct6) AS DOUBLE) AS h_row
+        |  FROM terms GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(-SUM(jt6) AS DOUBLE) AS entropy_rate,
+        |    ROUND(CAST(-SUM(jt6) AS DOUBLE)
+        |      / LN(CAST(MIN(st) AS DOUBLE)), 6) AS predictability_ratio
+        |  FROM terms)
+        |SELECT ps.event_type, CAST(ps.n_out AS BIGINT) AS n_out, ps.h_row,
+        |  g.entropy_rate, g.predictability_ratio
+        |FROM ps, g ORDER BY ps.event_type""".stripMargin,
+
+    "q319_deletion_cascade" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |delo AS (
+        |  SELECT o.o_orderkey FROM orders o
+        |  JOIN tomb t ON t.c_custkey = o.o_custkey),
+        |cu AS (
+        |  SELECT 'customer' AS relation, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS n_deleted,
+        |    CAST(0 AS BIGINT) AS suppliers_touched
+        |  FROM customer),
+        |oa AS (
+        |  SELECT 'orders' AS relation, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_deleted,
+        |    CAST(0 AS BIGINT) AS suppliers_touched
+        |  FROM orders o LEFT JOIN tomb t ON t.c_custkey = o.o_custkey),
+        |la AS (
+        |  SELECT 'lineitem' AS relation, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN dk.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_deleted,
+        |    COUNT(DISTINCT CASE WHEN dk.o_orderkey IS NOT NULL
+        |      THEN l.l_suppkey END) AS suppliers_touched
+        |  FROM lineitem l
+        |  LEFT JOIN delo dk ON dk.o_orderkey = l.l_orderkey),
+        |u AS (SELECT * FROM cu UNION ALL SELECT * FROM oa
+        |      UNION ALL SELECT * FROM la)
+        |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_deleted AS BIGINT) AS n_deleted,
+        |  ROUND(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS frac_deleted,
+        |  CAST(suppliers_touched AS BIGINT) AS suppliers_touched
+        |FROM u ORDER BY relation""".stripMargin,
+
+    "q320_burstiness" ->
+      s"""WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |cell AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS tok
+         |        FROM documents) z
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT tok, SUM(c) AS total, COUNT(*) AS n_with,
+         |    SUM(c * c) AS ss
+         |  FROM cell GROUP BY 1),
+         |sc AS (
+         |  SELECT tok, total, n_with,
+         |    ROUND(CAST(nd.nd * ss - total * total AS DOUBLE)
+         |      / (CAST(nd.nd - 1 AS DOUBLE) * total), 6) AS fano
+         |  FROM st, nd),
+         |rk AS (
+         |  SELECT tok, total, n_with, fano,
+         |    ROW_NUMBER() OVER (ORDER BY total DESC, tok DESC) AS rn
+         |  FROM sc)
+         |SELECT CAST(rn AS INT) AS rn, tok,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(n_with AS BIGINT) AS n_docs_with, fano,
+         |  fano > 1.0 AS bursty
+         |FROM rk WHERE rn <= 20 ORDER BY rn""".stripMargin,
 
     "q315_multitouch_attribution" ->
       """WITH fp AS (

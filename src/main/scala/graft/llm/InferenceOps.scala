@@ -585,6 +585,124 @@ object InferenceOps extends QueryModule {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Poisson-bootstrap confidence interval for AUC (the q231
+    // resampling machinery applied to the q229 ranking metric —
+    // Efron 1979 percentile CI, Poissonized for one-pass
+    // distribution à la Chamandy et al. 2012): every doc draws R=100
+    // Poisson(1) replicate weights from the md5 hash (inverse-CDF
+    // thresholds inlined as micro constants, identical both
+    // engines), the (r, score) weighted counts partial-aggregate
+    // map-side — the shuffle carries R×grid CELLS, never R×corpus
+    // rows — and each replicate's AUC folds exactly over its own
+    // grid. The CI is the exact 3rd/98th order statistic of the 100
+    // rounded AUCs (percentile method), selected by integer rank.
+    "q316_auc_bootstrap" -> ((s, d) => {
+      val R = 100
+      // P(Poisson(1) ≤ k)·10⁶ for k = 0..7 (k = 8 absorbs the tail)
+      val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L, 999917L, 999990L)
+      val wExpr = cdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN ${k}L" }
+        .mkString("CASE ", " ", " ELSE 8L END")
+      val ts = TextAnalysis.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .withColumn("lab",
+          when(array_contains(ts, "dup"), 1L).otherwise(0L))
+        .select(col("doc_id"),
+          expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lab"))
+        .localCheckpoint() // shared by the point fold + 100 replicates
+      val point = base.groupBy(col("sm")).agg(
+          sum(col("lab")).as("np"),
+          (count(lit(1)) - sum(col("lab"))).as("nn"))
+        .agg(sort_array(collect_list(struct(col("sm"), col("np"),
+            col("nn")))).as("bs"),
+          sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+        .select(round(expr(
+          """aggregate(bs, named_struct('cum', 0L, 'num', 0L),
+            |  (a, x) -> named_struct('cum', a.cum + x.nn,
+            |    'num', a.num + x.np * (2 * a.cum + x.nn)), a -> a.num)"""
+            .stripMargin).cast("double") /
+          (lit(2.0) * col("tp") * col("tn")), 6).as("auc_point"))
+      val reps = base
+        .select(col("doc_id"), col("sm"), col("lab"),
+          explode(expr(s"sequence(1, $R)")).as("r"))
+        .withColumn("u", pmod(TextAnalysis.md5Int(
+          concat(lit("bs:"), col("r").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), lit(1000000L)))
+        .withColumn("w", expr(wExpr))
+        .groupBy(col("r"), col("sm"))
+        .agg(sum(col("lab") * col("w")).as("wp"),
+          sum((lit(1L) - col("lab")) * col("w")).as("wn"))
+      val aucs = reps.groupBy(col("r"))
+        .agg(sort_array(collect_list(struct(col("sm"), col("wp"),
+            col("wn")))).as("bs"),
+          sum(col("wp")).as("tp"), sum(col("wn")).as("tn"))
+        .select(round(expr(
+          """aggregate(bs, named_struct('cum', 0L, 'num', 0L),
+            |  (a, x) -> named_struct('cum', a.cum + x.wn,
+            |    'num', a.num + x.wp * (2 * a.cum + x.wn)), a -> a.num)"""
+            .stripMargin).cast("double") /
+          (lit(2.0) * col("tp") * col("tn")), 6)
+          .cast("decimal(12,6)").as("auc_r"))
+      aucs.agg(sort_array(collect_list(col("auc_r"))).as("a"),
+          count(lit(1)).as("nr"),
+          sum(col("auc_r")).as("sa"))
+        .select(lit(R).cast("int").as("n_replicates"),
+          round(col("sa").cast("double") / col("nr"), 6).as("boot_mean"),
+          expr("CAST(element_at(a, 3) AS DOUBLE)").as("ci_lo"),
+          expr("CAST(element_at(a, 98) AS DOUBLE)").as("ci_hi"))
+        .crossJoin(broadcast(point))
+        .select(col("auc_point"), col("n_replicates"), col("boot_mean"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
+    // Quantile treatment effects (Doksum 1974; the distributional
+    // readout q235's mean test hides — a treatment can move the tail
+    // and not the mean): per A/B variant (user parity), the exact
+    // k/10-quantiles of event value-cents by two-phase rank selection
+    // over the value grid (t_k = smallest cents with cum ≥ ⌈k·n/10⌉,
+    // ceiling in pure integer), QTE_k = t_k(B) − t_k(A) — EXACT
+    // INTEGER CENTS end-to-end, one corpus pass to the two
+    // value-grid cells.
+    "q318_qte" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select((col("user_id") % 2).cast("int").as("v"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        .groupBy(col("v"), col("cents")).agg(count(lit(1)).as("c"))
+      def qs(v: Int) = g.filter(col("v") === v)
+        .agg(sort_array(collect_list(struct(col("cents"), col("c"))))
+          .as("a"), sum(col("c")).as("n"))
+        .select(expr(
+          """transform(sequence(1, 9), k ->
+            |  aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS BIGINT)),
+            |    (acc, x) -> named_struct(
+            |      'cum', acc.cum + x.c,
+            |      'q', CASE WHEN acc.q IS NULL
+            |        AND acc.cum + x.c >= (k * n + 9) DIV 10
+            |        THEN x.cents ELSE acc.q END),
+            |    acc -> acc.q))""".stripMargin).as(s"t$v"),
+          col("n").as(s"n$v"))
+      qs(0).crossJoin(broadcast(qs(1)))
+        .select(col("n0"), col("n1"),
+          posexplode(expr(
+            """transform(sequence(1, 9), k -> named_struct(
+              |  'k', k, 'qa', element_at(t0, k), 'qb', element_at(t1, k)))"""
+              .stripMargin)))
+        .select(col("col.k").cast("int").as("decile"),
+          col("col.qa").as("q_variant0_cents"),
+          col("col.qb").as("q_variant1_cents"),
+          (col("col.qb") - col("col.qa")).as("qte_cents"),
+          round((col("col.qb") - col("col.qa")).cast("double") / 100.0, 6)
+            .as("qte_dollars"),
+          col("n0"), col("n1"))
+        .orderBy(col("decile"))
+    }),
+
     // Chapman capture–recapture estimate (Chapman 1951; Lincoln–
     // Petersen with small-sample correction) of the TOTAL duplicate
     // mass from two independent weak detectors — the "how many dups
@@ -731,6 +849,66 @@ object InferenceOps extends QueryModule {
         .orderBy(col("source"))
     })
   )
+
+  /** q316's twin: the same seeded Poisson(1) draws (identical md5 →
+    * inverse-CDF micro thresholds), per-replicate weighted AUC via
+    * window cumsums, exact 3rd/98th order statistics.
+    */
+  private def aucBootstrapOracleSql: String = {
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L)
+    val wExpr = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    val hash = TextAnalysis.md5IntSql(
+      "'bs:' || CAST(r.r AS VARCHAR) || ':' || CAST(b.doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST((1000 * CAST(len(list_filter(ts,
+       |      t -> list_contains(['the','a','of','and','to','in','is'], t)))
+       |      AS BIGINT)) // len(ts) AS INT) AS sm,
+       |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS ts
+       |        FROM documents) z
+       |  WHERE len(ts) > 0),
+       |pg AS (
+       |  SELECT sm, SUM(lab) AS np, COUNT(*) - SUM(lab) AS nn
+       |  FROM base GROUP BY 1),
+       |pc AS (
+       |  SELECT sm, np, nn,
+       |    SUM(nn) OVER (ORDER BY sm) - nn AS cum FROM pg),
+       |pt AS (
+       |  SELECT ROUND(CAST(SUM(np * (2 * cum + nn)) AS DOUBLE)
+       |    / (2.0 * (SELECT SUM(np) FROM pg)
+       |       * (SELECT SUM(nn) FROM pg)), 6) AS auc_point
+       |  FROM pc),
+       |reps AS (
+       |  SELECT r.r, b.sm, b.lab, $wExpr AS w
+       |  FROM base b,
+       |    (SELECT unnest(range(1, 101)) AS r) r,
+       |    LATERAL (SELECT $hash % 1000000 AS u) h),
+       |wg AS (
+       |  SELECT r, sm, SUM(lab * w) AS wp, SUM((1 - lab) * w) AS wn
+       |  FROM reps GROUP BY 1, 2),
+       |wc AS (
+       |  SELECT r, sm, wp, wn,
+       |    SUM(wn) OVER (PARTITION BY r ORDER BY sm) - wn AS cum
+       |  FROM wg),
+       |wa AS (
+       |  SELECT r,
+       |    CAST(ROUND(CAST(SUM(wp * (2 * cum + wn)) AS DOUBLE)
+       |      / (2.0 * SUM(wp) * SUM(wn)), 6) AS DECIMAL(12,6)) AS auc_r
+       |  FROM wc GROUP BY r),
+       |rk AS (
+       |  SELECT auc_r, ROW_NUMBER() OVER (ORDER BY auc_r) AS rn,
+       |    COUNT(*) OVER () AS nr, SUM(auc_r) OVER () AS sa
+       |  FROM wa)
+       |SELECT pt.auc_point, CAST(100 AS INT) AS n_replicates,
+       |  ROUND(CAST(rk.sa AS DOUBLE) / rk.nr, 6) AS boot_mean,
+       |  (SELECT CAST(auc_r AS DOUBLE) FROM rk WHERE rn = 3) AS ci_lo,
+       |  (SELECT CAST(auc_r AS DOUBLE) FROM rk WHERE rn = 98) AS ci_hi
+       |FROM pt, rk WHERE rk.rn = 1""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
 
@@ -900,6 +1078,34 @@ object InferenceOps extends QueryModule {
          |  v.var_neyman, v.var_prop
          |FROM w JOIN fin f ON f.source = w.source, vars v
          |ORDER BY w.source""".stripMargin,
+
+    "q316_auc_bootstrap" -> aucBootstrapOracleSql,
+
+    "q318_qte" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS v,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT v, SUM(c) AS n FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cents,
+        |    SUM(c) OVER (PARTITION BY v ORDER BY cents) AS cc
+        |  FROM g),
+        |ks(k) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+        |th AS (
+        |  SELECT cum.v, ks.k, MIN(cum.cents) AS q
+        |  FROM cum JOIN n ON n.v = cum.v, ks
+        |  WHERE cum.cc >= (ks.k * n.n + 9) // 10
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.k AS INT) AS decile,
+        |  a.q AS q_variant0_cents, b.q AS q_variant1_cents,
+        |  b.q - a.q AS qte_cents,
+        |  ROUND(CAST(b.q - a.q AS DOUBLE) / 100.0, 6) AS qte_dollars,
+        |  (SELECT CAST(n AS BIGINT) FROM n WHERE v = 0) AS n0,
+        |  (SELECT CAST(n AS BIGINT) FROM n WHERE v = 1) AS n1
+        |FROM th a JOIN th b ON b.k = a.k AND a.v = 0 AND b.v = 1
+        |ORDER BY decile""".stripMargin,
 
     "q308_shift_weighted_auc" ->
       s"""WITH base AS (

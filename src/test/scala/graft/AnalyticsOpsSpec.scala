@@ -64,6 +64,83 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(pi - math.min(e / c, 1.0)) < 2e-6)
   }
 
+  test("q316: the bootstrap CI brackets both the point AUC and the " +
+    "bootstrap mean, with lo ≤ hi from exact order statistics") {
+    val r = q("q316_auc_bootstrap").collect().head
+    val (pt, mean, lo, hi) =
+      (r.getDouble(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= hi)
+    assert(mean >= lo - 1e-9 && mean <= hi + 1e-9,
+      s"boot mean $mean outside CI [$lo, $hi]")
+    assert(pt >= lo - 0.05 && pt <= hi + 0.05,
+      s"point AUC $pt implausibly far from CI [$lo, $hi]")
+    assert(r.getInt(1) == 100)
+  }
+
+  test("q317: per-state entropies and the rate match an independent " +
+    "Scala replay of the transition counts") {
+    val ev = eventsUs.collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(3), r.getString(1)))
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._3, e._2)).map(_._4)
+      s.zip(s.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ni = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nn = trans.values.sum.toDouble
+    val rate = BigDecimal(0) - trans.map { case ((i, _), c) =>
+      BigDecimal(r6((c / nn) * math.log(c.toDouble / ni(i))))
+    }.sum
+    val got = q("q317_entropy_rate").collect()
+    assert(math.abs(got.head.getDouble(3) - rate.toDouble) < 1e-9,
+      s"rate ${got.head.getDouble(3)} vs replay $rate")
+    got.foreach { r =>
+      assert(r.getDouble(2) >= 0, "row entropy must be non-negative")
+      assert(r.getLong(1) == ni(r.getString(0)))
+    }
+  }
+
+  test("q318: deciles are monotone within each variant and the QTE " +
+    "is their exact integer difference") {
+    val rows = q("q318_qte").collect()
+    assert(rows.length == 9)
+    val qa = rows.map(_.getLong(1)); val qb = rows.map(_.getLong(2))
+    assert(qa.zip(qa.tail).forall { case (a, b) => a <= b })
+    assert(qb.zip(qb.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) - r.getLong(1)))
+  }
+
+  test("q319: the cascade is referentially consistent — deleted " +
+    "lineitems exactly cover the tombstoned orders' lines") {
+    val rows = q("q319_deletion_cascade").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val tomb = cust.filter("c_custkey % 97 = 0").select("c_custkey")
+    val delO = orders.join(tomb,
+      orders("o_custkey") === tomb("c_custkey")).select("o_orderkey")
+    val expectLi = li.join(delO, li("l_orderkey") === delO("o_orderkey"))
+      .count()
+    assert(rows("lineitem").getLong(2) == expectLi)
+    assert(rows("orders").getLong(2) == delO.count())
+    assert(rows("customer").getLong(2) == tomb.count())
+  }
+
+  test("q320: Fano factors come from exact sufficient statistics — " +
+    "a token appearing once per doc has Fano < 1 (underdispersed)") {
+    val rows = q("q320_burstiness").collect()
+    assert(rows.length == 20)
+    val totals = rows.map(_.getLong(2))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0, "Fano is a variance ratio")
+      assert(r.getBoolean(5) == (r.getDouble(4) > 1.0))
+      assert(r.getLong(3) <= r.getLong(2), "doc count ≤ occurrences")
+    }
+  }
+
   test("q315: every rule's credits sum to exactly 10⁶ per conversion " +
     "path, so the rule totals are equal and shares sum to 1") {
     val rows = q("q315_multitouch_attribution").collect()

@@ -61,7 +61,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q304_conformal",           // 1-row q̂/coverage scalar broadcasts onto the lang grid
     "q307_rfm_segments",        // 1-row last-day + three 1-row threshold-array broadcasts
     "q308_shift_weighted_auc",  // 1-row weighted/plain-AUC scalar broadcast onto 10 buckets
-    "q313_skipgram_cooc")       // 1-row pair-total scalar broadcast (q134's shape)
+    "q313_skipgram_cooc",       // 1-row pair-total scalar broadcast (q134's shape)
+    "q316_auc_bootstrap",       // 1-row point-AUC scalar broadcast onto the CI row
+    "q317_entropy_rate",        // 1-row totals + 1-row rate broadcasts onto |types| rows
+    "q318_qte",                 // 1-row per-variant quantile-array broadcast
+    "q320_burstiness")          // 1-row doc-count scalar broadcast (q80's shape)
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -16,7 +16,90 @@ import graft.{QueryModule, Tables}
   */
 object AnalyticsOps extends QueryModule {
 
+  /** q322's candidate LSH configurations and the S-curve collision
+    * probability 1 − (1 − θʳ)ᵇ spelled as EXPLICIT multiplication
+    * chains (power-by-squaring with a fixed association order):
+    * libm/Java `pow` are not correctly-rounded and may disagree by an
+    * ulp, but a literal product chain is plain IEEE arithmetic both
+    * engines execute identically. Shared verbatim by the DataFrame
+    * expression and the DuckDB twin.
+    */
+  private[llm] val lshGrid: Seq[(Int, Int)] =
+    Seq((4, 4), (8, 4), (16, 4), (32, 4), (8, 8), (16, 8), (32, 8), (64, 2))
+
+  private[llm] def sCurveSql(theta: String, b: Int, r: Int): String = {
+    def chain(base: String, n: Int): String = {
+      // power by squaring with explicit parens: same tree both engines
+      require(n >= 1)
+      if (n == 1) base
+      else if (n % 2 == 0) { val h = chain(base, n / 2); s"($h * $h)" }
+      else { val h = chain(base, n - 1); s"($h * $base)" }
+    }
+    // both engines parse bare numeric literals as DECIMAL — the chain
+    // must run in DOUBLE (Spark would silently truncate precision,
+    // DuckDB errors past scale 38)
+    val tr = chain(s"(CAST($theta AS DOUBLE))", r) // θ^r
+    val u = s"(1.0 - $tr)"             // 1 − θ^r
+    s"(1.0 - ${chain(u, b)})"          // 1 − (1 − θ^r)^b
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash-LSH PARAMETER PLANNER (the (bands, rows) S-curve design
+    // table of Leskovec–Rajaraman–Ullman ch.3, §3.4): for each
+    // candidate (b, r) with b·r ≤ 256, the collision probability
+    // 1 − (1−θʳ)ᵇ at the design points θ ∈ {0.5, 0.7, 0.9} — spelled
+    // as explicit multiplication chains so both engines compute
+    // identical doubles (pow is not correctly-rounded) — plus the
+    // EXPECTED RECALL against the corpus's OBSERVED near-dup jaccard
+    // distribution (the staged θ=0.7 pair histogram in 0.05 bins,
+    // q279's zero-discovery-cost consumption), each bin contribution
+    // rounded once and totalized in DECIMAL. The chosen config
+    // maximizes micro-unit recall@observed − fp@0.5 in exact integer
+    // arithmetic (b asc, r asc ties).
+    "q322_lsh_planner" -> ((s, d) => {
+      val pairs = Dedup.prefixJaccardPairs(s, d, "0.7")
+      val hist = pairs
+        .groupBy(expr("CAST(FLOOR((jac - 0.7) / 0.05) AS INT)").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mid", expr("0.725 + 0.05 * bin"))
+        .localCheckpoint() // ≤7-bin histogram
+      val tot = hist.agg(sum(col("cnt")).as("tc"))
+      val rows = lshGrid.map { case (b, r) =>
+        val p5 = sCurveSql("0.5", b, r)
+        val p7 = sCurveSql("0.7", b, r)
+        val p9 = sCurveSql("0.9", b, r)
+        // recall against the observed histogram: per-bin S-curve at
+        // the bin midpoint (mid is data-independent: 0.725 + 0.05·bin)
+        val pm = sCurveSql("mid", b, r)
+        hist.crossJoin(broadcast(tot))
+          .agg(sum(expr(
+            s"""CAST(ROUND($pm * cnt / tc, 6) AS DECIMAL(18,6))"""))
+            .as("recall6"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            lit(b * r).as("signature_len"),
+            round(expr(p5), 6).as("p_at_05"),
+            round(expr(p7), 6).as("p_at_07"),
+            round(expr(p9), 6).as("p_at_09"),
+            col("recall6").cast("double").as("recall_observed"))
+      }
+      // utility in exact micro ints: round(recall·1e6) − round(p@0.5·1e6)
+      val scored = rows.reduce(_ unionByName _)
+        .withColumn("util", expr(
+          """CAST(ROUND(recall_observed * 1000000, 0) AS BIGINT)
+            | - CAST(ROUND(p_at_05 * 1000000, 0) AS BIGINT)""".stripMargin))
+        .localCheckpoint() // 8 config rows
+      val best = scored.agg(max(struct(col("util"),
+        (-col("bands")).as("nb"), (-col("rows_per_band")).as("nr")))
+        .as("b"))
+      scored.crossJoin(broadcast(best))
+        .withColumn("chosen",
+          col("util") === col("b.util") &&
+            col("bands") === -col("b.nb") &&
+            col("rows_per_band") === -col("b.nr"))
+        .drop("b")
+        .orderBy(col("bands"), col("rows_per_band"))
+    }),
 
     // PEAK CONCURRENCY (interval max-overlap): how many 30-minute
     // event windows are simultaneously open, per type, and when the
@@ -81,6 +164,170 @@ object AnalyticsOps extends QueryModule {
         .select(col("event_type"), col("n_events"),
           col("peak").as("peak_concurrency"), col("peak_t"))
         .orderBy(col("event_type"))
+    }),
+
+    // JOIN-KEY SKEW PROFILER — the pre-flight diagnostic behind
+    // q52's salted join and q191's AQE rescue: for each join key the
+    // pipeline shuffles on, the frequency distribution's shape (max /
+    // p50 / p99 frequency by EXACT rank over the frequency-value
+    // grid), the skew ratio vs the mean, and the integer salting
+    // factor that would cap the biggest key at ~4× an average
+    // partition share: salt = ⌈max_freq·n_keys / (4·n_rows)⌉. One
+    // count pass per audited key, then grid-bounded rank folds — the
+    // profile a planner consults BEFORE choosing broadcast / salt /
+    // AQE at 100 TB.
+    "q323_skew_profiler" -> ((s, d) => {
+      def profile(keyName: String, df: DataFrame): DataFrame = {
+        val freq = df.groupBy(col("k")).agg(count(lit(1)).as("f"))
+        freq.groupBy(col("f")).agg(count(lit(1)).as("nk"))
+          .agg(sort_array(collect_list(struct(col("f"), col("nk"))))
+            .as("a"), sum(col("nk")).as("keys"),
+            sum(col("f") * col("nk")).as("rows"), max(col("f")).as("mx"))
+          .withColumn("p50", expr(
+            """aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS BIGINT)),
+              |  (acc, x) -> named_struct('cum', acc.cum + x.nk,
+              |    'q', CASE WHEN acc.q IS NULL
+              |      AND acc.cum + x.nk >= (keys + 1) DIV 2
+              |      THEN x.f ELSE acc.q END),
+              |  acc -> acc.q)""".stripMargin))
+          .withColumn("p99", expr(
+            """aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS BIGINT)),
+              |  (acc, x) -> named_struct('cum', acc.cum + x.nk,
+              |    'q', CASE WHEN acc.q IS NULL
+              |      AND acc.cum + x.nk >= (99 * keys + 99) DIV 100
+              |      THEN x.f ELSE acc.q END),
+              |  acc -> acc.q)""".stripMargin))
+          .select(lit(keyName).as("join_key"), col("rows").as("n_rows"),
+            col("keys").as("n_keys"), col("mx").as("max_freq"),
+            col("p50").as("p50_freq"), col("p99").as("p99_freq"),
+            round(col("mx").cast("double") * col("keys") / col("rows"), 6)
+              .as("skew_ratio"),
+            expr("(mx * keys + 4 * rows - 1) DIV (4 * rows)")
+              .as("recommended_salt"))
+      }
+      profile("lineitem.l_orderkey",
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k")))
+        .unionByName(profile("events.user_id",
+          Tables.events(s, d).select(col("user_id").as("k"))))
+        .unionByName(profile("documents.source",
+          Tables.documents(s, d).select(col("source").cast("string")
+            .as("k"))))
+        .orderBy(col("join_key"))
+    }),
+
+    // K-step ABSORPTION PROBABILITY into 'purchase' (the finite-
+    // horizon absorbing-chain readout on q207/q317's transition
+    // matrix — "what fraction of users in state s convert within k
+    // steps"): purchase made absorbing, vₖ(i) = p(i,abs) +
+    // Σ_{j≠abs} p(i,j)·vₖ₋₁(j), four unrolled steps with the q288
+    // fixed-point discipline — transition probabilities rounded ONCE
+    // to 6dp decimals, every step's products exact decimals summed
+    // exactly and rounded back to 6dp, so the recursion is
+    // bit-identical to the oracle's four unrolled join-CTEs. The
+    // |types|²-grid is the only state; corpus work is q317's one
+    // lead() pass.
+    "q324_markov_absorption" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Tables.eventsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val ni = trans.groupBy(col("event_type")).agg(sum(col("nij")).as("ni"))
+      val probs = trans.join(broadcast(ni), "event_type")
+        .withColumn("p6", expr(
+          "CAST(ROUND(CAST(nij AS DOUBLE) / ni, 6) AS DECIMAL(12,6))"))
+        .select(col("event_type").as("i"), col("next_type").as("j"),
+          col("p6"))
+      val folded = probs
+        .agg(collect_list(struct(col("i"), col("j"), col("p6"))).as("m"))
+        .withColumn("states", expr(
+          "array_sort(array_distinct(transform(m, x -> x.i)))"))
+        // v1(i) = p(i, purchase); v_{k+1}(i) = p(i,abs) + Σ_{j≠abs} p(i,j)·v_k(j)
+        .withColumn("v1", expr(
+          """transform(states, s -> named_struct('s', s, 'v',
+            |  CAST(coalesce(
+            |    element_at(map_from_entries(transform(
+            |      filter(m, x -> x.i = s AND x.j = 'purchase'),
+            |      x -> struct(x.i, x.p6))), s),
+            |    CAST(0 AS DECIMAL(12,6))) AS DECIMAL(12,6))))""".stripMargin))
+      def step(prev: String) = expr(
+        s"""transform(states, s -> named_struct('s', s, 'v',
+           |  CAST(ROUND(CAST(
+           |    coalesce(element_at(map_from_entries(transform(
+           |      filter(m, x -> x.i = s AND x.j = 'purchase'),
+           |      x -> struct(x.i, x.p6))), s), CAST(0 AS DECIMAL(12,6)))
+           |    + aggregate(
+           |        filter(m, x -> x.i = s AND x.j <> 'purchase'),
+           |        CAST(0 AS DECIMAL(28,12)),
+           |        (acc, x) -> CAST(acc + x.p6 * coalesce(
+           |          element_at(map_from_entries(transform($prev,
+           |            y -> struct(y.s, y.v))), x.j),
+           |          CAST(0 AS DECIMAL(12,6))) AS DECIMAL(28,12)))
+           |   AS DOUBLE), 6) AS DECIMAL(12,6))))""".stripMargin)
+      folded
+        .withColumn("v2", step("v1"))
+        .withColumn("v3", step("v2"))
+        .withColumn("v4", step("v3"))
+        .select(explode(expr(
+          """transform(states, s -> named_struct('state', s,
+            |  'p1', element_at(map_from_entries(transform(v1,
+            |    y -> struct(y.s, y.v))), s),
+            |  'p2', element_at(map_from_entries(transform(v2,
+            |    y -> struct(y.s, y.v))), s),
+            |  'p3', element_at(map_from_entries(transform(v3,
+            |    y -> struct(y.s, y.v))), s),
+            |  'p4', element_at(map_from_entries(transform(v4,
+            |    y -> struct(y.s, y.v))), s)))""".stripMargin)).as("r"))
+        .select(col("r.state").as("state"),
+          col("r.p1").cast("double").as("p_absorb_1"),
+          col("r.p2").cast("double").as("p_absorb_2"),
+          col("r.p3").cast("double").as("p_absorb_3"),
+          col("r.p4").cast("double").as("p_absorb_4"))
+        .orderBy(col("state"))
+    }),
+
+    // Per-source BOXPLOT profile with exact Tukey fences (Tukey
+    // 1977): q1/median/q3 of doc length by exact rank over the
+    // value grid, IQR fences at ±1.5·IQR decided in DOUBLED integer
+    // arithmetic (2x vs 2q1−3·IQR — 1.5·IQR is a half-integer, so
+    // the ×2 spelling keeps the outlier test in pure BIGINTs), and
+    // outlier counts per side — the data-profile table every
+    // ingest QA run prints; one corpus pass to the per-source value
+    // grids.
+    "q325_boxplot_profile" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def rank(k: String) =
+        s"""aggregate(a, named_struct('cum', 0L, 'q', CAST(NULL AS BIGINT)),
+           |  (acc, x) -> named_struct('cum', acc.cum + x.c,
+           |    'q', CASE WHEN acc.q IS NULL AND acc.cum + x.c >= $k
+           |      THEN x.n_chars ELSE acc.q END),
+           |  acc -> acc.q)""".stripMargin
+      g.groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(col("n_chars"), col("c"))))
+          .as("a"), sum(col("c")).as("n"))
+        .withColumn("q1", expr(rank("(n + 3) DIV 4")))
+        .withColumn("q2", expr(rank("(n + 1) DIV 2")))
+        .withColumn("q3", expr(rank("(3 * n + 3) DIV 4")))
+        .withColumn("iqr", col("q3") - col("q1"))
+        // outliers: 2x < 2q1 − 3·IQR or 2x > 2q3 + 3·IQR (pure ints)
+        .withColumn("lo_out", expr(
+          """aggregate(a, 0L, (acc, x) -> acc +
+            |  IF(2 * x.n_chars < 2 * q1 - 3 * iqr, x.c, 0L))""".stripMargin))
+        .withColumn("hi_out", expr(
+          """aggregate(a, 0L, (acc, x) -> acc +
+            |  IF(2 * x.n_chars > 2 * q3 + 3 * iqr, x.c, 0L))""".stripMargin))
+        .select(col("source"), col("n"), col("q1"), col("q2"), col("q3"),
+          col("iqr"), col("lo_out").as("n_low_outliers"),
+          col("hi_out").as("n_high_outliers"))
+        .orderBy(col("source"))
     }),
 
     // Markov ENTROPY RATE of user event sequences (Shannon 1948;
@@ -491,6 +738,183 @@ object AnalyticsOps extends QueryModule {
          |  c_hat, e_unlab,
          |  ROUND(LEAST(e_unlab / c_hat, 1.0), 6) AS pi_hat
          |FROM e""".stripMargin,
+
+    "q322_lsh_planner" -> {
+      val cfgs = lshGrid.map { case (b, r) =>
+        val p5 = sCurveSql("0.5", b, r)
+        val p7 = sCurveSql("0.7", b, r)
+        val p9 = sCurveSql("0.9", b, r)
+        val pm = sCurveSql("mid", b, r)
+        s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           |  CAST(${b * r} AS INT) AS signature_len,
+           |  ROUND($p5, 6) AS p_at_05, ROUND($p7, 6) AS p_at_07,
+           |  ROUND($p9, 6) AS p_at_09,
+           |  (SELECT CAST(SUM(CAST(ROUND($pm * cnt / tc, 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) FROM h2, tot)
+           |    AS recall_observed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${Dedup.prefixPairSqlCtes("0.7")},
+         |p7m AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.7),
+         |hist AS (
+         |  SELECT CAST(FLOOR((jac - 0.7) / 0.05) AS INT) AS bin,
+         |    COUNT(*) AS cnt
+         |  FROM p7m GROUP BY 1),
+         |h2 AS (SELECT bin, cnt, 0.725 + 0.05 * bin AS mid FROM hist),
+         |tot AS (SELECT SUM(cnt) AS tc FROM h2),
+         |cfgs AS (
+         |$cfgs),
+         |u AS (
+         |  SELECT *, CAST(ROUND(recall_observed * 1000000, 0) AS BIGINT)
+         |    - CAST(ROUND(p_at_05 * 1000000, 0) AS BIGINT) AS util
+         |  FROM cfgs),
+         |mx AS (SELECT util, bands, rows_per_band FROM u
+         |       ORDER BY util DESC, bands, rows_per_band LIMIT 1)
+         |SELECT u.bands, u.rows_per_band, u.signature_len,
+         |  u.p_at_05, u.p_at_07, u.p_at_09, u.recall_observed, u.util,
+         |  (u.util = mx.util AND u.bands = mx.bands
+         |   AND u.rows_per_band = mx.rows_per_band) AS chosen
+         |FROM u, mx ORDER BY u.bands, u.rows_per_band""".stripMargin
+    },
+
+    "q323_skew_profiler" ->
+      """WITH f AS (
+        |  SELECT 'lineitem.l_orderkey' AS join_key,
+        |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'documents.source', source FROM documents),
+        |fr AS (SELECT join_key, k, COUNT(*) AS f FROM f GROUP BY 1, 2),
+        |gr AS (SELECT join_key, f, COUNT(*) AS nk FROM fr GROUP BY 1, 2),
+        |st AS (
+        |  SELECT join_key, SUM(nk) AS keys, SUM(f * nk) AS rows_,
+        |    MAX(f) AS mx
+        |  FROM gr GROUP BY 1),
+        |cum AS (
+        |  SELECT join_key, f,
+        |    SUM(nk) OVER (PARTITION BY join_key ORDER BY f) AS cc
+        |  FROM gr),
+        |p50 AS (
+        |  SELECT c.join_key, MIN(c.f) AS p50 FROM cum c
+        |  JOIN st ON st.join_key = c.join_key
+        |  WHERE c.cc >= (st.keys + 1) // 2 GROUP BY 1),
+        |p99 AS (
+        |  SELECT c.join_key, MIN(c.f) AS p99 FROM cum c
+        |  JOIN st ON st.join_key = c.join_key
+        |  WHERE c.cc >= (99 * st.keys + 99) // 100 GROUP BY 1)
+        |SELECT st.join_key, CAST(st.rows_ AS BIGINT) AS n_rows,
+        |  CAST(st.keys AS BIGINT) AS n_keys,
+        |  CAST(st.mx AS BIGINT) AS max_freq,
+        |  CAST(p50.p50 AS BIGINT) AS p50_freq,
+        |  CAST(p99.p99 AS BIGINT) AS p99_freq,
+        |  ROUND(CAST(st.mx AS DOUBLE) * st.keys / st.rows_, 6)
+        |    AS skew_ratio,
+        |  CAST((st.mx * st.keys + 4 * st.rows_ - 1) // (4 * st.rows_)
+        |    AS BIGINT) AS recommended_salt
+        |FROM st
+        |JOIN p50 ON p50.join_key = st.join_key
+        |JOIN p99 ON p99.join_key = st.join_key
+        |ORDER BY st.join_key""".stripMargin,
+
+    "q324_markov_absorption" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS t, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS next_type
+        |  FROM ev),
+        |trans AS (
+        |  SELECT event_type, next_type, COUNT(*) AS nij
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ni AS (SELECT event_type, SUM(nij) AS ni FROM trans GROUP BY 1),
+        |p AS (
+        |  SELECT t.event_type AS i, t.next_type AS j,
+        |    CAST(ROUND(CAST(t.nij AS DOUBLE) / ni.ni, 6)
+        |      AS DECIMAL(12,6)) AS p6
+        |  FROM trans t JOIN ni ON ni.event_type = t.event_type),
+        |states AS (SELECT DISTINCT i AS s FROM p),
+        |v1 AS (
+        |  SELECT s.s, CAST(COALESCE(p.p6, 0) AS DECIMAL(12,6)) AS v
+        |  FROM states s
+        |  LEFT JOIN p ON p.i = s.s AND p.j = 'purchase'),
+        |v2 AS (
+        |  SELECT s.s, CAST(ROUND(CAST(
+        |    COALESCE(MIN(pp.p6), 0) + COALESCE(SUM(p.p6 * w.v), 0)
+        |    AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
+        |  FROM states s
+        |  LEFT JOIN p pp ON pp.i = s.s AND pp.j = 'purchase'
+        |  LEFT JOIN p ON p.i = s.s AND p.j <> 'purchase'
+        |  LEFT JOIN v1 w ON w.s = p.j
+        |  GROUP BY s.s),
+        |v3 AS (
+        |  SELECT s.s, CAST(ROUND(CAST(
+        |    COALESCE(MIN(pp.p6), 0) + COALESCE(SUM(p.p6 * w.v), 0)
+        |    AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
+        |  FROM states s
+        |  LEFT JOIN p pp ON pp.i = s.s AND pp.j = 'purchase'
+        |  LEFT JOIN p ON p.i = s.s AND p.j <> 'purchase'
+        |  LEFT JOIN v2 w ON w.s = p.j
+        |  GROUP BY s.s),
+        |v4 AS (
+        |  SELECT s.s, CAST(ROUND(CAST(
+        |    COALESCE(MIN(pp.p6), 0) + COALESCE(SUM(p.p6 * w.v), 0)
+        |    AS DOUBLE), 6) AS DECIMAL(12,6)) AS v
+        |  FROM states s
+        |  LEFT JOIN p pp ON pp.i = s.s AND pp.j = 'purchase'
+        |  LEFT JOIN p ON p.i = s.s AND p.j <> 'purchase'
+        |  LEFT JOIN v3 w ON w.s = p.j
+        |  GROUP BY s.s)
+        |SELECT s.s AS state,
+        |  CAST(v1.v AS DOUBLE) AS p_absorb_1,
+        |  CAST(v2.v AS DOUBLE) AS p_absorb_2,
+        |  CAST(v3.v AS DOUBLE) AS p_absorb_3,
+        |  CAST(v4.v AS DOUBLE) AS p_absorb_4
+        |FROM states s
+        |JOIN v1 ON v1.s = s.s JOIN v2 ON v2.s = s.s
+        |JOIN v3 ON v3.s = s.s JOIN v4 ON v4.s = s.s
+        |ORDER BY state""".stripMargin,
+
+    "q325_boxplot_profile" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, SUM(c) AS n FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT source, n_chars, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cc
+        |  FROM g),
+        |q1 AS (SELECT c.source, MIN(c.n_chars) AS q FROM cum c
+        |  JOIN n ON n.source = c.source
+        |  WHERE c.cc >= (n.n + 3) // 4 GROUP BY 1),
+        |q2 AS (SELECT c.source, MIN(c.n_chars) AS q FROM cum c
+        |  JOIN n ON n.source = c.source
+        |  WHERE c.cc >= (n.n + 1) // 2 GROUP BY 1),
+        |q3 AS (SELECT c.source, MIN(c.n_chars) AS q FROM cum c
+        |  JOIN n ON n.source = c.source
+        |  WHERE c.cc >= (3 * n.n + 3) // 4 GROUP BY 1),
+        |o AS (
+        |  SELECT g.source,
+        |    SUM(CASE WHEN 2 * g.n_chars < 2 * q1.q - 3 * (q3.q - q1.q)
+        |      THEN g.c ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN 2 * g.n_chars > 2 * q3.q + 3 * (q3.q - q1.q)
+        |      THEN g.c ELSE 0 END) AS hi
+        |  FROM g
+        |  JOIN q1 ON q1.source = g.source
+        |  JOIN q3 ON q3.source = g.source
+        |  GROUP BY 1)
+        |SELECT n.source, CAST(n.n AS BIGINT) AS n,
+        |  CAST(q1.q AS BIGINT) AS q1, CAST(q2.q AS BIGINT) AS q2,
+        |  CAST(q3.q AS BIGINT) AS q3,
+        |  CAST(q3.q - q1.q AS BIGINT) AS iqr,
+        |  CAST(o.lo AS BIGINT) AS n_low_outliers,
+        |  CAST(o.hi AS BIGINT) AS n_high_outliers
+        |FROM n
+        |JOIN q1 ON q1.source = n.source JOIN q2 ON q2.source = n.source
+        |JOIN q3 ON q3.source = n.source JOIN o ON o.source = n.source
+        |ORDER BY n.source""".stripMargin,
 
     "q317_entropy_rate" ->
       """WITH ev AS (

@@ -585,6 +585,47 @@ object InferenceOps extends QueryModule {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Difference-in-differences (Card & Krueger 1994's workhorse
+    // design) on conversion rate: group = user parity, period =
+    // calendar half (day < 15 pre / ≥ 15 post); the 2×2 cell means
+    // are exact integer rates rounded once, DiD = (p̂₁₁−p̂₁₀) −
+    // (p̂₀₁−p̂₀₀) on the settled 6dp decimals, SE = √Σ p(1−p)/n with
+    // each variance term a single double expression of exact counts,
+    // and significance decided on the ROUNDED z (q235's round-first
+    // rule). ONE corpus pass to 4 cells; the parallel-trends caveat
+    // is the analyst's, the arithmetic is the engine's.
+    "q321_did" -> ((s, d) => {
+      val ev = Tables.eventsUs(s, d)
+        .select((col("user_id") % 2).cast("int").as("grp"),
+          expr("ts_us div 86400000000").as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val cells = ev.crossJoin(broadcast(d0))
+        .withColumn("post", (col("day") - col("d0") >= 15).cast("int"))
+        .groupBy(col("grp"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+        .withColumn("p6", expr(
+          "CAST(ROUND(CAST(x AS DOUBLE) / n, 6) AS DECIMAL(12,6))"))
+        .localCheckpoint() // 4 cells
+      val g = cells.agg(
+          sum(when(col("grp") === 1 && col("post") === 1, col("p6"))).as("p11"),
+          sum(when(col("grp") === 1 && col("post") === 0, col("p6"))).as("p10"),
+          sum(when(col("grp") === 0 && col("post") === 1, col("p6"))).as("p01"),
+          sum(when(col("grp") === 0 && col("post") === 0, col("p6"))).as("p00"),
+          sum(expr("""CAST(ROUND(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
+            |  / n, 12) AS DECIMAL(18,12))""".stripMargin)).as("varsum"))
+        .select(
+          ((col("p11") - col("p10")) - (col("p01") - col("p00")))
+            .cast("double").as("did"),
+          expr("ROUND(SQRT(CAST(varsum AS DOUBLE)), 6)").as("se"))
+        .withColumn("z", expr("ROUND(did / se, 6)"))
+        .withColumn("significant_95", abs(col("z")) > 1.959964)
+      cells.select(col("grp"), col("post"), col("n"), col("x"),
+          col("p6").cast("double").as("rate"))
+        .crossJoin(broadcast(g))
+        .orderBy(col("grp"), col("post"))
+    }),
+
     // Poisson-bootstrap confidence interval for AUC (the q231
     // resampling machinery applied to the q229 ranking metric —
     // Efron 1979 percentile CI, Poissonized for one-pass
@@ -1080,6 +1121,41 @@ object InferenceOps extends QueryModule {
          |ORDER BY w.source""".stripMargin,
 
     "q316_auc_bootstrap" -> aucBootstrapOracleSql,
+
+    "q321_did" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS grp,
+        |    epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |cells AS (
+        |  SELECT grp, CAST(day - d0.d0 >= 15 AS INT) AS post,
+        |    COUNT(*) AS n, SUM(y) AS x
+        |  FROM ev, d0 GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT grp, post, n, x,
+        |    CAST(ROUND(CAST(x AS DOUBLE) / n, 6) AS DECIMAL(12,6)) AS p6
+        |  FROM cells),
+        |g AS (
+        |  SELECT
+        |    CAST((SUM(CASE WHEN grp = 1 AND post = 1 THEN p6 END)
+        |      - SUM(CASE WHEN grp = 1 AND post = 0 THEN p6 END))
+        |      - (SUM(CASE WHEN grp = 0 AND post = 1 THEN p6 END)
+        |      - SUM(CASE WHEN grp = 0 AND post = 0 THEN p6 END))
+        |      AS DOUBLE) AS did,
+        |    ROUND(SQRT(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) / n
+        |      * (1 - CAST(x AS DOUBLE) / n) / n, 12) AS DECIMAL(18,12)))
+        |      AS DOUBLE)), 6) AS se
+        |  FROM c2),
+        |g2 AS (
+        |  SELECT did, se, ROUND(did / se, 6) AS z,
+        |    ABS(ROUND(did / se, 6)) > 1.959964 AS significant_95
+        |  FROM g)
+        |SELECT c2.grp, c2.post, CAST(c2.n AS BIGINT) AS n,
+        |  CAST(c2.x AS BIGINT) AS x, CAST(c2.p6 AS DOUBLE) AS rate,
+        |  g2.did, g2.se, g2.z, g2.significant_95
+        |FROM c2, g2 ORDER BY c2.grp, c2.post""".stripMargin,
 
     "q318_qte" ->
       """WITH g AS (

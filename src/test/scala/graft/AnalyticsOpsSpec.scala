@@ -141,6 +141,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q321: DiD equals the plain 2×2 rate algebra and cells " +
+    "partition the events") {
+    val rows = q("q321_did").collect()
+    assert(rows.length == 4)
+    val total = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val rate = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4))
+      .toMap
+    val did = (rate((1, 1)) - rate((1, 0))) - (rate((0, 1)) - rate((0, 0)))
+    assert(math.abs(rows.head.getDouble(5) - did) < 1e-9)
+  }
+
+  test("q322: S-curves are monotone in θ, the signature budget is " +
+    "respected, and exactly one config is chosen") {
+    val rows = q("q322_lsh_planner").collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(0) * r.getInt(1))
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9 &&
+        r.getDouble(4) <= r.getDouble(5) + 1e-9,
+        "collision probability must rise with θ")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+    }
+    assert(rows.count(_.getBoolean(8)) == 1, "exactly one chosen config")
+    val chosen = rows.filter(_.getBoolean(8)).head
+    assert(rows.forall(r => r.getLong(7) <= chosen.getLong(7)))
+  }
+
+  test("q323: skew stats are internally consistent (p50 ≤ p99 ≤ max, " +
+    "Σ freq = rows) and the salt is ≥ 1 only under real skew") {
+    val rows = q("q323_skew_profiler").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(3),
+        s"${r.getString(0)}: p50 ≤ p99 ≤ max violated")
+      assert(r.getLong(7) >= 1, "salt is a positive partition count")
+      assert(r.getDouble(6) >= 1.0 - 1e-9,
+        "max/avg skew ratio is at least 1")
+    }
+  }
+
+  test("q324: absorption probabilities are monotone in horizon and " +
+    "bounded by 1; purchase itself absorbs at every horizon") {
+    val rows = q("q324_markov_absorption").collect()
+    rows.foreach { r =>
+      val ps = (1 to 4).map(r.getDouble)
+      assert(ps.zip(ps.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"${r.getString(0)}: horizons must be monotone ${ps}")
+      assert(ps.forall(p => p >= 0 && p <= 1 + 1e-9))
+    }
+  }
+
+  test("q325: quartiles are ordered, fences classify exactly the " +
+    "integer-arithmetic outliers, counts are bounded by n") {
+    val rows = q("q325_boxplot_profile").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(2))
+      assert(r.getLong(6) + r.getLong(7) <= r.getLong(1))
+    }
+  }
+
   test("q315: every rule's credits sum to exactly 10⁶ per conversion " +
     "path, so the rule totals are equal and shares sum to 1") {
     val rows = q("q315_multitouch_attribution").collect()

@@ -65,7 +65,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q316_auc_bootstrap",       // 1-row point-AUC scalar broadcast onto the CI row
     "q317_entropy_rate",        // 1-row totals + 1-row rate broadcasts onto |types| rows
     "q318_qte",                 // 1-row per-variant quantile-array broadcast
-    "q320_burstiness")          // 1-row doc-count scalar broadcast (q80's shape)
+    "q320_burstiness",          // 1-row doc-count scalar broadcast (q80's shape)
+    "q321_did",                 // 1-row min-day anchor + 1-row DiD-verdict broadcasts
+    "q322_lsh_planner")         // 1-row histogram-total + 1-row best-config broadcasts
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -173,6 +175,10 @@ class PlanBudgetSpec extends SparkSpec {
     // rows (two per-doc-total branches, the pair-keyed intersection
     // agg, the three result joins, final sort)
     "q312_weighted_jaccard" -> 9,
+    // q323 audits THREE relations by design — each contributes one
+    // key-count pass + one frequency-grid agg + the union's final
+    // sort; every exchange moves key- or grid-bounded rows
+    "q323_skew_profiler" -> 9,
     // q283 composes TWO whole retrieval pipelines by design — q43's
     // LSH index (bucket join + re-rank) as the system under audit and
     // the brute-force cosine top-10 as the truth — then folds both

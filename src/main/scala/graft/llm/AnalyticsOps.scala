@@ -166,6 +166,162 @@ object AnalyticsOps extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // WHAT-IF FILTER IMPACT simulation — the curation-planning table
+    // computed BEFORE committing to a quality threshold: for each
+    // candidate stopword-score cutoff t (keep docs with sm ≤ t), the
+    // surviving doc/token counts and the L1 shift of the LANGUAGE MIX
+    // vs the unfiltered corpus (the collateral a filter inflicts on
+    // low-resource languages is usually the deciding factor). One
+    // corpus pass to the (score, lang) value grid; the nine rungs
+    // fold over that bounded grid; mix shares round once to 6dp and
+    // the L1 totalizes those settled decimals per rung.
+    "q328_filter_whatif" -> ((s, d) => {
+      val ts = TextAnalysis.tokens(col("text"))
+      val grid = Tables.documents(s, d)
+        .withColumn("n_tok", size(ts))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_cnt", size(filter(ts,
+          t => t.isin(TextAnalysis.Stopwords: _*))))
+        .select(expr("CAST((1000 * stop_cnt) DIV n_tok AS INT)").as("sm"),
+          col("lang"), col("n_tok"))
+        .groupBy(col("sm"), col("lang"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+      grid
+        .agg(collect_list(struct(col("sm"), col("lang"), col("nd"),
+            col("nt"))).as("g"),
+          sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
+        .withColumn("langs", expr(
+          "array_sort(array_distinct(transform(g, x -> x.lang)))"))
+        .select(col("td"), col("tt"), posexplode(expr(
+          """transform(sequence(1, 9), k -> named_struct(
+            |  'thr', k * 100,
+            |  'nd', aggregate(filter(g, x -> x.sm <= k * 100), 0L,
+            |    (a, x) -> a + x.nd),
+            |  'nt', aggregate(filter(g, x -> x.sm <= k * 100), 0L,
+            |    (a, x) -> a + x.nt),
+            |  'l1', aggregate(langs, CAST(0 AS DECIMAL(18,6)),
+            |    (a, l) -> CAST(a + abs(
+            |      CAST(ROUND(CAST(aggregate(
+            |        filter(g, x -> x.sm <= k * 100 AND x.lang = l), 0L,
+            |        (b, x) -> b + x.nt) AS DOUBLE)
+            |        / aggregate(filter(g, x -> x.sm <= k * 100), 0L,
+            |            (b, x) -> b + x.nt), 6) AS DECIMAL(12,6))
+            |      - CAST(ROUND(CAST(aggregate(
+            |          filter(g, x -> x.lang = l), 0L,
+            |          (b, x) -> b + x.nt) AS DOUBLE) / tt, 6)
+            |        AS DECIMAL(12,6))) AS DECIMAL(18,6)))))"""
+            .stripMargin)))
+        .select(expr("col.thr").cast("int").as("threshold"),
+          expr("col.nd").as("n_docs"), expr("col.nt").as("n_tokens"),
+          round(expr("col.nd").cast("double") / col("td"), 6)
+            .as("frac_docs"),
+          expr("CAST(col.l1 AS DOUBLE)").as("l1_mix_shift"))
+        .orderBy(col("threshold"))
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013 — the pre-experiment
+    // covariate adjustment every mature experimentation platform
+    // applies): pre-period spend X (first calendar half) adjusts
+    // post-period spend Y, θ = cov(X,Y)/var(X) from EXACT integer
+    // cents sufficient statistics (one per-user pass, map-side
+    // combinable), adjusted means on 6dp-settled values, and the
+    // variance-reduction factor ρ² = cov²/(varX·varY) — the whole
+    // query is integer algebra until four documented 6dp rounds.
+    "q329_cuped" -> ((s, d) => {
+      val ev = Tables.eventsUs(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val users = ev.crossJoin(broadcast(d0))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") - col("d0") < 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") - col("d0") >= 15, col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("v", (col("user_id") % 2).cast("int"))
+        .localCheckpoint() // user-bounded; one corpus pass
+      val g = users.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        // the n·Σ products approach 2⁶³ at larger SFs — compute the
+        // covariance algebra in DOUBLE from the exact integer sums
+        // (identical expression trees both engines; no pow(), an
+        // explicit square — pow is not correctly rounded)
+        .withColumn("numd", expr(
+          "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"))
+        .withColumn("dx", expr(
+          "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+        .withColumn("dy", expr(
+          "CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"))
+        .withColumn("theta", expr("ROUND(numd / dx, 6)"))
+        .withColumn("rho2", expr("ROUND(numd * numd / (dx * dy), 6)"))
+        .withColumn("xbar", expr("ROUND(CAST(sx AS DOUBLE) / n, 6)"))
+      val arms = users.groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sx_v"),
+          sum(col("y")).as("sy_v"))
+        .withColumn("ybar", expr("ROUND(CAST(sy_v AS DOUBLE) / n_v, 6)"))
+        .withColumn("xbar_v", expr("ROUND(CAST(sx_v AS DOUBLE) / n_v, 6)"))
+      arms.crossJoin(broadcast(g.select(col("theta"), col("rho2"),
+          col("xbar"))))
+        .withColumn("ybar_cuped",
+          expr("ROUND(ybar - theta * (xbar_v - xbar), 6)"))
+        .select(col("v").as("variant"), col("n_v").as("n_users"),
+          col("ybar").as("mean_post_cents"),
+          col("xbar_v").as("mean_pre_cents"),
+          col("ybar_cuped").as("mean_cuped_cents"),
+          col("theta"), col("rho2").as("variance_reduction"))
+        .orderBy(col("variant"))
+    }),
+
+    // Negative-binomial overdispersion fit (method of moments) on the
+    // per-type daily counts — the distributional follow-up to q310's
+    // spike filter and q320's burstiness: a Poisson ingest has
+    // var ≈ mean; real traffic is overdispersed, and r = m²/(v−m),
+    // p = m/v parameterize the NB a capacity model should use. The
+    // OVERDISPERSION VERDICT is decided in EXACT INTEGERS
+    // (n·Σx² − (Σx)² > (n−1)·Σx ⇔ v > m — cross-multiplied, no float
+    // can flip it); m, v, r, p are single rounded expressions of the
+    // same sufficient statistics. One corpus pass to the day grid.
+    "q330_negbin_fit" -> ((s, d) => {
+      Tables.eventsUs(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("overdispersed",
+          expr("n * sxx - sx * sx > (n - 1) * sx"))
+        .withColumn("mean_", expr("ROUND(CAST(sx AS DOUBLE) / n, 6)"))
+        .withColumn("var_", expr(
+          """ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+            |  / (CAST(n AS DOUBLE) * (n - 1)), 6)""".stripMargin))
+        .withColumn("dispersion", expr(
+          """ROUND(CAST(n * sxx - sx * sx AS DOUBLE) * n
+            |  / (CAST(n AS DOUBLE) * (n - 1) * sx), 6)""".stripMargin))
+        .withColumn("nb_r", expr(
+          """CASE WHEN overdispersed THEN
+            |  ROUND(CAST(sx AS DOUBLE) * sx /
+            |    (CAST(n AS DOUBLE) * n) /
+            |    (CAST(n * sxx - sx * sx AS DOUBLE)
+            |      / (CAST(n AS DOUBLE) * (n - 1))
+            |     - CAST(sx AS DOUBLE) / n), 6)
+            |END""".stripMargin))
+        .withColumn("nb_p", expr(
+          """CASE WHEN overdispersed THEN
+            |  ROUND((CAST(sx AS DOUBLE) / n) /
+            |    (CAST(n * sxx - sx * sx AS DOUBLE)
+            |      / (CAST(n AS DOUBLE) * (n - 1))), 6)
+            |END""".stripMargin))
+        .select(col("event_type"), col("n").cast("int").as("n_days"),
+          col("mean_").as("mean"), col("var_").as("variance"),
+          col("dispersion"), col("overdispersed"),
+          col("nb_r"), col("nb_p"))
+        .orderBy(col("event_type"))
+    }),
+
     // JOIN-KEY SKEW PROFILER — the pre-flight diagnostic behind
     // q52's salted join and q191's AQE rescue: for each join key the
     // pipeline shuffles on, the frequency distribution's shape (max /
@@ -738,6 +894,122 @@ object AnalyticsOps extends QueryModule {
          |  c_hat, e_unlab,
          |  ROUND(LEAST(e_unlab / c_hat, 1.0), 6) AS pi_hat
          |FROM e""".stripMargin,
+
+    "q328_filter_whatif" ->
+      s"""WITH base AS (
+         |  SELECT CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> list_contains(['the','a','of','and','to','in','is'], t)))
+         |      AS BIGINT)) // len(ts) AS INT) AS sm,
+         |    lang, len(ts) AS n_tok
+         |  FROM (SELECT lang, ${TextAnalysis.tokensSql} AS ts
+         |        FROM documents) z
+         |  WHERE len(ts) > 0),
+         |grid AS (
+         |  SELECT sm, lang, COUNT(*) AS nd, SUM(n_tok) AS nt
+         |  FROM base GROUP BY 1, 2),
+         |tot AS (SELECT SUM(nd) AS td, SUM(nt) AS tt FROM grid),
+         |langs AS (SELECT DISTINCT lang FROM grid),
+         |rungs AS (SELECT unnest(range(1, 10)) AS k),
+         |ft AS (
+         |  SELECT r.k, SUM(g.nd) AS nd, SUM(g.nt) AS nt
+         |  FROM rungs r JOIN grid g ON g.sm <= r.k * 100 GROUP BY 1),
+         |fl AS (
+         |  SELECT r.k, l.lang, COALESCE(SUM(g.nt), 0) AS nt
+         |  FROM rungs r CROSS JOIN langs l
+         |  LEFT JOIN grid g ON g.sm <= r.k * 100 AND g.lang = l.lang
+         |  GROUP BY 1, 2),
+         |om AS (
+         |  SELECT l.lang,
+         |    CAST(ROUND(CAST(COALESCE(SUM(g.nt), 0) AS DOUBLE) / tot.tt,
+         |      6) AS DECIMAL(12,6)) AS m
+         |  FROM langs l LEFT JOIN grid g ON g.lang = l.lang, tot
+         |  GROUP BY l.lang, tot.tt),
+         |l1 AS (
+         |  SELECT fl.k,
+         |    CAST(SUM(ABS(
+         |      CAST(ROUND(CAST(fl.nt AS DOUBLE) / ft.nt, 6)
+         |        AS DECIMAL(12,6)) - om.m)) AS DECIMAL(18,6)) AS l1
+         |  FROM fl JOIN ft ON ft.k = fl.k JOIN om ON om.lang = fl.lang
+         |  GROUP BY 1)
+         |SELECT CAST(ft.k * 100 AS INT) AS threshold,
+         |  CAST(ft.nd AS BIGINT) AS n_docs,
+         |  CAST(ft.nt AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(ft.nd AS DOUBLE) / tot.td, 6) AS frac_docs,
+         |  CAST(l1.l1 AS DOUBLE) AS l1_mix_shift
+         |FROM ft JOIN l1 ON l1.k = ft.k, tot
+         |ORDER BY threshold""".stripMargin,
+
+    "q329_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN day - d0.d0 < 15 THEN cents ELSE 0 END) AS x,
+        |    SUM(CASE WHEN day - d0.d0 >= 15 THEN cents ELSE 0 END) AS y,
+        |    CAST(user_id % 2 AS INT) AS v
+        |  FROM ev, d0 GROUP BY user_id),
+        |g AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM users),
+        |g2 AS (
+        |  SELECT
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS numd,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dy,
+        |    ROUND(CAST(sx AS DOUBLE) / n, 6) AS xbar
+        |  FROM g),
+        |g3 AS (
+        |  SELECT ROUND(numd / dx, 6) AS theta,
+        |    ROUND(numd * numd / (dx * dy), 6) AS rho2, xbar
+        |  FROM g2),
+        |arms AS (
+        |  SELECT v, COUNT(*) AS n_v, SUM(x) AS sx_v, SUM(y) AS sy_v
+        |  FROM users GROUP BY 1),
+        |a2 AS (
+        |  SELECT v, n_v,
+        |    ROUND(CAST(sy_v AS DOUBLE) / n_v, 6) AS ybar,
+        |    ROUND(CAST(sx_v AS DOUBLE) / n_v, 6) AS xbar_v
+        |  FROM arms)
+        |SELECT a2.v AS variant, CAST(a2.n_v AS BIGINT) AS n_users,
+        |  a2.ybar AS mean_post_cents, a2.xbar_v AS mean_pre_cents,
+        |  ROUND(a2.ybar - g3.theta * (a2.xbar_v - g3.xbar), 6)
+        |    AS mean_cuped_cents,
+        |  g3.theta, g3.rho2 AS variance_reduction
+        |FROM a2, g3 ORDER BY variant""".stripMargin,
+
+    "q330_negbin_fit" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts)//1000 // 86400000000 AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS sxx
+        |  FROM dc GROUP BY 1)
+        |SELECT event_type, CAST(n AS INT) AS n_days,
+        |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+        |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) AS variance,
+        |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE) * n
+        |    / (CAST(n AS DOUBLE) * (n - 1) * sx), 6) AS dispersion,
+        |  n * sxx - sx * sx > (n - 1) * sx AS overdispersed,
+        |  CASE WHEN n * sxx - sx * sx > (n - 1) * sx THEN
+        |    ROUND(CAST(sx AS DOUBLE) * sx /
+        |      (CAST(n AS DOUBLE) * n) /
+        |      (CAST(n * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n - 1))
+        |       - CAST(sx AS DOUBLE) / n), 6)
+        |  END AS nb_r,
+        |  CASE WHEN n * sxx - sx * sx > (n - 1) * sx THEN
+        |    ROUND((CAST(sx AS DOUBLE) / n) /
+        |      (CAST(n * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n - 1))), 6)
+        |  END AS nb_p
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "q322_lsh_planner" -> {
       val cfgs = lshGrid.map { case (b, r) =>

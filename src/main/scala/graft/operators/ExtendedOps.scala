@@ -388,6 +388,76 @@ object ExtendedOps extends QueryModule {
     // digits), while 2-dp source data casts identically on both
     // (noise ~1e-13 « 0.005). The decimal multiplies are then exact
     // on both engines.
+    // TPC-H Q3 (shipping-priority), adapted to the fixture's schema
+    // (o_orderpriority stands in for o_shippriority): the canonical
+    // 3-table selective star join — segment-filtered customers
+    // BROADCAST into orders, the date predicates push to both scans,
+    // lineitem shuffles once on the join key, and the top-10 is a
+    // TakeOrdered on the EXACT decimal revenue (rank before rounding;
+    // o_orderdate + l_orderkey tiebreaks), so no float boundary can
+    // reorder the cut.
+    "q326_tpch_q3" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val rev = sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-06-30").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(rev.as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          round(col("rev_exact").cast("double"), 2).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 (local-supplier volume), adapted: the canonical
+    // 6-table snowflake with the c_nationkey = s_nationkey
+    // "local supplier" constraint — region/nation dimensions
+    // broadcast, the year's orders filter pushes down, and per-nation
+    // revenue ranks on the exact decimal sum (n_name tiebreak).
+    "q327_tpch_q5" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val rev = sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(rev.as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("n_name"))
+        .select(col("n_name"),
+          round(col("rev_exact").cast("double"), 2).as("revenue"))
+    }),
+
     "q100_tpch_q1" -> ((s, d) => {
       val dec = DecimalType(12, 2)
       val price = col("l_extendedprice").cast(dec)
@@ -667,6 +737,49 @@ object ExtendedOps extends QueryModule {
     // Twin of the decimal-first construction: 2-dp source columns cast
     // to DECIMAL(12,2) before any arithmetic, multiplies exact in
     // decimal, double conversion only at the end.
+    "q326_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c, orders o, lineitem l
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l.l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))) DESC,
+        |  o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q327_tpch_q5" ->
+      """SELECT n.n_name,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM customer c, orders o, lineitem l, supplier s, nation n,
+        |  region r
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))) DESC, n.n_name"""
+        .stripMargin,
+
     "q100_tpch_q1" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -202,6 +202,64 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q326/q327: TPC-H revenue ranks on the exact decimal sum — " +
+    "rows arrive revenue-descending and Q5 nations are ASIA-only") {
+    val q3 = q("q326_tpch_q3").collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    val revs3 = q3.map(_.getDouble(1))
+    assert(revs3.zip(revs3.tail).forall { case (a, b) => a >= b })
+    val q5 = q("q327_tpch_q5").collect()
+    assert(q5.nonEmpty)
+    val revs5 = q5.map(_.getDouble(1))
+    assert(revs5.zip(revs5.tail).forall { case (a, b) => a >= b })
+    val asia = spark.read.parquet(s"$sf001/nation.parquet")
+      .join(spark.read.parquet(s"$sf001/region.parquet")
+        .filter("r_name = 'ASIA'"),
+        org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(q5.map(_.getString(0)).toSet.subsetOf(asia))
+  }
+
+  test("q328: tightening the threshold is monotone in survivors and " +
+    "the loosest rung keeps at most everything") {
+    val rows = q("q328_filter_whatif").collect() // threshold asc
+    val docs = rows.map(_.getLong(1)); val toks = rows.map(_.getLong(2))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+      assert(r.getDouble(4) >= -1e-9 && r.getDouble(4) <= 2 + 1e-9,
+        "L1 between two distributions is in [0, 2]")
+    }
+  }
+
+  test("q329: CUPED preserves the raw post-period means and its " +
+    "variance-reduction factor is a squared correlation") {
+    val rows = q("q329_cuped").collect()
+    assert(rows.length == 2)
+    val rho2 = rows.head.getDouble(6)
+    assert(rho2 >= 0 && rho2 <= 1, s"rho² $rho2 outside [0,1]")
+    rows.foreach { r =>
+      // adjustment shifts the mean by θ·(x̄_v − x̄): bounded by the
+      // raw means' scale
+      assert(r.getDouble(4) > 0, "adjusted spend stays positive here")
+    }
+  }
+
+  test("q330: the overdispersion verdict matches the exact integer " +
+    "inequality and NB parameters exist exactly when overdispersed") {
+    val rows = q("q330_negbin_fit").collect()
+    rows.foreach { r =>
+      val over = r.getBoolean(5)
+      assert(over == (r.getDouble(3) > r.getDouble(2)) ||
+        math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-5,
+        "verdict must match var > mean (up to display rounding)")
+      assert(over == !r.isNullAt(6) && over == !r.isNullAt(7))
+      if (over) assert(r.getDouble(6) > 0 &&
+        r.getDouble(7) > 0 && r.getDouble(7) <= 1)
+    }
+  }
+
   test("q315: every rule's credits sum to exactly 10⁶ per conversion " +
     "path, so the rule totals are equal and shares sum to 1") {
     val rows = q("q315_multitouch_attribution").collect()

@@ -67,7 +67,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q318_qte",                 // 1-row per-variant quantile-array broadcast
     "q320_burstiness",          // 1-row doc-count scalar broadcast (q80's shape)
     "q321_did",                 // 1-row min-day anchor + 1-row DiD-verdict broadcasts
-    "q322_lsh_planner")         // 1-row histogram-total + 1-row best-config broadcasts
+    "q322_lsh_planner",         // 1-row histogram-total + 1-row best-config broadcasts
+    "q329_cuped")               // 1-row min-day anchor + 1-row θ/ρ² broadcasts onto 2 arms
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -573,6 +573,47 @@ object AnalyticsOps extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Link prediction over the θ=0.7 near-dup graph via the RESOURCE
+    // ALLOCATION index (Zhou–Lü–Zhang, Eur. Phys. J. B 2009) — "which
+    // non-paired docs are probably duplicates we missed": for each
+    // two-hop pair (u,v) that is NOT an edge, RA = Σ_w 1/deg(w) over
+    // common neighbors w. RA is chosen over Adamic–Adar deliberately:
+    // 1/d is ONE correctly-rounded IEEE division (bit-identical on
+    // both engines), where AA's 1/ln(d) rides on a non-correctly-
+    // rounded libm log — so each contribution settles at 12dp into
+    // exact DECIMAL and the scores sum order-free. Wedge enumeration
+    // is center-keyed and HUB-CAPPED at deg ≤ 64 on both engines (the
+    // standard LP sparsification: a super-hub's per-neighbor
+    // contribution is ≤ 1/65 and its wedge fan-out is quadratic — the
+    // cap bounds the self-join at Σ min(deg,64)² whatever the corpus,
+    // q223's posting-cap posture). Top-20 ranks on the exact decimal
+    // (pair tiebreak); the staged pair table costs nothing extra per
+    // run (q279's amortization).
+    "q337_link_prediction" -> ((s, d) => {
+      val edges = Dedup.prefixJaccardPairs(s, d, "0.7")
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val und = edges
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("dw"))
+      val undD = und.select(col("u").as("w"), col("v").as("n"))
+        .join(deg.filter(col("dw") <= 64), "w")
+      val cand = undD.select(col("w"), col("dw"), col("n").as("a"))
+        .join(undD.select(col("w"), col("n").as("b")), Seq("w"))
+        .filter(col("a") < col("b"))
+      cand
+        .join(edges.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_anti")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(expr("CAST(ROUND(CAST(1 AS DOUBLE) / dw, 12) " +
+            "AS DECIMAL(16,12))")).as("ra"))
+        .orderBy(col("ra").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a").as("doc_u"), col("b").as("doc_v"),
+          col("common_neighbors"),
+          col("ra").cast("double").as("ra_score"))
+    }),
+
     // Skip-gram co-occurrence counts (window ±3, forward-counted) —
     // the word2vec/SGNS training-pair extraction (Mikolov et al.
     // 2013): per doc, (wᵢ, wᵢ₊ₖ) for k ∈ {1,2,3} via lead() over the
@@ -833,6 +874,35 @@ object AnalyticsOps extends QueryModule {
          |JOIN tt ta ON ta.doc_id = p.doc_a
          |JOIN tt tb ON tb.doc_id = p.doc_b
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // q337: same hub-capped wedge enumeration; 1/dw is one IEEE
+    // division (bit-identical both engines) settled at 12dp into
+    // exact DECIMAL before the order-free sum
+    "q337_link_prediction" ->
+      s"""${Dedup.prefixPairSqlCtes("0.7")},
+         |p7 AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7),
+         |und AS (SELECT u, v FROM p7 UNION ALL SELECT v, u FROM p7),
+         |deg AS (SELECT u AS w, COUNT(*) AS dw FROM und GROUP BY 1),
+         |undd AS (
+         |  SELECT und.u AS w, deg.dw, und.v AS n
+         |  FROM und JOIN deg ON deg.w = und.u WHERE deg.dw <= 64),
+         |cand2 AS (
+         |  SELECT a.w, a.dw, a.n AS a, b.n AS b
+         |  FROM undd a JOIN undd b ON b.w = a.w AND a.n < b.n),
+         |ne AS (
+         |  SELECT c.a, c.b, c.dw FROM cand2 c
+         |  LEFT JOIN p7 e ON e.u = c.a AND e.v = c.b
+         |  WHERE e.u IS NULL),
+         |sc AS (
+         |  SELECT a, b, COUNT(*) AS common_neighbors,
+         |    SUM(CAST(ROUND(CAST(1 AS DOUBLE) / dw, 12)
+         |      AS DECIMAL(16,12))) AS ra
+         |  FROM ne GROUP BY 1, 2)
+         |SELECT a AS doc_u, b AS doc_v,
+         |  CAST(common_neighbors AS BIGINT) AS common_neighbors,
+         |  CAST(ra AS DOUBLE) AS ra_score
+         |FROM sc ORDER BY ra DESC, a, b LIMIT 20""".stripMargin,
 
     "q313_skipgram_cooc" ->
       """WITH toks AS (

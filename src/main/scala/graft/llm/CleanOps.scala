@@ -387,6 +387,49 @@ object CleanOps extends QueryModule {
     // l + global verdicts. Determinism: class entropy folds
     // cs·round6(ln cs) in exact DECIMAL, ln(n) is rounded once, and
     // the single division/exp happens on identical doubles.
+    // t-CLOSENESS audit (Li–Li–Venkatasubramanian, ICDE 2007) — the
+    // disclosure gauge k-anonymity (q268) and l-diversity (q284) both
+    // miss: a class can be large and diverse yet still leak if its
+    // SENSITIVE-VALUE DISTRIBUTION deviates from the table's. Same QI
+    // classes as the ladder family ((nation, balance-bucket), sensitive
+    // = market segment); for a categorical attribute the EMD of the
+    // paper is total variation distance ½·Σ|p_s − q_s|, computed here
+    // in CROSS-MULTIPLIED EXACT INTEGERS over the COMPLETE class×segment
+    // grid (absent cells contribute their full q_s mass — dropping
+    // them understates t): t·2nN = Σ_s |c_s·N − g_s·n|, one division
+    // at the output boundary. Everything after the one corpus-sized
+    // cell aggregation is QI-grid-bounded arithmetic.
+    "q338_t_closeness" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_nationkey").as("nat"),
+        expr("CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT) " +
+          "DIV 100000").as("bb"),
+        col("c_mktsegment").as("seg"))
+      val cells = c.groupBy(col("nat"), col("bb"), col("seg"))
+        .agg(count(lit(1)).as("cs"))
+        .localCheckpoint() // QI-grid-bounded; feeds margins + grid join
+      val segs = cells.groupBy(col("seg")).agg(sum(col("cs")).as("gs"))
+      val tot = segs.agg(sum(col("gs")).as("nn"))
+      val cls = cells.groupBy(col("nat"), col("bb"))
+        .agg(sum(col("cs")).as("n"))
+      val perClass = cls.crossJoin(broadcast(segs))
+        .join(cells, Seq("nat", "bb", "seg"), "left")
+        .withColumn("cs0", coalesce(col("cs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("nat"), col("bb"), col("n"), col("nn"))
+        .agg(sum(abs(col("cs0") * col("nn") - col("gs") * col("n")))
+          .as("ts"))
+        .select(col("nat"), col("bb"), col("n"),
+          round(col("ts").cast("double") /
+            (lit(2.0) * col("n").cast("double") *
+              col("nn").cast("double")), 6).as("t"))
+      val g = perClass.agg(max(col("t")).as("max_t"),
+        round(sum(when(col("t") <= 0.2, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("pct_within_02"))
+      perClass.crossJoin(broadcast(g))
+        .orderBy(col("nat"), col("bb"))
+    }),
+
     "q284_l_diversity" -> ((s, d) => {
       val c = Tables.customer(s, d).select(
         col("c_nationkey").as("nat"),
@@ -446,6 +489,40 @@ object CleanOps extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // q338: identical complete-grid cross-multiplied TVD
+    "q338_t_closeness" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(round((c_acctbal + 1000.0) * 100, 0) AS BIGINT)
+        |      // 100000 AS bb,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nat, bb, seg, COUNT(*) AS cs FROM c GROUP BY 1, 2, 3),
+        |segs AS (SELECT seg, SUM(cs) AS gs FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(gs) AS nn FROM segs),
+        |cls AS (SELECT nat, bb, SUM(cs) AS n FROM cells GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT cls.nat, cls.bb, cls.n, segs.seg, segs.gs,
+        |    COALESCE(cells.cs, 0) AS cs0
+        |  FROM cls CROSS JOIN segs
+        |  LEFT JOIN cells ON cells.nat = cls.nat AND cells.bb = cls.bb
+        |    AND cells.seg = segs.seg),
+        |pc AS (
+        |  SELECT nat, bb, n,
+        |    ROUND(CAST(SUM(ABS(cs0 * tot.nn - gs * n)) AS DOUBLE) /
+        |      (2.0 * CAST(n AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 6)
+        |      AS t
+        |  FROM grid, tot GROUP BY nat, bb, n, tot.nn),
+        |g AS (
+        |  SELECT MAX(t) AS max_t,
+        |    ROUND(CAST(SUM(CASE WHEN t <= 0.2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS pct_within_02
+        |  FROM pc)
+        |SELECT pc.nat, pc.bb, CAST(pc.n AS BIGINT) AS n, pc.t,
+        |  g.max_t, g.pct_within_02
+        |FROM pc, g ORDER BY pc.nat, pc.bb""".stripMargin,
     // q284: identical integer band + cell grid, identical DECIMAL
     // entropy fold (cs·round6(ln cs)), identical round-once ln(n) —
     // the divide/exp run on identical doubles

@@ -403,62 +403,46 @@ object StatsOps extends QueryModule {
     // naive global window — same integers by exactness, proving the
     // two-phase descent.
     "q262_mann_whitney_u" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val perUser = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-        .groupBy(col("user_id"))
-        .agg(sum(col("cents")).as("v"))
-        .select(col("v"), (col("user_id") % 2 === 0).as("isA"))
-      val byVal = perUser.groupBy(col("v"))
-        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
-          sum(when(col("isA"), 0L).otherwise(1L)).as("nb_v"))
-        .persist() // feeds the bucket subtotals AND the scored pass
-      try {
-        val mm = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-          .head()
-        val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
-        val nBuck = 64L
-        val span = mx - mn + 1
-        val withB = byVal.withColumn("b",
-          expr(s"CAST((v - ${mn}L) * $nBuck DIV ${span}L AS INT)"))
-        // exclusive per-bucket offsets: ≤64 rows to the driver, exact
-        // long fold (the q247/q228 phase-1 contract)
-        val subs = withB.groupBy(col("b")).agg(sum(col("nb_v")).as("nbs"))
-          .orderBy(col("b")).collect()
-          .map(r => (r.getAs[Int]("b"), r.getAs[Long]("nbs")))
-        val offs = subs.scanLeft((0, 0L)) { case ((_, acc), (b, nbs)) =>
-          (b + 1, acc + nbs)
-        }
-        val offMap = subs.map(_._1).zip(offs.map(_._2)).toMap
-        import s.implicits._
-        val offDf = broadcast(
-          offMap.toSeq.toDF("b", "off"))
-        val wB = Window.partitionBy(col("b")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val scored = withB.join(offDf, "b")
-          .select(col("na_v"), col("nb_v"),
-            (coalesce(sum(col("nb_v")).over(wB), lit(0L)) + col("off"))
-              .as("cb"))
-        val t = col("na_v") + col("nb_v")
-        val g = scored.agg(
-          sum(col("na_v")).as("na"), sum(col("nb_v")).as("nb"),
-          sum(col("na_v") * (lit(2L) * col("cb") + col("nb_v")))
-            .as("two_u"),
-          sum(t * t * t - t).as("tie_t"))
-        val n = col("na") + col("nb")
-        val num = greatest(abs(col("two_u") - col("na") * col("nb")) -
-          lit(1L), lit(0L))
-        val z = round(num.cast("double") / (lit(2.0) * sqrt(
-          (col("na") * col("nb")).cast("double") *
-            (n * n * n - n - col("tie_t")).cast("double") /
-            (lit(12L) * n * (n - lit(1L))).cast("double"))), 6)
-        g.select(col("na").cast("int").as("n_a"),
-          col("nb").cast("int").as("n_b"),
-          col("two_u"), col("tie_t"), z.as("z"),
-          (z > 1.96).as("reject_95"))
-      } finally byVal.unpersist()
+      val g = mwSuffStats(s, d)
+      val n = col("na") + col("nb")
+      val num = greatest(abs(col("two_u") - col("na") * col("nb")) -
+        lit(1L), lit(0L))
+      val z = round(num.cast("double") / (lit(2.0) * sqrt(
+        (col("na") * col("nb")).cast("double") *
+          (n * n * n - n - col("tie_t")).cast("double") /
+          (lit(12L) * n * (n - lit(1L))).cast("double"))), 6)
+      g.select(col("na").cast("int").as("n_a"),
+        col("nb").cast("int").as("n_b"),
+        col("two_u"), col("tie_t"), z.as("z"),
+        (z > 1.96).as("reject_95"))
     }),
+
+    // Cliff's delta effect size (Cliff, Psychological Bulletin 1993)
+    // between the q262 cohorts — the magnitude companion a significance
+    // test needs (with big n, tiny effects reject; δ says HOW
+    // separated the groups are): δ = (#(a>b) − #(b>a))/(n_a·n_b),
+    // which is EXACTLY (2U_a − n_a·n_b)/(n_a·n_b), so it falls out of
+    // the same exact-integer two-phase U machinery with one final
+    // division. The magnitude ladder (|δ| < .147 negligible / .33
+    // small / .474 medium / else large — Romano et al. 2006) compares
+    // on the 6dp-settled value, so both engines bin identically.
+    "q341_cliffs_delta" -> ((s, d) => {
+      val g = mwSuffStats(s, d)
+      val delta = round(
+        (col("two_u") - col("na") * col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double"), 6)
+      g.select(col("na").cast("int").as("n_a"),
+          col("nb").cast("int").as("n_b"), col("two_u"),
+          delta.as("delta"))
+        .withColumn("magnitude",
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large"))
+    }),
+
+    // see [[bhFdr]]
+    "q342_bh_fdr" -> ((s, d) => bhFdr(s, d)),
 
     // Seasonal-naive forecast backtest scored with MASE (Hyndman &
     // Koehler 2006) — the scale-free forecast-accuracy measure a
@@ -558,10 +542,410 @@ object StatsOps extends QueryModule {
           col("n_extreme").cast("int").as("n_extreme"),
           round((lit(1) + col("n_extreme")).cast("double") / 201.0, 6)
             .as("p_value"))
+    }),
+
+    // Spearman rank correlation between two per-user engagement
+    // metrics (event count vs total spend) — the monotone-association
+    // measure a feature-audit reports when Pearson is distorted by
+    // heavy tails. Ranks are DOUBLED MIDRANKS (2·rank, exact longs —
+    // q302's tie discipline), minted on the distinct-VALUE grid via
+    // the two-phase bucketed prefix (q247/q262's machinery: ≤64
+    // bucket subtotals to the driver, per-bucket window — never a
+    // single-partition global window), once per variable. ρ is then
+    // Pearson on the doubled midranks with DECIMAL(38,0) sufficient
+    // statistics (q245's cross-multiplied polynomial), cast to double
+    // once for the final sqrt/divide.
+    "q334_spearman" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("cast(round(value * 100, 0) as bigint)")).as("y"))
+        .persist() // feeds both value grids + the rank join-back
+      try {
+        val rx = doubledMidranks(s,
+          perUser.groupBy(col("x").as("v")).agg(count(lit(1)).as("c")))
+          .withColumnRenamed("rr", "rx")
+        val ry = doubledMidranks(s,
+          perUser.groupBy(col("y").as("v")).agg(count(lit(1)).as("c")))
+          .withColumnRenamed("rr", "ry")
+        val dec = "decimal(38,0)"
+        val ranked = perUser
+          .join(rx, perUser("x") === rx("v"))
+          .join(ry, perUser("y") === ry("v"))
+          .select(col("rx").cast(dec).as("rx"),
+            col("ry").cast(dec).as("ry"))
+        val g = ranked.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        g.select(col("n").cast("int").as("n_users"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("rho"))
+          .localCheckpoint() // 1 row; release the cache safely
+      } finally perUser.unpersist()
+    }),
+
+    // Kendall τ-b between two daily series per event type (daily
+    // volume vs daily spend) — the concordance-based association
+    // measure that, unlike Spearman, prices TIES into its
+    // denominator. The pair population is the C(|days|, 2) day-pair
+    // grid of the DAILY AGGREGATE (q272's Theil–Sen shape:
+    // calendar-bounded whatever the event volume, equi-joined on
+    // event_type so no cartesian), and concordant/discordant/tied
+    // counts are exact integers; τ-b's one float step is the final
+    // (C−D)/(√(n₀−n₁)·√(n₀−n₂)) in one shared association order.
+    "q335_kendall_daily" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("day2"), col("x").as("x2"), col("y").as("y2"))
+      val sgn = (col("x2") - col("x")) * (col("y2") - col("y"))
+      daily.join(b,
+          col("event_type") === col("et2") && col("day") < col("day2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("x2") === col("x"), 1L).otherwise(0L)).as("nx"),
+          sum(when(col("y2") === col("y"), 1L).otherwise(0L)).as("ny"))
+        .select(col("event_type"), col("n_pairs"), col("concordant"),
+          col("discordant"),
+          round((col("concordant") - col("discordant")).cast("double") /
+            (sqrt((col("n_pairs") - col("nx")).cast("double")) *
+             sqrt((col("n_pairs") - col("ny")).cast("double"))), 6)
+            .as("tau_b"))
+        .orderBy(col("event_type"))
+    }),
+
+    // One-way ANOVA F across event types on daily volumes — the
+    // parametric sibling of q265's Kruskal–Wallis: does mean daily
+    // count differ by type? F and η² are computed in EXACT RATIONAL
+    // arithmetic: with per-group (n_g, S_g) and global (N, S, Q) as
+    // exact integers, the group term A = Σ S_g²·(D/n_g) (D = Πn_g)
+    // accumulates via one fold over the |types|-row sorted grid —
+    // P' = P·n_g, A' = A·n_g + S_g²·P — all in DECIMAL(38,0); then
+    // SSB·D·N = A·N − S²·D and SSW·D·N = Q·D·N − A·N share the scale
+    // D·N, which CANCELS in both F = (SSB·(N−k))/(SSW·(k−1)) and
+    // η² = SSB/(SSB+SSW), so each output is one division of two
+    // exact decimals. The only corpus-sized pass is the (type, day)
+    // count aggregation; the fold runs over ≤|types| rows.
+    "q336_anova_f" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val dec = "decimal(38,0)"
+      val grp = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("ng"),
+          sum(col("cnt")).cast(dec).as("sg"))
+      grp.agg(sort_array(collect_list(struct(col("event_type"),
+            col("ng"), col("sg")))).as("g"),
+          count(lit(1)).cast(dec).as("k"),
+          sum(col("ng")).as("nn"), sum(col("sg")).as("ss"))
+        .join(daily.agg(
+          sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("qq")))
+        .withColumn("pa", expr(
+          """aggregate(g,
+            |  named_struct('p', CAST(1 AS DECIMAL(38,0)),
+            |               'a', CAST(0 AS DECIMAL(38,0))),
+            |  (acc, x) -> named_struct(
+            |    'p', CAST(acc.p * x.ng AS DECIMAL(38,0)),
+            |    'a', CAST(acc.a * x.ng + x.sg * x.sg * acc.p
+            |      AS DECIMAL(38,0))))""".stripMargin))
+        .select(col("k").cast("int").as("k"),
+          col("nn").cast("int").as("n_obs"),
+          expr("CAST(pa.a * nn - ss * ss * pa.p AS DECIMAL(38,0))")
+            .as("ssb_s"),
+          expr("CAST(qq * pa.p * nn - pa.a * nn AS DECIMAL(38,0))")
+            .as("ssw_s"))
+        .select(col("k"), col("n_obs"),
+          round((col("ssb_s") * (col("n_obs") - col("k")))
+              .cast("double") /
+            (col("ssw_s") * (col("k") - lit(1))).cast("double"), 6)
+            .as("f_stat"),
+          round(col("ssb_s").cast("double") /
+            (col("ssb_s") + col("ssw_s")).cast("double"), 6)
+            .as("eta_sq"))
     })
   )
 
+  /** Benjamini–Hochberg FDR control (JRSS-B 1995) over PER-SOURCE
+    * randomization tests — the multiple-comparisons discipline a
+    * 20-source corpus audit needs: testing every source's mean doc
+    * length at α=0.10 uncorrected expects 2 false flags. Per-test
+    * p-values are EXACT RATIONALS from a joint label-randomization
+    * null (q261's machinery generalized): each of R=200 resamples
+    * re-assigns every doc a pseudo-source by md5 into the cumulative
+    * source-size ranges (one deterministic hash per (doc, r); the
+    * explode is |docs|×R SUFFICIENT-STAT rows, never corpus bytes),
+    * the per-(resample, source) mean-vs-rest gaps replay the
+    * observed statistic's exact form, and p_s = (1+k_s)/(R+1). The
+    * BH step-up is then PURE INTEGER arithmetic on the sorted grid:
+    * reject ranks 1..i* where i* = max{i : (1+k_(i))·10·m ≤ 201·i}
+    * (α = 0.10 cross-multiplied) — no float ever orders the ladder.
+    */
+  private def bhFdr(s: SparkSession, d: String): DataFrame = {
+    val R = 200
+    val pu = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val srcStats = pu.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"), sum(col("v")).as("ss"))
+      .localCheckpoint() // |sources| rows: feeds obs, ranges, totals
+    val tot = srcStats.agg(sum(col("ns")).as("nn"),
+      sum(col("ss")).as("stot"), count(lit(1)).as("m"))
+    val obs = srcStats.crossJoin(broadcast(tot))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(abs(col("ss").cast("double") / col("ns").cast("double") -
+          (col("stot") - col("ss")).cast("double") /
+          (col("nn") - col("ns")).cast("double")), 9).as("obs_diff"))
+    // cumulative source-size ranges in source order (≤|sources| rows)
+    val thr = srcStats
+      .agg(sort_array(collect_list(struct(col("source"), col("ns"))))
+        .as("g"))
+      .select(col("g"), posexplode(col("g")))
+      .select(col("col.source").as("psrc"),
+        expr("aggregate(slice(g, 1, pos), 0L, (a, x) -> a + x.ns)")
+          .as("lo"),
+        expr("aggregate(slice(g, 1, pos + 1), 0L, (a, x) -> a + x.ns)")
+          .as("hi"))
+    val cells = pu
+      .select(col("doc_id"), col("v"),
+        explode(expr(s"sequence(1, $R)")).as("r"))
+      .crossJoin(broadcast(tot.select(col("nn"))))
+      .select(col("v"), col("r"),
+        pmod(graft.llm.TextAnalysis.md5Int(
+          concat(col("doc_id"), lit(":"), col("r"))), col("nn"))
+          .as("u"))
+      .join(broadcast(thr), col("u") >= col("lo") && col("u") < col("hi"))
+      .groupBy(col("r"), col("psrc"))
+      .agg(count(lit(1)).as("nsr"), sum(col("v")).as("ssr"))
+    val perSrc = cells.crossJoin(broadcast(tot))
+      .select(col("psrc"),
+        when(col("nsr") > 0L && col("nsr") < col("nn"),
+          round(abs(col("ssr").cast("double") / col("nsr").cast("double") -
+            (col("stot") - col("ssr")).cast("double") /
+            (col("nn") - col("nsr")).cast("double")), 9)).as("pdiff"))
+      .join(obs, col("psrc") === col("source"))
+      .groupBy(col("source"), col("n_docs"), col("obs_diff"))
+      .agg(sum(when(col("pdiff") >= col("obs_diff"), 1L).otherwise(0L))
+        .as("k"))
+    val ranked = perSrc
+      .agg(sort_array(collect_list(struct(col("k"), col("source"))))
+        .as("g"))
+      .crossJoin(broadcast(tot.select(col("m"))))
+      .withColumn("imax", expr(
+        """aggregate(g, named_struct('i', 0L, 'best', 0L),
+          |  (a, x) -> named_struct('i', a.i + 1L,
+          |    'best', IF((1L + x.k) * 10L * m <= 201L * (a.i + 1L),
+          |      a.i + 1L, a.best)),
+          |  a -> a.best)""".stripMargin))
+      .select(col("imax"), posexplode(col("g")))
+      .select(col("col.source").as("src2"),
+        (col("pos") + 1L).as("bh_rank"), col("imax"))
+    perSrc.join(broadcast(ranked), col("source") === col("src2"))
+      .select(col("source"), col("n_docs"), col("obs_diff"),
+        col("k").cast("int").as("n_extreme"),
+        round((lit(1L) + col("k")).cast("double") / 201.0, 6)
+          .as("p_value"),
+        col("bh_rank").cast("int").as("bh_rank"),
+        (col("bh_rank") <= col("imax")).as("rejected"))
+      .orderBy(col("source"))
+  }
+
+  /** Mann–Whitney sufficient statistics for the even/odd-user spend
+    * cohorts — ONE row (na, nb, two_u = 2·U_a exact, tie_t = Σt³−t):
+    * per-user cents ledger → distinct-value histogram → two-phase
+    * bucketed exclusive prefix of the B side (≤64 bucket subtotals to
+    * the driver, per-bucket window — q247's contract, no global-sort
+    * window). Shared by q262 (z-test) and q341 (Cliff's δ): both
+    * statistics are closed forms of the same exact integers.
+    */
+  private def mwSuffStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("v"))
+      .select(col("v"), (col("user_id") % 2 === 0).as("isA"))
+    val byVal = perUser.groupBy(col("v"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("nb_v"))
+      .persist() // feeds the bucket subtotals AND the scored pass
+    try {
+      val mm = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .head()
+      val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
+      val nBuck = 64L
+      val span = mx - mn + 1
+      val withB = byVal.withColumn("b",
+        expr(s"CAST((v - ${mn}L) * $nBuck DIV ${span}L AS INT)"))
+      // exclusive per-bucket offsets: ≤64 rows to the driver, exact
+      // long fold (the q247/q228 phase-1 contract)
+      val subs = withB.groupBy(col("b")).agg(sum(col("nb_v")).as("nbs"))
+        .orderBy(col("b")).collect()
+        .map(r => (r.getAs[Int]("b"), r.getAs[Long]("nbs")))
+      val offs = subs.scanLeft((0, 0L)) { case ((_, acc), (b, nbs)) =>
+        (b + 1, acc + nbs)
+      }
+      val offMap = subs.map(_._1).zip(offs.map(_._2)).toMap
+      import s.implicits._
+      val offDf = broadcast(offMap.toSeq.toDF("b", "off"))
+      val wB = Window.partitionBy(col("b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val scored = withB.join(offDf, "b")
+        .select(col("na_v"), col("nb_v"),
+          (coalesce(sum(col("nb_v")).over(wB), lit(0L)) + col("off"))
+            .as("cb"))
+      val t = col("na_v") + col("nb_v")
+      scored.agg(
+          sum(col("na_v")).as("na"), sum(col("nb_v")).as("nb"),
+          sum(col("na_v") * (lit(2L) * col("cb") + col("nb_v")))
+            .as("two_u"),
+          sum(t * t * t - t).as("tie_t"))
+        .localCheckpoint() // 1 row; safe to unpersist the histogram
+    } finally byVal.unpersist()
+  }
+
+  /** Doubled midranks (2·midrank, exact longs) of a distinct-value
+    * grid — columns `v` (long) and `c` (count at v): the two-phase
+    * bucketed exclusive prefix of q247/q262 (≤64 bucket subtotals to
+    * the driver, per-bucket cumulative window partitioned by bucket —
+    * a scale-following partition, never one global task). Returns
+    * (v, rr) with rr = 2·(count below v) + (count at v) + 1.
+    */
+  private def doubledMidranks(s: SparkSession, grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = grid.persist()
+    try {
+      val mm = g.agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+      val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
+      val nBuck = 64L
+      val span = mx - mn + 1
+      val withB = g.withColumn("b",
+        expr(s"CAST((v - ${mn}L) * $nBuck DIV ${span}L AS INT)"))
+      val subs = withB.groupBy(col("b")).agg(sum(col("c")).as("cs"))
+        .orderBy(col("b")).collect()
+        .map(r => (r.getAs[Int]("b"), r.getAs[Long]("cs")))
+      val offs = subs.scanLeft((0, 0L)) { case ((_, acc), (b, cs)) =>
+        (b + 1, acc + cs)
+      }
+      val offMap = subs.map(_._1).zip(offs.map(_._2)).toMap
+      import s.implicits._
+      val offDf = broadcast(offMap.toSeq.toDF("b", "off"))
+      val wB = Window.partitionBy(col("b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withB.join(offDf, "b")
+        .select(col("v"),
+          (lit(2L) * (coalesce(sum(col("c")).over(wB), lit(0L)) +
+            col("off")) + col("c") + lit(1L)).as("rr"))
+        .localCheckpoint() // grid-sized; lets the caller unpersist g
+    } finally g.unpersist()
+  }
+
   def oracle: Map[String, String] = Map(
+
+    // q334: the oracle's ranks come from one global window over the
+    // value grid (windows are free in DuckDB); the engine's two-phase
+    // bucketed prefix mints the identical doubled midranks. Sufficient
+    // stats in HUGEINT ≡ the engine's DECIMAL(38,0) — exact on both.
+    "q334_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS x,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |gx AS (SELECT x AS v, COUNT(*) AS c FROM u GROUP BY 1),
+        |rx AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS rr FROM gx),
+        |gy AS (SELECT y AS v, COUNT(*) AS c FROM u GROUP BY 1),
+        |ry AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS rr FROM gy),
+        |j AS (SELECT rx.rr AS rxv, ry.rr AS ryv
+        |  FROM u JOIN rx ON rx.v = u.x JOIN ry ON ry.v = u.y),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  SUM(CAST(rxv AS HUGEINT)) AS sx,
+        |  SUM(CAST(ryv AS HUGEINT)) AS sy,
+        |  SUM(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+        |  SUM(CAST(ryv AS HUGEINT) * ryv) AS syy,
+        |  SUM(CAST(rxv AS HUGEINT) * ryv) AS sxy FROM j)
+        |SELECT CAST(n AS INT) AS n_users,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |FROM s""".stripMargin,
+
+    // q335: same day-pair grid, exact integer concordance ledger,
+    // identical final association order
+    "q335_kendall_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000//86400000000 AS day,
+        |    COUNT(*) AS x,
+        |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, COUNT(*) AS n_pairs,
+        |    SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+        |      THEN 1 ELSE 0 END) AS concordant,
+        |    SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+        |      THEN 1 ELSE 0 END) AS discordant,
+        |    SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS nx,
+        |    SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ny
+        |  FROM daily a JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day > a.day
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(concordant AS BIGINT) AS concordant,
+        |  CAST(discordant AS BIGINT) AS discordant,
+        |  ROUND(CAST(concordant - discordant AS DOUBLE) /
+        |    (SQRT(CAST(n_pairs - nx AS DOUBLE)) *
+        |     SQRT(CAST(n_pairs - ny AS DOUBLE))), 6) AS tau_b
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // q336: the identical P/A fold as a recursive CTE over the
+    // row-numbered group grid, HUGEINT ≡ DECIMAL(38,0)
+    "q336_anova_f" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000//86400000000 AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |    CAST(SUM(x) AS HUGEINT) AS sg,
+        |    ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+        |  SUM(ng) AS nn, SUM(sg) AS ss FROM grp),
+        |gq AS (SELECT SUM(CAST(x AS HUGEINT) * x) AS qq FROM daily),
+        |fold AS (
+        |  SELECT 0 AS rn, CAST(1 AS HUGEINT) AS p,
+        |    CAST(0 AS HUGEINT) AS a
+        |  UNION ALL
+        |  SELECT g.rn, f.p * g.ng, f.a * g.ng + g.sg * g.sg * f.p
+        |  FROM fold f JOIN grp g ON g.rn = f.rn + 1),
+        |lastf AS (SELECT p, a FROM fold ORDER BY rn DESC LIMIT 1),
+        |scaled AS (
+        |  SELECT t.k, t.nn,
+        |    l.a * t.nn - t.ss * t.ss * l.p AS ssb_s,
+        |    g2.qq * l.p * t.nn - l.a * t.nn AS ssw_s
+        |  FROM lastf l, tot t, gq g2)
+        |SELECT CAST(k AS INT) AS k, CAST(nn AS INT) AS n_obs,
+        |  ROUND(CAST(ssb_s * (nn - k) AS DOUBLE) /
+        |    CAST(ssw_s * (k - 1) AS DOUBLE), 6) AS f_stat,
+        |  ROUND(CAST(ssb_s AS DOUBLE) /
+        |    CAST(ssb_s + ssw_s AS DOUBLE), 6) AS eta_sq
+        |FROM scaled""".stripMargin,
 
     // q255: the identical risk-set recursion as a recursive CTE over
     // 1-based duration indices — same double division, same
@@ -893,6 +1277,103 @@ object StatsOps extends QueryModule {
         |  FROM g)
         |SELECT n_a, n_b, two_u, tie_t, z, (z > 1.96) AS reject_95
         |FROM z""".stripMargin,
+
+    // q341: the same exact two_u ledger; δ and its magnitude ladder
+    // are closed forms with one final division on settled 6dp
+    "q341_cliffs_delta" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY user_id),
+        |bv AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_v,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS nb_v
+        |  FROM pu GROUP BY v),
+        |cum AS (
+        |  SELECT na_v, nb_v,
+        |    COALESCE(SUM(nb_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |g AS (
+        |  SELECT SUM(na_v) AS na, SUM(nb_v) AS nb,
+        |    SUM(na_v * (2 * cb + nb_v)) AS two_u
+        |  FROM cum),
+        |dd AS (
+        |  SELECT CAST(na AS INT) AS n_a, CAST(nb AS INT) AS n_b,
+        |    CAST(two_u AS BIGINT) AS two_u,
+        |    ROUND(CAST(two_u - na * nb AS DOUBLE) /
+        |      CAST(na * nb AS DOUBLE), 6) AS delta
+        |  FROM g)
+        |SELECT n_a, n_b, two_u, delta,
+        |  CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+        |       WHEN ABS(delta) < 0.33 THEN 'small'
+        |       WHEN ABS(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM dd""".stripMargin,
+
+    // q342: identical md5 range assignment, exact-rational p's,
+    // integer BH ladder
+    "q342_bh_fdr" ->
+      """WITH pu AS (
+        |  SELECT doc_id, source, n_chars AS v FROM documents),
+        |ss AS (
+        |  SELECT source, COUNT(*) AS ns, SUM(v) AS sv
+        |  FROM pu GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(ns) AS nn, SUM(sv) AS stot, COUNT(*) AS m FROM ss),
+        |obs AS (
+        |  SELECT source, ns AS n_docs,
+        |    ROUND(ABS(CAST(sv AS DOUBLE) / CAST(ns AS DOUBLE) -
+        |      CAST(tot.stot - sv AS DOUBLE) /
+        |      CAST(tot.nn - ns AS DOUBLE)), 9) AS obs_diff
+        |  FROM ss, tot),
+        |thr AS (
+        |  SELECT source AS psrc,
+        |    COALESCE(SUM(ns) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS lo,
+        |    SUM(ns) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM ss),
+        |cells AS (
+        |  SELECT t.r, thr.psrc, COUNT(*) AS nsr, SUM(pu.v) AS ssr
+        |  FROM pu CROSS JOIN range(1, 201) t(r)
+        |  CROSS JOIN tot
+        |  JOIN thr ON
+        |    (CAST('0x' || substr(md5(CAST(pu.doc_id AS VARCHAR) || ':'
+        |      || CAST(t.r AS VARCHAR)), 1, 15) AS BIGINT) % tot.nn)
+        |      >= thr.lo
+        |    AND (CAST('0x' || substr(md5(CAST(pu.doc_id AS VARCHAR) ||
+        |      ':' || CAST(t.r AS VARCHAR)), 1, 15) AS BIGINT) % tot.nn)
+        |      < thr.hi
+        |  GROUP BY 1, 2),
+        |psr AS (
+        |  SELECT psrc,
+        |    CASE WHEN nsr > 0 AND nsr < tot.nn THEN
+        |      ROUND(ABS(CAST(ssr AS DOUBLE) / CAST(nsr AS DOUBLE) -
+        |        CAST(tot.stot - ssr AS DOUBLE) /
+        |        CAST(tot.nn - nsr AS DOUBLE)), 9) END AS pdiff
+        |  FROM cells, tot),
+        |ks AS (
+        |  SELECT o.source, o.n_docs, o.obs_diff,
+        |    SUM(CASE WHEN p.pdiff >= o.obs_diff THEN 1 ELSE 0 END) AS k
+        |  FROM psr p JOIN obs o ON o.source = p.psrc
+        |  GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT source, k,
+        |    ROW_NUMBER() OVER (ORDER BY k, source) AS bh_rank FROM ks),
+        |im AS (
+        |  SELECT COALESCE(MAX(CASE WHEN (1 + rk.k) * 10 * tot.m <=
+        |    201 * rk.bh_rank THEN rk.bh_rank END), 0) AS imax
+        |  FROM rk, tot)
+        |SELECT ks.source, CAST(ks.n_docs AS BIGINT) AS n_docs,
+        |  ks.obs_diff, CAST(ks.k AS INT) AS n_extreme,
+        |  ROUND(CAST(1 + ks.k AS DOUBLE) / 201.0, 6) AS p_value,
+        |  CAST(rk.bh_rank AS INT) AS bh_rank,
+        |  (rk.bh_rank <= im.imax) AS rejected
+        |FROM ks JOIN rk ON rk.source = ks.source, im
+        |ORDER BY ks.source""".stripMargin,
 
     // q261: identical integer-cents sufficient statistics, identical
     // md5-parity resample assignment (the established md5Int twin),

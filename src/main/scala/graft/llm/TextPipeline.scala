@@ -768,6 +768,72 @@ object TextPipeline extends QueryModule {
         round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
     }),
 
+    // HEAPS' LAW fit (Heaps 1978; Herdan 1960) — vocabulary growth
+    // V(N) ≈ k·N^β, the planning constant behind tokenizer vocab
+    // sizing and dedup-index capacity: sublinear β means doubling the
+    // corpus does NOT double the term dictionary. Exact cumulative
+    // growth is order-dependent, so the curve is sampled at SHARD
+    // granularity (q162's md5 deterministic shuffle into 16 shards):
+    // each term's FIRST-OCCURRENCE shard comes from one min-aggregate
+    // (never a sequential scan), cumulative (tokens, vocab) per shard
+    // prefix is a fold over the 16-row grid, and the log-log OLS runs
+    // on 9dp-SETTLED ln points with exact DECIMAL sufficient
+    // statistics (q245's discipline — q160's float regr_slope is the
+    // liberal sibling) — one division each for β and ln k at the
+    // output boundary. Corpus-sized work: one tokenize pass + one
+    // (shard, term) distinct.
+    "q340_heaps_fit" -> ((s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(pmod(graft.llm.TextAnalysis.md5Int(
+          concat(lit("h:"), col("doc_id"))), lit(16)).as("shard"),
+          tokens.as("ts"))
+      val perShard = dt.groupBy(col("shard"))
+        .agg(sum(size(col("ts"))).as("ntok"))
+      val firstSeen = dt
+        .select(col("shard"), explode(col("ts")).as("term"))
+        .groupBy(col("term")).agg(min(col("shard")).as("fs"))
+        .groupBy(col("fs")).agg(count(lit(1)).as("nv"))
+      val grid = perShard
+        .join(firstSeen, perShard("shard") === firstSeen("fs"), "left")
+        .select(col("shard"), col("ntok"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+      val pts = grid
+        .agg(sort_array(collect_list(struct(col("shard"), col("ntok"),
+          col("nv")))).as("g"))
+        .select(col("g"), posexplode(col("g")))
+        .select(
+          expr("aggregate(slice(g, 1, pos + 1), 0L, " +
+            "(a, x) -> a + x.ntok)").as("cn"),
+          expr("aggregate(slice(g, 1, pos + 1), 0L, " +
+            "(a, x) -> a + x.nv)").as("cv"))
+        .select(col("cn"), col("cv"),
+          expr("CAST(round(ln(CAST(cn AS DOUBLE)), 9) " +
+            "AS DECIMAL(18,9))").as("x"),
+          expr("CAST(round(ln(CAST(cv AS DOUBLE)), 9) " +
+            "AS DECIMAL(18,9))").as("y"))
+      val f = pts.agg(count(lit(1)).as("n"),
+        max(col("cn")).as("tot_tokens"), max(col("cv")).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      // sums are exact decimals; the closing algebra runs in doubles
+      // with one fixed association order (a 38-width decimal product
+      // of the sums would be scale-clamped — not exact — on Spark and
+      // a width error on DuckDB)
+      val nD = col("n").cast("double")
+      val beta = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      f.select(col("n").cast("int").as("n_shards"), col("tot_tokens"),
+        col("vocab"),
+        // + 0.0 normalizes IEEE -0.0 (the q270 signed-zero class: at a
+        // saturated-vocab fixture the slope rounds to a signed zero)
+        (round(beta, 6) + lit(0.0)).as("heaps_beta"),
+        (round((col("sy").cast("double") - beta * col("sx").cast("double"))
+          / nD, 6) + lit(0.0)).as("heaps_logk"))
+    }),
+
     // Per-domain token quota — the crawl-curation rule that stops any
     // single source from dominating the mix (q146 reweights globally;
     // this CAPS each source): docs are ranked within their source
@@ -1213,6 +1279,58 @@ object TextPipeline extends QueryModule {
     // same tokenizer; both engines compute the regression over the
     // identical ≤1000 (ln rank, ln freq) points, rounded to 4dp (the
     // covariance merge order differs between engines at ~1e-13)
+    // q340: identical shard hash, first-occurrence min-aggregate,
+    // 16-row cumulative fold (a window here — free in DuckDB), and
+    // the same settled-ln OLS closed in one double association order
+    "q340_heaps_fit" ->
+      """WITH dt AS (
+        |  SELECT CAST('0x' || substr(md5('h:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> t != '') AS ts
+        |  FROM documents),
+        |ps AS (SELECT shard, SUM(len(ts)) AS ntok FROM dt GROUP BY 1),
+        |fs AS (
+        |  SELECT term, MIN(shard) AS fs
+        |  FROM (SELECT shard, unnest(ts) AS term FROM dt) z GROUP BY 1),
+        |nv AS (SELECT fs, COUNT(*) AS nv FROM fs GROUP BY 1),
+        |grid AS (
+        |  SELECT ps.shard, ps.ntok, COALESCE(nv.nv, 0) AS nv
+        |  FROM ps LEFT JOIN nv ON nv.fs = ps.shard),
+        |cum AS (
+        |  SELECT SUM(ntok) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    SUM(nv) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM grid),
+        |pts AS (
+        |  SELECT cn, cv,
+        |    CAST(round(ln(CAST(cn AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM cum),
+        |f AS (
+        |  SELECT COUNT(*) AS n, MAX(cn) AS tot_tokens,
+        |    MAX(cv) AS vocab,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(x * y) AS sxy
+        |  FROM pts)
+        |SELECT CAST(n AS INT) AS n_shards,
+        |  CAST(tot_tokens AS BIGINT) AS tot_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+        |    AS heaps_beta,
+        |  ROUND((CAST(sy AS DOUBLE) -
+        |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
+        |    AS heaps_logk
+        |FROM f""".stripMargin,
+
     "q160_zipf_fit" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(

@@ -417,7 +417,7 @@ object ExtendedOps extends QueryModule {
           col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"),
-          round(col("rev_exact").cast("double"), 2).as("revenue"),
+          round(col("rev_exact"), 2).cast("double").as("revenue"),
           col("o_orderdate"), col("o_orderpriority"))
     }),
 
@@ -455,7 +455,103 @@ object ExtendedOps extends QueryModule {
         .agg(rev.as("rev_exact"))
         .orderBy(col("rev_exact").desc, col("n_name"))
         .select(col("n_name"),
-          round(col("rev_exact").cast("double"), 2).as("revenue"))
+          round(col("rev_exact"), 2).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 (returned-item reporting), adapted: which customers
+    // returned the most revenue in one quarter — the canonical
+    // "customer ⋈ quarter-filtered orders ⋈ returnflag-filtered
+    // lineitem ⋈ nation" join with a top-20 on the aggregate. The
+    // date and flag predicates push to both fact scans; nation
+    // broadcasts; orders/lineitem shuffle once on the join key
+    // (AQE picks BHJ at fixture size, SMJ at scale — a quarter of a
+    // 100 TB orders table is NOT broadcast-safe, so no explicit hint
+    // on the fact side). Ranking happens on the EXACT decimal revenue
+    // (rank before rounding, c_custkey tiebreak) so no float boundary
+    // can reorder the cut — q326's discipline.
+    "q331_tpch_q10" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val rev = sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(rev.as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("rev_exact"), 2).cast("double").as("revenue"),
+          col("c_acctbal").as("acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue), adapted: lost revenue
+    // if small orders (below 20% of the part's average quantity) were
+    // not taken for one brand's parts. The correlated scalar subquery
+    // (per-part avg quantity) becomes a brand-restricted grouped
+    // aggregate joined back — and the 0.2·avg threshold is
+    // CROSS-MULTIPLIED into exact integers (5·qty·cnt < Σqty), so the
+    // float avg never exists and no engine-parity boundary can flip a
+    // row's membership. The brand part list broadcasts (|parts|/25);
+    // the per-part aggregate is brand-restricted BEFORE grouping, so
+    // both join sides are 1/25th of lineitem.
+    "q332_tpch_q17" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+        .join(broadcast(brandParts),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+      li.join(perPart, "l_partkey")
+        .filter(col("qty") * lit(5L) * col("cq") < col("sq"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("rev_exact"),
+          count(lit(1)).as("n_small"))
+        .select(
+          round(col("rev_exact").cast("double") / 7.0, 2)
+            .as("avg_yearly"),
+          col("n_small"))
+    }),
+
+    // TPC-H Q18 (large-volume customers), adapted: orders whose total
+    // line quantity exceeds 180 units, with their customers, top-100
+    // by order value. The HAVING-on-aggregate-then-join-back shape:
+    // quantities are integral doubles, so the per-order sum runs in
+    // exact longs (no float merge-order surface), the qualifying-order
+    // set is a tiny fraction of orders (AQE broadcasts it into the
+    // orders join at any scale — the filter output, not the fact, is
+    // the small side), and the top-100 is a TakeOrdered on
+    // (o_totalprice DESC, o_orderdate, o_orderkey) — doubles read
+    // bit-identical from the same parquet on both engines.
+    "q333_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 180L)
+      big.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
     }),
 
     "q100_tpch_q1" -> ((s, d) => {
@@ -739,9 +835,9 @@ object ExtendedOps extends QueryModule {
     // decimal, double conversion only at the end.
     "q326_tpch_q3" ->
       """SELECT l.l_orderkey,
-        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
         |    (CAST(1 AS DECIMAL(12,2)) -
-        |     CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+        |     CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
         |    AS revenue,
         |  o.o_orderdate, o.o_orderpriority
         |FROM customer c, orders o, lineitem l
@@ -759,9 +855,9 @@ object ExtendedOps extends QueryModule {
 
     "q327_tpch_q5" ->
       """SELECT n.n_name,
-        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
         |    (CAST(1 AS DECIMAL(12,2)) -
-        |     CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+        |     CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
         |    AS revenue
         |FROM customer c, orders o, lineitem l, supplier s, nation n,
         |  region r
@@ -779,6 +875,57 @@ object ExtendedOps extends QueryModule {
         |    (CAST(1 AS DECIMAL(12,2)) -
         |     CAST(l.l_discount AS DECIMAL(12,2)))) DESC, n.n_name"""
         .stripMargin,
+
+    "q331_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  c.c_acctbal AS acctbal, n.n_name
+        |FROM customer c, orders o, lineitem l, nation n
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l.l_returnflag = 'R'
+        |  AND c.c_nationkey = n.n_nationkey
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))) DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // Twin of the cross-multiplied threshold: 5·qty·cnt < Σqty in
+    // exact integers — the correlated form rewritten identically so
+    // neither engine ever materializes the float average.
+    "q332_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+        |    l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#1'),
+        |pp AS (
+        |  SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS cq
+        |  FROM li GROUP BY 1)
+        |SELECT
+        |  ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM li JOIN pp ON pp.l_partkey = li.l_partkey
+        |WHERE li.qty * 5 * pp.cq < pp.sq""".stripMargin,
+
+    "q333_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, CAST(big.sum_qty AS BIGINT) AS sum_qty
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q100_tpch_q1" ->
       """WITH t AS (

@@ -168,6 +168,67 @@ object SourceQueries extends QueryModule {
     // semantics to reconcile). HilbertSpec pins the expression
     // against an independent Scala xy2d, the adjacency property on a
     // full small grid, and the locality win itself.
+    // ZONE-MAP SKIPPING audit — the quantified "why sort by the filter
+    // column" companion to the q190/q275 layout queries: parquet
+    // row-group (and ORC stripe / Delta file) pruning works off
+    // per-file min/max statistics, so the fraction of files a range
+    // predicate can SKIP is a pure function of layout. Rows are
+    // assigned to 32 simulated files under two layouts — natural
+    // (orderkey ranges ≈ ingest order) vs shipdate-sorted — via
+    // range bucketing (deterministic, no global sort window); one
+    // explode-and-aggregate pass mints both layouts' 32-row zone
+    // grids; each of the 8 quarter predicates then counts overlapping
+    // zones with interval algebra on the bounded grid. Everything
+    // after the single corpus pass is 64-row arithmetic; all counts
+    // exact integers. The date layout reads 1-2 files per quarter
+    // where natural order reads all 32 — the measured zone-map
+    // argument for sort-on-write at 100 TB.
+    "q339_zonemap_skip" -> ((s, d) => {
+      import s.implicits._
+      val liRaw = Tables.lineitem(s, d)
+      val li = liRaw.select(col("l_orderkey").as("k"),
+          Tables.tsToUs(liRaw.schema("l_shipdate").dataType,
+            "l_shipdate").as("us"))
+        .select(col("k"), expr("us div 86400000000").as("day"))
+      val rng = li.agg(min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+      val zones = li.crossJoin(broadcast(rng))
+        .select(col("day"), explode(array(
+          struct(lit("natural").as("layout"),
+            expr("CAST((k - mnk) * 32 DIV (mxk - mnk + 1) AS INT)")
+              .as("f")),
+          struct(lit("bydate").as("layout"),
+            expr("CAST((day - mnd) * 32 DIV (mxd - mnd + 1) AS INT)")
+              .as("f")))).as("z"))
+        .groupBy(col("z.layout").as("layout"), col("z.f").as("f"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val quarters = Seq(
+        ("1996-01-01", "1996-04-01"), ("1996-04-01", "1996-07-01"),
+        ("1996-07-01", "1996-10-01"), ("1996-10-01", "1997-01-01"),
+        ("1997-01-01", "1997-04-01"), ("1997-04-01", "1997-07-01"),
+        ("1997-07-01", "1997-10-01"), ("1997-10-01", "1998-01-01"))
+        .toDF("lo", "hi")
+        .select(col("lo").as("quarter"),
+          expr("unix_micros(CAST(lo AS TIMESTAMP)) div 86400000000")
+            .as("lod"),
+          expr("unix_micros(CAST(hi AS TIMESTAMP)) div 86400000000")
+            .as("hid"))
+      quarters.join(broadcast(zones),
+          col("mx") >= col("lod") && col("mn") < col("hid"))
+        .groupBy(col("quarter"))
+        .agg(sum(when(col("layout") === "natural", 1L).otherwise(0L))
+            .as("files_read_natural"),
+          sum(when(col("layout") === "bydate", 1L).otherwise(0L))
+            .as("files_read_bydate"))
+        .select(col("quarter"), col("files_read_natural"),
+          col("files_read_bydate"),
+          round(lit(1.0) - col("files_read_natural") / 32.0, 6)
+            .as("skip_frac_natural"),
+          round(lit(1.0) - col("files_read_bydate") / 32.0, 6)
+            .as("skip_frac_bydate"))
+        .orderBy(col("quarter"))
+    }),
+
     "q275_hilbert_layout" -> ((s, d) => {
       val (pmin, pmax) =
         Tables.parquetColumnMinMaxLong(s, d, "lineitem", "l_partkey")
@@ -481,6 +542,54 @@ object SourceQueries extends QueryModule {
     StructField("lang", StringType), StructField("n_chars", LongType)))
 
   def oracle: Map[String, String] = Map(
+
+    // q339: identical range-bucket zone grids + interval algebra
+    "q339_zonemap_skip" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k,
+        |    (epoch_ns(l_shipdate)//1000)//86400000000 AS day
+        |  FROM lineitem),
+        |rng AS (
+        |  SELECT MIN(k) AS mnk, MAX(k) AS mxk,
+        |    MIN(day) AS mnd, MAX(day) AS mxd FROM li),
+        |zones AS (
+        |  SELECT layout, f, MIN(day) AS mn, MAX(day) AS mx
+        |  FROM (
+        |    SELECT 'natural' AS layout,
+        |      CAST((k - rng.mnk) * 32 // (rng.mxk - rng.mnk + 1) AS INT)
+        |        AS f, day
+        |    FROM li, rng
+        |    UNION ALL
+        |    SELECT 'bydate' AS layout,
+        |      CAST((day - rng.mnd) * 32 // (rng.mxd - rng.mnd + 1)
+        |        AS INT) AS f, day
+        |    FROM li, rng) z
+        |  GROUP BY 1, 2),
+        |quarters AS (
+        |  SELECT lo AS quarter,
+        |    (epoch_ns(CAST(lo AS TIMESTAMP))//1000)//86400000000 AS lod,
+        |    (epoch_ns(CAST(hi AS TIMESTAMP))//1000)//86400000000 AS hid
+        |  FROM (VALUES
+        |    ('1996-01-01', '1996-04-01'), ('1996-04-01', '1996-07-01'),
+        |    ('1996-07-01', '1996-10-01'), ('1996-10-01', '1997-01-01'),
+        |    ('1997-01-01', '1997-04-01'), ('1997-04-01', '1997-07-01'),
+        |    ('1997-07-01', '1997-10-01'), ('1997-10-01', '1998-01-01'))
+        |    v(lo, hi))
+        |SELECT q.quarter,
+        |  CAST(SUM(CASE WHEN z.layout = 'natural' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_read_natural,
+        |  CAST(SUM(CASE WHEN z.layout = 'bydate' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_read_bydate,
+        |  ROUND(1.0 - CAST(SUM(CASE WHEN z.layout = 'natural'
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 6)
+        |    AS skip_frac_natural,
+        |  ROUND(1.0 - CAST(SUM(CASE WHEN z.layout = 'bydate'
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 6)
+        |    AS skip_frac_bydate
+        |FROM quarters q JOIN zones z
+        |  ON z.mx >= q.lod AND z.mn < q.hid
+        |GROUP BY q.quarter
+        |ORDER BY q.quarter""".stripMargin,
     // The oracle reads the original parquet: a lossless round-trip is
     // exactly "the CSV detour changes nothing".
     "q77_csv_roundtrip" ->

@@ -68,7 +68,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q320_burstiness",          // 1-row doc-count scalar broadcast (q80's shape)
     "q321_did",                 // 1-row min-day anchor + 1-row DiD-verdict broadcasts
     "q322_lsh_planner",         // 1-row histogram-total + 1-row best-config broadcasts
-    "q329_cuped")               // 1-row min-day anchor + 1-row θ/ρ² broadcasts onto 2 arms
+    "q329_cuped",               // 1-row min-day anchor + 1-row θ/ρ² broadcasts onto 2 arms
+    "q336_anova_f",             // 1-row ΣX² scalar joined onto the 1-row group-grid fold
+    "q338_t_closeness",         // |segments|-row margin + 1-row total + 1-row verdict broadcasts onto the QI grid
+    "q339_zonemap_skip",        // 1-row range scalar onto the corpus pass; 64-row zone grid range-joined onto 8 quarters
+    "q342_bh_fdr")              // 1-row totals + |sources|-row cumulative-range broadcasts onto the doc×R resample explode
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -614,6 +614,39 @@ object AnalyticsOps extends QueryModule {
           col("ra").cast("double").as("ra_score"))
     }),
 
+    // Spectral-radius bracketing of the dup graph via two EXACT
+    // INTEGER power-iteration steps (x₁ = A·1 = degrees, x₂ = A·x₁ =
+    // neighbor-degree sums) — the connectivity gauge behind
+    // label-propagation/PageRank convergence budgeting (iteration
+    // count scales with the spectral gap; λ₁ ≥ Rayleigh(x₁) =
+    // x₁ᵀx₂/x₁ᵀx₁ ≥ avg degree, monotone in the step count). q260's
+    // integer-matvec posture: each step is one shuffled groupBy over
+    // the staged edge table, the quotients are DECIMAL(38,0)
+    // cross-products with ONE division each at the output boundary —
+    // no float ever iterates.
+    "q343_spectral_radius" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val edges = Dedup.prefixJaccardPairs(s, d, "0.7")
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val und = edges
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val x1 = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val x2 = und
+        .join(x1.select(col("u").as("v"), col("deg").as("dv")), "v")
+        .groupBy(col("u")).agg(sum(col("dv")).as("x2"))
+      x1.join(x2, "u")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("twom"),
+          max(col("deg")).as("max_deg"),
+          sum(col("deg").cast(dec) * col("x2").cast(dec)).as("rn"),
+          sum(col("deg").cast(dec) * col("deg").cast(dec)).as("rd"))
+        .select(col("n_nodes").cast("int").as("n_nodes"),
+          expr("twom div 2").as("n_edges"), col("max_deg"),
+          round(col("twom").cast("double") /
+            col("n_nodes").cast("double"), 6).as("avg_degree"),
+          round(col("rn").cast("double") / col("rd").cast("double"), 6)
+            .as("rayleigh_2"))
+    }),
+
     // Skip-gram co-occurrence counts (window ±3, forward-counted) —
     // the word2vec/SGNS training-pair extraction (Mikolov et al.
     // 2013): per doc, (wᵢ, wᵢ₊ₖ) for k ∈ {1,2,3} via lead() over the
@@ -874,6 +907,31 @@ object AnalyticsOps extends QueryModule {
          |JOIN tt ta ON ta.doc_id = p.doc_a
          |JOIN tt tb ON tb.doc_id = p.doc_b
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // q343: identical integer matvecs over the same pair CTEs
+    "q343_spectral_radius" ->
+      s"""${Dedup.prefixPairSqlCtes("0.7")},
+         |p7 AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7),
+         |und AS (SELECT u, v FROM p7 UNION ALL SELECT v, u FROM p7),
+         |x1 AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+         |x2 AS (
+         |  SELECT und.u, SUM(n.deg) AS x2
+         |  FROM und JOIN x1 n ON n.u = und.v GROUP BY 1),
+         |j AS (
+         |  SELECT COUNT(*) AS n_nodes, SUM(x1.deg) AS twom,
+         |    MAX(x1.deg) AS max_deg,
+         |    SUM(CAST(x1.deg AS HUGEINT) * x2.x2) AS rn,
+         |    SUM(CAST(x1.deg AS HUGEINT) * x1.deg) AS rd
+         |  FROM x1 JOIN x2 ON x2.u = x1.u)
+         |SELECT CAST(n_nodes AS INT) AS n_nodes,
+         |  CAST(twom // 2 AS BIGINT) AS n_edges,
+         |  CAST(max_deg AS BIGINT) AS max_deg,
+         |  ROUND(CAST(twom AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+         |    AS avg_degree,
+         |  ROUND(CAST(rn AS DOUBLE) / CAST(rd AS DOUBLE), 6)
+         |    AS rayleigh_2
+         |FROM j""".stripMargin,
 
     // q337: same hub-capped wedge enumeration; 1/dw is one IEEE
     // division (bit-identical both engines) settled at 12dp into

@@ -423,6 +423,7 @@ object CleanOps extends QueryModule {
           round(col("ts").cast("double") /
             (lit(2.0) * col("n").cast("double") *
               col("nn").cast("double")), 6).as("t"))
+        .localCheckpoint() // QI-grid rows: feeds output AND verdict
       val g = perClass.agg(max(col("t")).as("max_t"),
         round(sum(when(col("t") <= 0.2, 1).otherwise(0)).cast("double") /
           count(lit(1)), 6).as("pct_within_02"))

@@ -96,6 +96,32 @@ object FeatureOps extends QueryModule {
     // ≤11-row bin grid; conf/acc are rounded ONCE to 6dp then the
     // gap and the n-weighted ECE fold run in exact DECIMAL, so both
     // engines feed identical doubles to the final division.
+    // Spiegelhalter's calibration z-test (Stat. Med. 1986) — the
+    // SIGNIFICANCE companion to q282's ECE (which says how big the
+    // calibration gap is, not whether it exceeds chance): with the
+    // per-mille prediction p = sm/1000, Z = Σ(y−p)(1−2p) /
+    // √(Σ(1−2p)²·p(1−p)). Because p is a 3dp rational, BOTH sums are
+    // EXACT INTEGERS after clearing denominators — numerator·10⁶ =
+    // Σ(1000y − sm)(1000 − 2sm), denominator²·10¹² = Σ(1000−2sm)²·
+    // sm·(1000−sm) — and the 10⁶ scales cancel in Z exactly, so the
+    // whole test is one corpus aggregation into two longs per lang,
+    // one √, one division. |Z| > 1.96 flags languages where the
+    // stopword-score "classifier" is provably miscalibrated.
+    "q346_calibration_z" -> ((s, d) => {
+      val t = scoredDocs(s, d)
+        .select(col("lang"), col("sm").cast("long").as("sm"), col("lab"))
+      val m = lit(1000L) - lit(2L) * col("sm")
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((lit(1000L) * col("lab") - col("sm")) * m).as("num"),
+          sum(m * m * col("sm") * (lit(1000L) - col("sm"))).as("den"))
+        .select(col("lang"), col("n"),
+          when(col("den") > 0L, round(col("num").cast("double") /
+            sqrt(col("den").cast("double")), 6)).as("z"))
+        .withColumn("miscalibrated", abs(col("z")) > 1.96)
+        .orderBy(col("lang"))
+    }),
+
     "q282_ece_reliability" -> ((s, d) => {
       val bins = scoredDocs(s, d)
         .groupBy(expr("sm DIV 100").cast("int").as("bin"))
@@ -400,6 +426,30 @@ object FeatureOps extends QueryModule {
 
     // q282: q229's integer score/label, identical 6dp-round-then-
     // DECIMAL conf/acc/gap, identical n-weighted DECIMAL ECE fold
+    // q346: identical cleared-denominator integer sums
+    "q346_calibration_z" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST((1000 * CAST(len(list_filter(ts,
+         |      t -> t IN $stops)) AS BIGINT)) // len(ts) AS BIGINT) AS sm,
+         |    CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT lang, ${TextAnalysis.tokensSql} AS ts
+         |        FROM documents) z
+         |  WHERE len(ts) > 0),
+         |g AS (
+         |  SELECT lang, COUNT(*) AS n,
+         |    SUM((1000 * lab - sm) * (1000 - 2 * sm)) AS num,
+         |    SUM((1000 - 2 * sm) * (1000 - 2 * sm) * sm * (1000 - sm))
+         |      AS den
+         |  FROM t GROUP BY 1)
+         |SELECT lang, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN den > 0 THEN ROUND(CAST(num AS DOUBLE) /
+         |    SQRT(CAST(den AS DOUBLE)), 6) END AS z,
+         |  (ABS(CASE WHEN den > 0 THEN ROUND(CAST(num AS DOUBLE) /
+         |    SQRT(CAST(den AS DOUBLE)), 6) END) > 1.96)
+         |    AS miscalibrated
+         |FROM g ORDER BY lang""".stripMargin,
+
     "q282_ece_reliability" ->
       s"""WITH t AS (
          |  SELECT CAST((1000 * CAST(len(list_filter(ts,

@@ -739,6 +739,7 @@ object StatsOps extends QueryModule {
       .groupBy(col("source"), col("n_docs"), col("obs_diff"))
       .agg(sum(when(col("pdiff") >= col("obs_diff"), 1L).otherwise(0L))
         .as("k"))
+      .localCheckpoint() // |sources| rows: feeds the ladder AND output
     val ranked = perSrc
       .agg(sort_array(collect_list(struct(col("k"), col("source"))))
         .as("g"))

@@ -1070,6 +1070,58 @@ object TextPipeline extends QueryModule {
         .orderBy(col("t1"), col("t2"))
     }),
 
+    // Association rules from the q244 frequent pairs (Agrawal–Srikant
+    // 1994, the confidence/lift step A-priori exists to feed): for
+    // each frequent pair both directed rules a→b with confidence
+    // sup(ab)/df(a) and lift sup(ab)·N/(df(a)·df(b)) — the
+    // co-occurrence strength a boilerplate-phrase miner reads (lift
+    // ≫ 1 = tokens travel together, the phrase-template signal).
+    // All counts exact integers; confidence and lift are ONE division
+    // each of exact longs, 6dp-settled before the rank (so both
+    // engines cut the same top-30; lexicographic tiebreaks). The
+    // antecedent df table joined back is the frequent-1-itemset —
+    // bounded above by (avg distinct tokens per doc)/minsup-share,
+    // broadcast-safe at any corpus size.
+    "q344_assoc_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val minsup = math.ceil(0.1 * nDocs).toLong
+      val docTok = docs
+        .select(col("doc_id"), explode(array_distinct(tokens)).as("t"))
+      val freqTok = docTok.groupBy(col("t"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minsup)
+        .localCheckpoint() // frequent-1-itemset: bounded, reused 3×
+      val perDoc = docTok
+        .join(broadcast(freqTok.select(col("t"))), "t")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+      val pairs = perDoc.select(explode(expr(
+          "flatten(transform(ts, (x, i) -> transform(" +
+            "slice(ts, i + 2, size(ts) - i - 1), " +
+            "y -> struct(x AS t1, y AS t2))))")).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= minsup)
+      val rules = pairs
+        .select(col("t1").as("a"), col("t2").as("b"), col("sup"))
+        .unionAll(pairs
+          .select(col("t2").as("a"), col("t1").as("b"), col("sup")))
+      rules
+        .join(broadcast(freqTok.select(col("t").as("a"),
+          col("df").as("dfa"))), "a")
+        .join(broadcast(freqTok.select(col("t").as("b"),
+          col("df").as("dfb"))), "b")
+        .select(col("a").as("antecedent"), col("b").as("consequent"),
+          col("sup").cast("int").as("support"),
+          round(col("sup").cast("double") / col("dfa").cast("double"), 6)
+            .as("confidence"),
+          round((col("sup") * lit(nDocs)).cast("double") /
+            (col("dfa") * col("dfb")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        .limit(30)
+    }),
+
     "q211_bm25_topk" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("term"))
@@ -1772,6 +1824,41 @@ object TextPipeline extends QueryModule {
     // pair mint is the doc-keyed self-join restatement of the engine's
     // per-doc array expression (identical pair multiset — tokens are
     // distinct per doc on both sides)
+    // q344: q244's pair CTE + both directed rules; confidence/lift
+    // settled at 6dp before the ORDER BY cut
+    "q344_assoc_rules" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x != '')) AS t
+        |  FROM documents),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |ms AS (
+        |  SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS minsup
+        |  FROM documents),
+        |f AS (
+        |  SELECT t, COUNT(*) AS df FROM dt GROUP BY t
+        |  HAVING COUNT(*) >= (SELECT minsup FROM ms)),
+        |ft AS (SELECT dt.doc_id, dt.t FROM dt JOIN f USING (t)),
+        |p AS (
+        |  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS sup
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= (SELECT minsup FROM ms)),
+        |r AS (
+        |  SELECT t1 AS a, t2 AS b, sup FROM p
+        |  UNION ALL
+        |  SELECT t2 AS a, t1 AS b, sup FROM p)
+        |SELECT r.a AS antecedent, r.b AS consequent,
+        |  CAST(r.sup AS INT) AS support,
+        |  ROUND(CAST(r.sup AS DOUBLE) / CAST(fa.df AS DOUBLE), 6)
+        |    AS confidence,
+        |  ROUND(CAST(r.sup * nd.n AS DOUBLE) /
+        |    CAST(fa.df * fb.df AS DOUBLE), 6) AS lift
+        |FROM r JOIN f fa ON fa.t = r.a JOIN f fb ON fb.t = r.b, nd
+        |ORDER BY lift DESC, antecedent, consequent
+        |LIMIT 30""".stripMargin,
+
     "q244_frequent_pairs" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id,

@@ -168,6 +168,41 @@ object SourceQueries extends QueryModule {
     // semantics to reconcile). HilbertSpec pins the expression
     // against an independent Scala xy2d, the adjacency property on a
     // full small grid, and the locality win itself.
+    // SMALL-FILES COMPACTION PLANNER — the table-maintenance audit a
+    // lakehouse runs nightly: per source, how fragmented is the layout
+    // (files simulated as the 16 md5 ingest shards of q340/q162, sizes
+    // = byte mass per cell) and what should compaction produce? For
+    // each source: file count, byte total, small-file count (< ¼ of
+    // the 64 KB target), the IDEAL file count ⌈bytes/target⌉ (exact
+    // integer ceiling division), and the read-amplification ratio
+    // files/ideal — the metric that decides whether a rewrite pays.
+    // One corpus pass to the |sources|×16 cell grid; everything after
+    // is grid arithmetic in exact integers with one 6dp division.
+    "q345_compaction_plan" -> ((s, d) => {
+      val target = 65536L
+      val cells = Tables.documents(s, d)
+        .select(col("source"),
+          pmod(graft.llm.TextAnalysis.md5Int(
+            concat(lit("h:"), col("doc_id"))), lit(16)).as("shard"),
+          col("n_chars"))
+        .groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      cells.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+          sum(when(col("bytes") < target / 4, 1L).otherwise(0L))
+            .as("n_small"))
+        .select(col("source"), col("n_files"), col("bytes"),
+          col("n_small"),
+          expr(s"(bytes + ${target - 1}L) div ${target}L")
+            .as("ideal_files"),
+          round(col("n_files").cast("double") /
+            expr(s"(bytes + ${target - 1}L) div ${target}L")
+              .cast("double"), 6).as("read_amplification"))
+        .withColumn("compact_worthwhile",
+          col("n_small") * 2L > col("n_files"))
+        .orderBy(col("source"))
+    }),
+
     // ZONE-MAP SKIPPING audit — the quantified "why sort by the filter
     // column" companion to the q190/q275 layout queries: parquet
     // row-group (and ORC stripe / Delta file) pruning works off
@@ -542,6 +577,28 @@ object SourceQueries extends QueryModule {
     StructField("lang", StringType), StructField("n_chars", LongType)))
 
   def oracle: Map[String, String] = Map(
+
+    // q345: identical shard hash, cell grid, ceiling division
+    "q345_compaction_plan" ->
+      """WITH cells AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5('h:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 16 AS shard,
+        |    SUM(n_chars) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_files, SUM(bytes) AS bytes,
+        |    SUM(CASE WHEN bytes < 16384 THEN 1 ELSE 0 END) AS n_small
+        |  FROM cells GROUP BY 1)
+        |SELECT source, CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(n_small AS BIGINT) AS n_small,
+        |  CAST((bytes + 65535) // 65536 AS BIGINT) AS ideal_files,
+        |  ROUND(CAST(n_files AS DOUBLE) /
+        |    CAST((bytes + 65535) // 65536 AS DOUBLE), 6)
+        |    AS read_amplification,
+        |  (n_small * 2 > n_files) AS compact_worthwhile
+        |FROM g ORDER BY source""".stripMargin,
 
     // q339: identical range-bucket zone grids + interval algebra
     "q339_zonemap_skip" ->

@@ -573,45 +573,63 @@ object AnalyticsOps extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Link prediction over the θ=0.7 near-dup graph via the RESOURCE
-    // ALLOCATION index (Zhou–Lü–Zhang, Eur. Phys. J. B 2009) — "which
-    // non-paired docs are probably duplicates we missed": for each
-    // two-hop pair (u,v) that is NOT an edge, RA = Σ_w 1/deg(w) over
-    // common neighbors w. RA is chosen over Adamic–Adar deliberately:
-    // 1/d is ONE correctly-rounded IEEE division (bit-identical on
-    // both engines), where AA's 1/ln(d) rides on a non-correctly-
-    // rounded libm log — so each contribution settles at 12dp into
-    // exact DECIMAL and the scores sum order-free. Wedge enumeration
-    // is center-keyed and HUB-CAPPED at deg ≤ 64 on both engines (the
-    // standard LP sparsification: a super-hub's per-neighbor
-    // contribution is ≤ 1/65 and its wedge fan-out is quadratic — the
-    // cap bounds the self-join at Σ min(deg,64)² whatever the corpus,
-    // q223's posting-cap posture). Top-20 ranks on the exact decimal
-    // (pair tiebreak); the staged pair table costs nothing extra per
-    // run (q279's amortization).
+    // Tiered-dedup REVIEW QUEUE with RESOURCE-ALLOCATION link
+    // prediction (Zhou–Lü–Zhang, Eur. Phys. J. B 2009) — the triage
+    // step of a two-threshold dedup pipeline: θ≥0.95 pairs auto-merge;
+    // everything else with evidence lands in a ranked review queue.
+    // Evidence is DIRECT (a θ=0.7 pair below the strict cut — its own
+    // settled jac is the primary key) or INDIRECT (two-hop
+    // connectivity in the θ=0.7 graph, scored by RA = Σ_w 1/deg(w)
+    // over common neighbors — the link-prediction signal that
+    // surfaces pairs the pairwise pass NEVER scored; a near-dup
+    // Jaccard graph is close to transitive, so indirect-only entries
+    // appear as the corpus and its dup clusters grow, while the
+    // direct tier keeps the queue meaningful at any size). Both tiers
+    // are FILTERS/joins of the one staged evidence table — no extra
+    // corpus pass or pair join. RA is chosen over Adamic–Adar deliberately: 1/d is ONE
+    // correctly-rounded IEEE division (bit-identical on both
+    // engines), where AA's 1/ln(d) rides on a non-correctly-rounded
+    // libm log — each contribution settles at 12dp into exact DECIMAL
+    // and sums order-free. Wedge enumeration is center-keyed and
+    // HUB-CAPPED at deg ≤ 64 (the standard LP sparsification: a
+    // super-hub's per-neighbor contribution is ≤ 1/65 and its fan-out
+    // quadratic — bounds the self-join at Σ min(deg,64)², q223's
+    // posting-cap posture). Top-20 on the exact decimal, pair ties.
     "q337_link_prediction" -> ((s, d) => {
-      val edges = Dedup.prefixJaccardPairs(s, d, "0.7")
+      val pairs = Dedup.prefixJaccardPairs(s, d, "0.7")
+      val evid = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val strict = pairs.filter(col("jac") >= 0.95)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      val und = edges
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val und = evid
+        .unionAll(evid.select(col("v").as("u"), col("u").as("v")))
       val deg = und.groupBy(col("u").as("w")).agg(count(lit(1)).as("dw"))
       val undD = und.select(col("u").as("w"), col("v").as("n"))
         .join(deg.filter(col("dw") <= 64), "w")
       val cand = undD.select(col("w"), col("dw"), col("n").as("a"))
         .join(undD.select(col("w"), col("n").as("b")), Seq("w"))
         .filter(col("a") < col("b"))
-      cand
-        .join(edges.select(col("u").as("a"), col("v").as("b")),
+      val wedgeScores = cand
+        .join(strict.select(col("u").as("a"), col("v").as("b")),
           Seq("a", "b"), "left_anti")
         .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("common_neighbors"),
+        .agg(count(lit(1)).as("cn"),
           sum(expr("CAST(ROUND(CAST(1 AS DOUBLE) / dw, 12) " +
             "AS DECIMAL(16,12))")).as("ra"))
-        .orderBy(col("ra").desc, col("a"), col("b"))
-        .limit(20)
+      val direct = pairs.filter(col("jac") < 0.95)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"),
+          col("jac").as("direct_jac"))
+      wedgeScores.join(direct, Seq("a", "b"), "full_outer")
         .select(col("a").as("doc_u"), col("b").as("doc_v"),
+          col("direct_jac"),
+          coalesce(col("cn"), lit(0L)).as("common_neighbors"),
+          coalesce(col("ra"),
+            expr("CAST(0 AS DECIMAL(16,12))")).as("rad"))
+        .orderBy(coalesce(col("direct_jac"), lit(0.0)).desc,
+          col("rad").desc, col("doc_u"), col("doc_v"))
+        .limit(20)
+        .select(col("doc_u"), col("doc_v"), col("direct_jac"),
           col("common_neighbors"),
-          col("ra").cast("double").as("ra_score"))
+          col("rad").cast("double").as("ra_score"))
     }),
 
     // Spectral-radius bracketing of the dup graph via two EXACT
@@ -933,13 +951,17 @@ object AnalyticsOps extends QueryModule {
          |    AS rayleigh_2
          |FROM j""".stripMargin,
 
-    // q337: same hub-capped wedge enumeration; 1/dw is one IEEE
+    // q337: same hub-capped wedge enumeration over the θ=0.7 evidence
+    // tier, anti-joined against the strict θ≥0.95 tier (the same v
+    // CTE filtered twice, exactly like the engine filters its one
+    // staged table); 1/dw is one IEEE
     // division (bit-identical both engines) settled at 12dp into
     // exact DECIMAL before the order-free sum
     "q337_link_prediction" ->
       s"""${Dedup.prefixPairSqlCtes("0.7")},
          |p7 AS MATERIALIZED (
          |  SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.7),
+         |p9 AS (SELECT doc_a AS u, doc_b AS v FROM v WHERE jac >= 0.95),
          |und AS (SELECT u, v FROM p7 UNION ALL SELECT v, u FROM p7),
          |deg AS (SELECT u AS w, COUNT(*) AS dw FROM und GROUP BY 1),
          |undd AS (
@@ -950,17 +972,30 @@ object AnalyticsOps extends QueryModule {
          |  FROM undd a JOIN undd b ON b.w = a.w AND a.n < b.n),
          |ne AS (
          |  SELECT c.a, c.b, c.dw FROM cand2 c
-         |  LEFT JOIN p7 e ON e.u = c.a AND e.v = c.b
+         |  LEFT JOIN p9 e ON e.u = c.a AND e.v = c.b
          |  WHERE e.u IS NULL),
          |sc AS (
-         |  SELECT a, b, COUNT(*) AS common_neighbors,
+         |  SELECT a, b, COUNT(*) AS cn,
          |    SUM(CAST(ROUND(CAST(1 AS DOUBLE) / dw, 12)
          |      AS DECIMAL(16,12))) AS ra
-         |  FROM ne GROUP BY 1, 2)
-         |SELECT a AS doc_u, b AS doc_v,
+         |  FROM ne GROUP BY 1, 2),
+         |direct AS (
+         |  SELECT doc_a AS a, doc_b AS b, jac AS direct_jac
+         |  FROM v WHERE jac >= 0.7 AND jac < 0.95),
+         |queue AS (
+         |  SELECT COALESCE(sc.a, direct.a) AS doc_u,
+         |    COALESCE(sc.b, direct.b) AS doc_v,
+         |    direct.direct_jac,
+         |    COALESCE(sc.cn, 0) AS common_neighbors,
+         |    COALESCE(sc.ra, CAST(0 AS DECIMAL(16,12))) AS rad
+         |  FROM sc FULL OUTER JOIN direct
+         |    ON direct.a = sc.a AND direct.b = sc.b)
+         |SELECT doc_u, doc_v, direct_jac,
          |  CAST(common_neighbors AS BIGINT) AS common_neighbors,
-         |  CAST(ra AS DOUBLE) AS ra_score
-         |FROM sc ORDER BY ra DESC, a, b LIMIT 20""".stripMargin,
+         |  CAST(rad AS DOUBLE) AS ra_score
+         |FROM queue
+         |ORDER BY COALESCE(direct_jac, 0.0) DESC, rad DESC, doc_u, doc_v
+         |LIMIT 20""".stripMargin,
 
     "q313_skipgram_cooc" ->
       """WITH toks AS (

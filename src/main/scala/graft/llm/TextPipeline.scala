@@ -768,6 +768,40 @@ object TextPipeline extends QueryModule {
         round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
     }),
 
+    // TEMPERATURE-SMOOTHED source mixing (the multilingual-sampling
+    // rule of XLM-R / mT5: q_s ∝ p_s^(1/T)) at T=2 — the upweighting
+    // that keeps low-resource sources from vanishing under
+    // natural-share sampling without the hard caps of q146's
+    // target-share mix. T=2 is chosen deliberately: p^(1/2) = √p is a
+    // CORRECTLY-ROUNDED IEEE operation (bit-identical cross-engine),
+    // where an arbitrary-T pow is not — each √share settles at 9dp
+    // into exact DECIMAL, the normalizer is an order-free decimal
+    // sum, and the smoothed shares + effective-epoch factors
+    // (q_s·T_tok/tok_s — how many passes over source s one smoothed
+    // epoch implies) are one fixed-order double expression each. ONE
+    // corpus pass to the |sources| grid.
+    "q349_temperature_mix" -> ((s, d) => {
+      val srcTok = Tables.documents(s, d)
+        .select(col("source"), size(tokens).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+      val tot = srcTok.agg(sum(col("tok")).as("tt"))
+      val w = srcTok.crossJoin(broadcast(tot))
+        .withColumn("r", expr("CAST(round(sqrt(CAST(tok AS DOUBLE) / " +
+          "CAST(tt AS DOUBLE)), 9) AS DECIMAL(12,9))"))
+      val rsum = w.agg(sum(col("r")).as("rs"))
+      w.crossJoin(broadcast(rsum))
+        .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+          round(col("tok").cast("double") / col("tt").cast("double"), 6)
+            .as("natural_share"),
+          round(col("r").cast("double") / col("rs").cast("double"), 6)
+            .as("temp_share"),
+          round((col("r").cast("double") / col("rs").cast("double")) *
+            (col("tt").cast("double") / col("tok").cast("double")), 6)
+            .as("effective_epochs"))
+        .orderBy(col("source"))
+    }),
+
     // HEAPS' LAW fit (Heaps 1978; Herdan 1960) — vocabulary growth
     // V(N) ≈ k·N^β, the planning constant behind tokenizer vocab
     // sizing and dedup-index capacity: sublinear β means doubling the
@@ -1331,6 +1365,32 @@ object TextPipeline extends QueryModule {
     // same tokenizer; both engines compute the regression over the
     // identical ≤1000 (ln rank, ln freq) points, rounded to 4dp (the
     // covariance merge order differs between engines at ~1e-13)
+    // q349: identical √-settled decimals, order-free normalizer,
+    // fixed-order share/epoch expressions
+    "q349_temperature_mix" ->
+      """WITH st AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(len(list_filter(string_split_regex(lower(text),
+        |      '[^a-z]+'), x -> x != ''))) AS tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(tok) AS tt FROM st),
+        |w AS (
+        |  SELECT st.*, tot.tt,
+        |    CAST(round(sqrt(CAST(tok AS DOUBLE) / CAST(tt AS DOUBLE)),
+        |      9) AS DECIMAL(12,9)) AS r
+        |  FROM st, tot),
+        |rs AS (SELECT SUM(r) AS rs FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tok AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(tok AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |    AS natural_share,
+        |  ROUND(CAST(r AS DOUBLE) / CAST(rs.rs AS DOUBLE), 6)
+        |    AS temp_share,
+        |  ROUND((CAST(r AS DOUBLE) / CAST(rs.rs AS DOUBLE)) *
+        |    (CAST(tt AS DOUBLE) / CAST(tok AS DOUBLE)), 6)
+        |    AS effective_epochs
+        |FROM w, rs ORDER BY source""".stripMargin,
+
     // q340: identical shard hash, first-occurrence min-aggregate,
     // 16-row cumulative fold (a window here — free in DuckDB), and
     // the same settled-ln OLS closed in one double association order

@@ -554,6 +554,66 @@ object ExtendedOps extends QueryModule {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
     }),
 
+    // TPC-H Q19 (discounted revenue, disjunctive predicates), adapted:
+    // the OR-of-ANDs join — three (brand, size-band, quantity-band)
+    // clauses that each mix build-side (part) and probe-side
+    // (lineitem) predicates. The single-table conjuncts that are
+    // COMMON to all clauses (size ≥ 1, quantity ≤ 30) push to the
+    // scans; the disjunction evaluates once post-join as a codegen'd
+    // predicate — the shape Catalyst cannot split, priced here so a
+    // regression that re-plans it as a union-of-three-joins (3×
+    // lineitem scans) flags in the bench table. Exact decimal revenue.
+    "q347_tpch_q19" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val rev = sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val clause = (
+        col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1.0, 11.0)) || (
+        col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10.0, 20.0)) || (
+        col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20.0, 30.0))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(rev.as("rev_exact"), count(lit(1)).as("n_lines"))
+        .select(round(col("rev_exact"), 2).cast("double").as("revenue"),
+          col("n_lines"))
+    }),
+
+    // TPC-H Q14 (promotion effect), adapted: the two-aggregate ratio —
+    // promo-typed revenue share of one month's shipments. Both sums
+    // run in exact decimal over ONE scan (the CASE lives inside the
+    // aggregate, q64's conditional-agg discipline); the share is one
+    // double division of the two settled decimals.
+    "q348_tpch_q14" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val disc = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast(dec))).as("promo_exact"),
+          sum(disc).as("rev_exact"), count(lit(1)).as("n_lines"))
+        .select(
+          round(lit(100.0) * col("promo_exact").cast("double") /
+            col("rev_exact").cast("double"), 6).as("promo_revenue_pct"),
+          round(col("promo_exact"), 2).cast("double").as("promo_revenue"),
+          round(col("rev_exact"), 2).cast("double").as("total_revenue"),
+          col("n_lines"))
+    }),
+
     "q100_tpch_q1" -> ((s, d) => {
       val dec = DecimalType(12, 2)
       val price = col("l_extendedprice").cast(dec)
@@ -926,6 +986,44 @@ object ExtendedOps extends QueryModule {
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q347_tpch_q19" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity >= 1.0 AND l.l_quantity <= 30.0
+        |  AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |        AND l.l_quantity BETWEEN 1.0 AND 11.0)
+        |    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |        AND l.l_quantity BETWEEN 10.0 AND 20.0)
+        |    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |        AND l.l_quantity BETWEEN 20.0 AND 30.0))""".stripMargin,
+
+    "q348_tpch_q14" ->
+      """WITH t AS (
+        |  SELECT CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) -
+        |       CAST(l.l_discount AS DECIMAL(12,2))) AS disc,
+        |    p.p_type
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-10-01'),
+        |g AS (
+        |  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN disc
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_exact,
+        |    SUM(disc) AS rev_exact, COUNT(*) AS n_lines
+        |  FROM t)
+        |SELECT
+        |  ROUND(100.0 * CAST(promo_exact AS DOUBLE) /
+        |    CAST(rev_exact AS DOUBLE), 6) AS promo_revenue_pct,
+        |  CAST(ROUND(promo_exact, 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(ROUND(rev_exact, 2) AS DOUBLE) AS total_revenue,
+        |  CAST(n_lines AS BIGINT) AS n_lines
+        |FROM g""".stripMargin,
 
     "q100_tpch_q1" ->
       """WITH t AS (

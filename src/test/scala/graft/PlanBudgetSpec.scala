@@ -72,7 +72,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q336_anova_f",             // 1-row ΣX² scalar joined onto the 1-row group-grid fold
     "q338_t_closeness",         // |segments|-row margin + 1-row total + 1-row verdict broadcasts onto the QI grid
     "q339_zonemap_skip",        // 1-row range scalar onto the corpus pass; 64-row zone grid range-joined onto 8 quarters
-    "q342_bh_fdr")              // 1-row totals + |sources|-row cumulative-range broadcasts onto the doc×R resample explode
+    "q342_bh_fdr",              // 1-row totals + |sources|-row cumulative-range broadcasts onto the doc×R resample explode
+    "q349_temperature_mix")     // 1-row token-total + 1-row √-share-normalizer broadcasts onto the |sources| grid
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

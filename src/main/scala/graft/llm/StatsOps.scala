@@ -444,6 +444,72 @@ object StatsOps extends QueryModule {
     // see [[bhFdr]]
     "q342_bh_fdr" -> ((s, d) => bhFdr(s, d)),
 
+    // QQ drift table between the two spend cohorts (the
+    // distribution-level companion to q341's single-number δ and
+    // q165's KS): the EXACT order statistic at ranks ⌈p·n⌉ for
+    // p ∈ {5%,…,95%} in each cohort, paired by probability. Ranks are
+    // exact integers ((p·n+99) div 100), the rank→value lookup rides
+    // the two-phase bucketed exclusive prefix (q247/q262's machinery:
+    // ≤128 (cohort, bucket) subtotals to the driver, per-bucket
+    // windows), and every output is exact integer cents — no float
+    // anywhere in this query.
+    "q351_qq_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("v"))
+        .select(col("v"), (col("user_id") % 2 === 0).as("isA"))
+      val byVal = perUser.groupBy(col("isA"), col("v"))
+        .agg(count(lit(1)).as("c")).persist()
+      try {
+        val mm = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .head()
+        val mn = mm.getAs[Long]("mn"); val mx = mm.getAs[Long]("mx")
+        val span = mx - mn + 1
+        val withB = byVal.withColumn("b",
+          expr(s"CAST((v - ${mn}L) * 64 DIV ${span}L AS INT)"))
+        val subs = withB.groupBy(col("isA"), col("b"))
+          .agg(sum(col("c")).as("cs"))
+          .orderBy(col("isA"), col("b")).collect()
+          .map(r => (r.getAs[Boolean]("isA"), r.getAs[Int]("b"),
+            r.getAs[Long]("cs")))
+        val offs = subs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          var acc = 0L
+          rows.sortBy(_._2).toSeq.map { case (sd, b, cs) =>
+            val off = acc; acc += cs; (sd, b, off)
+          }
+        }
+        import s.implicits._
+        val offDf = broadcast(offs.toDF("isA", "b", "off"))
+        val wB = Window.partitionBy(col("isA"), col("b"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = withB.join(offDf, Seq("isA", "b"))
+          .select(col("isA"), col("v"), col("c"),
+            (coalesce(sum(col("c")).over(wB), lit(0L)) + col("off"))
+              .as("cum"))
+        val nAB = byVal.groupBy(col("isA")).agg(sum(col("c")).as("n"))
+        val ranks = nAB
+          .crossJoin(broadcast(s.range(1, 20)
+            .select((col("id") * 5).as("p"))))
+          .select(col("isA").as("side"), col("p"),
+            expr("(p * n + 99) div 100").as("r"))
+        cum.join(broadcast(ranks),
+            col("isA") === col("side") &&
+              col("cum") < col("r") && col("r") <= col("cum") + col("c"))
+          .groupBy(col("p"))
+          .agg(max(when(col("isA"), col("v"))).as("q_even_cents"),
+            max(when(!col("isA"), col("v"))).as("q_odd_cents"))
+          .select(col("p").cast("int").as("p_pct"), col("q_even_cents"),
+            col("q_odd_cents"),
+            (col("q_even_cents") - col("q_odd_cents")).as("diff_cents"))
+          .orderBy(col("p_pct"))
+          .localCheckpoint() // 19 rows; release the histogram safely
+      } finally byVal.unpersist()
+    }),
+
     // Seasonal-naive forecast backtest scored with MASE (Hyndman &
     // Koehler 2006) — the scale-free forecast-accuracy measure a
     // volume-forecasting pipeline reports instead of raw MAE (which
@@ -1312,6 +1378,39 @@ object StatsOps extends QueryModule {
         |       WHEN ABS(delta) < 0.474 THEN 'medium'
         |       ELSE 'large' END AS magnitude
         |FROM dd""".stripMargin,
+
+    // q351: the oracle's rank→value lookup is one global per-cohort
+    // window; all integers
+    "q351_qq_drift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1),
+        |pv AS (SELECT (user_id % 2 = 0) AS isa, v FROM pu),
+        |bv AS (SELECT isa, v, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT isa, v, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY isa ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM bv),
+        |nab AS (SELECT isa, SUM(c) AS n FROM bv GROUP BY 1),
+        |ranks AS (
+        |  SELECT nab.isa, pp.p, (pp.p * nab.n + 99) // 100 AS r
+        |  FROM nab CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 19)) * 5 AS p) pp),
+        |q AS (
+        |  SELECT r.p, cum.isa, cum.v
+        |  FROM cum JOIN ranks r ON r.isa = cum.isa
+        |    AND cum.cum < r.r AND r.r <= cum.cum + cum.c)
+        |SELECT CAST(p AS INT) AS p_pct,
+        |  CAST(MAX(CASE WHEN isa THEN v END) AS BIGINT)
+        |    AS q_even_cents,
+        |  CAST(MAX(CASE WHEN NOT isa THEN v END) AS BIGINT)
+        |    AS q_odd_cents,
+        |  CAST(MAX(CASE WHEN isa THEN v END) -
+        |    MAX(CASE WHEN NOT isa THEN v END) AS BIGINT) AS diff_cents
+        |FROM q GROUP BY p ORDER BY p_pct""".stripMargin,
 
     // q342: identical md5 range assignment, exact-rational p's,
     // integer BH ladder

@@ -785,6 +785,7 @@ object TextPipeline extends QueryModule {
         .select(col("source"), size(tokens).cast("long").as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+        .localCheckpoint() // |sources| grid: feeds totals, √, output
       val tot = srcTok.agg(sum(col("tok")).as("tt"))
       val w = srcTok.crossJoin(broadcast(tot))
         .withColumn("r", expr("CAST(round(sqrt(CAST(tok AS DOUBLE) / " +

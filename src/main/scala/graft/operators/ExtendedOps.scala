@@ -587,6 +587,101 @@ object ExtendedOps extends QueryModule {
           col("n_lines"))
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    // — a year of shipments, a discount band, a quantity cap, one
+    // exact-decimal product sum. Every predicate pushes to the scan
+    // (PushedFilters carries all three), no join, no shuffle beyond
+    // the single partial+final aggregate — the query whose whole cost
+    // at 100 TB is I/O, priced so scan-path regressions flag.
+    "q350_tpch_q6" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          col("l_discount").cast(dec)).as("rev_exact"),
+          count(lit(1)).as("n_lines"))
+        .select(round(col("rev_exact"), 2).cast("double").as("revenue"),
+          col("n_lines"))
+    }),
+
+    // Simpson's-paradox detector (Simpson 1951; the q296 CMH test's
+    // diagnostic sibling): does the big-order ↔ fulfilled-status
+    // association REVERSE when stratified by order priority? Each
+    // stratum's 2×2 cell table is exact integers from one ROLLUP-free
+    // conditional-agg pass; association direction is the
+    // CROSS-MULTIPLIED comparison a·d vs b·c (no odds-ratio float
+    // ever computed for the verdict — OR is emitted 6dp for reading,
+    // direction decided in integers). Paradox = the pooled direction
+    // disagrees with EVERY stratum's direction (the strict form).
+    "q352_simpsons_paradox" -> ((s, d) => {
+      val big = col("o_totalprice") > 200000.0
+      val filled = col("o_orderstatus") === "F"
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(big && filled, 1L).otherwise(0L)).as("a"),
+          sum(when(big && !filled, 1L).otherwise(0L)).as("b"),
+          sum(when(!big && filled, 1L).otherwise(0L)).as("c"),
+          sum(when(!big && !filled, 1L).otherwise(0L)).as("dd"))
+        .localCheckpoint() // |priorities|-row grid
+      val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("c")).as("tc"), sum(col("dd")).as("td"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"),
+          (col("a") + col("b") + col("c") + col("dd")).as("n"),
+          round((col("a") * col("dd")).cast("double") /
+            (col("b") * col("c")).cast("double"), 6).as("stratum_or"),
+          (col("a") * col("dd") > col("b") * col("c"))
+            .as("stratum_positive"),
+          round((col("ta") * col("td")).cast("double") /
+            (col("tb") * col("tc")).cast("double"), 6).as("pooled_or"),
+          (col("ta") * col("td") > col("tb") * col("tc"))
+            .as("pooled_positive"))
+        .withColumn("reversed",
+          col("stratum_positive") =!= col("pooled_positive"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Two-proportion POWER ANALYSIS (the planning table behind q235's
+    // z-test — how many users per arm before the observed effect is
+    // detectable at α=0.05, power 0.8): the arms are the even/odd
+    // user cohorts, p̂ = purchase-conversion rationals from exact
+    // integer counts, and n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/Δ² is ONE
+    // fixed-order double expression over those integers with the z
+    // constants inlined as literals (1.96, 0.8416 — both engines
+    // parse the identical decimals). The ceiling is taken on the
+    // 6dp-SETTLED value so a 1-ulp drift can't flip n by one.
+    "q353_power_analysis" -> ((s, d) => {
+      val conv = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("isA"), col("user_id"))
+        .distinct()
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L))
+            .as("nb"))
+      val p1 = col("ca").cast("double") / col("na").cast("double")
+      val p2 = col("cb").cast("double") / col("nb").cast("double")
+      // zero observed effect makes the sample size undefined (and an
+      // ANSI divide-by-zero): emit NULLs for the plan columns
+      users.crossJoin(broadcast(conv))
+        .select(col("na"), col("nb"),
+          round(p1, 6).as("p_a"), round(p2, 6).as("p_b"),
+          when(p1 =!= p2, round(
+            (lit(1.96) + lit(0.8416)) * (lit(1.96) + lit(0.8416)) *
+              (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+              ((p1 - p2) * (p1 - p2)), 6)).as("n_raw"))
+        .withColumn("n_required_per_arm",
+          ceil(col("n_raw")).cast("long"))
+        .withColumn("already_powered",
+          least(col("na"), col("nb")).cast("double") >= col("n_raw"))
+    }),
+
     // TPC-H Q14 (promotion effect), adapted: the two-aggregate ratio —
     // promo-typed revenue share of one month's shipments. Both sums
     // run in exact decimal over ONE scan (the CASE lives inside the
@@ -986,6 +1081,80 @@ object ExtendedOps extends QueryModule {
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q350_tpch_q6" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    // q352: identical integer cell tables; directions cross-multiplied
+    "q352_simpsons_paradox" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority,
+        |    SUM(CASE WHEN o_totalprice > 200000.0
+        |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN o_totalprice > 200000.0
+        |      AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS b,
+        |    SUM(CASE WHEN o_totalprice <= 200000.0
+        |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN o_totalprice <= 200000.0
+        |      AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS dd
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb, SUM(c) AS tc,
+        |  SUM(dd) AS td FROM cells)
+        |SELECT o_orderpriority,
+        |  CAST(a + b + c + dd AS BIGINT) AS n,
+        |  ROUND(CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+        |    AS stratum_or,
+        |  (a * dd > b * c) AS stratum_positive,
+        |  ROUND(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6)
+        |    AS pooled_or,
+        |  (ta * td > tb * tc) AS pooled_positive,
+        |  ((a * dd > b * c) <> (ta * td > tb * tc)) AS reversed
+        |FROM cells, tot ORDER BY o_orderpriority""".stripMargin,
+
+    // q353: identical integer counts, inlined z literals, settled ceil
+    "q353_power_analysis" ->
+      """WITH conv AS (
+        |  SELECT
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'purchase') z),
+        |users AS (
+        |  SELECT
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb
+        |  FROM (SELECT DISTINCT user_id FROM events) z),
+        |g AS (
+        |  SELECT na, nb,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p1,
+        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS p2
+        |  FROM users, conv)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  ROUND(p1, 6) AS p_a, ROUND(p2, 6) AS p_b,
+        |  CASE WHEN p1 <> p2 THEN ROUND((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |    (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |    (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+        |    ((p1 - p2) * (p1 - p2)), 6) END AS n_raw,
+        |  CAST(CEIL(CASE WHEN p1 <> p2 THEN ROUND((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |    (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |    (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+        |    ((p1 - p2) * (p1 - p2)), 6) END) AS BIGINT)
+        |    AS n_required_per_arm,
+        |  (CAST(LEAST(na, nb) AS DOUBLE) >=
+        |    CASE WHEN p1 <> p2 THEN ROUND((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |    (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) *
+        |      (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+        |      ((p1 - p2) * (p1 - p2)), 6) END) AS already_powered
+        |FROM g""".stripMargin,
 
     "q347_tpch_q19" ->
       """SELECT

@@ -73,7 +73,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q338_t_closeness",         // |segments|-row margin + 1-row total + 1-row verdict broadcasts onto the QI grid
     "q339_zonemap_skip",        // 1-row range scalar onto the corpus pass; 64-row zone grid range-joined onto 8 quarters
     "q342_bh_fdr",              // 1-row totals + |sources|-row cumulative-range broadcasts onto the doc×R resample explode
-    "q349_temperature_mix")     // 1-row token-total + 1-row √-share-normalizer broadcasts onto the |sources| grid
+    "q349_temperature_mix",     // 1-row token-total + 1-row √-share-normalizer broadcasts onto the |sources| grid
+    "q351_qq_drift",            // 2-row cohort-size × 19-row probability grid broadcasts onto the rank lookup
+    "q352_simpsons_paradox",    // 1-row pooled-cell broadcast onto the |priorities| grid
+    "q353_power_analysis")      // 1-row conversion-count broadcast onto the 1-row cohort sizes
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -444,6 +444,97 @@ object StatsOps extends QueryModule {
     // see [[bhFdr]]
     "q342_bh_fdr" -> ((s, d) => bhFdr(s, d)),
 
+    // Jonckheere–Terpstra ordered-alternative trend test (Jonckheere
+    // 1954) across weekday groups on daily spend — the ORDERED
+    // sibling of q265's Kruskal–Wallis (KW asks "any difference", JT
+    // asks "monotone in weekday order", strictly more powerful when
+    // the alternative is a trend). 2·JT = Σ over cross-group day
+    // pairs of (2·[x₂>x₁] + [x₂=x₁]) is an EXACT INTEGER ledger over
+    // the calendar-bounded day-pair grid (q335's join shape); the H₀
+    // moments μ = (n²−Σn_g²)/4 and σ² = (n²(2n+3)−Σn_g²(2n_g+3))/72
+    // are exact integer polynomials of the group sizes (computed
+    // doubled/×72-scaled so no fraction ever exists); the z-score is
+    // ONE float expression of those integers.
+    "q354_jonckheere" -> ((s, d) => {
+      val daily = Tables.eventsUs(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("day"))
+        .agg(sum(col("cents")).as("x"))
+        .select(col("day"), pmod(col("day"), lit(7)).as("wd"), col("x"))
+        .localCheckpoint() // |days| grid: feeds the pair join twice + sizes
+      val b = daily.select(col("wd").as("wd2"), col("x").as("x2"))
+      val jt2 = daily.join(b, col("wd") < col("wd2"))
+        .agg(sum(when(col("x2") > col("x"), 2L)
+          .when(col("x2") === col("x"), 1L).otherwise(0L)).as("jt2"))
+      val sizes = daily.groupBy(col("wd"))
+        .agg(count(lit(1)).as("ng"))
+        .agg(sum(col("ng")).as("n"),
+          sum(col("ng") * col("ng")).as("sq"),
+          sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
+            .as("cub"))
+      jt2.crossJoin(broadcast(sizes))
+        .select(col("n").cast("int").as("n_days"), col("jt2"),
+          // 2μ = (n² − Σn_g²)/2 exact (n²−Σn_g² is even: both sides
+          // share parity); 72σ² exact
+          expr("(n * n - sq) div 2").as("two_mu"),
+          (col("n") * col("n") * (lit(2L) * col("n") + 3L) - col("cub"))
+            .as("var72"))
+        .select(col("n_days"), col("jt2"), col("two_mu"),
+          round((col("jt2") - col("two_mu")).cast("double") /
+            (lit(2.0) * sqrt(col("var72").cast("double") / 72.0)), 6)
+            .as("z"))
+        .withColumn("monotone_trend", abs(col("z")) > 1.96)
+    }),
+
+    // Partial correlation of daily volume and daily revenue
+    // CONTROLLING for the linear time trend (r_xy·t) — the spurious-
+    // correlation guard: two series that both grow with time correlate
+    // even when causally unrelated; partialling out t asks what
+    // co-movement remains. The three Pearson r's come from EXACT
+    // DECIMAL(38,0) sufficient statistics over the calendar-bounded
+    // day grid (q245's cross-multiplied polynomials), each settled at
+    // 9dp; the partial formula (r_xy − r_xt·r_yt)/√((1−r_xt²)(1−r_yt²))
+    // is one fixed-order float expression of the three settled values.
+    "q356_partial_correlation" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val daily = Tables.eventsUs(s, d)
+        .select(expr("ts_us div 86400000000").as("t"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+      val g = daily.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("t").cast(dec)).as("st"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("t").cast(dec) * col("t")).as("stt"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("t")).as("sxt"),
+        sum(col("y").cast(dec) * col("t")).as("syt"))
+      def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =
+        expr(s"""CAST(round(
+          |  CAST(n * $sab - $sa * $sb AS DOUBLE) /
+          |  (SQRT(CAST(n * $saa - $sa * $sa AS DOUBLE)) *
+          |   SQRT(CAST(n * $sbb - $sb * $sb AS DOUBLE))), 9)
+          |AS DECIMAL(12,9))""".stripMargin)
+      g.select(col("n").cast("int").as("n_days"),
+          r("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+          r("sxt", "sx", "st", "sxx", "stt").as("r_xt"),
+          r("syt", "sy", "st", "syy", "stt").as("r_yt"))
+        .select(col("n_days"),
+          col("r_xy").cast("double").as("r_xy"),
+          col("r_xt").cast("double").as("r_xt"),
+          col("r_yt").cast("double").as("r_yt"),
+          round((col("r_xy").cast("double") -
+            col("r_xt").cast("double") * col("r_yt").cast("double")) /
+            (sqrt(lit(1.0) - col("r_xt").cast("double") *
+              col("r_xt").cast("double")) *
+             sqrt(lit(1.0) - col("r_yt").cast("double") *
+              col("r_yt").cast("double"))), 6).as("r_xy_given_t"))
+    }),
+
     // QQ drift table between the two spend cohorts (the
     // distribution-level companion to q341's single-number δ and
     // q165's KS): the EXACT order statistic at ranks ⌈p·n⌉ for
@@ -1378,6 +1469,78 @@ object StatsOps extends QueryModule {
         |       WHEN ABS(delta) < 0.474 THEN 'medium'
         |       ELSE 'large' END AS magnitude
         |FROM dd""".stripMargin,
+
+    // q354: identical integer pair ledger and scaled H0 moments
+    "q354_jonckheere" ->
+      """WITH daily AS (
+        |  SELECT day, day % 7 AS wd, x FROM (
+        |    SELECT epoch_ns(ts)//1000//86400000000 AS day,
+        |      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS x
+        |    FROM events GROUP BY 1) z),
+        |jt AS (
+        |  SELECT SUM(CASE WHEN b.x > a.x THEN 2
+        |    WHEN b.x = a.x THEN 1 ELSE 0 END) AS jt2
+        |  FROM daily a JOIN daily b ON a.wd < b.wd),
+        |sz AS (
+        |  SELECT SUM(ng) AS n, SUM(ng * ng) AS sq,
+        |    SUM(ng * ng * (2 * ng + 3)) AS cub
+        |  FROM (SELECT wd, COUNT(*) AS ng FROM daily GROUP BY 1) g)
+        |SELECT CAST(sz.n AS INT) AS n_days,
+        |  CAST(jt.jt2 AS BIGINT) AS jt2,
+        |  CAST((sz.n * sz.n - sz.sq) // 2 AS BIGINT) AS two_mu,
+        |  ROUND(CAST(jt.jt2 - (sz.n * sz.n - sz.sq) // 2 AS DOUBLE) /
+        |    (2.0 * SQRT(CAST(sz.n * sz.n * (2 * sz.n + 3) - sz.cub
+        |      AS DOUBLE) / 72.0)), 6) AS z,
+        |  (ABS(ROUND(CAST(jt.jt2 - (sz.n * sz.n - sz.sq) // 2
+        |    AS DOUBLE) /
+        |    (2.0 * SQRT(CAST(sz.n * sz.n * (2 * sz.n + 3) - sz.cub
+        |      AS DOUBLE) / 72.0)), 6)) > 1.96) AS monotone_trend
+        |FROM jt, sz""".stripMargin,
+
+    // q356: identical HUGEINT sufficient stats, 9dp-settled r's, one
+    // fixed-order partial formula
+    "q356_partial_correlation" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts)//1000//86400000000 AS t,
+        |    COUNT(*) AS x,
+        |    SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(t AS HUGEINT)) AS st,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(t AS HUGEINT) * t) AS stt,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * t) AS sxt,
+        |    SUM(CAST(y AS HUGEINT) * t) AS syt
+        |  FROM daily),
+        |rr AS (
+        |  SELECT CAST(n AS INT) AS n_days,
+        |    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+        |      AS DECIMAL(12,9)) AS r_xy,
+        |    CAST(round(CAST(n * sxt - sx * st AS DOUBLE) /
+        |      (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(n * stt - st * st AS DOUBLE))), 9)
+        |      AS DECIMAL(12,9)) AS r_xt,
+        |    CAST(round(CAST(n * syt - sy * st AS DOUBLE) /
+        |      (SQRT(CAST(n * syy - sy * sy AS DOUBLE)) *
+        |       SQRT(CAST(n * stt - st * st AS DOUBLE))), 9)
+        |      AS DECIMAL(12,9)) AS r_yt
+        |  FROM g)
+        |SELECT n_days,
+        |  CAST(r_xy AS DOUBLE) AS r_xy,
+        |  CAST(r_xt AS DOUBLE) AS r_xt,
+        |  CAST(r_yt AS DOUBLE) AS r_yt,
+        |  ROUND((CAST(r_xy AS DOUBLE) -
+        |    CAST(r_xt AS DOUBLE) * CAST(r_yt AS DOUBLE)) /
+        |    (SQRT(1.0 - CAST(r_xt AS DOUBLE) * CAST(r_xt AS DOUBLE)) *
+        |     SQRT(1.0 - CAST(r_yt AS DOUBLE) * CAST(r_yt AS DOUBLE))),
+        |    6) AS r_xy_given_t
+        |FROM rr""".stripMargin,
 
     // q351: the oracle's rank→value lookup is one global per-cohort
     // window; all integers

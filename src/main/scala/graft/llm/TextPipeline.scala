@@ -768,6 +768,45 @@ object TextPipeline extends QueryModule {
         round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
     }),
 
+    // Source VOCABULARY-OVERLAP matrix (Jaccard + Szymkiewicz–
+    // Simpson overlap coefficient per source pair) — the redundancy
+    // map a curation team reads before q146/q349 mixing: two sources
+    // with overlap ≈ 1 are the same content under different mastheads
+    // and double-count in any token budget. Candidates come from the
+    // token-keyed join of the distinct (source, token) table — the
+    // per-token fan-out is C(#sources-containing, 2) ≤ C(|sources|,2),
+    // a data-model constant, so the join is vocab×pairs bounded at
+    // any corpus size (never docs²). Counts exact integers; Jaccard
+    // and overlap are one division each, 6dp-settled before the
+    // top-30 rank (pair tiebreaks).
+    "q355_source_overlap" -> ((s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("source"), explode(tokens).as("t"))
+        .distinct()
+        .localCheckpoint() // (source × vocab)-bounded; 3 consumers
+      val sizes = dt.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = dt.select(col("source").as("sa"), col("t"))
+        .join(dt.select(col("source").as("sb"), col("t")), Seq("t"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"),
+          col("nv").as("na"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"),
+          col("nv").as("nb"))), "sb")
+        .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 6)
+            .as("jaccard"),
+          round(col("inter").cast("double") /
+            least(col("na"), col("nb")).cast("double"), 6)
+            .as("overlap_coef"))
+        .orderBy(col("overlap_coef").desc, col("jaccard").desc,
+          col("sa"), col("sb"))
+        .limit(30)
+    }),
+
     // TEMPERATURE-SMOOTHED source mixing (the multilingual-sampling
     // rule of XLM-R / mT5: q_s ∝ p_s^(1/T)) at T=2 — the upweighting
     // that keeps low-resource sources from vanishing under
@@ -1366,6 +1405,31 @@ object TextPipeline extends QueryModule {
     // same tokenizer; both engines compute the regression over the
     // identical ≤1000 (ln rank, ln freq) points, rounded to 4dp (the
     // covariance merge order differs between engines at ~1e-13)
+    // q355: identical distinct table, token-keyed pair join, settled
+    // ratios before the rank
+    "q355_source_overlap" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z]+'), x -> x != '')) AS t
+        |  FROM documents),
+        |sizes AS (SELECT source, COUNT(*) AS nv FROM dt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+        |  FROM dt a JOIN dt b ON b.t = a.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.sa, i.sb, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(za.nv AS BIGINT) AS na, CAST(zb.nv AS BIGINT) AS nb,
+        |  ROUND(CAST(i.inter AS DOUBLE) /
+        |    CAST(za.nv + zb.nv - i.inter AS DOUBLE), 6) AS jaccard,
+        |  ROUND(CAST(i.inter AS DOUBLE) /
+        |    CAST(LEAST(za.nv, zb.nv) AS DOUBLE), 6) AS overlap_coef
+        |FROM inter i
+        |JOIN sizes za ON za.source = i.sa
+        |JOIN sizes zb ON zb.source = i.sb
+        |ORDER BY overlap_coef DESC, jaccard DESC, i.sa, i.sb
+        |LIMIT 30""".stripMargin,
+
     // q349: identical √-settled decimals, order-free normalizer,
     // fixed-order share/epoch expressions
     "q349_temperature_mix" ->

@@ -76,7 +76,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q349_temperature_mix",     // 1-row token-total + 1-row √-share-normalizer broadcasts onto the |sources| grid
     "q351_qq_drift",            // 2-row cohort-size × 19-row probability grid broadcasts onto the rank lookup
     "q352_simpsons_paradox",    // 1-row pooled-cell broadcast onto the |priorities| grid
-    "q353_power_analysis")      // 1-row conversion-count broadcast onto the 1-row cohort sizes
+    "q353_power_analysis",      // 1-row conversion-count broadcast onto the 1-row cohort sizes
+    "q354_jonckheere")          // calendar-bounded day-grid self-join on the weekday ORDER (inequality-only condition; both sides ≤|days| rows at any corpus size)
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming

@@ -149,6 +149,43 @@ object Dedup extends QueryModule {
   private def dfSortedSetsStaged(s: SparkSession, d: String): DataFrame =
     staged(s, d, "srt")(dfSortedSets(s, d))
 
+  /** Staged read of the full-corpus [[bandsOf]] table — the MinHash
+    * band fingerprints priced ONCE per fixture dir (round-12's staged()
+    * contract extended from the sim-join family to the LSH family).
+    * Consumers: q31's neighbor-count self-join, q124's incremental
+    * screen, and [[edgesStaged]]. At 100 TB this IS the stored
+    * fingerprint table the q124 scaladoc describes — built once on
+    * ingest, persisted columnar, batch-joined forever after.
+    */
+  private def bandsStaged(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "bands")(bandsOf(Tables.documents(s, d)))
+
+  /** Staged read of the full-corpus candidate-pair edges (see
+    * [[candidateEdges]]): the banded LSH self-join runs once per
+    * fixture dir; both join sides scan the staged band parquet, so the
+    * minhash pipeline is never recomputed. Subset consumers
+    * (q147/q153/q205's doc_id<500 study graph) FILTER this table
+    * rather than rebuilding bands for the subset — sound because a
+    * band signature is a per-doc function, so a collision between two
+    * docs is independent of what else is in the corpus:
+    * edges(bands(docs◁P)) ≡ edges(bands(docs)) ◁ (P(src) ∧ P(dst)).
+    */
+  private def edgesStaged(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "edges")(candidateEdges(bandsStaged(s, d)))
+
+  /** Staged read of the connected-component label table over the LSH
+    * candidate graph — [[componentsFromEdges]] priced ONCE per fixture
+    * dir and scanned by every cluster consumer (q113 extraction, q117
+    * pipeline, q159 canonical select, q161 source stats). Before
+    * staging, each of those four queries re-ran the whole
+    * shingle→minhash→band→edge→label pipeline per action (~6.9 s each
+    * at sf0.1 — the round-12 q159 bench flag); now the family prices
+    * one build and four parquet scans.
+    */
+  private def componentsStaged(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "comp")(componentsFromEdges(
+      Tables.documents(s, d).select(col("doc_id")), edgesStaged(s, d)))
+
   /** Exact θ-Jaccard pair join via prefix filtering (q236's engine,
     * θ as a decimal-literal string so both consumers and the SQL twins
     * embed the identical ceil boundary). Staged per (dir, θ) — see
@@ -319,7 +356,7 @@ object Dedup extends QueryModule {
     // equi-join → per-doc candidate-neighbor count.
     "q31_minhash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bands = bandsOf(docs)
+      val bands = bandsStaged(s, d)
       // joining with a.doc != b.doc yields both pair directions
       // directly, so one countDistinct replaces the
       // distinct-pairs → union-swap → re-aggregate detour (3 fewer
@@ -387,8 +424,7 @@ object Dedup extends QueryModule {
     // requires the transitive closure). See [[components]] for the
     // adaptive driver-union-find / distributed-propagation design.
     "q113_dedup_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val labels = components(docs)
+      val labels = componentsStaged(s, d)
       val sized = labels.groupBy(col("comp"))
         .agg(count(lit(1)).cast("int").as("comp_size"))
       labels.join(sized, "comp")
@@ -405,7 +441,7 @@ object Dedup extends QueryModule {
     // compose under one oracle, not just individually.
     "q117_corpus_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val reps = components(docs)
+      val reps = componentsStaged(s, d)
         .filter(col("doc_id") === col("comp")).select(col("doc_id"))
       val h = md5Int(col("doc_id").cast("string")) % 100
       val quota = when(col("lang") === "en", 50).otherwise(20)
@@ -427,7 +463,7 @@ object Dedup extends QueryModule {
     // itself.
     "q159_canonical_select" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val labels = components(docs)
+      val labels = componentsStaged(s, d)
       val ts = TextAnalysis.tokens(col("text"))
       val q = docs
         .withColumn("n_tok", size(ts))
@@ -460,7 +496,7 @@ object Dedup extends QueryModule {
     // than q113 itself, and the report is |sources| rows.
     "q161_source_dup_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val labels = components(docs)
+      val labels = componentsStaged(s, d)
       val kept = sum(when(col("doc_id") === col("comp"), 1).otherwise(0))
       docs.join(labels, "doc_id")
         .groupBy(col("source"))
@@ -483,7 +519,7 @@ object Dedup extends QueryModule {
     // band-collides with, and whether it is novel.
     "q124_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bands = bandsOf(docs)
+      val bands = bandsStaged(s, d)
       val a = bands.filter(col("doc_id") % 5 === 0).as("a")
       val b = bands.filter(col("doc_id") % 5 =!= 0).as("b")
       val hits = a.join(b,
@@ -683,7 +719,11 @@ object Dedup extends QueryModule {
     // deployed one.
     "q147_lsh_pr_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      val pred = candidateEdges(bandsOf(docs))
+      // subset edges = staged full-corpus edges restricted to the study
+      // subset on BOTH endpoints (per-doc band signatures make the
+      // restriction exact — see [[edgesStaged]])
+      val pred = edgesStaged(s, d)
+        .filter(col("src") < 500 && col("dst") < 500)
       val sh = docs.withColumn("ts", tokens(col("text")))
         .filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
@@ -737,7 +777,10 @@ object Dedup extends QueryModule {
       // driver, iterate over the cache, materialize the bounded
       // (≤ study-subset) result before releasing it
       val biDeg = {
-        val edges = candidateEdges(bandsOf(docs))
+        // staged full-corpus edges, endpoint-restricted to the study
+        // subset (exact — see [[edgesStaged]])
+        val edges = edgesStaged(s, d)
+          .filter(col("src") < 500 && col("dst") < 500)
         val bi = edges.select(col("src"), col("dst"))
           .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -778,18 +821,18 @@ object Dedup extends QueryModule {
     // before the cached band/edge stages are released (q153's shape).
     "q205_cc_labelprop" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      val bands = bandsOf(docs).persist()
-      val edges = candidateEdges(bands).persist()
-      try {
-        val labels = propagateLabels(docs.select(col("doc_id")), edges)
-        val sized = labels.groupBy(col("comp"))
-          .agg(count(lit(1)).cast("int").as("comp_size"))
-        val rows = labels.join(sized, "comp")
-          .select(col("doc_id"), col("comp"), col("comp_size"))
-        // doc-proportional label table: executor-side materialization
-        // before the cached band/edge stages release (q153's rationale)
-        rows.localCheckpoint(eager = true).orderBy(col("doc_id"))
-      } finally { edges.unpersist(); bands.unpersist() }
+      // staged full-corpus edges, endpoint-restricted to the study
+      // subset (exact — see [[edgesStaged]]); the staged parquet is
+      // cheap to rescan, so the propagation loop needs no band/edge
+      // persist choreography of its own
+      val edges = edgesStaged(s, d)
+        .filter(col("src") < 500 && col("dst") < 500)
+      val labels = propagateLabels(docs.select(col("doc_id")), edges)
+      val sized = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).cast("int").as("comp_size"))
+      labels.join(sized, "comp")
+        .select(col("doc_id"), col("comp"), col("comp_size"))
+        .orderBy(col("doc_id"))
     }),
 
     // Semantic-dedup bucketing (SemDeDup-lite): embeddings hashed to a
@@ -1414,7 +1457,6 @@ object Dedup extends QueryModule {
     */
   private[graft] def components(docs: DataFrame,
       maxDriverEdges: Long = 10000000L): DataFrame = {
-    val s = docs.sparkSession
     // Persist the band stage ONCE and self-join the cached copy: the
     // shingle→md5→32-minhash-agg→band pipeline is the expensive part of
     // the whole method, and an uncached self-join computes that subtree
@@ -1423,11 +1465,27 @@ object Dedup extends QueryModule {
     // while the uncached version here cost ~7s per call at sf0.1.
     // DedupPlanSpec pins this: both sides of the edge join must scan
     // the in-memory relation, with zero band aggregates outside it.
+    // (Registry consumers go through [[componentsStaged]] instead,
+    // which feeds staged-parquet edges in here via the from-edges
+    // entry point; this docs-rooted wrapper serves ad-hoc callers and
+    // the DedupPlanSpec routing/convergence gates.)
     val bands = bandsOf(docs).persist()
     // persist the directed edges: both downstream shapes reuse them
     val edges = candidateEdges(bands).persist()
     try {
-      if (edges.count() <= maxDriverEdges) {
+      componentsFromEdges(docs.select(col("doc_id")), edges, maxDriverEdges)
+    } finally { edges.unpersist(); bands.unpersist() }
+  }
+
+  /** [[components]] with the candidate edges supplied by the caller
+    * (a staged parquet scan or a cached self-join — anything cheap to
+    * scan twice): the adaptive driver-union-find / distributed-
+    * propagation routing without the band build.
+    */
+  private[graft] def componentsFromEdges(docIds: DataFrame, edges: DataFrame,
+      maxDriverEdges: Long = 10000000L): DataFrame = {
+    val s: SparkSession = docIds.sparkSession
+    if (edges.count() <= maxDriverEdges) {
         // driver union-find over the pair set (path-halving + rank)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
@@ -1447,12 +1505,11 @@ object Dedup extends QueryModule {
         val labelMap = parent.keys.map(x => (x, find(x))).toSeq.toDF("id", "root")
         // only docs that appear in an edge need a mapped label;
         // broadcast: the map is |docs-with-candidates| rows
-        docs.select(col("doc_id"))
+        docIds
           .join(broadcast(labelMap), col("doc_id") === col("id"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("doc_id")).as("comp"))
-      } else propagateLabels(docs.select(col("doc_id")), edges)
-    } finally { edges.unpersist(); bands.unpersist() }
+      } else propagateLabels(docIds, edges)
   }
 
   /** Distributed min-label propagation WITH pointer jumping, to a

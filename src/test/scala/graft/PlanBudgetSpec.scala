@@ -123,11 +123,11 @@ class PlanBudgetSpec extends SparkSpec {
     // q194 stages two writes then aggregates the read-back
     // (RebalanceSpec audits the file-size shape)
     "q194_rebalance_write",
-    "q112_observe_metrics", "q113_dedup_components",
-    "q117_corpus_pipeline",
-    // q159/q161 run components() like q113/q117 (eager propagation
-    // jobs); their joins and rollups add only narrow stages
-    "q159_canonical_select", "q161_source_dup_stats",
+    // q113/q117/q159/q161 now scan the STAGED component label table
+    // (DedupPlanSpec pins the staged scan + zero shingle lineage), so
+    // their remaining plans are narrow enough to budget-gate normally —
+    // formerly skipped here because each ran components() eagerly.
+    "q112_observe_metrics",
     // q215 is action-style: building the frame runs the per-partition
     // sketch builds + exact set-op counts and returns a driver-built
     // ≤3-row result (ThetaSpec audits the sketch algebra itself)

@@ -302,6 +302,51 @@ class DedupPlanSpec extends SparkSpec {
     }
   }
 
+  test("the LSH band/edge/component family is computed once per run " +
+    "and re-read from staging — no consumer re-derives minhash lineage") {
+    // Round 12's only >2x bench flag (q159 at 2.48x) was this family
+    // rebuilding the shingle→minhash→band→edge→label pipeline per
+    // consumer while the sim-join family already read staged parquet.
+    // Pin the fix: every band/component consumer plans a scan of its
+    // staged file and carries NO Generate (the tokenize/explode pass
+    // ran once, inside the staging build). q147 is checked for the
+    // staged edge scan only — its exact-truth side legitimately
+    // re-shingles the study subset.
+    val pinned = Seq(
+      "q31_minhash_dedup" -> "simjoin_bands",
+      "q124_incremental_dedup" -> "simjoin_bands",
+      "q113_dedup_components" -> "simjoin_comp",
+      "q117_corpus_pipeline" -> "simjoin_comp",
+      "q159_canonical_select" -> "simjoin_comp",
+      "q161_source_dup_stats" -> "simjoin_comp")
+    for ((name, key) <- pinned) {
+      val qe = graft.SparkEntry.queries(name)(spark, sf001).queryExecution
+      val stagedScans = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(_.toString.contains(key))
+            case _ => false
+          }) => r
+      }
+      assert(stagedScans.nonEmpty, s"$name does not scan the staged $key table")
+      assert(!qe.optimizedPlan.toString.contains("Generate"),
+        s"$name re-derives shingle lineage instead of reading staging")
+    }
+    val q147 = graft.SparkEntry.queries("q147_lsh_pr_eval")(spark, sf001)
+      .queryExecution
+    val edgeScan = q147.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if (r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.contains("simjoin_edges"))
+          case _ => false
+        }) => r
+    }
+    assert(edgeScan.nonEmpty,
+      "q147's candidate side does not scan the staged edge table")
+  }
+
   test("q237 probe-side prefix containment join is EXACT at theta=0.8: " +
     "output equals the brute-force all-ordered-pairs containment join") {
     // Containment's prefix bound lives on the PROBE side only (t =

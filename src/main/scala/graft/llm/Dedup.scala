@@ -145,6 +145,38 @@ object Dedup extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** Distinct winnowing fingerprints (doc_id, fp): rolling-hash every
+    * K=8-token gram of the lowercase-alpha token stream, keep each
+    * W=4-gram window's MIN hash (Schleimer et al. 2003). Winnowing's
+    * guarantee — any shared verbatim run of ≥ K+W−1 = 11 tokens yields
+    * ≥1 shared fingerprint at ANY offset — is what both consumers
+    * stand on: q188's position-robust near-dup pair join and q357's
+    * fuzzy benchmark-contamination screen. One narrow gram/hash pass +
+    * one doc-partitioned window — no corpus-wide state.
+    */
+  private def winnowFps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 8 // tokens per gram
+    val W = 4 // grams per winnowing window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "[^a-z]+"), "").as("ts"))
+      .filter(size(col("ts")) >= K)
+    val grams = toks
+      .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("ng"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => array_join(slice(col("ts"), i, lit(K)), " ")))
+          .as(Seq("gpos", "gram")))
+      .select(col("doc_id"), col("ng"), col("gpos"),
+        graft.functions.exprs.graft_rolling_hash(col("gram")).as("ghash"))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    grams
+      .withColumn("fp", min(col("ghash")).over(wspec))
+      .filter(col("gpos") <= col("ng") - W)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
   /** Staged read of [[dfSortedSets]] (see [[staged]]). */
   private def dfSortedSetsStaged(s: SparkSession, d: String): DataFrame =
     staged(s, d, "srt")(dfSortedSets(s, d))
@@ -584,27 +616,8 @@ object Dedup extends QueryModule {
     // join so no hot key can go quadratic; output thresholded at ≥2
     // shared fingerprints.
     "q188_winnow_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val K = 8   // tokens per gram
-      val W = 4   // grams per winnowing window
       val Cap = 50 // stop-fingerprint doc cap
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_remove(split(lower(col("text")), "[^a-z]+"), "").as("ts"))
-        .filter(size(col("ts")) >= K)
-      val grams = toks
-        .select(col("doc_id"), (size(col("ts")) - (K - 1)).as("ng"),
-          posexplode(transform(sequence(lit(1), size(col("ts")) - (K - 1)),
-            i => array_join(slice(col("ts"), i, lit(K)), " ")))
-            .as(Seq("gpos", "gram")))
-        .select(col("doc_id"), col("ng"), col("gpos"),
-          graft.functions.exprs.graft_rolling_hash(col("gram")).as("ghash"))
-      val wspec = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
-        .rowsBetween(Window.currentRow, W - 1)
-      val fps = grams
-        .withColumn("fp", min(col("ghash")).over(wspec))
-        .filter(col("gpos") <= col("ng") - W)
-        .select(col("doc_id"), col("fp")).distinct()
+      val fps = winnowFps(s, d)
       val docfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
       val ok = fps.groupBy(col("fp"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -651,6 +664,35 @@ object Dedup extends QueryModule {
           coalesce(col("n_hit"), lit(0L)).cast("int").as("n_overlap"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6)
             .as("overlap_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FUZZY benchmark-contamination screen — q130's audit completed
+    // for lightly-EDITED leakage: q130's exact shingle overlap misses
+    // a benchmark passage that was paraphrased around, re-punctuated,
+    // or shifted; [[winnowFps]]'s fingerprints survive any edit that
+    // leaves a verbatim run of ≥ K+W−1 = 11 tokens, at any offset
+    // (Schleimer et al. 2003's guarantee — the same machinery as
+    // q188's near-dup join, pointed at eval integrity). Same scale
+    // discipline as q130: the benchmark side is tiny by construction,
+    // broadcasts, and the corpus is screened in one semi-join pass —
+    // no corpus shuffle, no pairs. Contamination verdict at ≥2 shared
+    // fingerprints (q188's output threshold).
+    "q357_fuzzy_contamination" -> ((s, d) => {
+      val fps = winnowFps(s, d)
+      val bench = fps.filter(col("doc_id") % 50 === 0)
+        .select(col("fp")).distinct()
+      val corpus = fps.filter(col("doc_id") % 50 =!= 0)
+      val hits = corpus.join(broadcast(bench), Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_fp").cast("int").as("n_fp"),
+          coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_fp"), 6)
+            .as("hit_frac"),
+          (coalesce(col("n_hit"), lit(0L)) >= 2).as("is_contaminated"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1583,6 +1625,49 @@ object Dedup extends QueryModule {
 
   // ---- generated DuckDB twins -------------------------------------
 
+  /** CTE chain `pw → toks → docs → grams → gchars → gh → wins → fps`
+    * — the DuckDB twin of [[winnowFps]] (K=8, W=4, base-257 rolling
+    * hash mod 2⁶¹−1), shared by the q188 and q357 oracles. Callers
+    * prepend `WITH RECURSIVE` (the power table `pw` is recursive).
+    */
+  private val winnowFpsSqlCtes: String =
+    """pw AS (SELECT 0 AS e, CAST(1 AS HUGEINT) AS p
+      |       UNION ALL
+      |       SELECT e + 1, (p * 257) % 2305843009213693951
+      |       FROM pw WHERE e < 1023),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      t -> t != '') AS ts
+      |  FROM documents),
+      |docs AS (SELECT doc_id, ts, len(ts) AS ntok FROM toks
+      |         WHERE len(ts) >= 8),
+      |grams AS (
+      |  SELECT doc_id, ntok - 7 AS ng, gpos,
+      |    array_to_string(ts[gpos + 1 : gpos + 8], ' ') AS gram
+      |  FROM (SELECT doc_id, ts, ntok,
+      |          CAST(unnest(range(ntok - 7)) AS INT) AS gpos
+      |        FROM docs) g),
+      |gchars AS (
+      |  SELECT doc_id, ng, gpos, glen, j, ord(cs[j + 1]) AS code
+      |  FROM (SELECT doc_id, ng, gpos, cs, len(cs) AS glen,
+      |          CAST(unnest(range(len(cs))) AS INT) AS j
+      |        FROM (SELECT doc_id, ng, gpos, string_split(gram, '') AS cs
+      |              FROM grams) a) b),
+      |gh AS (
+      |  SELECT doc_id, ng, gpos,
+      |    CAST(SUM((CAST(code AS HUGEINT) * pw.p) % 2305843009213693951)
+      |         % 2305843009213693951 AS BIGINT) AS ghash
+      |  FROM gchars JOIN pw ON pw.e = glen - 1 - j
+      |  GROUP BY doc_id, ng, gpos),
+      |wins AS (
+      |  SELECT doc_id, ng, gpos,
+      |    MIN(ghash) OVER (PARTITION BY doc_id ORDER BY gpos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM gh),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE gpos <= ng - 4)"""
+      .stripMargin
+
   private val shingleSql =
     s"""SELECT doc_id,
        |    unnest(list_slice(ts, 1, len(ts)-1)) || ' ' ||
@@ -1698,42 +1783,7 @@ object Dedup extends QueryModule {
     // [a-z ] by construction (alpha tokens + single spaces), so
     // per-char ord() equals the UTF-8 byte the engine hashes.
     "q188_winnow_dedup" ->
-      """WITH RECURSIVE
-        |pw AS (SELECT 0 AS e, CAST(1 AS HUGEINT) AS p
-        |       UNION ALL
-        |       SELECT e + 1, (p * 257) % 2305843009213693951
-        |       FROM pw WHERE e < 1023),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |      t -> t != '') AS ts
-        |  FROM documents),
-        |docs AS (SELECT doc_id, ts, len(ts) AS ntok FROM toks
-        |         WHERE len(ts) >= 8),
-        |grams AS (
-        |  SELECT doc_id, ntok - 7 AS ng, gpos,
-        |    array_to_string(ts[gpos + 1 : gpos + 8], ' ') AS gram
-        |  FROM (SELECT doc_id, ts, ntok,
-        |          CAST(unnest(range(ntok - 7)) AS INT) AS gpos
-        |        FROM docs) g),
-        |gchars AS (
-        |  SELECT doc_id, ng, gpos, glen, j, ord(cs[j + 1]) AS code
-        |  FROM (SELECT doc_id, ng, gpos, cs, len(cs) AS glen,
-        |          CAST(unnest(range(len(cs))) AS INT) AS j
-        |        FROM (SELECT doc_id, ng, gpos, string_split(gram, '') AS cs
-        |              FROM grams) a) b),
-        |gh AS (
-        |  SELECT doc_id, ng, gpos,
-        |    CAST(SUM((CAST(code AS HUGEINT) * pw.p) % 2305843009213693951)
-        |         % 2305843009213693951 AS BIGINT) AS ghash
-        |  FROM gchars JOIN pw ON pw.e = glen - 1 - j
-        |  GROUP BY doc_id, ng, gpos),
-        |wins AS (
-        |  SELECT doc_id, ng, gpos,
-        |    MIN(ghash) OVER (PARTITION BY doc_id ORDER BY gpos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM gh),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE gpos <= ng - 4),
+      s"""WITH RECURSIVE $winnowFpsSqlCtes,
         |docfp AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
         |ok AS (SELECT fp FROM fps GROUP BY fp
         |       HAVING COUNT(DISTINCT doc_id) <= 50),
@@ -1896,6 +1946,24 @@ object Dedup extends QueryModule {
          |SELECT doc_id, CAST(n_sh AS INT) AS n_shingles,
          |  CAST(COALESCE(n_hit, 0) AS INT) AS n_overlap,
          |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_sh, 6) AS overlap_frac
+         |FROM sizes LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q357: the winnowing fingerprint chain (q188's CTEs) pointed at
+    // the q130 benchmark/corpus split
+    "q357_fuzzy_contamination" ->
+      s"""WITH RECURSIVE $winnowFpsSqlCtes,
+         |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM fps WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM corpus
+         |         WHERE fp IN (SELECT fp FROM bench)
+         |         GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM corpus
+         |          GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_fp AS INT) AS n_fp,
+         |  CAST(COALESCE(n_hit, 0) AS INT) AS n_hit,
+         |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_fp, 6) AS hit_frac,
+         |  (COALESCE(n_hit, 0) >= 2) AS is_contaminated
          |FROM sizes LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

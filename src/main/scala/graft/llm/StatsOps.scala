@@ -451,10 +451,17 @@ object StatsOps extends QueryModule {
     // the alternative is a trend). 2·JT = Σ over cross-group day
     // pairs of (2·[x₂>x₁] + [x₂=x₁]) is an EXACT INTEGER ledger over
     // the calendar-bounded day-pair grid (q335's join shape); the H₀
-    // moments μ = (n²−Σn_g²)/4 and σ² = (n²(2n+3)−Σn_g²(2n_g+3))/72
-    // are exact integer polynomials of the group sizes (computed
-    // doubled/×72-scaled so no fraction ever exists); the z-score is
-    // ONE float expression of those integers.
+    // moments are exact integer polynomials of the group sizes n_g
+    // and the pooled TIE-group sizes t_j (the ledger scores ties, so
+    // the variance must too — Hollander–Wolfe's corrected form):
+    //   μ  = (n² − Σn_g²)/4
+    //   σ² = (n(n−1)(2n+5) − Σn_g(n_g−1)(2n_g+5) − Σt(t−1)(2t+5))/72
+    //      + Σn_g(n_g−1)(n_g−2)·Σt(t−1)(t−2) / (36n(n−1)(n−2))
+    //      + Σn_g(n_g−1)·Σt(t−1) / (8n(n−1));
+    // with no ties every t=1, the tie sums vanish and the first term
+    // reduces to the familiar (n²(2n+3)−Σn_g²(2n_g+3))/72. All six
+    // sums are exact BIGINTs; the z-score is ONE fixed-order float
+    // expression of those integers (identical text on both engines).
     "q354_jonckheere" -> ((s, d) => {
       val daily = Tables.eventsUs(s, d)
         .select(expr("ts_us div 86400000000").as("day"),
@@ -462,7 +469,8 @@ object StatsOps extends QueryModule {
         .groupBy(col("day"))
         .agg(sum(col("cents")).as("x"))
         .select(col("day"), pmod(col("day"), lit(7)).as("wd"), col("x"))
-        .localCheckpoint() // |days| grid: feeds the pair join twice + sizes
+        .localCheckpoint() // |days| grid: feeds the pair join twice,
+                           // the sizes pass and the tie census
       val b = daily.select(col("wd").as("wd2"), col("x").as("x2"))
       val jt2 = daily.join(b, col("wd") < col("wd2"))
         .agg(sum(when(col("x2") > col("x"), 2L)
@@ -471,18 +479,33 @@ object StatsOps extends QueryModule {
         .agg(count(lit(1)).as("ng"))
         .agg(sum(col("ng")).as("n"),
           sum(col("ng") * col("ng")).as("sq"),
-          sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
-            .as("cub"))
-      jt2.crossJoin(broadcast(sizes))
+          sum(col("ng") * (col("ng") - 1) * (lit(2L) * col("ng") + 5L))
+            .as("a1"),
+          sum(col("ng") * (col("ng") - 1) * (col("ng") - 2)).as("b1"),
+          sum(col("ng") * (col("ng") - 1)).as("d1"))
+      // pooled tie census: spend sums sharing an exact cent value
+      val ties = daily.groupBy(col("x"))
+        .agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5L))
+            .as("a2"),
+          sum(col("t") * (col("t") - 1) * (col("t") - 2)).as("b2"),
+          sum(col("t") * (col("t") - 1)).as("e2"))
+      jt2.crossJoin(broadcast(sizes)).crossJoin(broadcast(ties))
         .select(col("n").cast("int").as("n_days"), col("jt2"),
           // 2μ = (n² − Σn_g²)/2 exact (n²−Σn_g² is even: both sides
-          // share parity); 72σ² exact
+          // share parity); 72·term₁ exact
           expr("(n * n - sq) div 2").as("two_mu"),
-          (col("n") * col("n") * (lit(2L) * col("n") + 3L) - col("cub"))
-            .as("var72"))
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5L) -
+            col("a1") - col("a2")).as("v72"),
+          col("b1"), col("b2"), col("d1"), col("e2"), col("n"))
         .select(col("n_days"), col("jt2"), col("two_mu"),
-          round((col("jt2") - col("two_mu")).cast("double") /
-            (lit(2.0) * sqrt(col("var72").cast("double") / 72.0)), 6)
+          (round((col("jt2") - col("two_mu")).cast("double") /
+            (lit(2.0) * sqrt(
+              col("v72").cast("double") / lit(72.0) +
+                (col("b1") * col("b2")).cast("double") /
+                  (lit(36.0) * col("n") * (col("n") - 1) * (col("n") - 2)) +
+                (col("d1") * col("e2")).cast("double") /
+                  (lit(8.0) * col("n") * (col("n") - 1)))), 6) + lit(0.0))
             .as("z"))
         .withColumn("monotone_trend", abs(col("z")) > 1.96)
     }),
@@ -846,8 +869,23 @@ object StatsOps extends QueryModule {
     * source-size ranges (one deterministic hash per (doc, r); the
     * explode is |docs|×R SUFFICIENT-STAT rows, never corpus bytes),
     * the per-(resample, source) mean-vs-rest gaps replay the
-    * observed statistic's exact form, and p_s = (1+k_s)/(R+1). The
-    * BH step-up is then PURE INTEGER arithmetic on the sorted grid:
+    * observed statistic's exact form, and p_s = (1+k_s)/(R+1).
+    *
+    * Degenerate-resample convention: a resample in which a source
+    * draws 0 docs (its (r, source) cell is simply absent from the
+    * groupBy) or all nn docs (the mean-vs-rest gap has an empty
+    * "rest") carries NO mean-vs-rest statistic, and is counted as
+    * NON-extreme — the `when(nsr > 0 && nsr < nn, …)` guard yields a
+    * NULL pdiff, which the k-ledger's `otherwise(0)` scores as 0.
+    * This slightly UNDERSTATES p for tiny sources (an anti-
+    * conservative bias bounded by P[degenerate draw], negligible at
+    * the fixture's ≥19-doc sources); the conservative alternative —
+    * scoring degenerates as extreme — would instead overstate p by
+    * the same mass. Both engines implement the identical convention
+    * (the oracle's CTE carries the same guard), so parity is exact
+    * either way; the choice is declared here rather than silent.
+    *
+    * The BH step-up is then PURE INTEGER arithmetic on the sorted grid:
     * reject ranks 1..i* where i* = max{i : (1+k_(i))·10·m ≤ 201·i}
     * (α = 0.10 cross-multiplied) — no float ever orders the ladder.
     */
@@ -1470,7 +1508,7 @@ object StatsOps extends QueryModule {
         |       ELSE 'large' END AS magnitude
         |FROM dd""".stripMargin,
 
-    // q354: identical integer pair ledger and scaled H0 moments
+    // q354: identical integer pair ledger and tie-corrected H0 moments
     "q354_jonckheere" ->
       """WITH daily AS (
         |  SELECT day, day % 7 AS wd, x FROM (
@@ -1483,19 +1521,31 @@ object StatsOps extends QueryModule {
         |  FROM daily a JOIN daily b ON a.wd < b.wd),
         |sz AS (
         |  SELECT SUM(ng) AS n, SUM(ng * ng) AS sq,
-        |    SUM(ng * ng * (2 * ng + 3)) AS cub
-        |  FROM (SELECT wd, COUNT(*) AS ng FROM daily GROUP BY 1) g)
-        |SELECT CAST(sz.n AS INT) AS n_days,
-        |  CAST(jt.jt2 AS BIGINT) AS jt2,
-        |  CAST((sz.n * sz.n - sz.sq) // 2 AS BIGINT) AS two_mu,
-        |  ROUND(CAST(jt.jt2 - (sz.n * sz.n - sz.sq) // 2 AS DOUBLE) /
-        |    (2.0 * SQRT(CAST(sz.n * sz.n * (2 * sz.n + 3) - sz.cub
-        |      AS DOUBLE) / 72.0)), 6) AS z,
-        |  (ABS(ROUND(CAST(jt.jt2 - (sz.n * sz.n - sz.sq) // 2
-        |    AS DOUBLE) /
-        |    (2.0 * SQRT(CAST(sz.n * sz.n * (2 * sz.n + 3) - sz.cub
-        |      AS DOUBLE) / 72.0)), 6)) > 1.96) AS monotone_trend
-        |FROM jt, sz""".stripMargin,
+        |    SUM(ng * (ng - 1) * (2 * ng + 5)) AS a1,
+        |    SUM(ng * (ng - 1) * (ng - 2)) AS b1,
+        |    SUM(ng * (ng - 1)) AS d1
+        |  FROM (SELECT wd, COUNT(*) AS ng FROM daily GROUP BY 1) g),
+        |tt AS (
+        |  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS a2,
+        |    SUM(t * (t - 1) * (t - 2)) AS b2,
+        |    SUM(t * (t - 1)) AS e2
+        |  FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1) h),
+        |zz AS (
+        |  SELECT CAST(sz.n AS INT) AS n_days,
+        |    CAST(jt.jt2 AS BIGINT) AS jt2,
+        |    CAST((sz.n * sz.n - sz.sq) // 2 AS BIGINT) AS two_mu,
+        |    ROUND(CAST(jt.jt2 - (sz.n * sz.n - sz.sq) // 2 AS DOUBLE) /
+        |      (2.0 * SQRT(
+        |        CAST(sz.n * (sz.n - 1) * (2 * sz.n + 5) - sz.a1 - tt.a2
+        |          AS DOUBLE) / 72.0 +
+        |        CAST(sz.b1 * tt.b2 AS DOUBLE) /
+        |          (36.0 * sz.n * (sz.n - 1) * (sz.n - 2)) +
+        |        CAST(sz.d1 * tt.e2 AS DOUBLE) /
+        |          (8.0 * sz.n * (sz.n - 1)))), 6) + 0.0 AS z
+        |  FROM jt, sz, tt)
+        |SELECT n_days, jt2, two_mu, z,
+        |  (ABS(z) > 1.96) AS monotone_trend
+        |FROM zz""".stripMargin,
 
     // q356: identical HUGEINT sufficient stats, 9dp-settled r's, one
     // fixed-order partial formula

@@ -631,12 +631,18 @@ object ExtendedOps extends QueryModule {
       cells.crossJoin(broadcast(tot))
         .select(col("o_orderpriority"),
           (col("a") + col("b") + col("c") + col("dd")).as("n"),
-          round((col("a") * col("dd")).cast("double") /
-            (col("b") * col("c")).cast("double"), 6).as("stratum_or"),
+          // an empty off-diagonal cell makes the OR undefined
+          // (Infinity/NaN, whose text form could diverge between
+          // engines) — emit NULL like q353's undefined-plan columns;
+          // the direction verdicts stay pure-integer and total
+          when(col("b") * col("c") > 0,
+            round((col("a") * col("dd")).cast("double") /
+              (col("b") * col("c")).cast("double"), 6)).as("stratum_or"),
           (col("a") * col("dd") > col("b") * col("c"))
             .as("stratum_positive"),
-          round((col("ta") * col("td")).cast("double") /
-            (col("tb") * col("tc")).cast("double"), 6).as("pooled_or"),
+          when(col("tb") * col("tc") > 0,
+            round((col("ta") * col("td")).cast("double") /
+              (col("tb") * col("tc")).cast("double"), 6)).as("pooled_or"),
           (col("ta") * col("td") > col("tb") * col("tc"))
             .as("pooled_positive"))
         .withColumn("reversed",
@@ -784,6 +790,191 @@ object ExtendedOps extends QueryModule {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).cast("int").as("n_users"))
         .orderBy(col("fold"), col("event_type"))
+    }),
+
+    // TPC-H Q7 (volume shipping): two years of bilateral trade between
+    // two nations, by (supplier nation, customer nation, ship year).
+    // The multi-fact join-stress shape the round-12 verdict asked for:
+    // lineitem⋈orders⋈customer plus two dimension legs. Scale
+    // discipline: the nation restriction pushes INTO both dimension
+    // scans before any fact row moves (supplier and the 2/25-nation
+    // customer slice both broadcast; the only shuffle joins are the
+    // two fact-fact equi-joins AQE owns), the date filter reaches the
+    // lineitem scan, and revenue sums in exact decimal with the
+    // cross-pair predicate applied on the joined dimension names.
+    "q358_tpch_q7" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(nat.select(col("n_nationkey"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = broadcast(Tables.customer(s, d)
+        .join(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation")),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .as("rev_exact"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          round(col("rev_exact"), 2).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 (national market share): NATION_3's share of ASIA-
+    // customer ECONOMY-part order volume, per order year. The widest
+    // join in the registry (lineitem ⋈ part ⋈ orders ⋈ customer ⋈
+    // nation ⋈ region ⋈ supplier ⋈ nation): part is brand-restricted
+    // and broadcast so the probe prunes lineitem FIRST; the ASIA
+    // customer slice and both nation legs broadcast; both volume sums
+    // ride ONE exact-decimal aggregate with the CASE inside (q64's
+    // conditional-agg discipline) and the share is one double division
+    // of the two settled decimals.
+    "q359_tpch_q8" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val vol = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      val pt = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+      val asiaCust = broadcast(Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey")))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      Tables.lineitem(s, d)
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast(dec))).as("nat_exact"),
+          sum(vol).as("tot_exact"))
+        .select(col("o_year"),
+          round(col("nat_exact"), 2).cast("double").as("nation_volume"),
+          round(col("tot_exact"), 2).cast("double").as("total_volume"),
+          round(col("nat_exact").cast("double") /
+            col("tot_exact").cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution), adapted: the
+    // fixture has no o_comment, so the classic NOT-LIKE exclusion
+    // becomes an order-priority exclusion ('1-URGENT') — same shape, a
+    // non-trivially filtered LEFT join whose unmatched side must
+    // survive as count 0. Scale: the join condition's filter lives on
+    // the orders SCAN (pushed, not post-join), the first rollup keys
+    // on c_custkey (map-side combinable), and the distribution rollup
+    // is |distinct counts| rows.
+    "q360_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .select(col("c_count").cast("int").as("c_count"),
+          col("custdist").cast("int").as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue view, keep the
+    // supplier(s) at the exact maximum. The tie-safe form: revenue
+    // stays EXACT DECIMAL end-to-end, so `rev = max(rev)` is an exact
+    // equality on both engines (a float max would make "the" top
+    // supplier an ulp lottery). The max is a 1-row broadcast onto the
+    // |suppliers|-row revenue grid; rounding to double happens only at
+    // the output boundary.
+    "q361_tpch_q15" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .as("total_exact"))
+      val mx = rev.agg(max(col("total_exact")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_exact") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_exact"), 2).cast("double")
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted twice for the
+    // fixture: no c_phone, so the country-code prefix becomes the
+    // nation key itself; and every fixture customer has ordered at
+    // least once (10 orders/customer on average), so Q22's
+    // "never ordered" clause becomes DORMANT — no order since
+    // 1999-01-01 (the last ~2.6 years of the 1995–2001 span), which
+    // keeps the anti-join probe non-vacuous at every SF. Float
+    // discipline: balances compare and sum as EXACT CENTS (the
+    // average is never materialized — cents·n > sum_cents
+    // cross-multiplied in integers), the dormancy probe is one anti
+    // join against the DATE-FILTERED orders key column (the filter
+    // pushes to the orders scan), and the output sum is one
+    // exact-integer total divided at the boundary.
+    "q362_tpch_q22" -> ((s, d) => {
+      val cents = expr("cast(round(c_acctbal * 100, 0) as bigint)")
+      val pool = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents.as("cents"))
+      val avgStats = pool.filter(col("cents") > 0L)
+        .agg(sum(col("cents")).as("sum_cents"),
+          count(lit(1)).as("n_pos"))
+      pool.crossJoin(broadcast(avgStats))
+        .filter(col("cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("int").as("numcust"),
+          sum(col("cents")).as("bal_cents"))
+        .select(col("c_nationkey"), col("numcust"),
+          round(col("bal_cents").cast("double") / 100.0, 2)
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -1111,11 +1302,13 @@ object ExtendedOps extends QueryModule {
         |  SUM(dd) AS td FROM cells)
         |SELECT o_orderpriority,
         |  CAST(a + b + c + dd AS BIGINT) AS n,
-        |  ROUND(CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
-        |    AS stratum_or,
+        |  CASE WHEN b * c > 0 THEN
+        |    ROUND(CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+        |  END AS stratum_or,
         |  (a * dd > b * c) AS stratum_positive,
-        |  ROUND(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6)
-        |    AS pooled_or,
+        |  CASE WHEN tb * tc > 0 THEN
+        |    ROUND(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6)
+        |  END AS pooled_or,
         |  (ta * td > tb * tc) AS pooled_positive,
         |  ((a * dd > b * c) <> (ta * td > tb * tc)) AS reversed
         |FROM cells, tot ORDER BY o_orderpriority""".stripMargin,
@@ -1216,6 +1409,112 @@ object ExtendedOps extends QueryModule {
         |FROM t
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q358: same early nation restriction, identical decimal revenue
+    "q358_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) -
+        |     CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM supplier s, lineitem l, orders o, customer c,
+        |  nation n1, nation n2
+        |WHERE s.s_suppkey = l.l_suppkey
+        |  AND o.o_orderkey = l.l_orderkey
+        |  AND c.c_custkey = o.o_custkey
+        |  AND s.s_nationkey = n1.n_nationkey
+        |  AND c.c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q359: identical conditional-agg volumes, one double division
+    "q359_tpch_q8" ->
+      """WITH vols AS (
+        |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) -
+        |       CAST(l.l_discount AS DECIMAL(12,2))) AS vol,
+        |    ns.n_name AS supp_nation
+        |  FROM part p, lineitem l, orders o, customer c,
+        |    nation nc, region r, supplier s, nation ns
+        |  WHERE p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+        |    AND l.l_orderkey = o.o_orderkey
+        |    AND o.o_custkey = c.c_custkey
+        |    AND c.c_nationkey = nc.n_nationkey
+        |    AND nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |    AND l.l_suppkey = s.s_suppkey
+        |    AND s.s_nationkey = ns.n_nationkey
+        |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01'),
+        |g AS (
+        |  SELECT o_year,
+        |    SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS nat_exact,
+        |    SUM(vol) AS tot_exact
+        |  FROM vols GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(ROUND(nat_exact, 2) AS DOUBLE) AS nation_volume,
+        |  CAST(ROUND(tot_exact, 2) AS DOUBLE) AS total_volume,
+        |  ROUND(CAST(nat_exact AS DOUBLE) / CAST(tot_exact AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    // q360: identical filtered LEFT join + two rollups
+    "q360_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(c_count AS INT) AS c_count,
+        |  CAST(COUNT(*) AS INT) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q361: exact-decimal revenue, tie-safe exact max equality
+    "q361_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) -
+        |       CAST(l_discount AS DECIMAL(12,2)))) AS total_exact
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(ROUND(r.total_exact, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier s, revenue r
+        |WHERE s.s_suppkey = r.l_suppkey
+        |  AND r.total_exact = (SELECT MAX(total_exact) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    // q362: exact-cents cross-multiplied average, NOT EXISTS probe
+    "q362_tpch_q22" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |avgs AS (
+        |  SELECT SUM(cents) AS sum_cents, COUNT(*) AS n_pos
+        |  FROM pool WHERE cents > 0)
+        |SELECT p.c_nationkey,
+        |  CAST(COUNT(*) AS INT) AS numcust,
+        |  ROUND(CAST(SUM(p.cents) AS DOUBLE) / 100.0, 2) AS totacctbal
+        |FROM pool p, avgs a
+        |WHERE p.cents * a.n_pos > a.sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = p.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY p.c_nationkey
+        |ORDER BY p.c_nationkey""".stripMargin,
 
     "q97_bag_setops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),

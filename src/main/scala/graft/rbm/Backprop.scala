@@ -37,7 +37,11 @@ object Backprop {
       epsilon: Double = 0.5, // full-batch step size
       momentum: Double = 0.0, // classical momentum (v = μv + g)
       epochs: Int = 10,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // bitwise-reproducible gradient path ([[Reproducible]]) instead
+      // of the completion-order treeAggregate — for golden-pinned
+      // trajectories (q111's oracle row)
+      deterministic: Boolean = false)
 
   /** Per-epoch metrics, measured on the weights BEFORE that epoch's
     * update (epoch 0 = the pre-trained stack + seeded head, untouched).
@@ -154,21 +158,41 @@ object Backprop {
     // one of the `epochs` jobs (a 1000-executor run takes the tree
     // path, the 500-row fixture takes the flat one)
     val depth = if (rows.rdd.getNumPartitions > 16) 2 else 1
+    // reproducible mode: canonicalize ONCE (shuffle+sort by id), reuse
+    // the persisted canonical layout for every epoch's ordered fold
+    val canon = if (cfg.deterministic)
+      Some(Reproducible.canonicalize(
+        rows.rdd.map { case (id, x, l) => (id, (x, l)) }, 32).persist())
+    else None
     val stats = Seq.newBuilder[EpochStat]
     try {
       for (epoch <- 0 to cfg.epochs) {
         val bw1 = spark.sparkContext.broadcast(w1)
         val bw2 = spark.sparkContext.broadcast(w2)
-        val g = rows.rdd.treeAggregate(new Array[Double](d * h + h * k + 3))(
-          seqOp = { case (acc, (_, x, label)) =>
-            require(x.length == d, s"arity ${x.length} != numdims $d")
-            require(label >= 0 && label < k, s"label $label outside [0,$k)")
-            accumulateBackprop(acc, x, label, bw1.value, bw2.value, d, h, k)
-          },
-          combOp = (a, b) => {
-            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
-          },
-          depth = depth)
+        val g = canon match {
+          case Some(c) =>
+            Reproducible.aggregate(c, d * h + h * k + 3) {
+              case (acc, _, (x, label)) =>
+                require(x.length == d, s"arity ${x.length} != numdims $d")
+                require(label >= 0 && label < k,
+                  s"label $label outside [0,$k)")
+                accumulateBackprop(acc, x, label, bw1.value, bw2.value,
+                  d, h, k); ()
+            }
+          case None =>
+            rows.rdd.treeAggregate(new Array[Double](d * h + h * k + 3))(
+              seqOp = { case (acc, (_, x, label)) =>
+                require(x.length == d, s"arity ${x.length} != numdims $d")
+                require(label >= 0 && label < k,
+                  s"label $label outside [0,$k)")
+                accumulateBackprop(acc, x, label, bw1.value, bw2.value,
+                  d, h, k)
+              },
+              combOp = (a, b) => {
+                var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+              },
+              depth = depth)
+        }
         bw1.destroy(); bw2.destroy()
         val tail = d * h + h * k
         val n = g(tail).toLong

@@ -179,7 +179,8 @@ object RBM {
       spark: SparkSession,
       data: DataFrame,
       w: DenseMatrix[Double],
-      cfg: Config): DenseMatrix[Double] = {
+      cfg: Config,
+      deterministic: Boolean = false): DenseMatrix[Double] = {
     import spark.implicits._
     val d = cfg.numdims
     val h = cfg.numhid
@@ -190,7 +191,17 @@ object RBM {
     // the same single pass (the reference needed a separate driver-side
     // count; a naive port would call rows.count() first — one full
     // extra scan of the data per epoch).
-    val gradFlat = rows.rdd.treeAggregate(new Array[Double](d * h + 1))(
+    // `deterministic` swaps the completion-order treeAggregate for
+    // [[Reproducible]]'s canonical-order fold — bit-identical across
+    // runs/layouts, for golden-pinned consumers (q111's pre-train).
+    val gradFlat = if (deterministic) {
+      Reproducible.aggregate(
+        Reproducible.canonicalize(rows.rdd, 32), d * h + 1) { (acc, id, x) =>
+        require(x.length == d, s"arity ${x.length} != numdims $d")
+        acc(d * h) += 1.0
+        accumulateGradient(acc, x, bw.value, d, h, id, draw); ()
+      }
+    } else rows.rdd.treeAggregate(new Array[Double](d * h + 1))(
       seqOp = { case (acc, (id, x)) =>
         require(x.length == d,
           s"arity ${x.length} != numdims $d") // rbmmapper.java:108-114

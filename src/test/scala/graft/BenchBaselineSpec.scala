@@ -36,16 +36,42 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"baseline rows naming no registered query: $unknown")
   }
 
-  test("retime threshold schedule: 2x for light queries, 1.5x past a 5s median") {
+  test("retime threshold schedule: 2x for light queries, 1.5x past a 2.5s median") {
     // Round 11 blind spot: q237 measured 1.97x its 15.4s median — 12%
     // of the bench total — and was never re-run while 15 light queries
-    // were. Heavy queries (median > 5s) now retime at 1.5x.
+    // were. Round 12 repeated the shape a notch down: q153 at 1.97x of
+    // a 4.91s median sat below the old 5s heavy leg. The heavy leg now
+    // starts at 2.5s.
     assert(!Bench.retimeTriggered(1.9, 1.0))   // light, under 2x
     assert(Bench.retimeTriggered(2.1, 1.0))    // light, over 2x
-    assert(!Bench.retimeTriggered(9.9, 5.0))   // 5s median is still light
-    assert(Bench.retimeTriggered(10.1, 5.0))
-    assert(Bench.retimeTriggered(30.2, 15.4))  // the q237 case: 1.97x heavy
-    assert(!Bench.retimeTriggered(22.0, 15.4)) // heavy, under 1.5x
+    assert(!Bench.retimeTriggered(4.9, 2.5))   // 2.5s median is still light
+    assert(Bench.retimeTriggered(5.1, 2.5))
+    assert(Bench.retimeTriggered(9.69, 4.91))  // the q153 case: 1.97x heavy
+    assert(!Bench.retimeTriggered(3.8, 2.6))   // heavy, under 1.5x
+    assert(Bench.retimeTriggered(4.0, 2.6))    // heavy, over 1.5x
+    assert(Bench.retimeTriggered(30.2, 15.4))  // the q237 case still trips
+  }
+
+  test("the slot-drift probe row exists in BASELINE.md and surfaces " +
+    "in the artifact beside its ratio") {
+    // VERDICT r12: the 1.31x machine-profile spread between bench slots
+    // consumed most of the 2x headroom and had to be diagnosed by
+    // per-query diffing. The probe (q01+q07+q350 triple, timed after
+    // warmup) turns that into one mechanical ratio in the artifact.
+    val base = Bench.parseProbeBaseline(path)
+    assert(base.exists(v => v > 0.0 && v < 60.0),
+      s"BASELINE.md lacks a parseable | probe | sec | row: $base")
+    // the probe row must NOT leak into the per-query retime map
+    assert(!Bench.parseBaseline(path).contains("probe"))
+    val line = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf", probeSec = Some(1.3), probeBaseline = Some(1.0))
+    assert(line.contains("\"probe_sec\":1.30"), line)
+    assert(line.contains("\"probe_baseline\":1.00"), line)
+    assert(line.contains("\"probe_ratio\":1.30"), line)
+    // probe failure degrades to absence, never a broken artifact line
+    val noProbe = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf")
+    assert(!noProbe.contains("probe_sec"), noProbe)
   }
 
   test("parseBaseline returns empty for an absent file") {

@@ -77,7 +77,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q351_qq_drift",            // 2-row cohort-size × 19-row probability grid broadcasts onto the rank lookup
     "q352_simpsons_paradox",    // 1-row pooled-cell broadcast onto the |priorities| grid
     "q353_power_analysis",      // 1-row conversion-count broadcast onto the 1-row cohort sizes
-    "q354_jonckheere")          // calendar-bounded day-grid self-join on the weekday ORDER (inequality-only condition; both sides ≤|days| rows at any corpus size)
+    "q354_jonckheere",          // calendar-bounded day-grid self-join on the weekday ORDER (inequality-only condition; both sides ≤|days| rows at any corpus size)
+    "q362_tpch_q22")            // 1-row cents-average stats broadcast onto the 7-nation customer slice
 
   // action-style queries that run their own jobs internally: building
   // their DataFrame executes the work (training epochs, streaming
@@ -169,7 +170,13 @@ class PlanBudgetSpec extends SparkSpec {
   // relation under the pred/sizes/inter branches — same AQE-reuse
   // story, asserted in TextPipelineSpec (q142/q146) and LlmOpsSpec
   // (q147)
-  private val maxExchangesOverride = Map("q134_bigram_pmi" -> 11,
+  private val maxExchangesOverride = Map(
+    // TPC-H Q8's eight-table join: only lineitem⋈orders shuffles
+    // (2 exchanges) — the 9th is the sum of the broadcast legs' tiny
+    // dimension-side shuffles (customer⋈nation⋈region slice build) +
+    // the o_year final agg + sort; nothing fact-sized moves twice
+    "q359_tpch_q8" -> 9,
+    "q134_bigram_pmi" -> 11,
     // q291's single corpus-sized pass is the checkpointed (lang, tok)
     // cell table; all 10 static exchanges downstream of it move
     // vocab- or |langs|-bounded model rows (top-k agg, token totals,

@@ -347,6 +347,51 @@ class DedupPlanSpec extends SparkSpec {
       "q147's candidate side does not scan the staged edge table")
   }
 
+  test("q357 fuzzy contamination, surgical: a LIGHTLY-EDITED benchmark " +
+    "passage (one token changed mid-passage, different lead-in offset) " +
+    "is flagged; an unrelated doc is not; and the exact screen (q130) " +
+    "rates the edited leak no higher than the clean doc's noise floor") {
+    import spark.implicits._
+    // 30-token benchmark passage; the corpus leak shifts it by a
+    // different lead-in length AND edits token 15 — leaving two >=14
+    // token verbatim runs, each guaranteed >=1 winnowing fingerprint
+    // (K+W-1 = 11), so the >=2 shared-fp contamination verdict fires.
+    val passage = (0 until 30).map(i => s"bench${('a' + i % 26).toChar}$i")
+    val edited = passage.updated(15, "paraphrased").mkString(" ")
+    val benchDoc = s"intro ${passage.mkString(" ")} closing remarks here"
+    val leakDoc = s"a very different lead in $edited trailing words"
+    val cleanDoc = (0 until 24).map(i => s"clean${('a' + i % 26).toChar}$i")
+      .mkString(" ")
+    // doc_id 0 -> benchmark side (0 % 50 == 0); 1, 2 -> corpus side
+    val docs = Seq(
+      (0L, benchDoc, "en", "t", 0L),
+      (1L, leakDoc, "en", "t", 0L),
+      (2L, cleanDoc, "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.dir("fuzzy_contam_surgical_")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("q357_fuzzy_contamination")(
+          spark, dir.toString)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(2), r.getBoolean(4))).toMap
+      assert(got(1L)._1 >= 2 && got(1L)._2,
+        s"edited benchmark leak not flagged: $got")
+      assert(got(2L)._1 == 0 && !got(2L)._2,
+        s"unrelated doc falsely flagged: $got")
+      // the exact-shingle screen sees only the bigrams that survived
+      // verbatim — the edit plus offset dilute it below a usable
+      // verdict (no threshold fires), which is the gap q357 closes
+      val exact = graft.SparkEntry.queries("q130_contamination")(
+          spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(exact(1L) < 1.0,
+        "exact screen already saturates on the edited leak — " +
+          s"the fuzzy twin would be redundant: $exact")
+    } finally graft.Scratch.deleteTree(dir)
+  }
+
   test("q237 probe-side prefix containment join is EXACT at theta=0.8: " +
     "output equals the brute-force all-ordered-pairs containment join") {
     // Containment's prefix bound lives on the PROBE side only (t =

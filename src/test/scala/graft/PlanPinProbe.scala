@@ -13,8 +13,8 @@ object PlanPinProbe {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- PlanPinSpec.pinned) {
-      val f = PlanPinSpec.fingerprint(
-        SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+      val dir = PlanPinSpec.pinDir.getOrElse(n, "/root/testdata/sf0.001")
+      val f = PlanPinSpec.fingerprint(SparkEntry.queries(n)(spark, dir))
       println(s"""    "$n" -> $f,""")
     }
     spark.stop()

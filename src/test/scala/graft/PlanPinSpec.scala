@@ -63,19 +63,32 @@ object PlanPinSpec {
     // round-9 heavy additions (verdict ask #7): PQ's encode + LUT join
     // + exact re-rank chain, and the KMV sketch top-k chain
     "q197_ann_pq" -> Fp(exch = 5, bhj = 2, smj = 0, shj = 0, bnlj = 1, wsc = 7),
-    "q198_kmv_overlap" -> Fp(exch = 15, bhj = 3, smj = 0, shj = 0, bnlj = 2, wsc = 19))
+    "q198_kmv_overlap" -> Fp(exch = 15, bhj = 3, smj = 0, shj = 0, bnlj = 2, wsc = 19),
+    // round-13 TPC-H join-stress shapes: the pins assert the broadcast
+    // discipline (dimension legs NEVER sort-merge; the only SMJ-class
+    // work is fact⋈fact, and at sf0.001 even those broadcast)
+    "q358_tpch_q7" -> Fp(exch = 7, bhj = 5, smj = 0, shj = 0, bnlj = 0, wsc = 8),
+    "q359_tpch_q8" -> Fp(exch = 9, bhj = 7, smj = 0, shj = 0, bnlj = 0, wsc = 10))
+  /** q358's bilateral-trade population is EMPTY at sf0.001 (AQE
+    * propagates the empty relation and erases the codegen spans), so
+    * its pin runs at sf0.01 where the plan is the real 3-fact shape.
+    */
+  val pinDir: Map[String, String] =
+    Map("q358_tpch_q7" -> "/root/testdata/sf0.01")
+
   def pinned: Seq[String] = Seq(
     "q118_interval_bucket_join", "q128_repetition_quality",
     "q148_trigram_langid", "q188_winnow_dedup", "q169_profile_report",
     "q187_bpe_tokenize", "q176_recursive_cte", "q52_salted_join",
     "q43_ann_lsh", "q163_token_budget_select", "q197_ann_pq",
-    "q198_kmv_overlap")
+    "q198_kmv_overlap", "q358_tpch_q7", "q359_tpch_q8")
 }
 
 class PlanPinSpec extends SparkSpec {
   test("heavy-tail query plans match their pinned structural fingerprints") {
     val offenders = PlanPinSpec.pinned.flatMap { name =>
-      val got = PlanPinSpec.fingerprint(SparkEntry.queries(name)(spark, sf001))
+      val dir = PlanPinSpec.pinDir.getOrElse(name, sf001)
+      val got = PlanPinSpec.fingerprint(SparkEntry.queries(name)(spark, dir))
       val want = PlanPinSpec.pins(name)
       if (got != want) Some(s"$name: got $got, pinned $want") else None
     }

@@ -14,9 +14,15 @@ import graft.{QueryModule, Tables}
   *
   * Multinomial logistic regression over the 64-d embeddings, fixed
   * hyper-parameters. Output is the per-(label, prediction) confusion
-  * count table — stable in aggregate, but LBFGS convergence is
-  * float-summation-order sensitive, so no SQL oracle (SURVEY §2.B
-  * marks q34 no-oracle); ClassifierSpec asserts the accuracy floor.
+  * count table. LBFGS convergence is float-summation-order sensitive
+  * in principle, but the converged model's INTEGER confusion counts
+  * are empirically bit-stable at the fixtures — identical across
+  * repeated JVMs and local[4]/local[7]/local[32] (argmax predictions
+  * sit far from decision boundaries relative to summation noise) —
+  * so since round 13 the table is pinned as a generated per-SF golden
+  * VALUES oracle ([[Q34Golden]], tools/gen_q34_golden.py; q111's
+  * technique), closing the registry's last no-oracle row.
+  * ClassifierSpec still asserts the accuracy floor independently.
   */
 object Classifier extends QueryModule {
 
@@ -43,5 +49,6 @@ object Classifier extends QueryModule {
     })
   )
 
-  def oracle: Map[String, String] = Map.empty // ML training: no-oracle
+  def oracle: Map[String, String] = Map(
+    "q34_digit_classifier" -> Q34Golden.sql)
 }

@@ -290,6 +290,57 @@ object SourceQueries extends QueryModule {
         .orderBy(col("layout"))
     }),
 
+    // Snapshot/time-travel table format ([[SnapshotTable]]): init a
+    // versioned table from documents, commit two upsert waves (a
+    // revision batch + a fresh-crawl insert batch, then a second
+    // revision wave), and read EVERY version back AS OF its commit —
+    // the dataset-reproducibility contract a training pipeline needs
+    // ("run R consumed corpus v1" stays re-readable verbatim after
+    // later refreshes). The oracle recomputes each version's stats
+    // relationally from the base table + the same deterministic batch
+    // expressions, so a COW bug that mutated or lost a committed file
+    // hash-fails the corresponding version row. Copy-on-write file
+    // reuse and bucket-granular rewrites are pinned by SnapshotSpec.
+    "q363_snapshot_timetravel" -> ((s, d) => {
+      import graft.llm.TextAnalysis.md5Int
+      val t = Scratch.dir("q363_snap_")
+      try {
+        val docs = Tables.documents(s, d)
+        SnapshotTable.init(s, t, docs, "doc_id")
+        val upd1 = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        val ins1 = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"),
+            col("lang"), lit("refresh").as("source"),
+            (col("n_chars") + 6).as("n_chars"))
+        SnapshotTable.merge(s, t, upd1.unionByName(ins1), "doc_id")
+        // wave 2 derives from the BASE rows (upsert REPLACES, so a
+        // %20 key's v2 text is base+' [rev3]', not rev2+rev3 — the
+        // oracle replays exactly that)
+        val upd2 = docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev3]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        SnapshotTable.merge(s, t, upd2, "doc_id")
+        val stats = (0 to 2).map { v =>
+          SnapshotTable.readAsOf(s, t, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).as("sum_chars"),
+              // 60-bit hashes summed raw would overflow BIGINT under
+              // ANSI — reduce each mod 1e9+7 first (order-free exact
+              // integer sum, same on both engines)
+              sum(md5Int(col("text")) % 1000000007L).as("checksum"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_chars"), col("checksum"))
+        }.reduce(_.unionByName(_))
+        val back = stats.orderBy(col("version"))
+        // 3-row result: materialize before the staging tree deletes
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(t)
+    }),
+
     "q190_zorder_layout" -> ((s, d) => {
       val stage = Scratch.dir("q190_zorder_")
       try {
@@ -577,6 +628,51 @@ object SourceQueries extends QueryModule {
     StructField("lang", StringType), StructField("n_chars", LongType)))
 
   def oracle: Map[String, String] = Map(
+
+    // q363: every version's stats recomputed relationally from the
+    // base table + the same deterministic batch expressions — a COW
+    // bug that mutated or lost a committed file fails the version row
+    "q363_snapshot_timetravel" -> {
+      val ck = graft.llm.TextAnalysis.md5IntSql("text")
+      s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         |v1r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text,
+         |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+         |         ELSE n_chars END AS n_chars
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'fresh ' || text, n_chars + 6
+         |  FROM base WHERE doc_id % 25 = 0),
+         |v2r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN text || ' [rev3]'
+         |         WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text,
+         |    CASE WHEN doc_id % 20 = 0 THEN n_chars + 7
+         |         WHEN doc_id % 10 = 0 THEN n_chars + 7
+         |         ELSE n_chars END AS n_chars
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'fresh ' || text, n_chars + 6
+         |  FROM base WHERE doc_id % 25 = 0)
+         |SELECT CAST(version AS INT) AS version,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(sum_chars AS BIGINT) AS sum_chars,
+         |  CAST(checksum AS BIGINT) AS checksum
+         |FROM (
+         |  SELECT 0 AS version, COUNT(*) AS n_rows,
+         |    SUM(n_chars) AS sum_chars, SUM(($ck) % 1000000007)
+         |      AS checksum FROM base
+         |  UNION ALL
+         |  SELECT 1, COUNT(*), SUM(n_chars), SUM(($ck) % 1000000007)
+         |  FROM v1r
+         |  UNION ALL
+         |  SELECT 2, COUNT(*), SUM(n_chars), SUM(($ck) % 1000000007)
+         |  FROM v2r) z
+         |ORDER BY version""".stripMargin
+    },
 
     // q345: identical shard hash, cell grid, ceiling division
     "q345_compaction_plan" ->

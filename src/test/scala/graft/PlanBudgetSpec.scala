@@ -106,6 +106,10 @@ class PlanBudgetSpec extends SparkSpec {
     // building its frame runs the whole detour (ZOrderSpec audits the
     // layout's pruning instead)
     "q190_zorder_layout",
+    // q363 stages a snapshot table + two upsert commits then
+    // aggregates three time-travel reads (SnapshotSpec audits the
+    // COW/manifest mechanics)
+    "q363_snapshot_timetravel",
     // q205/q211 are action-style: q205 runs the label-propagation
     // loop (localCheckpoint rounds) and q211 its persisted-tokenize
     // pipeline while BUILDING the frame; both return materialized

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,21 +20,23 @@ import org.apache.spark.sql.functions._
   *
   * Layout under a table directory:
   * {{{
-  *   data/b<bucket>_v<version>.parquet   — bucket data files (COW)
+  *   data/v<version>/__b=<bucket>/       — bucket data dirs (COW)
   *   manifest/                           — append-only parquet log of
   *                                         (version, path, action)
   * }}}
   *
   *  - `init` hash-buckets the rows by key (`pmod(key, NumBuckets)` —
-  *    deterministic, SQL-replicable) and writes one file per bucket
-  *    as version 0.
-  *  - `merge` (upsert by key) rewrites ONLY the bucket files that can
-  *    hold matched keys: superseded files get a `remove` manifest row
-  *    at the new version, replacement files an `add`. An upsert
-  *    touching 1% of the key space rewrites ~1% of the files — the
-  *    copy-on-write scaling property; untouched files are REUSED by
-  *    reference (SnapshotSpec pins this).
-  *  - `readAsOf(v)` scans `add ≤ v` files minus `remove ≤ v` files —
+  *    deterministic, SQL-replicable) and writes ALL buckets in ONE
+  *    `partitionBy` job as version 0 (one scan of the source, however
+  *    many buckets — never a scan per bucket).
+  *  - `merge` (upsert by key) rewrites ONLY the buckets that hold
+  *    matched keys, again as one job over the touched buckets:
+  *    superseded bucket dirs get a `remove` manifest row at the new
+  *    version, replacements an `add`. An upsert touching 1% of the
+  *    key space rewrites ~1% of the data — the copy-on-write scaling
+  *    property; untouched buckets are REUSED by reference
+  *    (SnapshotSpec pins this).
+  *  - `readAsOf(v)` scans `add ≤ v` dirs minus `remove ≤ v` dirs —
   *    a manifest filter, never a data pass; every historical version
   *    stays readable because COW never mutates a committed file.
   *
@@ -65,15 +69,31 @@ object SnapshotTable {
   def currentVersion(s: SparkSession, t: Path): Int =
     manifest(s, t).agg(max(col("version"))).head().getInt(0)
 
+  /** Write `df` bucket-partitioned under data/v<version>/ in ONE job
+    * and return the (version, dir, "add") manifest rows for the bucket
+    * dirs that actually materialized (an empty bucket writes no dir
+    * and must not enter the manifest).
+    */
+  private def writeBuckets(s: SparkSession, t: Path, df: DataFrame,
+      key: String, version: Int): Seq[(Int, String, String)] = {
+    val out = dataDir(t).resolve(s"v$version")
+    df.withColumn("__b", bucketOf(key))
+      .write.partitionBy("__b").parquet(out.toString)
+    val dirs = Files.list(out)
+    try dirs.iterator()
+      .asInstanceOf[java.util.Iterator[Path]].asScala
+      .filter(_.getFileName.toString.startsWith("__b="))
+      .map(p => (version, p.toString, "add")).toSeq.sortBy(_._2)
+    finally dirs.close()
+  }
+
+  private def bucketOfPath(p: String): Int =
+    p.split("__b=").last.takeWhile(_.isDigit).toInt
+
   /** Create the table at version 0 from `df`, bucketed by `key`. */
   def init(s: SparkSession, t: Path, df: DataFrame, key: String): Unit = {
     Files.createDirectories(dataDir(t))
-    val rows = (0 until NumBuckets).map { b =>
-      val p = dataDir(t).resolve(s"b${b}_v0.parquet").toString
-      df.filter(bucketOf(key) === b).write.parquet(p)
-      (0, p, "add")
-    }
-    writeManifest(s, t, rows)
+    writeManifest(s, t, writeBuckets(s, t, df, key, 0))
   }
 
   /** Upsert `updates` by `key` (replace matching keys, insert new
@@ -85,24 +105,19 @@ object SnapshotTable {
     val v = currentVersion(s, t) + 1
     // ≤ NumBuckets values — a bounded collect by construction
     val touched = updates.select(bucketOf(key).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
+      .distinct().collect().map(_.getInt(0)).toSet
     val live = liveFiles(s, t, v - 1)
-    val byBucket = live.groupBy(p =>
-      p.split('/').last.stripPrefix("b").takeWhile(_.isDigit).toInt)
-    val rows = touched.flatMap { b =>
-      val oldPath = byBucket(b).head
-      val newPath = dataDir(t).resolve(s"b${b}_v$v.parquet").toString
-      val upd = updates.filter(bucketOf(key) === b)
-      // anti join on the (sub-bucket-sized) update keys, then union —
-      // MERGE semantics without a global shuffle: both sides are one
-      // bucket
-      s.read.parquet(oldPath)
-        .join(upd.select(col(key)), Seq(key), "left_anti")
-        .unionByName(upd)
-        .write.parquet(newPath)
-      Seq((v, oldPath, "remove"), (v, newPath, "add"))
-    }
-    writeManifest(s, t, rows)
+    val oldTouched = live.filter(p => touched(bucketOfPath(p)))
+    // one job for the whole wave: read every touched bucket, anti-join
+    // the update keys (MERGE's replace), union the updates, rewrite
+    // bucket-partitioned. Rows never leave their bucket (the key is
+    // unchanged), so the output dirs are exactly the touched buckets.
+    val merged = s.read.parquet(oldTouched: _*)
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    val adds = writeBuckets(s, t, merged, key, v)
+    writeManifest(s, t,
+      oldTouched.map(p => (v, p, "remove")) ++ adds)
     v
   }
 

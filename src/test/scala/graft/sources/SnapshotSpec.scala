@@ -50,11 +50,14 @@ class SnapshotSpec extends SparkSpec {
       assert(removedAt1.size == 2 && addedAt1.size == 2,
         s"expected exactly buckets 0 and 3 rewritten: " +
           s"removed=$removedAt1 added=$addedAt1")
-      assert(removedAt1.forall(p => p.contains("b0_v0") || p.contains("b3_v0")))
-      // the other 6 v0 files remain live at v1 — reuse, not copy
+      assert(removedAt1.forall(p =>
+        p.contains("v0/__b=0") || p.contains("v0/__b=3")))
+      assert(addedAt1.forall(p =>
+        p.contains("v1/__b=0") || p.contains("v1/__b=3")))
+      // the other 6 v0 bucket dirs remain live at v1 — reuse, not copy
       val liveV1 = SnapshotTable.readAsOf(spark, t, 1)
         .inputFiles.map(_.replace("file:", "")).toSet
-      assert(liveV1.exists(_.contains("b1_v0")),
+      assert(liveV1.exists(_.contains("v0/__b=1")),
         "untouched bucket 1 was not reused by reference")
     } finally graft.Scratch.deleteTree(t)
   }

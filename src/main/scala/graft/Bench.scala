@@ -55,6 +55,33 @@ object Bench {
     if (medianBaseline > 2.5) measured > 1.5 * medianBaseline
     else measured > 2.0 * medianBaseline
 
+  /** Probe-aware retime budget (VERDICT r13 #8). When the slot probe
+    * reads >1.3× its recorded quiet-slot cost, the machine profile has
+    * drifted UNIFORMLY (BASELINE.md documents a 1.31× ambient spread
+    * between slots) — every slowness retime on such a slot re-measures
+    * the same ambient noise at ~30 s of wall budget (33 fired on the
+    * 391 s round-13 run) while the per-query ratios stay interpretable
+    * through probe_ratio. So slowness retimes are skipped entirely on
+    * drifted slots. Crash retimes are NOT gated here: a failure re-run
+    * is what separates a transient hiccup from a real break, costs
+    * only throw-time, and must survive any slot profile.
+    */
+  def retimeEnabled(probeRatio: Option[Double]): Boolean =
+    !probeRatio.exists(_ > 1.3)
+
+  /** The periodic partial-total stdout line (VERDICT r13 #1). Printed
+    * every ~20 queries and by the shutdown hook so a timeout-killed run
+    * still leaves a parseable `{"metric":"total",...}` inside the
+    * ~2.4 KB stdout tail. Kept <200 bytes; the `"partial":true` marker
+    * is what distinguishes it from the final line, which drops it.
+    */
+  def partialLine(runningTotal: Double, done: Int, of: Int,
+      sfDir: String): String = {
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    s"""{"metric":"total","value":${f(runningTotal)},"unit":"sec","partial":true,"done":$done,"of":$of,"sf":"$sfDir"}"""
+  }
+
   /** The `| probe | sec |` row of BASELINE.md — the slot-drift
     * micro-probe's recorded quiet-slot cost, kept OUT of
     * [[parseBaseline]]'s per-query map (it names no registry query and
@@ -77,7 +104,8 @@ object Bench {
   def artifactJson(results: Seq[(String, Double)], retimed: Seq[String],
       failed: Seq[String], baselineRows: Int, sfDir: String,
       probeSec: Option[Double] = None,
-      probeBaseline: Option[Double] = None): String = {
+      probeBaseline: Option[Double] = None,
+      partial: Boolean = false): String = {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortKey(name: String): String = name.takeWhile(_ != '_')
@@ -100,11 +128,19 @@ object Bench {
     // separate slot drift (probe_ratio ≈ total ratio, uniform) from a
     // plan regression (probe_ratio ≈ 1, one query inflated)
     // mechanically instead of by per-query diffing.
+    // probe_baseline is gated on b > 0: a 0.00 BASELINE.md probe row
+    // would otherwise emit "probe_ratio":Infinity — not valid JSON —
+    // and corrupt the artifact (ADVICE r13).
     val probe = probeSec.map(p =>
-      s""","probe_sec":${f(p)}""" + probeBaseline.map(b =>
+      s""","probe_sec":${f(p)}""" + probeBaseline.filter(_ > 0.0).map(b =>
         s""","probe_baseline":${f(b)},"probe_ratio":${f(p / b)}""")
         .getOrElse("")).getOrElse("")
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$fl,"baseline_rows":$baselineRows$probe,"sf":"$sfDir"}"""
+    // `"partial":true` marks an in-flight incremental rewrite (the
+    // artifact is rewritten after EVERY query so a timeout-killed run
+    // still leaves its measurements on disk); the final write after the
+    // last query drops the marker.
+    val part = if (partial) s""","partial":true""" else ""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"retimed":$rt,"failed":$fl,"baseline_rows":$baselineRows$probe$part,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -228,78 +264,100 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Sorted execution order: run-to-run comparability, instead of
-    // whatever query Map iteration order happened to put first.
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = sorted.map { case (name, fn) => name -> time(name, fn) }
-    // Noise-robust retime: a single-shot measurement under ambient
-    // sandbox load has produced only false >2x flags for three rounds
-    // running. Any query whose first measurement exceeds 2x its
-    // BASELINE.md median gets ONE re-run in the same (now even warmer)
-    // JVM, and the reported figure is the min of the SUCCESSFUL
-    // measurements — a genuine plan regression stays >2x on both runs;
-    // a scheduler hiccup does not survive the retime. Retimed names are
-    // recorded so the report distinguishes measured-once from
-    // best-of-two.
-    val fnByName = sorted.toMap
-    // Failed queries are force-retimed too: a crash usually times FAST
-    // (the throw comes early), so the >2x slowness gate would never
-    // re-run it — but one re-run is exactly what separates a transient
-    // environment hiccup (succeeds, clears the failed set) from a real
-    // break (fails again, stays listed). Measurement rule per retimed
-    // query: only SUCCESSFUL runs yield a valid timing, so a
-    // crashed-then-recovered query reports the retime's time alone
-    // (never the millisecond time-to-throw), and a query that measured
-    // cleanly but crashed only during its slowness retime keeps its
-    // valid first measurement and is NOT listed as failed — "failed"
-    // means no successful execution at all.
-    val retimed = firstPass.collect {
-      case (name, (t, ok)) if !ok ||
-        baseline.get(name).exists(b => retimeTriggered(t, b)) => name
-    }
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = firstPass.map { case (name, (t1, ok1)) =>
-      if (retimed.contains(name)) {
-        val (t2, ok2) = time(name, fnByName(name))
-        val valid = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
-        if (valid.isEmpty) { failed += name; name -> math.max(t1, t2) }
-        else name -> valid.min
-      } else name -> t1
-    }
-    // The harness retains only a ~2.4KB tail of stdout; at 181 queries
-    // even qNN-shortened keys push an inline per-query map past that
-    // and the tail begins mid-JSON (BENCH_r06 arrived parsed:null). So
-    // the per-query map goes ONLY to bench_queries.json at the repo
-    // root, and the single stdout metric line is just the total —
-    // <200 bytes, always inside any tail window. Locale.ROOT (inside
-    // artifactJson): a comma-decimal default locale would render
-    // "1,234" and corrupt the JSON.
-    def f(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size} queries FAILED after " +
-        s"retime: ${failed.mkString(", ")}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val probeBase =
       try parseProbeBaseline(repoRoot.resolve("BASELINE.md"))
       catch { case _: Throwable => None }
-    val full = artifactJson(results, retimed, failed.toSeq, baseline.size,
-      sfDir, probeSec, probeBase)
-    // Written at the repo root (resolved above), not bare CWD, so a
-    // caller running Bench from elsewhere doesn't strand the file; a
-    // failed write must not kill the run but must not be silent either
-    // — a stale committed file would misattribute old timings to this
-    // run
-    try java.nio.file.Files.writeString(
-      repoRoot.resolve("bench_queries.json"), full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_queries.json not written: $e")
+    val probeRatio = for { p <- probeSec; b <- probeBase if b > 0.0 }
+      yield p / b
+    // Probe-aware retime budget: on a drifted slot (probe >1.3× its
+    // quiet-slot row) slowness retimes re-measure ambient noise at real
+    // wall cost, so they are skipped wholesale; crash retimes survive.
+    val slowRetimeOn = retimeEnabled(probeRatio)
+    if (!slowRetimeOn)
+      System.err.println(f"[bench] probe_ratio ${probeRatio.getOrElse(0.0)}%.2f > 1.3 " +
+        "(drifted slot): slowness retimes disabled this run")
+
+    // BENCH_r13 was lost to a timeout: the only parseable stdout line
+    // printed after all 363 queries, so one slow slot voided the whole
+    // artifact. The loop below is timeout-survivable: bench_queries.json
+    // is rewritten (with "partial":true) after EVERY query, a <200 B
+    // partial-total line prints every 20 queries, and a JVM shutdown
+    // hook prints the freshest partial line — so a SIGTERM'd run still
+    // leaves a parseable running total in both the stdout tail and the
+    // artifact. Retime policy is unchanged but applied INLINE per query
+    // (the JVM is equally warm — the query just ran): a slowness flag
+    // (vs BASELINE.md median) or a crash triggers ONE re-run; reported
+    // figure = min of the SUCCESSFUL measurements; "failed" = no
+    // successful execution at all.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val totalQ = sorted.size
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val retimed = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lastPartial = new java.util.concurrent.atomic.AtomicReference[String](null)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalPrinted.get) {
+        val line = lastPartial.get
+        if (line != null) { println(line); Console.out.flush() }
+      }
+    }))
+    def runningTotal: Double = {
+      val fs = failed.toSet
+      results.collect { case (k, v) if !fs(k) => v }.sum
     }
-    // EXACTLY ONE stdout line matches {"metric":"total",...}: the short
-    // final one (<200 bytes, inside any stdout-tail window). The full
+    def writeArtifact(partial: Boolean): Unit = {
+      val json = artifactJson(results.toSeq, retimed.toSeq, failed.toSeq,
+        baseline.size, sfDir, probeSec, probeBase, partial)
+      // Written at the repo root (resolved above), not bare CWD, so a
+      // caller running Bench from elsewhere doesn't strand the file; a
+      // failed write must not kill the run but must not be silent
+      // either — a stale committed file would misattribute old timings
+      // to this run.
+      try java.nio.file.Files.writeString(
+        repoRoot.resolve("bench_queries.json"), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_queries.json not written: $e")
+      }
+    }
+    sorted.zipWithIndex.foreach { case ((name, fn), i) =>
+      val (t1, ok1) = time(name, fn)
+      val needsRetime = !ok1 ||
+        (slowRetimeOn && baseline.get(name).exists(b => retimeTriggered(t1, b)))
+      val entry =
+        if (needsRetime) {
+          retimed += name
+          val (t2, ok2) = time(name, fn)
+          val valid = Seq(t1 -> ok1, t2 -> ok2).collect { case (t, true) => t }
+          if (valid.isEmpty) { failed += name; name -> math.max(t1, t2) }
+          else name -> valid.min
+        } else name -> t1
+      results += entry
+      writeArtifact(partial = true)
+      // The harness retains only a ~2.4 KB stdout tail; each partial
+      // line is <200 B so the freshest always fits. Printed every 20
+      // queries (18 lines over the full registry) — the shutdown hook
+      // prints the very freshest on an early death.
+      val done = i + 1
+      val pl = partialLine(runningTotal, done, totalQ, sfDir)
+      lastPartial.set(pl)
+      if (done % 20 == 0 && done < totalQ) { println(pl); Console.out.flush() }
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED after " +
+        s"retime: ${failed.mkString(", ")}")
+    writeArtifact(partial = false)
+    // The LAST stdout line matching {"metric":"total",...} is the final
+    // non-partial one (<200 bytes, inside any tail window). The full
     // per-query map lives only in bench_queries.json — printing it too
     // would let a tail scanner pick a front-truncated mid-JSON line.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Locale.ROOT (inside partialLine/f): a comma-decimal default
+    // locale would render "1,234" and corrupt the JSON. The total
+    // matches the artifact's: successful measurements only.
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    finalPrinted.set(true)
+    println(s"""{"metric":"total","value":${f(runningTotal)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,49 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(!noProbe.contains("probe_sec"), noProbe)
   }
 
+  test("partial-total line: <200 bytes, carries the partial marker, " +
+    "and the artifact's partial flag round-trips") {
+    // BENCH_r13 arrived rc:124/parsed:null because the single parseable
+    // stdout line printed only after all 363 queries. The survivability
+    // contract: every ~20 queries (and from the shutdown hook) Bench
+    // prints a partial running-total line small enough that the
+    // freshest always sits inside the harness's ~2.4KB stdout tail, and
+    // bench_queries.json is rewritten after every query with
+    // "partial":true until the final post-loop write drops it.
+    val pl = Bench.partialLine(123.45, 340, 363, "/root/testdata/sf0.1")
+    assert(pl.getBytes("UTF-8").length < 200, s"partial line too long: $pl")
+    assert(pl.contains("\"metric\":\"total\""), pl)
+    assert(pl.contains("\"value\":123.45"), pl)
+    assert(pl.contains("\"partial\":true"), pl)
+    assert(pl.contains("\"done\":340"), pl)
+    assert(pl.contains("\"of\":363"), pl)
+    val art = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf", partial = true)
+    assert(art.contains("\"partial\":true"), art)
+    val fin = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf", partial = false)
+    assert(!fin.contains("partial"), fin)
+  }
+
+  test("probe-aware retime budget: slowness retimes disabled past " +
+    "probe_ratio 1.3; probe_ratio never emitted for a zero baseline") {
+    // VERDICT r13 #8: on a uniformly drifted slot every slowness retime
+    // re-measures ambient noise (~30s of wall budget across 33 retimes
+    // on the 391s run). The gate is pure so the rule is pinned here.
+    assert(Bench.retimeEnabled(None))            // no probe → retime as usual
+    assert(Bench.retimeEnabled(Some(1.0)))
+    assert(Bench.retimeEnabled(Some(1.3)))       // boundary stays enabled
+    assert(!Bench.retimeEnabled(Some(1.31)))
+    assert(!Bench.retimeEnabled(Some(3.9)))      // the observed startup spike
+    // ADVICE r13: a 0.00 probe row in BASELINE.md must not emit
+    // "probe_ratio":Infinity (invalid JSON) — the baseline is gated b>0.
+    val line = Bench.artifactJson(Seq("q01_scan_project" -> 1.0),
+      Nil, Nil, 204, "sf", probeSec = Some(1.3), probeBaseline = Some(0.0))
+    assert(line.contains("\"probe_sec\":1.30"), line)
+    assert(!line.contains("probe_ratio"), line)
+    assert(!line.contains("Infinity"), line)
+  }
+
   test("parseBaseline returns empty for an absent file") {
     assert(Bench.parseBaseline(java.nio.file.Paths.get("no_such_baseline.md")).isEmpty)
   }

@@ -209,7 +209,10 @@ object Backprop {
           }
         }
       }
-    } finally rows.unpersist()
+    } finally {
+      rows.unpersist()
+      canon.foreach(_.unpersist())
+    }
     (RBM.fromFlat(w1, d, h), RBM.fromFlat(w2, h, k), stats.result())
   }
 }

@@ -341,6 +341,53 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(t)
     }),
 
+    // Incremental change feed over the snapshot table (the Delta
+    // readChangeFeed analogue, [[SnapshotTable.changesBetween]]): the
+    // q363 history replayed, then every row-level change between
+    // version pairs (0→1 single step, 1→2 single step, 0→2 compound)
+    // summarized per change type. The compound window must collapse
+    // intermediate states (key 0 %20's 0→2 preimage is the BASE text,
+    // never the rev2 text) and COW-copied identical rows must emit
+    // nothing — the oracle recomputes all three windows relationally
+    // from the base table, so either bug hash-fails its row. A
+    // training pipeline replaying deltas consumes exactly this feed:
+    // touched-bucket manifest diff + in-bucket key diff, never a full
+    // snapshot scan (SnapshotSpec pins the scan discipline).
+    "q364_snapshot_changefeed" -> ((s, d) => {
+      import graft.llm.TextAnalysis.md5Int
+      val t = Scratch.dir("q364_cdc_")
+      try {
+        val docs = Tables.documents(s, d)
+        SnapshotTable.init(s, t, docs, "doc_id")
+        val upd1 = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        val ins1 = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"),
+            col("lang"), lit("refresh").as("source"),
+            (col("n_chars") + 6).as("n_chars"))
+        SnapshotTable.merge(s, t, upd1.unionByName(ins1), "doc_id")
+        val upd2 = docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev3]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        SnapshotTable.merge(s, t, upd2, "doc_id")
+        val stats = Seq((0, 1), (1, 2), (0, 2)).map { case (a, b) =>
+          SnapshotTable.changesBetween(s, t, a, b, "doc_id")
+            .groupBy(col("_change_type").as("change_type"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).as("sum_chars"),
+              sum(md5Int(col("text")) % 1000000007L).as("checksum"))
+            .select(lit(s"$a->$b").as("win"), col("change_type"),
+              col("n_rows"), col("sum_chars"), col("checksum"))
+        }.reduce(_.unionByName(_))
+        val back = stats.orderBy(col("win"), col("change_type"))
+        // ≤8-row result: materialize before the staging tree deletes
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(t)
+    }),
+
     "q190_zorder_layout" -> ((s, d) => {
       val stage = Scratch.dir("q190_zorder_")
       try {
@@ -672,6 +719,51 @@ object SourceQueries extends QueryModule {
          |  SELECT 2, COUNT(*), SUM(n_chars), SUM(($ck) % 1000000007)
          |  FROM v2r) z
          |ORDER BY version""".stripMargin
+    },
+
+    // q364: all three change windows recomputed relationally from the
+    // base table + the same deterministic batch expressions — feed ≡
+    // snapshot-diff is the contract (SnapshotSpec pins it row-level)
+    "q364_snapshot_changefeed" -> {
+      val ck = graft.llm.TextAnalysis.md5IntSql("text")
+      s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         |ch AS (
+         |  SELECT '0->1' AS win, 'insert' AS change_type,
+         |    'fresh ' || text AS text, n_chars + 6 AS n_chars
+         |  FROM base WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT '0->1', 'update_preimage', text, n_chars
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT '0->1', 'update_postimage', text || ' [rev2]',
+         |    n_chars + 7
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT '1->2', 'update_preimage', text || ' [rev2]',
+         |    n_chars + 7
+         |  FROM base WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT '1->2', 'update_postimage', text || ' [rev3]',
+         |    n_chars + 7
+         |  FROM base WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT '0->2', 'insert', 'fresh ' || text, n_chars + 6
+         |  FROM base WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT '0->2', 'update_preimage', text, n_chars
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT '0->2', 'update_postimage',
+         |    CASE WHEN doc_id % 20 = 0 THEN text || ' [rev3]'
+         |         ELSE text || ' [rev2]' END,
+         |    n_chars + 7
+         |  FROM base WHERE doc_id % 10 = 0)
+         |SELECT win, change_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(($ck) % 1000000007) AS BIGINT) AS checksum
+         |FROM ch GROUP BY win, change_type
+         |ORDER BY win, change_type""".stripMargin
     },
 
     // q345: identical shard hash, cell grid, ceiling division

@@ -110,6 +110,9 @@ class PlanBudgetSpec extends SparkSpec {
     // aggregates three time-travel reads (SnapshotSpec audits the
     // COW/manifest mechanics)
     "q363_snapshot_timetravel",
+    // q364 stages the same snapshot history then aggregates three
+    // change-feed reads (SnapshotSpec audits feed ≡ snapshot diff)
+    "q364_snapshot_changefeed",
     // q205/q211 are action-style: q205 runs the label-propagation
     // loop (localCheckpoint rounds) and q211 its persisted-tokenize
     // pipeline while BUILDING the frame; both return materialized

@@ -102,8 +102,19 @@ class WaveFiveSpec extends SparkSpec {
       "distribution does not cover every customer")
     assert(rows.map(t => t._1.toLong * t._2).sum == nOrd,
       "weighted counts do not conserve the order count")
-    assert(rows.exists(_._1 == 0) || nCust == rows.map(_._2.toLong).sum,
-      "LEFT-join zero bucket missing")
+    // The zero bucket asserted directly (the old disjunct repeated the
+    // unconditional sum check above and could never fail): customers
+    // with NO non-urgent orders must appear as the c_count=0 row with
+    // exactly their headcount — this is what the LEFT join exists for.
+    val custWithOrder = spark.read.parquet(s"$sf001/orders.parquet")
+      .filter("o_orderpriority <> '1-URGENT'")
+      .select("o_custkey").distinct().count()
+    val zeroCust = nCust - custWithOrder
+    if (zeroCust > 0)
+      assert(rows.contains((0, zeroCust.toInt)),
+        s"LEFT-join zero bucket missing or wrong: expected (0,$zeroCust) in ${rows.toSeq.sortBy(_._1).take(3)}")
+    else
+      assert(!rows.exists(_._1 == 0), "spurious zero bucket")
   }
 
   test("q361: the reported supplier(s) hold the exact maximum — no " +

@@ -25,4 +25,38 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == 500L)
     assert(rows.map(_.getInt(0)).distinct.length == 10)
   }
+
+  test("golden-drift gate: the live sf0.001 confusion table matches " +
+    "Q34Golden bit-for-bit (VERDICT r13 #7)") {
+    // Q34Golden pins MLlib LBFGS output that is only EMPIRICALLY
+    // bit-stable; a Spark/MLlib upgrade or partitioning change could
+    // silently shift a near-boundary argmax and flake the CORRECTNESS
+    // row with no warning. This gate recomputes the table live at the
+    // cheapest SF and compares against the golden branch selected by
+    // the same embeddings fingerprint the oracle SQL uses — so drift
+    // flips a test in `sbt test`, not a driver CORRECTNESS row. On
+    // failure: re-run tools/gen_q34_golden.py and re-verify all SFs.
+    val fp = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("COUNT(*)*10000 + SUM(CAST(label AS BIGINT)) AS fp")
+      .head().getLong(0)
+    val Branch =
+      """(?s)VALUES ((?:\(\d+,\d+,\d+\),?)+)\)\s*AS t\(label, prediction, cnt\)\s*WHERE \(SELECT fp FROM fp\) = (\d+)""".r
+    val golden: Map[Long, Set[(Int, Int, Long)]] =
+      Branch.findAllMatchIn(Q34Golden.sql).map { m =>
+        val tuples = """\((\d+),(\d+),(\d+)\)""".r.findAllMatchIn(m.group(1))
+          .map(t => (t.group(1).toInt, t.group(2).toInt, t.group(3).toLong))
+          .toSet
+        m.group(2).toLong -> tuples
+      }.toMap
+    assert(golden.size >= 3, s"golden parse found only ${golden.size} branches")
+    assert(golden.contains(fp),
+      s"no golden branch for fingerprint $fp — fixture changed; regenerate")
+    val live = Classifier.queries("q34_digit_classifier")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val g = golden(fp)
+    assert(live == g,
+      s"q34 golden drift: live-only=${(live -- g).toSeq.sorted.take(5)} " +
+        s"golden-only=${(g -- live).toSeq.sorted.take(5)} — " +
+        "re-run tools/gen_q34_golden.py")
+  }
 }

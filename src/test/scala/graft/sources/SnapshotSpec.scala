@@ -62,6 +62,89 @@ class SnapshotSpec extends SparkSpec {
     } finally graft.Scratch.deleteTree(t)
   }
 
+  test("insert-only merge into buckets with no live files commits " +
+    "instead of crashing (ADVICE r13)") {
+    // init leaves bucket 5 EMPTY (no key ≡ 5 mod 8), so an insert-only
+    // batch targeting only bucket 5 has zero old files to read — the
+    // unguarded read.parquet(Nil) threw instead of committing.
+    val t = graft.Scratch.dir("snapspec_empty_")
+    try {
+      val df = (0L until 64L).filter(_ % 8 != 5)
+        .map(i => (i, s"text $i", i)).toDF("id", "text", "score")
+      SnapshotTable.init(spark, t, df, "id")
+      val ins = Seq((5L, "five", 1L), (13L, "thirteen", 2L))
+        .toDF("id", "text", "score")
+      val v1 = SnapshotTable.merge(spark, t, ins, "id")
+      assert(v1 == 1)
+      val back = SnapshotTable.readAsOf(spark, t, 1)
+      assert(back.count() == df.count() + 2)
+      assert(back.filter(col("id") === 5).count() == 1)
+      // and nothing was removed: there was no old bucket-5 file
+      assert(SnapshotTable.manifest(spark, t)
+        .filter(col("version") === 1 && col("action") === "remove")
+        .count() == 0)
+    } finally graft.Scratch.deleteTree(t)
+  }
+
+  test("changesBetween ≡ snapshot diff: the change feed replays one " +
+    "version onto the other exactly, and reads only touched buckets") {
+    val (t, _) = freshTable()
+    try {
+      SnapshotTable.merge(spark, t, Seq(
+        (0L, "updated zero", 999L),     // update in bucket 0
+        (100L, "new hundred", 1L),      // insert into bucket 4
+        (7L, s"text number 7", 70L)     // COW-copied NO-OP (same payload)
+      ).toDF("id", "text", "score"), "id")
+      SnapshotTable.merge(spark, t,
+        Seq((0L, "zero again", 1000L)).toDF("id", "text", "score"), "id")
+
+      val ch01 = SnapshotTable.changesBetween(spark, t, 0, 1, "id")
+      val byType = ch01.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // key 7's payload is identical → emits NOTHING despite its
+      // bucket being rewritten; key 0 → pre+post pair; key 100 → insert
+      assert(byType == Map("insert" -> 1L, "update_preimage" -> 1L,
+        "update_postimage" -> 1L), s"got $byType")
+      assert(ch01.filter(col("_change_type") === "insert")
+        .head().getLong(0) == 100L)
+      assert(ch01.filter(col("_change_type") === "update_postimage")
+        .select("text").head().getString(0) == "updated zero")
+
+      // the ≡ gate: v0 minus deletes/preimages plus inserts/postimages
+      // must equal readAsOf(v)'s snapshot EXACTLY — for both the
+      // single-step and the compound (0→2) feed
+      for (to <- Seq(1, 2)) {
+        val ch = SnapshotTable.changesBetween(spark, t, 0, to, "id")
+        val v0 = SnapshotTable.readAsOf(spark, t, 0)
+        val drop = ch.filter(col("_change_type").isin("delete", "update_preimage"))
+          .drop("_change_type")
+        val add = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
+        val replayed = v0.exceptAll(drop).unionByName(add)
+        val want = SnapshotTable.readAsOf(spark, t, to)
+        assert(replayed.exceptAll(want).count() == 0 &&
+          want.exceptAll(replayed).count() == 0,
+          s"replay 0→$to does not reproduce the snapshot")
+      }
+
+      // scan discipline: the 0→1 feed reads only the rewritten/new
+      // bucket dirs (buckets 0, 4, 7 — 7 was rewritten by the no-op
+      // upsert), never the 5 untouched buckets
+      val touched = Set("__b=0", "__b=4", "__b=7")
+      val files = ch01.inputFiles.map(_.replace("file:", ""))
+      assert(files.nonEmpty)
+      assert(files.forall(p => touched.exists(p.contains)),
+        s"change feed scanned untouched buckets: ${files.filterNot(p =>
+          touched.exists(p.contains)).take(3).toSeq}")
+
+      // empty window → empty feed with the schema intact
+      val none = SnapshotTable.changesBetween(spark, t, 1, 1, "id")
+      assert(none.count() == 0)
+      assert(none.columns.toSeq ==
+        Seq("id", "text", "score", "_change_type"))
+    } finally graft.Scratch.deleteTree(t)
+  }
+
   test("historical versions are immutable under later commits, and " +
     "upsert semantics are exact per key") {
     val (t, df) = freshTable()

@@ -975,6 +975,112 @@ object ExtendedOps extends QueryModule {
           round(col("bal_cents").cast("double") / 100.0, 2)
             .as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // TPC-H Q4 (order priority checking), adapted: the fixture has no
+    // l_commitdate/l_receiptdate, so "a lineitem arrived later than
+    // promised" becomes "a lineitem SHIPPED more than 90 days after
+    // the order was placed" (the fixture's ship dates are independent
+    // of order dates, so the predicate is selective, not vacuous).
+    // The canonical correlated-EXISTS existence test: one quarter of
+    // orders, semi-joined to lineitem on the order key with the date
+    // arithmetic as the join residual. Scale: the quarter filter is
+    // on the orders SCAN, the EXISTS is a LeftSemi equi-join on
+    // l_orderkey (never a BNLJ — the residual rides the equi key),
+    // and the rollup is 5 priority rows, map-side combinable.
+    "q365_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 (shipping modes and order priority), adapted: the
+    // fixture has no l_shipmode, so the two audited "modes" are the
+    // A/R return-flag channels (same two-member IN restriction), and
+    // the commit/receipt date chain becomes ship-year 1996 plus the
+    // q365 late-shipment predicate. Shape preserved: the CASE-agg
+    // splits line counts by order priority urgency per channel. The
+    // channel + year filters live on the lineitem scan; the only
+    // shuffle is the fact-fact equi-join on the order key; the late
+    // residual is evaluated on the joined row.
+    "q366_tpch_q12" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          col("l_returnflag").as("ship_channel"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy(col("ship_channel"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("ship_channel"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    // fixture's dates (late := shipped >90 days after order placement;
+    // region ASIA stands in for the single-nation cut — 20 of 100
+    // suppliers, a non-vacuous slice at every SF). The canonical
+    // chained EXISTS / NOT-EXISTS on the same fact table. Spark-first
+    // collapse: both correlated subqueries are per-order-key set
+    // predicates ("another supplier exists" / "no OTHER supplier is
+    // late"), so instead of two shuffled self-joins of lineitem the
+    // whole triple evaluates in ONE grouped pass — per (order,
+    // supplier) late-row counts, then per order: supplier count,
+    // late-supplier count, and the unique late supplier's row count.
+    // Survivors (≥2 suppliers, exactly 1 late) join the broadcast
+    // ASIA supplier dim. One fact-fact shuffle on l_orderkey + two
+    // map-side-combinable rollups — no BNLJ anywhere (the DuckDB
+    // oracle cross-checks the literal EXISTS/NOT-EXISTS formulation
+    // against this aggregate one).
+    "q367_tpch_q21" -> ((s, d) => {
+      val isLate = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAY")
+      val perSupp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(isLate, 1L).otherwise(0L)).as("n_late"))
+      val survivors = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("n_late") > 0, 1L).otherwise(0L))
+            .as("n_late_supp"),
+          max(when(col("n_late") > 0, col("l_suppkey")))
+            .as("late_suppkey"),
+          sum(col("n_late")).as("late_rows"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      val asiaSup = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name")))
+      survivors
+        .join(asiaSup, col("late_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_rows")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
   )
 
@@ -1515,6 +1621,59 @@ object ExtendedOps extends QueryModule {
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY p.c_nationkey
         |ORDER BY p.c_nationkey""".stripMargin,
+
+    // q365: the literal correlated-EXISTS formulation
+    "q365_tpch_q4" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >
+        |                  o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q366: same channel restriction + CASE-agg
+    "q366_tpch_q12" ->
+      """SELECT l.l_returnflag AS ship_channel,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l, orders o
+        |WHERE l.l_orderkey = o.o_orderkey
+        |  AND l.l_returnflag IN ('A', 'R')
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q367: the LITERAL chained EXISTS / NOT-EXISTS — an independent
+    // formulation cross-checking the engine's one-pass aggregate
+    "q367_tpch_q21" ->
+      """SELECT s.s_name,
+        |  CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier s, lineitem l1, orders o, nation n, region r
+        |WHERE s.s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >
+        |                      o.o_orderdate + INTERVAL 90 DAY)
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q97_bag_setops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),

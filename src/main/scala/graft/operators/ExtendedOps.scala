@@ -1081,6 +1081,155 @@ object ExtendedOps extends QueryModule {
         .groupBy(col("s_name"))
         .agg(sum(col("late_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q2 (minimum-cost supplier) over the PartSupp surrogate
+    // (see [[PartSupp]] — the fixture has no partsupp; availqty/cost
+    // derive deterministically from lineitem). The correlated scalar
+    // min-subquery ("cost = MIN over this part's EUROPE suppliers")
+    // decorrelates Spark-first into ONE partitioned window min over
+    // ps_partkey — no per-part subquery, no self-join; the EUROPE
+    // supplier leg and the size/type part slice both broadcast, so
+    // the only shuffle is the window's hash partition on ps_partkey.
+    // The DuckDB oracle runs the LITERAL correlated subquery as the
+    // independent cross-check.
+    "q368_tpch_q2" -> ((s, d) => {
+      val eur = PartSupp.partsupp(s, d)
+        .join(broadcast(PartSupp.europeSuppliers(s, d)),
+          col("ps_suppkey") === col("s_suppkey"))
+      val pslice = broadcast(Tables.part(s, d)
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_brand")))
+      val w = Window.partitionBy(col("ps_partkey"))
+      eur.join(pslice, col("ps_partkey") === col("p_partkey"))
+        .withColumn("min_cents", min(col("ps_cost_cents")).over(w))
+        .filter(col("ps_cost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"), col("p_brand"),
+          round(col("ps_cost_cents").cast("double") / 100.0, 2)
+            .as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // TPC-H Q11 (important stock identification): group-HAVING over a
+    // GLOBAL share — per-part EUROPE stock value vs 0.02% of the total.
+    // Exact-integer discipline end to end: value = cost_cents ×
+    // availqty (BIGINT), the share test cross-multiplied
+    // (part_value·5000 > total) so no float average/threshold ever
+    // materializes, and the 1-row total broadcast onto the per-part
+    // rollup (q362's cents-average pattern). Two scans of the staged
+    // surrogate, one shuffle on ps_partkey.
+    "q369_tpch_q11" -> ((s, d) => {
+      val eur = PartSupp.partsupp(s, d)
+        .join(broadcast(PartSupp.europeSuppliers(s, d)
+          .select(col("s_suppkey"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_cost_cents") * col("ps_availqty")).as("v"))
+      // |parts|-bounded rollup, priced once (localCheckpoint) so the
+      // global total folds over IT instead of re-running the join; the
+      // total is a single BIGINT — a driver scalar, not a joined table
+      val perPart = eur.groupBy(col("ps_partkey"))
+        .agg(sum(col("v")).as("pv")).localCheckpoint()
+      val tRow = perPart.agg(sum(col("pv"))).head()
+      val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+      perPart
+        .filter(col("pv") * 5000L > lit(t))
+        .select(col("ps_partkey"),
+          round(col("pv").cast("double") / 100.0, 2).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q20 (potential part promotion): the nested-IN chain —
+    // EUROPE suppliers holding excess stock (availqty > 4× the 1996
+    // shipped quantity) of 'small %' parts. The two inner INs are
+    // broadcast semi-joins (part slice, then supplier slice); the
+    // correlated 1996-quantity subquery decorrelates into one grouped
+    // rollup joined back on the (part, supp) grain — the inner join
+    // reproduces SQL's NULL-comparison exclusion (no 1996 shipments →
+    // no row → excluded), pinned by the oracle's literal nested-IN
+    // formulation.
+    "q370_tpch_q20" -> ((s, d) => {
+      val smallParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey")))
+      val qty96 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("qty96"))
+      val excess = PartSupp.partsupp(s, d)
+        .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(qty96, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(4L) * col("qty96"))
+        .select(col("ps_suppkey")).distinct()
+      broadcast(PartSupp.europeSuppliers(s, d))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q9 (product type profit): profit per (nation, order year)
+    // for 'gear' parts — the fact-fact-fact shape (lineitem ⋈ partsupp
+    // ⋈ orders) plus two broadcast dimension legs. Exact-integer
+    // profit in 1e-4-dollar units: revenue = ext_cents × (100 −
+    // disc_cents) and cost = cost_cents × qty × 100 are both BIGINT,
+    // so the subtraction is exact and order-free on both engines; one
+    // division settles the dollars at the end. The gear-part probe
+    // broadcasts so lineitem prunes FIRST; the partsupp join rides the
+    // pruned fact on its native (partkey, suppkey) grain.
+    "q371_tpch_q9" -> ((s, d) => {
+      val gearParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").contains("gear")).select(col("p_partkey")))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      Tables.lineitem(s, d)
+        .join(gearParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(PartSupp.partsupp(s, d),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"), col("o_year"),
+          (expr("cast(round(l_extendedprice * 100, 0) as bigint)") *
+            (lit(100L) - expr("cast(round(l_discount * 100, 0) as bigint)")) -
+            col("ps_cost_cents") * col("l_quantity").cast("long") * 100L)
+            .as("profit_e4"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("profit_e4")).as("p"))
+        .select(col("nation"), col("o_year"),
+          round(col("p").cast("double") / 10000.0, 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship): supplier-count
+    // distribution over a brand/type/size part slice, excluding
+    // flagged suppliers (no s_comment in the fixture — negative
+    // account balance stands in for the complaints filter). The
+    // NOT-IN is a broadcast anti-join; COUNT(DISTINCT) shuffles once
+    // on the group key with the distinct folded into the aggregate.
+    "q372_tpch_q16" -> ((s, d) => {
+      val pslice = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      val badSup = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      PartSupp.partsupp(s, d)
+        .join(pslice, col("ps_partkey") === col("p_partkey"))
+        .join(badSup, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).cast("int")
+          .as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
     })
   )
 
@@ -1674,6 +1823,105 @@ object ExtendedOps extends QueryModule {
         |  AND r.r_name = 'ASIA'
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // q368: the LITERAL correlated scalar min-subquery over the shared
+    // partsupp-surrogate CTE — cross-checks the window decorrelation
+    "q368_tpch_q2" ->
+      s"""WITH ${PartSupp.psSql},
+         |eur AS (
+         |  SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+         |  FROM ps, supplier s, nation n, region r
+         |  WHERE s.s_suppkey = ps.ps_suppkey
+         |    AND s.s_nationkey = n.n_nationkey
+         |    AND n.n_regionkey = r.r_regionkey
+         |    AND r.r_name = 'EUROPE')
+         |SELECT e.s_acctbal, e.s_name, e.n_name,
+         |  e.ps_partkey AS p_partkey, p.p_brand,
+         |  ROUND(CAST(e.ps_cost_cents AS DOUBLE) / 100.0, 2)
+         |    AS supplycost
+         |FROM eur e, part p
+         |WHERE p.p_partkey = e.ps_partkey
+         |  AND p.p_size <= 10 AND p.p_type = 'STANDARD'
+         |  AND e.ps_cost_cents = (SELECT MIN(e2.ps_cost_cents)
+         |                         FROM eur e2
+         |                         WHERE e2.ps_partkey = e.ps_partkey)
+         |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name,
+         |  p_partkey""".stripMargin,
+
+    // q369: same cross-multiplied integer share test
+    "q369_tpch_q11" ->
+      s"""WITH ${PartSupp.psSql},
+         |eur AS (
+         |  SELECT ps.ps_partkey,
+         |    ps.ps_cost_cents * ps.ps_availqty AS v
+         |  FROM ps, supplier s, nation n, region r
+         |  WHERE s.s_suppkey = ps.ps_suppkey
+         |    AND s.s_nationkey = n.n_nationkey
+         |    AND n.n_regionkey = r.r_regionkey
+         |    AND r.r_name = 'EUROPE'),
+         |tot AS (SELECT SUM(v) AS t FROM eur)
+         |SELECT g.ps_partkey,
+         |  ROUND(CAST(g.pv AS DOUBLE) / 100.0, 2) AS value
+         |FROM (SELECT ps_partkey, SUM(v) AS pv FROM eur GROUP BY 1) g,
+         |  tot
+         |WHERE g.pv * 5000 > tot.t
+         |ORDER BY value DESC, g.ps_partkey""".stripMargin,
+
+    // q370: the LITERAL nested-IN chain with the correlated 1996 sum
+    "q370_tpch_q20" ->
+      s"""WITH ${PartSupp.psSql}
+         |SELECT s.s_name, s.s_acctbal
+         |FROM supplier s, nation n, region r
+         |WHERE s.s_nationkey = n.n_nationkey
+         |  AND n.n_regionkey = r.r_regionkey
+         |  AND r.r_name = 'EUROPE'
+         |  AND s.s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |                         WHERE p_name LIKE 'small%')
+         |      AND ps_availqty > 4 * (
+         |        SELECT SUM(l_quantity) FROM lineitem
+         |        WHERE l_partkey = ps_partkey
+         |          AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+         |ORDER BY s.s_name""".stripMargin,
+
+    // q371: identical exact 1e-4-dollar integer profit
+    "q371_tpch_q9" ->
+      s"""WITH ${PartSupp.psSql}
+         |SELECT n.n_name AS nation,
+         |  CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         |  ROUND(CAST(SUM(
+         |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+         |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) -
+         |    ps.ps_cost_cents * CAST(l.l_quantity AS BIGINT) * 100
+         |  ) AS DOUBLE) / 10000.0, 2) AS sum_profit
+         |FROM lineitem l, ps, part p, supplier s, nation n, orders o
+         |WHERE ps.ps_partkey = l.l_partkey
+         |  AND ps.ps_suppkey = l.l_suppkey
+         |  AND p.p_partkey = l.l_partkey
+         |  AND s.s_suppkey = l.l_suppkey
+         |  AND n.n_nationkey = s.s_nationkey
+         |  AND o.o_orderkey = l.l_orderkey
+         |  AND p.p_name LIKE '%gear%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // q372: same slice + NOT-IN complaint exclusion
+    "q372_tpch_q16" ->
+      s"""WITH ${PartSupp.psSql}
+         |SELECT p.p_brand, p.p_type, p.p_size,
+         |  CAST(COUNT(DISTINCT ps.ps_suppkey) AS INT) AS supplier_cnt
+         |FROM ps, part p
+         |WHERE p.p_partkey = ps.ps_partkey
+         |  AND p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+         |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+         |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                            WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type,
+         |  p.p_size""".stripMargin,
 
     "q97_bag_setops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),

@@ -372,6 +372,32 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The staging price tag (round-14 verdict ask #3): Bench runs the
+    // registry alphabetically, so this q000 row runs FIRST and absorbs
+    // every content-addressed one-time build the similarity family
+    // shares — the df-sorted set table, both θ-pair tables, the LSH
+    // band/edge/component chain, and the partsupp surrogate — so each
+    // consumer's bench row measures pure query cost instead of
+    // whichever consumer happened to run first eating the build. The
+    // emitted row counts are real correctness surface: the oracle
+    // recomputes every staged table relationally, so a staging bug
+    // (lost rows, wrong θ filter, mis-grained surrogate) hash-fails
+    // here even if a consumer masks it. At 100 TB these ARE the
+    // pipeline's persisted intermediate tables; this row is their
+    // derivation job.
+    "q000_staging" -> ((s, d) => {
+      val counts = Seq(
+        "bands" -> bandsStaged(s, d).count(),
+        "comp" -> componentsStaged(s, d).count(),
+        "edges" -> edgesStaged(s, d).count(),
+        "pairs07" -> prefixJaccardPairs(s, d, "0.7").count(),
+        "pairs09" -> prefixJaccardPairs(s, d, "0.9").count(),
+        "partsupp" -> graft.operators.PartSupp.partsupp(s, d).count(),
+        "srt" -> dfSortedSetsStaged(s, d).count())
+      import s.implicits._
+      counts.toDF("tbl", "n_rows").orderBy(col("tbl"))
+    }),
+
     // Exact dedup: md5 content hash → cluster size per doc (hash
     // groupBy; the all-distinct fixture yields size-1 clusters, which
     // the oracle equally asserts).
@@ -1775,6 +1801,45 @@ object Dedup extends QueryModule {
        |    JOIN srt y ON y.doc_id = c.db)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q000: every staged table's row count recomputed relationally —
+    // the pair counts from the θ=0.7 verified-candidate chain (its
+    // candidates are a superset of θ=0.9's, and the verified jac is
+    // exact, so one chain prices both θ filters); bands/edges from the
+    // LSH chain in an isolated sub-WITH (its CTE names overlap the
+    // prefix chain's); comp is one label per doc by construction.
+    "q000_staging" -> {
+      val lshSub =
+        s"""WITH ${sigSqlCtes("")},
+           |bands AS (
+           |  $bandSelectsSql),
+           |edges AS (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.bsig = b.bsig
+           |      AND a.doc_id < b.doc_id)""".stripMargin
+      s"""${prefixPairSqlCtes("0.7")},
+         |${graft.operators.PartSupp.psSql.replaceFirst("ps AS", "pstab AS")}
+         |SELECT tbl, n_rows FROM (
+         |  SELECT 'bands' AS tbl, CAST((
+         |    $lshSub SELECT COUNT(*) FROM bands) AS BIGINT) AS n_rows
+         |  UNION ALL
+         |  SELECT 'comp', (SELECT COUNT(*) FROM documents)
+         |  UNION ALL
+         |  SELECT 'edges', CAST((
+         |    $lshSub SELECT COUNT(*) FROM edges) AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'pairs07',
+         |    (SELECT COUNT(*) FROM v WHERE jac >= 0.7)
+         |  UNION ALL
+         |  SELECT 'pairs09',
+         |    (SELECT COUNT(*) FROM v WHERE jac >= 0.9)
+         |  UNION ALL
+         |  SELECT 'partsupp', (SELECT COUNT(*) FROM pstab)
+         |  UNION ALL
+         |  SELECT 'srt', (SELECT COUNT(*) FROM srt)) z
+         |ORDER BY tbl""".stripMargin
+    },
+
     // Same winnowing rule end to end. The RollingHash polynomial
     // (h = h*257 + byte, mod 2^61-1) is restated in closed form:
     // hash = SUM(code_j * 257^(L-1-j)) mod M, with the power table

@@ -113,6 +113,11 @@ class PlanBudgetSpec extends SparkSpec {
     // q364 stages the same snapshot history then aggregates three
     // change-feed reads (SnapshotSpec audits feed ≡ snapshot diff)
     "q364_snapshot_changefeed",
+    // q000 is action-style by design: it RUNS every content-addressed
+    // staging build (sim-join sets/pairs, LSH chain, partsupp) and
+    // returns a 7-row count table; the staged builders' plans are
+    // audited by DedupPlanSpec where they're consumed
+    "q000_staging",
     // q205/q211 are action-style: q205 runs the label-propagation
     // loop (localCheckpoint rounds) and q211 its persisted-tokenize
     // pipeline while BUILDING the frame; both return materialized

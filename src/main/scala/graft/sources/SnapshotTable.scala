@@ -4,8 +4,9 @@ import java.nio.file.{Files, Path}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Minimal snapshot/time-travel table format — the Delta/Iceberg
   * SHAPE (manifest-driven copy-on-write with versioned reads) with no
@@ -13,16 +14,13 @@ import org.apache.spark.sql.functions._
   * "no table-format snapshot/time-travel source" note. The property a
   * training pipeline actually needs from a table format is dataset
   * REPRODUCIBILITY: "training run R consumed corpus v7" must stay
-  * re-readable verbatim after any number of later refreshes; this
-  * layer provides exactly that, at the fixture's ceiling (no
-  * concurrent writers — commits are single-writer sequential, like a
-  * driver-side pipeline step).
+  * re-readable verbatim after any number of later refreshes.
   *
   * Layout under a table directory:
   * {{{
-  *   data/v<version>/__b=<bucket>/       — bucket data dirs (COW)
-  *   manifest/                           — append-only parquet log of
-  *                                         (version, path, action)
+  *   data/v<version>[-<nonce>]/__b=<bucket>/  — bucket data dirs (COW)
+  *   manifest/v<version>.parquet              — ONE file per commit:
+  *                                              (version, path, action)
   * }}}
   *
   *  - `init` hash-buckets the rows by key (`pmod(key, NumBuckets)` —
@@ -36,47 +34,122 @@ import org.apache.spark.sql.functions._
   *    key space rewrites ~1% of the data — the copy-on-write scaling
   *    property; untouched buckets are REUSED by reference
   *    (SnapshotSpec pins this).
+  *  - **Concurrent writers (round 14)**: a commit is the ATOMIC
+  *    creation of `manifest/v<N>.parquet` — data files are prepared
+  *    first (invisible until published), then the single manifest
+  *    file is published with an atomic put-if-absent (link(2) —
+  *    rename would silently overwrite); exactly one of two
+  *    racing writers wins version N. The loser runs optimistic
+  *    conflict detection: if the winner's commit touched any of the
+  *    loser's buckets, the loser's merge was computed on stale data →
+  *    [[java.util.ConcurrentModificationException]] (caller re-runs
+  *    the merge); disjoint buckets → recompute against the new base
+  *    and retry at N+1 — serializable optimistic concurrency, the
+  *    Delta protocol's shape. Orphaned data dirs from lost races are
+  *    garbage (never referenced by any manifest), exactly Delta's
+  *    uncommitted-file debris, removable by a vacuum pass.
+  *  - **Schema evolution (round 14)**: `merge` aligns old and new
+  *    schemas by name (new columns backfill NULL for pre-evolution
+  *    rows, absent columns backfill NULL for the updates), and every
+  *    read (`readAsOf`, `changesBetween`) merges footers across
+  *    commit generations, so a version that predates a column simply
+  *    lacks it and a post-evolution read sees NULLs — the
+  *    mergeSchema/Delta-evolution contract.
   *  - `readAsOf(v)` scans `add ≤ v` dirs minus `remove ≤ v` dirs —
   *    a manifest filter, never a data pass; every historical version
   *    stays readable because COW never mutates a committed file.
   *
   * At 100 TB the manifest is thousands of rows (file-level metadata,
   * driver-trivial), buckets become partition directories, and the
-  * single-writer commit becomes an atomic manifest-swap — same shape,
-  * different durability plumbing.
+  * atomic manifest link becomes the object store's conditional PUT
+  * (If-None-Match) — same protocol, different durability primitive.
   */
 object SnapshotTable {
 
   val NumBuckets = 8
 
+  /** Test seam: invoked after a merge attempt has PREPARED its data
+    * files and immediately before its commit attempt — SnapshotSpec
+    * injects a competing commit here to exercise both lost-race
+    * branches (disjoint → retry, overlapping → conflict)
+    * deterministically instead of via thread-timing luck. No-op in
+    * production.
+    */
+  private[sources] var onBeforeCommit: () => Unit = () => ()
+
   private def dataDir(t: Path) = t.resolve("data")
-  private def manifestDir(t: Path) = t.resolve("manifest").toString
+  private def manifestDir(t: Path) = t.resolve("manifest")
 
   private def bucketOf(key: String) = pmod(col(key), lit(NumBuckets))
 
-  private def writeManifest(s: SparkSession, t: Path,
-      rows: Seq[(Int, String, String)]): Unit = {
+  /** Publish `rows` as the single commit file of `version`. The write
+    * goes to a scratch dir first; the finished part file is then
+    * atomically linked as `manifest/v<version>.parquet` — the link
+    * either installs the commit or fails because a racing writer
+    * already owns the version. Returns false on a lost race.
+    */
+  private def commitManifest(s: SparkSession, t: Path, version: Int,
+      rows: Seq[(Int, String, String)]): Boolean = {
     import s.implicits._
-    rows.toDF("version", "path", "action")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(manifestDir(t))
+    Files.createDirectories(manifestDir(t))
+    val tmp = Files.createTempDirectory(t, "commit_tmp_")
+    try {
+      val out = tmp.resolve("m")
+      rows.toDF("version", "path", "action")
+        .coalesce(1).write.parquet(out.toString)
+      val listing = Files.list(out)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("manifest part file missing"))
+        finally listing.close()
+      val target = manifestDir(t).resolve(f"v$version%05d.parquet")
+      try {
+        // createLink, NOT move: POSIX rename() silently OVERWRITES an
+        // existing target (ATOMIC_MOVE maps to rename and does not
+        // fail on collision), but link(2) is atomic AND fails with
+        // EEXIST — the put-if-absent this protocol needs. The object
+        // store analogue is a conditional PUT (If-None-Match).
+        Files.createLink(target, part)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // some filesystems report the collision as a generic error
+        case _: java.nio.file.FileSystemException
+          if Files.exists(target) => false
+      }
+    } finally graft.Scratch.deleteTree(tmp)
   }
 
-  /** Manifest as (version, path, action) rows. */
+  /** Manifest as (version, path, action) rows across all commits. */
   def manifest(s: SparkSession, t: Path): DataFrame =
-    s.read.parquet(manifestDir(t))
+    s.read.parquet(manifestDir(t).toString)
 
-  /** Current (largest committed) version. */
-  def currentVersion(s: SparkSession, t: Path): Int =
-    manifest(s, t).agg(max(col("version"))).head().getInt(0)
+  /** Current (largest committed) version — from the commit FILE NAMES,
+    * not a data read: the listing is the same source of truth the
+    * atomic move installs into, so a half-prepared commit (data
+    * written, manifest not yet moved) is invisible here too.
+    */
+  def currentVersion(s: SparkSession, t: Path): Int = {
+    val listing = Files.list(manifestDir(t))
+    try {
+      val vs = listing.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".parquet") =>
+          n.stripPrefix("v").stripSuffix(".parquet").toInt }
+        .toSeq
+      require(vs.nonEmpty, s"no commits under ${manifestDir(t)}")
+      vs.max
+    } finally listing.close()
+  }
 
-  /** Write `df` bucket-partitioned under data/v<version>/ in ONE job
+  /** Write `df` bucket-partitioned under data/<dirName>/ in ONE job
     * and return the (version, dir, "add") manifest rows for the bucket
     * dirs that actually materialized (an empty bucket writes no dir
     * and must not enter the manifest).
     */
   private def writeBuckets(s: SparkSession, t: Path, df: DataFrame,
-      key: String, version: Int): Seq[(Int, String, String)] = {
-    val out = dataDir(t).resolve(s"v$version")
+      key: String, version: Int, dirName: String): Seq[(Int, String, String)] = {
+    val out = dataDir(t).resolve(dirName)
     df.withColumn("__b", bucketOf(key))
       .write.partitionBy("__b").parquet(out.toString)
     val dirs = Files.list(out)
@@ -93,37 +166,102 @@ object SnapshotTable {
   /** Create the table at version 0 from `df`, bucketed by `key`. */
   def init(s: SparkSession, t: Path, df: DataFrame, key: String): Unit = {
     Files.createDirectories(dataDir(t))
-    writeManifest(s, t, writeBuckets(s, t, df, key, 0))
+    val committed = commitManifest(s, t, 0,
+      writeBuckets(s, t, df, key, 0, "v0"))
+    require(committed, s"table at $t already initialized")
+  }
+
+  /** Align `df` to the NAME-UNION of `df` and `target`: columns absent
+    * from `df` backfill NULL at the target's type (schema evolution's
+    * read-side contract applied at write time, so every bucket file of
+    * a commit generation carries the full evolved schema).
+    */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val widened = target.fields.filterNot(f => have(f.name)).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    widened
   }
 
   /** Upsert `updates` by `key` (replace matching keys, insert new
-    * ones), committing a new version. Only buckets that hold at least
-    * one update key are rewritten. Returns the new version number.
+    * ones), committing a new version; returns the version number.
+    *
+    * Concurrency: optimistic. The merge is computed against the
+    * current snapshot, data files are prepared invisibly, and the
+    * commit is one atomic manifest-file move. A lost race against a
+    * writer that touched DISJOINT buckets recomputes against the new
+    * base and retries (bounded by `maxRetries`); a lost race against
+    * an OVERLAPPING writer throws ConcurrentModificationException —
+    * the computed replacement rows are stale and the caller must
+    * re-issue the merge.
+    *
+    * Schema evolution: `updates` may carry columns the table lacks
+    * (they backfill NULL for pre-existing rows of the rewritten
+    * buckets; untouched buckets evolve lazily at read time) and may
+    * omit columns the table has (NULL for the new rows).
     */
   def merge(s: SparkSession, t: Path, updates: DataFrame,
-      key: String): Int = {
-    val v = currentVersion(s, t) + 1
-    // ≤ NumBuckets values — a bounded collect by construction
-    val touched = updates.select(bucketOf(key).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val live = liveFiles(s, t, v - 1)
-    val oldTouched = live.filter(p => touched(bucketOfPath(p)))
-    // one job for the whole wave: read every touched bucket, anti-join
-    // the update keys (MERGE's replace), union the updates, rewrite
-    // bucket-partitioned. Rows never leave their bucket (the key is
-    // unchanged), so the output dirs are exactly the touched buckets.
-    // An insert-only batch whose keys all land in buckets with no live
-    // files (e.g. a bucket empty since init) has oldTouched empty —
-    // parquet() on zero paths throws, so the updates commit directly.
-    val merged =
-      if (oldTouched.isEmpty) updates
-      else s.read.parquet(oldTouched: _*)
-        .join(updates.select(col(key)), Seq(key), "left_anti")
-        .unionByName(updates)
-    val adds = writeBuckets(s, t, merged, key, v)
-    writeManifest(s, t,
-      oldTouched.map(p => (v, p, "remove")) ++ adds)
-    v
+      key: String, maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(s, t)
+      val v = base + 1
+      // ≤ NumBuckets values — a bounded collect by construction
+      val touched = updates.select(bucketOf(key).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val live = liveFiles(s, t, base)
+      val oldTouched = live.filter(p => touched(bucketOfPath(p)))
+      // one job for the whole wave: read every touched bucket, anti-join
+      // the update keys (MERGE's replace), union the updates, rewrite
+      // bucket-partitioned. Rows never leave their bucket (the key is
+      // unchanged), so the output dirs are exactly the touched buckets.
+      // An insert-only batch whose keys all land in buckets with no live
+      // files (e.g. a bucket empty since init) has oldTouched empty —
+      // parquet() on zero paths throws, so the updates commit directly.
+      val merged =
+        if (oldTouched.isEmpty) updates
+        else {
+          val old = s.read.option("mergeSchema", "true")
+            .parquet(oldTouched: _*)
+          val union = StructType((old.schema.fields ++
+            updates.schema.fields.filterNot(f =>
+              old.columns.contains(f.name))).toSeq)
+          alignTo(old, union)
+            .join(updates.select(col(key)), Seq(key), "left_anti")
+            .unionByName(alignTo(updates, union))
+        }
+      // data dirs are PREPARED before the commit and invisible until
+      // the manifest move lands; a nonce suffix dodges dir collisions
+      // with a racing writer preparing the same version (the manifest
+      // stores full paths, so readers never parse the dir name)
+      val dirName =
+        if (!Files.exists(dataDir(t).resolve(s"v$v"))) s"v$v"
+        else s"v$v-r$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+      val adds = writeBuckets(s, t, merged, key, v, dirName)
+      onBeforeCommit()
+      if (commitManifest(s, t, v,
+          oldTouched.map(p => (v, p, "remove")) ++ adds))
+        return v
+      // lost the race for v: conflict iff the winner touched any of
+      // our buckets — then our merged rows were computed on stale data
+      val winnerBuckets = {
+        val m = manifest(s, t).filter(col("version") === v)
+          .select(col("path")).collect().map(r => bucketOfPath(r.getString(0)))
+        m.toSet
+      }
+      if (winnerBuckets.intersect(touched).nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge lost version $v to a commit over the same buckets " +
+            s"(${winnerBuckets.intersect(touched).toSeq.sorted.mkString(",")})" +
+            " — re-issue the merge against the new snapshot")
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"merge gave up after $maxRetries disjoint-commit retries")
+      // disjoint writer won v: recompute against the new base (our
+      // prepared dir is unreferenced garbage) and try v+1
+    }
+    -1 // unreachable
   }
 
   /** Paths visible at `version`: adds ≤ v minus removes ≤ v. */
@@ -137,9 +275,13 @@ object SnapshotTable {
     m.sorted
   }
 
-  /** Time-travel read: the table exactly as committed at `version`. */
+  /** Time-travel read: the table exactly as committed at `version`.
+    * Footer-merging across commit generations: buckets written before
+    * a schema evolution lack the later columns and read as NULL.
+    */
   def readAsOf(s: SparkSession, t: Path, version: Int): DataFrame =
-    s.read.parquet(liveFiles(s, t, version): _*)
+    s.read.option("mergeSchema", "true")
+      .parquet(liveFiles(s, t, version): _*)
 
   /** Incremental change feed (the Delta `readChangeFeed` analogue):
     * every row-level change between the committed states at `fromV`
@@ -156,8 +298,11 @@ object SnapshotTable {
     * insert, old-only → delete, both-with-different-payload → an
     * update_preimage/update_postimage pair; a key whose payload is
     * byte-identical (merely COW-copied by an upsert that didn't match
-    * it) emits nothing. At 100 TB the dir diff is driver-trivial
-    * manifest metadata and the join shuffles only rewritten buckets.
+    * it) emits nothing. Under schema evolution both sides align to
+    * the column-name union (pre-evolution rows read NULL), so adding
+    * a column surfaces as update pairs only where a value actually
+    * appeared. At 100 TB the dir diff is driver-trivial manifest
+    * metadata and the join shuffles only rewritten buckets.
     */
   def changesBetween(s: SparkSession, t: Path, fromV: Int, toV: Int,
       key: String): DataFrame = {
@@ -166,18 +311,21 @@ object SnapshotTable {
     val liveTo = liveFiles(s, t, toV).toSet
     val oldDirs = (liveFrom -- liveTo).toSeq.sorted
     val newDirs = (liveTo -- liveFrom).toSeq.sorted
-    // schema is fixed for the table's lifetime (documented ceiling),
-    // so any live dir yields the column set
-    val anyDir = (liveTo ++ liveFrom).head
-    val cols = s.read.parquet(anyDir).columns.toSeq
+    def rd(dirs: Seq[String]) =
+      s.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // column set = the name-union across every involved dir (one
+    // merged-footer read; schema evolution makes the sides differ)
+    val allDirs = (liveTo ++ liveFrom).toSeq.sorted
+    val cols = rd(allDirs).columns.toSeq
+    val unionSchema = rd(allDirs).schema
     val payload = cols.filterNot(_ == key)
-    def emptyChanges = s.read.parquet(anyDir).limit(0)
+    def emptyChanges = rd(allDirs).limit(0)
       .select(cols.map(col): _*)
       .withColumn("_change_type", lit(""))
     if (oldDirs.isEmpty && newDirs.isEmpty) return emptyChanges
     def packed(dirs: Seq[String], as: String): Option[DataFrame] =
       if (dirs.isEmpty) None
-      else Some(s.read.parquet(dirs: _*)
+      else Some(alignTo(rd(dirs), unionSchema)
         .select(col(key), struct(payload.map(col): _*).as(as)))
     def unpack(df: DataFrame, side: String, tag: String): DataFrame =
       df.select((col(key) +:
@@ -185,10 +333,10 @@ object SnapshotTable {
         lit(tag).as("_change_type")): _*)
     (packed(oldDirs, "__old"), packed(newDirs, "__new")) match {
       case (None, Some(_)) =>
-        s.read.parquet(newDirs: _*).select(cols.map(col): _*)
+        alignTo(rd(newDirs), unionSchema).select(cols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
       case (Some(_), None) =>
-        s.read.parquet(oldDirs: _*).select(cols.map(col): _*)
+        alignTo(rd(oldDirs), unionSchema).select(cols.map(col): _*)
           .withColumn("_change_type", lit("delete"))
       case (Some(o), Some(n)) =>
         val j = o.join(n, Seq(key), "full_outer")

@@ -145,6 +145,111 @@ class SnapshotSpec extends SparkSpec {
     } finally graft.Scratch.deleteTree(t)
   }
 
+  test("optimistic concurrency: a lost race over DISJOINT buckets " +
+    "retries and both commits land; an OVERLAPPING race throws") {
+    // Deterministic interleave via the onBeforeCommit seam: writer A
+    // prepares its data, then writer B commits first. Disjoint case —
+    // A targets bucket 0 (key 0), B bucket 3 (key 3): A loses v1,
+    // detects no bucket overlap, recomputes at the new base, commits
+    // v2; the final state carries BOTH upserts and every version is
+    // readable. Overlapping case — both target bucket 0: the loser's
+    // replacement rows were computed on stale data, so merge throws
+    // ConcurrentModificationException instead of silently dropping
+    // the winner's write (lost-update anomaly).
+    val (t, _) = freshTable()
+    try {
+      var fired = false
+      SnapshotTable.onBeforeCommit = () => if (!fired) {
+        fired = true
+        SnapshotTable.merge(spark, t,
+          Seq((3L, "B wins three", 333L)).toDF("id", "text", "score"), "id")
+      }
+      val vA = try SnapshotTable.merge(spark, t,
+        Seq((0L, "A zero", 100L)).toDF("id", "text", "score"), "id")
+      finally SnapshotTable.onBeforeCommit = () => ()
+      assert(vA == 2, s"loser should retry and commit v2, got v$vA")
+      val v2 = SnapshotTable.readAsOf(spark, t, 2)
+      assert(v2.filter(col("id") === 0).select("text").head().getString(0)
+        == "A zero")
+      assert(v2.filter(col("id") === 3).select("text").head().getString(0)
+        == "B wins three")
+      assert(v2.count() == 64)
+      // v1 = B's state alone, still readable
+      val v1 = SnapshotTable.readAsOf(spark, t, 1)
+      assert(v1.filter(col("id") === 3).select("text").head().getString(0)
+        == "B wins three")
+      assert(v1.filter(col("id") === 0).select("text").head().getString(0)
+        == "text number 0")
+
+      // overlapping race: both writers touch bucket 0
+      fired = false
+      SnapshotTable.onBeforeCommit = () => if (!fired) {
+        fired = true
+        SnapshotTable.merge(spark, t,
+          Seq((8L, "B wins eight", 888L)).toDF("id", "text", "score"), "id")
+      }
+      try {
+        intercept[java.util.ConcurrentModificationException] {
+          SnapshotTable.merge(spark, t,
+            Seq((0L, "A again", 1L)).toDF("id", "text", "score"), "id")
+        }
+      } finally SnapshotTable.onBeforeCommit = () => ()
+      // the winner's commit is intact; the loser changed nothing
+      val v3 = SnapshotTable.readAsOf(spark, t,
+        SnapshotTable.currentVersion(spark, t))
+      assert(v3.filter(col("id") === 8).select("text").head().getString(0)
+        == "B wins eight")
+      assert(v3.filter(col("id") === 0).select("text").head().getString(0)
+        == "A zero", "loser's stale write must not land")
+    } finally {
+      SnapshotTable.onBeforeCommit = () => ()
+      graft.Scratch.deleteTree(t)
+    }
+  }
+
+  test("schema evolution: a merge may add columns (old rows read NULL " +
+    "at every version boundary) and omit columns (new rows read NULL)") {
+    val (t, _) = freshTable()
+    try {
+      // v1 adds a `lang` column the table never had
+      val v1 = SnapshotTable.merge(spark, t,
+        Seq((0L, "zero v1", 5L, "en"), (100L, "hundred", 6L, "de"))
+          .toDF("id", "text", "score", "lang"), "id")
+      assert(v1 == 1)
+      val r1 = SnapshotTable.readAsOf(spark, t, 1)
+      assert(r1.columns.toSet == Set("id", "text", "score", "lang"))
+      assert(r1.filter(col("id") === 0).select("lang").head().getString(0)
+        == "en")
+      // pre-evolution rows (untouched bucket AND cow-copied neighbors)
+      // read NULL for the new column
+      assert(r1.filter(col("lang").isNull).count() == 63)
+      // v0 predates the column entirely
+      assert(!SnapshotTable.readAsOf(spark, t, 0).columns.contains("lang"))
+      // v2 omits `lang` (and `score`): absent columns backfill NULL
+      // for the new row, everything else keeps its value
+      SnapshotTable.merge(spark, t,
+        Seq((200L, "two hundred")).toDF("id", "text"), "id")
+      val r2 = SnapshotTable.readAsOf(spark, t, 2)
+      assert(r2.count() == 66)
+      val row200 = r2.filter(col("id") === 200).head()
+      assert(row200.getString(r2.columns.indexOf("text")) == "two hundred")
+      assert(row200.isNullAt(r2.columns.indexOf("score")))
+      assert(row200.isNullAt(r2.columns.indexOf("lang")))
+      assert(r2.filter(col("id") === 0).select("lang").head().getString(0)
+        == "en")
+      // the change feed aligns both sides to the union schema: the v1
+      // evolution surfaces as an update pair on key 0 whose preimage
+      // lang is NULL and postimage is 'en'
+      val ch = SnapshotTable.changesBetween(spark, t, 0, 1, "id")
+      val pre = ch.filter(col("_change_type") === "update_preimage" &&
+        col("id") === 0).head()
+      val post = ch.filter(col("_change_type") === "update_postimage" &&
+        col("id") === 0).head()
+      assert(pre.isNullAt(ch.columns.indexOf("lang")))
+      assert(post.getString(ch.columns.indexOf("lang")) == "en")
+    } finally graft.Scratch.deleteTree(t)
+  }
+
   test("historical versions are immutable under later commits, and " +
     "upsert semantics are exact per key") {
     val (t, df) = freshTable()

@@ -304,6 +304,47 @@ object SnapshotTable {
     * appeared. At 100 TB the dir diff is driver-trivial manifest
     * metadata and the join shuffles only rewritten buckets.
     */
+  /** Garbage-collect data the manifest no longer (or never) references:
+    * orphaned bucket dirs from lost commit races, and — when
+    * `retainFrom > 0` — bucket dirs visible ONLY at versions older
+    * than `retainFrom` (time-travel reads below the horizon stop
+    * working, exactly Delta's VACUUM contract; the manifest itself is
+    * kept as history metadata). Returns the deleted dir paths.
+    *
+    * Safety: a dir is deletable iff it is not live at ANY retained
+    * version v ≥ retainFrom — computed from the manifest alone, so a
+    * concurrent reader of a retained version never loses a file; a
+    * concurrent WRITER's prepared-but-uncommitted dirs are protected
+    * by the `commit_tmp_`/recency guard only in real deployments
+    * (object-store vacuum uses an age threshold); here the caller
+    * coordinates vacuum with writers, which SnapshotSpec documents.
+    */
+  def vacuum(s: SparkSession, t: Path, retainFrom: Int = 0): Seq[String] = {
+    val cur = currentVersion(s, t)
+    require(retainFrom <= cur, s"retainFrom $retainFrom > current $cur")
+    val keep: Set[String] = (retainFrom to cur)
+      .flatMap(v => liveFiles(s, t, v)).toSet
+    val listing = Files.list(dataDir(t))
+    val victims =
+      try listing.iterator().asScala.flatMap { gen =>
+        val sub = Files.list(gen)
+        try sub.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("__b="))
+          .map(_.toString).filterNot(keep).toList
+        finally sub.close()
+      }.toList.sorted
+      finally listing.close()
+    victims.foreach(p => graft.Scratch.deleteTree(java.nio.file.Paths.get(p)))
+    // drop now-empty generation dirs
+    val gens = Files.list(dataDir(t))
+    try gens.iterator().asScala.toList.foreach { gen =>
+      val sub = Files.list(gen)
+      val empty = try !sub.iterator().hasNext finally sub.close()
+      if (empty) Files.delete(gen)
+    } finally gens.close()
+    victims
+  }
+
   def changesBetween(s: SparkSession, t: Path, fromV: Int, toV: Int,
       key: String): DataFrame = {
     require(fromV <= toV, s"changesBetween($fromV, $toV): from > to")

@@ -207,6 +207,53 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: lost-race orphan dirs are collected, retained versions " +
+    "keep every file, and a retention horizon frees pre-horizon COW") {
+    val (t, _) = freshTable()
+    try {
+      // manufacture an orphan: a lost disjoint race leaves writer A's
+      // first prepared dir unreferenced
+      var fired = false
+      SnapshotTable.onBeforeCommit = () => if (!fired) {
+        fired = true
+        SnapshotTable.merge(spark, t,
+          Seq((3L, "racer", 3L)).toDF("id", "text", "score"), "id")
+      }
+      try SnapshotTable.merge(spark, t,
+        Seq((0L, "zero v2", 9L)).toDF("id", "text", "score"), "id")
+      finally SnapshotTable.onBeforeCommit = () => ()
+      assert(SnapshotTable.currentVersion(spark, t) == 2)
+      val before = SnapshotTable.readAsOf(spark, t, 2).collect()
+        .map(_.toSeq).toSet
+      // full-history vacuum: only the orphan goes; every version of
+      // the manifest stays readable afterwards
+      val gone = SnapshotTable.vacuum(spark, t)
+      assert(gone.nonEmpty, "expected the lost race's orphan dir")
+      val manifestPaths = SnapshotTable.manifest(spark, t)
+        .select("path").collect().map(_.getString(0)).toSet
+      assert(gone.forall(p => !manifestPaths.contains(p)),
+        "vacuum deleted a manifest-referenced dir")
+      for (v <- 0 to 2) SnapshotTable.readAsOf(spark, t, v).count()
+      assert(SnapshotTable.readAsOf(spark, t, 2).collect()
+        .map(_.toSeq).toSet == before)
+      // retention horizon 2: v0's superseded bucket-0/bucket-3 states
+      // are freed; v2 still reads exactly as before
+      val expired = SnapshotTable.vacuum(spark, t, retainFrom = 2)
+      assert(expired.nonEmpty, "expected pre-horizon COW dirs to free")
+      assert(SnapshotTable.readAsOf(spark, t, 2).collect()
+        .map(_.toSeq).toSet == before)
+      // and the freed dirs are exactly the ones live only below the
+      // horizon — reading v0 now fails (contract: time travel below
+      // the retention horizon is gone)
+      intercept[Exception] {
+        SnapshotTable.readAsOf(spark, t, 0).count()
+      }
+    } finally {
+      SnapshotTable.onBeforeCommit = () => ()
+      graft.Scratch.deleteTree(t)
+    }
+  }
+
   test("schema evolution: a merge may add columns (old rows read NULL " +
     "at every version boundary) and omit columns (new rows read NULL)") {
     val (t, _) = freshTable()

@@ -68,7 +68,12 @@ object PlanPinSpec {
     // discipline (dimension legs NEVER sort-merge; the only SMJ-class
     // work is fact⋈fact, and at sf0.001 even those broadcast)
     "q358_tpch_q7" -> Fp(exch = 7, bhj = 5, smj = 0, shj = 0, bnlj = 0, wsc = 8),
-    "q359_tpch_q8" -> Fp(exch = 9, bhj = 7, smj = 0, shj = 0, bnlj = 0, wsc = 10))
+    "q359_tpch_q8" -> Fp(exch = 9, bhj = 7, smj = 0, shj = 0, bnlj = 0, wsc = 10),
+    // round-14 TPC-H: Q21's chained-EXISTS collapse (the anti-join
+    // shape must never degrade to BNLJ — round-13 verdict #4's pin)
+    // and Q9's triple-fact profit join over the partsupp surrogate
+    "q367_tpch_q21" -> Fp(exch = 8, bhj = 4, smj = 0, shj = 0, bnlj = 0, wsc = 8),
+    "q371_tpch_q9" -> Fp(exch = 7, bhj = 5, smj = 0, shj = 0, bnlj = 0, wsc = 8))
   /** q358's bilateral-trade population is EMPTY at sf0.001 (AQE
     * propagates the empty relation and erases the codegen spans), so
     * its pin runs at sf0.01 where the plan is the real 3-fact shape.
@@ -81,7 +86,8 @@ object PlanPinSpec {
     "q148_trigram_langid", "q188_winnow_dedup", "q169_profile_report",
     "q187_bpe_tokenize", "q176_recursive_cte", "q52_salted_join",
     "q43_ann_lsh", "q163_token_budget_select", "q197_ann_pq",
-    "q198_kmv_overlap", "q358_tpch_q7", "q359_tpch_q8")
+    "q198_kmv_overlap", "q358_tpch_q7", "q359_tpch_q8",
+    "q367_tpch_q21", "q371_tpch_q9")
 }
 
 class PlanPinSpec extends SparkSpec {

@@ -304,6 +304,43 @@ object SnapshotTable {
     * appeared. At 100 TB the dir diff is driver-trivial manifest
     * metadata and the join shuffles only rewritten buckets.
     */
+  /** Compact the CURRENT version's buckets: every live bucket dir is
+    * rewritten as a SINGLE file (one shuffle task per bucket via
+    * `repartition(__b)`), committed as a new version whose logical
+    * content is bit-identical — the Delta OPTIMIZE analogue. COW
+    * keeps every historical version readable; [[vacuum]] with a
+    * post-compaction horizon then frees the fragmented generation.
+    * Small files are the #1 operational tax of a continuously-merged
+    * table at 100 TB (every merge wave writes shuffle.partitions-many
+    * part files per touched bucket; scan cost grows with file count,
+    * not data size) — q345 PLANS this job from footer stats; compact
+    * EXECUTES it. Returns the new version.
+    */
+  def compact(s: SparkSession, t: Path, key: String): Int = {
+    val base = currentVersion(s, t)
+    val v = base + 1
+    val live = liveFiles(s, t, base)
+    val all = s.read.option("mergeSchema", "true").parquet(live: _*)
+    val out = dataDir(t).resolve(s"v$v")
+    // repartition BY the bucket id: one task per bucket → one file per
+    // bucket dir; partitionBy routes rows to their dirs with no second
+    // shuffle (same key, Catalyst reuses the partitioning)
+    all.withColumn("__b", bucketOf(key))
+      .repartition(NumBuckets, col("__b"))
+      .write.partitionBy("__b").parquet(out.toString)
+    val dirs = Files.list(out)
+    val adds =
+      try dirs.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__b="))
+        .map(p => (v, p.toString, "add")).toSeq.sortBy(_._2)
+      finally dirs.close()
+    val committed = commitManifest(s, t, v,
+      live.map(p => (v, p, "remove")) ++ adds)
+    if (!committed) throw new java.util.ConcurrentModificationException(
+      s"compact lost version $v to a concurrent commit — re-issue")
+    v
+  }
+
   /** Garbage-collect data the manifest no longer (or never) references:
     * orphaned bucket dirs from lost commit races, and — when
     * `retainFrom > 0` — bucket dirs visible ONLY at versions older

@@ -388,6 +388,48 @@ object SourceQueries extends QueryModule {
       } finally Scratch.deleteTree(t)
     }),
 
+    // Compaction EXECUTION over the snapshot table (the Delta
+    // OPTIMIZE analogue; q345 is the PLANNER): init fragments every
+    // bucket across shuffle.partitions-many part files, a merge wave
+    // fragments the touched buckets further, then
+    // [[SnapshotTable.compact]] rewrites the current version one file
+    // per bucket as a NEW commit. The oracle pins the operation's
+    // defining property — the compacted version is logically
+    // BIT-IDENTICAL to its predecessor (v2 row ≡ v1 row) while v0
+    // history stays intact; the physical file-count collapse is
+    // pinned by SnapshotSpec (1 file per bucket post-compact).
+    "q373_snapshot_compact" -> ((s, d) => {
+      import graft.llm.TextAnalysis.md5Int
+      val t = Scratch.dir("q373_compact_")
+      try {
+        val docs = Tables.documents(s, d)
+        SnapshotTable.init(s, t, docs, "doc_id")
+        val upd1 = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+          .withColumn("n_chars", col("n_chars") + 7)
+        val ins1 = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"),
+            col("lang"), lit("refresh").as("source"),
+            (col("n_chars") + 6).as("n_chars"))
+        SnapshotTable.merge(s, t, upd1.unionByName(ins1), "doc_id")
+        SnapshotTable.compact(s, t, "doc_id")
+        val stats = (0 to 2).map { v =>
+          SnapshotTable.readAsOf(s, t, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).as("sum_chars"),
+              sum(md5Int(col("text")) % 1000000007L).as("checksum"),
+              countDistinct(pmod(col("doc_id"), lit(8))).as("n_buckets"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_chars"), col("checksum"), col("n_buckets"))
+        }.reduce(_.unionByName(_))
+        val back = stats.orderBy(col("version"))
+        // 3-row result: materialize before the staging tree deletes
+        s.createDataFrame(
+          java.util.Arrays.asList(back.collect(): _*), back.schema)
+      } finally Scratch.deleteTree(t)
+    }),
+
     "q190_zorder_layout" -> ((s, d) => {
       val stage = Scratch.dir("q190_zorder_")
       try {
@@ -764,6 +806,43 @@ object SourceQueries extends QueryModule {
          |  CAST(SUM(($ck) % 1000000007) AS BIGINT) AS checksum
          |FROM ch GROUP BY win, change_type
          |ORDER BY win, change_type""".stripMargin
+    },
+
+    // q373: v1 and v2 rows computed from the SAME relational state —
+    // compaction must be logically invisible, so the v2 row repeats
+    // the v1 expressions verbatim; a compaction bug that loses,
+    // duplicates, or mutates a row hash-fails the v2 row while v0/v1
+    // pin history intactness
+    "q373_snapshot_compact" -> {
+      val ck = graft.llm.TextAnalysis.md5IntSql("text")
+      s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         |v1r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text,
+         |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+         |         ELSE n_chars END AS n_chars
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'fresh ' || text, n_chars + 6
+         |  FROM base WHERE doc_id % 25 = 0)
+         |SELECT CAST(version AS INT) AS version,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(sum_chars AS BIGINT) AS sum_chars,
+         |  CAST(checksum AS BIGINT) AS checksum,
+         |  CAST(n_buckets AS BIGINT) AS n_buckets
+         |FROM (
+         |  SELECT 0 AS version, COUNT(*) AS n_rows,
+         |    SUM(n_chars) AS sum_chars,
+         |    SUM(($ck) % 1000000007) AS checksum,
+         |    COUNT(DISTINCT doc_id % 8) AS n_buckets FROM base
+         |  UNION ALL
+         |  SELECT 1, COUNT(*), SUM(n_chars), SUM(($ck) % 1000000007),
+         |    COUNT(DISTINCT doc_id % 8) FROM v1r
+         |  UNION ALL
+         |  SELECT 2, COUNT(*), SUM(n_chars), SUM(($ck) % 1000000007),
+         |    COUNT(DISTINCT doc_id % 8) FROM v1r) z
+         |ORDER BY version""".stripMargin
     },
 
     // q345: identical shard hash, cell grid, ceiling division

@@ -118,6 +118,9 @@ class PlanBudgetSpec extends SparkSpec {
     // returns a 7-row count table; the staged builders' plans are
     // audited by DedupPlanSpec where they're consumed
     "q000_staging",
+    // q373 stages the snapshot history + compaction then aggregates
+    // three reads (SnapshotSpec pins the 1-file-per-bucket collapse)
+    "q373_snapshot_compact",
     // q205/q211 are action-style: q205 runs the label-propagation
     // loop (localCheckpoint rounds) and q211 its persisted-tokenize
     // pipeline while BUILDING the frame; both return materialized

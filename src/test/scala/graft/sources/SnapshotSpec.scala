@@ -207,6 +207,40 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compact: the current version collapses to ONE file per bucket, " +
+    "content bit-identical, history intact, fragmented gen vacuumable") {
+    val t = graft.Scratch.dir("snapspec_compact_")
+    try {
+      // 8-way repartition fragments every bucket across several part
+      // files at init (multiple tasks write into the same bucket dir)
+      val df = (0L until 256L).map(i => (i, s"text $i", i)).toDF("id", "text", "score")
+        .repartition(8)
+      SnapshotTable.init(spark, t, df, "id")
+      val before = SnapshotTable.readAsOf(spark, t, 0)
+      val filesBefore = before.inputFiles.length
+      assert(filesBefore > SnapshotTable.NumBuckets,
+        s"fixture not fragmented ($filesBefore files) — test lost its teeth")
+      val content0 = before.collect().map(_.toSeq).toSet
+      val v = SnapshotTable.compact(spark, t, "id")
+      assert(v == 1)
+      val after = SnapshotTable.readAsOf(spark, t, 1)
+      // exactly one file per non-empty bucket
+      val byDir = after.inputFiles.groupBy(f =>
+        f.substring(0, f.lastIndexOf('/')))
+      assert(byDir.size == SnapshotTable.NumBuckets)
+      assert(byDir.values.forall(_.length == 1),
+        s"bucket dir holds >1 file post-compact: ${byDir.view.mapValues(_.length).toMap}")
+      // logical content bit-identical; v0 still reads
+      assert(after.collect().map(_.toSeq).toSet == content0)
+      assert(SnapshotTable.readAsOf(spark, t, 0).count() == 256)
+      // vacuum with the post-compact horizon frees the fragmented gen
+      val gone = SnapshotTable.vacuum(spark, t, retainFrom = 1)
+      assert(gone.nonEmpty)
+      assert(SnapshotTable.readAsOf(spark, t, 1).collect()
+        .map(_.toSeq).toSet == content0)
+    } finally graft.Scratch.deleteTree(t)
+  }
+
   test("vacuum: lost-race orphan dirs are collected, retained versions " +
     "keep every file, and a retention horizon frees pre-horizon COW") {
     val (t, _) = freshTable()

@@ -68,6 +68,109 @@ object SnapshotTable {
 
   val NumBuckets = 8
 
+  /** Manifest rows per commit FILE, cached driver-side (round-14
+    * optimization pass). A commit file is immutable once its atomic
+    * link lands — the whole point of the protocol — so its rows can
+    * be cached forever; the cache key is the absolute file path,
+    * which is per-run scratch, so nothing persists across runs. The
+    * rows themselves are read with the parquet-hadoop column reader
+    * ON THE DRIVER: a manifest is file-level metadata (a handful of
+    * rows), and reading it through a distributed Spark job cost a
+    * full job launch per [[liveFiles]] call — q363/q364/q373 each
+    * paid ~8-10 such jobs per run (guide §5: the driver should do no
+    * DATA work; this is metadata work, exactly what belongs there).
+    */
+  private val manifestFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String)]]()
+
+  /** Schema per DATA GENERATION dir, cached driver-side: bucket dirs
+    * are copy-on-write (never mutated after commit), so one footer
+    * read per dir serves every later read. Replaces the per-read
+    * `mergeSchema` option, whose footer-merge pass launched a
+    * distributed job for EVERY readAsOf/changesBetween call.
+    */
+  private val dirSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private val manifestSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int32 version;
+        |  required binary path (UTF8);
+        |  required binary action (UTF8);
+        |}""".stripMargin)
+
+  private def writeManifestFile(p: Path,
+      rows: Seq[(Int, String, String)]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(manifestSchema)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf))
+      .withConf(conf).withType(manifestSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { case (v, path, action) =>
+      val g = factory.newGroup()
+      g.add("version", v); g.add("path", path); g.add("action", action)
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def readManifestFile(p: String): Seq[(Int, String, String)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p))
+      .withConf(conf).build()
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getInteger("version", 0), g.getString("path", 0),
+          g.getString("action", 0)))
+        g = reader.read()
+      }
+      buf.toSeq
+    } finally reader.close()
+  }
+
+  /** All manifest rows of `t`, via the per-file driver cache. */
+  private def manifestRows(t: Path): Seq[(Int, String, String)] = {
+    val listing = Files.list(manifestDir(t))
+    val files =
+      try listing.iterator().asScala.map(_.toString)
+        .filter(n => n.endsWith(".parquet")).toSeq.sorted
+      finally listing.close()
+    files.flatMap(f =>
+      manifestFileCache.computeIfAbsent(f, readManifestFile))
+  }
+
+  /** Name-union schema over generation dirs, all fields nullable (a
+    * column absent from an earlier generation reads NULL there). Types
+    * never change across generations in this format — evolution only
+    * ADDS columns — so name-union is total.
+    */
+  private def unionSchemaOf(s: SparkSession, dirs: Seq[String]): StructType = {
+    val schemas = dirs.map(dir => dirSchemaCache.computeIfAbsent(dir,
+      d => s.read.parquet(d).schema))
+    StructType(schemas.foldLeft(Seq.empty[org.apache.spark.sql.types.StructField]) {
+      (acc, sc) =>
+        acc ++ sc.fields.filterNot(f => acc.exists(_.name == f.name))
+    }.map(_.copy(nullable = true)))
+  }
+
+  /** Read generation dirs under an EXPLICIT schema: no footer-merge
+    * job, missing columns read NULL (the parquet reader's standard
+    * evolution path) — replaces mergeSchema + [[alignTo]] on the read
+    * side.
+    */
+  private def readDirs(s: SparkSession, dirs: Seq[String],
+      schema: StructType): DataFrame =
+    s.read.schema(schema).parquet(dirs: _*)
+
   /** Test seam: invoked after a merge attempt has PREPARED its data
     * files and immediately before its commit attempt — SnapshotSpec
     * injects a competing commit here to exercise both lost-race
@@ -90,19 +193,16 @@ object SnapshotTable {
     */
   private def commitManifest(s: SparkSession, t: Path, version: Int,
       rows: Seq[(Int, String, String)]): Boolean = {
-    import s.implicits._
     Files.createDirectories(manifestDir(t))
     val tmp = Files.createTempDirectory(t, "commit_tmp_")
     try {
-      val out = tmp.resolve("m")
-      rows.toDF("version", "path", "action")
-        .coalesce(1).write.parquet(out.toString)
-      val listing = Files.list(out)
-      val part =
-        try listing.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error("manifest part file missing"))
-        finally listing.close()
+      // Driver-side parquet write (round-14 optimization pass): a
+      // commit is a handful of metadata rows — writing it through a
+      // coalesce(1) Spark job paid a full job launch + commit
+      // protocol per commit. Same bytes-on-disk contract (Spark and
+      // the spec read the file back unchanged).
+      val part = tmp.resolve("m.parquet")
+      writeManifestFile(part, rows)
       val target = manifestDir(t).resolve(f"v$version%05d.parquet")
       try {
         // createLink, NOT move: POSIX rename() silently OVERWRITES an
@@ -202,7 +302,13 @@ object SnapshotTable {
     * omit columns the table has (NULL for the new rows).
     */
   def merge(s: SparkSession, t: Path, updates: DataFrame,
-      key: String, maxRetries: Int = 5): Int = {
+      key: String, maxRetries: Int = 5): Int = try {
+    // `updates` feeds three subtrees per attempt (the touched-bucket
+    // probe, the anti-join's key side, the union's insert side): the
+    // caller's batch lineage would be computed three times per wave
+    // (guide §5 — reuse justifies the persist; released in the finally
+    // whatever the outcome, so nothing outlives the merge).
+    updates.persist()
     var attempt = 0
     while (true) {
       val base = currentVersion(s, t)
@@ -222,12 +328,14 @@ object SnapshotTable {
       val merged =
         if (oldTouched.isEmpty) updates
         else {
-          val old = s.read.option("mergeSchema", "true")
-            .parquet(oldTouched: _*)
-          val union = StructType((old.schema.fields ++
+          val oldSchema = unionSchemaOf(s, oldTouched)
+          val union = StructType((oldSchema.fields ++
             updates.schema.fields.filterNot(f =>
-              old.columns.contains(f.name))).toSeq)
-          alignTo(old, union)
+              oldSchema.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))).toSeq)
+          // explicit union schema: updates-only columns read NULL from
+          // the old files directly — no mergeSchema job, no alignTo
+          readDirs(s, oldTouched, union)
             .join(updates.select(col(key)), Seq(key), "left_anti")
             .unionByName(alignTo(updates, union))
         }
@@ -245,11 +353,8 @@ object SnapshotTable {
         return v
       // lost the race for v: conflict iff the winner touched any of
       // our buckets — then our merged rows were computed on stale data
-      val winnerBuckets = {
-        val m = manifest(s, t).filter(col("version") === v)
-          .select(col("path")).collect().map(r => bucketOfPath(r.getString(0)))
-        m.toSet
-      }
+      val winnerBuckets =
+        manifestRows(t).collect { case (`v`, p, _) => bucketOfPath(p) }.toSet
       if (winnerBuckets.intersect(touched).nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"merge lost version $v to a commit over the same buckets " +
@@ -262,26 +367,28 @@ object SnapshotTable {
       // prepared dir is unreferenced garbage) and try v+1
     }
     -1 // unreachable
-  }
+  } finally updates.unpersist(blocking = false)
 
-  /** Paths visible at `version`: adds ≤ v minus removes ≤ v. */
+  /** Paths visible at `version`: adds ≤ v minus removes ≤ v. Pure
+    * driver metadata work over the cached manifest rows — no Spark
+    * job (was one distributed read+collect per call).
+    */
   private def liveFiles(s: SparkSession, t: Path, version: Int): Seq[String] = {
-    val m = manifest(s, t).filter(col("version") <= version)
-      .groupBy(col("path"))
-      .agg(max(when(col("action") === "remove", 1).otherwise(0))
-        .as("removed"))
-      .filter(col("removed") === 0)
-      .select(col("path")).collect().map(_.getString(0)).toSeq
-    m.sorted
+    val rows = manifestRows(t).filter(_._1 <= version)
+    val removed = rows.collect { case (_, p, "remove") => p }.toSet
+    rows.collect { case (_, p, a) if a != "remove" && !removed(p) => p }
+      .distinct.sorted
   }
 
   /** Time-travel read: the table exactly as committed at `version`.
-    * Footer-merging across commit generations: buckets written before
-    * a schema evolution lack the later columns and read as NULL.
+    * Cross-generation column union via the cached per-dir schemas:
+    * buckets written before a schema evolution lack the later columns
+    * and read as NULL.
     */
-  def readAsOf(s: SparkSession, t: Path, version: Int): DataFrame =
-    s.read.option("mergeSchema", "true")
-      .parquet(liveFiles(s, t, version): _*)
+  def readAsOf(s: SparkSession, t: Path, version: Int): DataFrame = {
+    val live = liveFiles(s, t, version)
+    readDirs(s, live, unionSchemaOf(s, live))
+  }
 
   /** Incremental change feed (the Delta `readChangeFeed` analogue):
     * every row-level change between the committed states at `fromV`
@@ -320,7 +427,7 @@ object SnapshotTable {
     val base = currentVersion(s, t)
     val v = base + 1
     val live = liveFiles(s, t, base)
-    val all = s.read.option("mergeSchema", "true").parquet(live: _*)
+    val all = readDirs(s, live, unionSchemaOf(s, live))
     val out = dataDir(t).resolve(s"v$v")
     // repartition BY the bucket id: one task per bucket → one file per
     // bucket dir; partitionBy routes rows to their dirs with no second
@@ -389,13 +496,14 @@ object SnapshotTable {
     val liveTo = liveFiles(s, t, toV).toSet
     val oldDirs = (liveFrom -- liveTo).toSeq.sorted
     val newDirs = (liveTo -- liveFrom).toSeq.sorted
-    def rd(dirs: Seq[String]) =
-      s.read.option("mergeSchema", "true").parquet(dirs: _*)
-    // column set = the name-union across every involved dir (one
-    // merged-footer read; schema evolution makes the sides differ)
+    // column set = the name-union across every involved dir, computed
+    // ONCE from the cached per-dir schemas (this method previously
+    // built three separate mergeSchema reads — three footer-merge jobs
+    // — before touching any data)
     val allDirs = (liveTo ++ liveFrom).toSeq.sorted
-    val cols = rd(allDirs).columns.toSeq
-    val unionSchema = rd(allDirs).schema
+    val unionSchema = unionSchemaOf(s, allDirs)
+    val cols = unionSchema.fieldNames.toSeq
+    def rd(dirs: Seq[String]) = readDirs(s, dirs, unionSchema)
     val payload = cols.filterNot(_ == key)
     def emptyChanges = rd(allDirs).limit(0)
       .select(cols.map(col): _*)
@@ -403,28 +511,38 @@ object SnapshotTable {
     if (oldDirs.isEmpty && newDirs.isEmpty) return emptyChanges
     def packed(dirs: Seq[String], as: String): Option[DataFrame] =
       if (dirs.isEmpty) None
-      else Some(alignTo(rd(dirs), unionSchema)
+      else Some(rd(dirs)
         .select(col(key), struct(payload.map(col): _*).as(as)))
-    def unpack(df: DataFrame, side: String, tag: String): DataFrame =
-      df.select((col(key) +:
-        payload.map(c => col(s"$side.$c").as(c)) :+
-        lit(tag).as("_change_type")): _*)
     (packed(oldDirs, "__old"), packed(newDirs, "__new")) match {
       case (None, Some(_)) =>
-        alignTo(rd(newDirs), unionSchema).select(cols.map(col): _*)
+        rd(newDirs).select(cols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
       case (Some(_), None) =>
-        alignTo(rd(oldDirs), unionSchema).select(cols.map(col): _*)
+        rd(oldDirs).select(cols.map(col): _*)
           .withColumn("_change_type", lit("delete"))
       case (Some(o), Some(n)) =>
+        // ONE pass over the join (round-14 optimization pass): the old
+        // shape unioned four filtered branches of the same full-outer
+        // join, which executes the join subtree four times (exchange
+        // reuse dedups only the shuffle write, not the probe). Tag
+        // each key with its 0-2 change types, explode, and pick the
+        // pre- or post-image struct per emitted row — identical rows,
+        // one join execution.
         val j = o.join(n, Seq(key), "full_outer")
-        val inserts = unpack(j.filter(col("__old").isNull), "__new", "insert")
-        val deletes = unpack(j.filter(col("__new").isNull), "__old", "delete")
-        val upd = j.filter(col("__old").isNotNull && col("__new").isNotNull &&
-          !(col("__old") <=> col("__new")))
-        inserts.unionByName(deletes)
-          .unionByName(unpack(upd, "__old", "update_preimage"))
-          .unionByName(unpack(upd, "__new", "update_postimage"))
+        val tagged = j.select(col(key), col("__old"), col("__new"),
+          explode(
+            when(col("__old").isNull, array(lit("insert")))
+              .when(col("__new").isNull, array(lit("delete")))
+              .when(!(col("__old") <=> col("__new")),
+                array(lit("update_preimage"), lit("update_postimage")))
+              .otherwise(array().cast("array<string>")))
+            .as("_change_type"))
+        val fromNew = col("_change_type") === "insert" ||
+          col("_change_type") === "update_postimage"
+        tagged.select((col(key) +:
+          payload.map(c => when(fromNew, col(s"__new.$c"))
+            .otherwise(col(s"__old.$c")).as(c)) :+
+          col("_change_type")): _*)
       case (None, None) => emptyChanges // unreachable: guarded above
     }
   }

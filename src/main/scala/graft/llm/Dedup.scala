@@ -139,7 +139,13 @@ object Dedup extends QueryModule {
     val path = simStageCache.computeIfAbsent((d, key), _ => {
       val p = graft.Scratch.dir(s"simjoin_${key}_")
         .resolve(s"$key.parquet").toString
+      val t0 = System.nanoTime()
       build.write.parquet(p)
+      // dev-loop build profiler (optimization rounds): per-stage build
+      // seconds on stderr, opt-in, zero cost when unset
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(
+          f"[stage] $key ${(System.nanoTime() - t0) / 1e9}%.3f s")
       p
     })
     s.read.parquet(path)

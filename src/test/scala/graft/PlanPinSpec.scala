@@ -50,7 +50,10 @@ object PlanPinSpec {
   }
 
   val pins: Map[String, Fp] = Map(
-    "q118_interval_bucket_join" -> Fp(exch = 3, bhj = 1, smj = 0, shj = 0, bnlj = 0, wsc = 4),
+    // round 14 (optimization): both join inputs pre-aggregate below
+    // the bucket join (2 extra partial/final agg exchanges), join
+    // intermediate ~37M pair rows → ~150k group rows
+    "q118_interval_bucket_join" -> Fp(exch = 5, bhj = 1, smj = 0, shj = 0, bnlj = 0, wsc = 6),
     "q128_repetition_quality" -> Fp(exch = 3, bhj = 0, smj = 0, shj = 0, bnlj = 0, wsc = 4),
     "q148_trigram_langid" -> Fp(exch = 9, bhj = 1, smj = 0, shj = 0, bnlj = 0, wsc = 11),
     "q188_winnow_dedup" -> Fp(exch = 14, bhj = 5, smj = 0, shj = 0, bnlj = 0, wsc = 14),
